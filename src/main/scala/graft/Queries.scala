@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One coverage query: Spark-side plan + (optional) DuckDB oracle SQL.
+  *
+  * Oracle-parity conventions (the driver hash-compares values after sorting
+  * columns by name):
+  *  - Aggregated doubles go through DECIMAL(38,4) so the reduction is exact
+  *    and order-independent (Spark shuffles partials; DuckDB folds serially;
+  *    raw double sums would differ in low bits). Final cast back to DOUBLE
+  *    keeps the output schema decimal-free on both engines.
+  *  - Every aggregate/computed column is aliased identically on both sides.
+  *  - DuckDB SUM(INTEGER) returns HUGEINT → always CAST to BIGINT/DOUBLE.
+  *  - Deterministic total ORDER BY everywhere ties could reorder rows.
+  */
+final case class Q(run: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+object Queries {
+
+  /** sum(double) with an exact, order-independent reduction: quantize each
+    * row with floor(x·10⁴) (one IEEE multiply + floor — bit-identical in any
+    * engine; decimal casts are NOT, they round the shortest-string vs the
+    * exact binary value and disagree on ~0.3% of rows), then sum exactly as
+    * BIGINT. Scale-safe: the map-side partial sum is a long. */
+  def dsum(c: Column): Column = (sum(floor(c * lit(10000.0))).cast("double") / lit(10000.0))
+  /** avg(double) as exact-quantized-sum / count — bit-identical across engines. */
+  def davg(c: Column): Column = (sum(floor(c * lit(10000.0))).cast("double") / lit(10000.0) / count(lit(1)))
+
+  /** DuckDB spelling of [[dsum]] / [[davg]]. */
+  def oSum(x: String): String = s"CAST(SUM(CAST(FLOOR(($x) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0"
+  def oAvg(x: String): String = s"CAST(SUM(CAST(FLOOR(($x) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*)"
+
+  private def sql(text: String)(implicit d: DummyImplicit): (SparkSession, String) => DataFrame =
+    (s: SparkSession, dir: String) => { Tables.registerAll(s, dir); s.sql(text) }
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1 shape — scan → filter → hash agg (partial+final) → sort.
+    * Ref: flink-table-runtime-blink aggregate/BytesHashMap.java:60 (batch
+    * hash agg); here Catalyst plans HashAggregateExec with map-side combine,
+    * the shuffle moves only (flag,status) groups — scale-safe at 100 TB. */
+  val q1PricingSummary: Q = Q(
+    run = (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    oracle = Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${oSum("l_quantity")} AS sum_qty,
+             ${oSum("l_extendedprice")} AS sum_base_price,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+             ${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+             ${oAvg("l_quantity")} AS avg_qty,
+             ${oAvg("l_extendedprice")} AS avg_price,
+             ${oAvg("l_discount")} AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q1_pricing_summary" -> q1PricingSummary,
+  )
+}
