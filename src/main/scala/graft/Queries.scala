@@ -73,7 +73,24 @@ object Queries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Quantize a double to 6 decimals the same way in both engines (one IEEE
+    * multiply + floor — deterministic cross-engine, unlike round()'s
+    * half-even-vs-half-up dialect differences). */
+  def qz6(c: Column): Column = floor(c * lit(1000000.0)).cast("long").cast("double") / lit(1000000.0)
+  def oQz6(x: String): String = s"CAST(CAST(FLOOR(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+
+  /** Exact integer cents for a 2-decimal double — order-independent sums. */
+  def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
+  def oCents(x: String): String = s"CAST(FLOOR(($x) * 100.0) AS BIGINT)"
+
+  /** Cross-engine deterministic 60-bit string hash: first 15 hex chars of
+    * md5. Spark `conv(...,16,10)` ≡ DuckDB `('0x'||...)::BIGINT` (verified
+    * bit-identical). Powers minhash/simhash/LSH oracles. */
+  def hashStr(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def oHash(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q1_pricing_summary" -> q1PricingSummary,
-  )
+  ) ++ coverage.RelationalQueries.all ++ coverage.WindowQueries.all ++
+    coverage.PipelineQueries.all ++ coverage.StreamingQueries.all
 }

@@ -1,0 +1,436 @@
+package graft.coverage
+
+import graft.{Q, Queries, Tables}
+import graft.Queries._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators (SURVEY.md §7 M7): dedup
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (language-ID,
+  * quality, token counts, fingerprints) and multimodal binary plumbing.
+  *
+  * Scale design notes (the whole point of these ops is 100 TB):
+  *  - All pair generation goes through inverted-index joins (token → doc)
+  *    or LSH bucket joins — never a cartesian of the corpus.
+  *  - Signatures (minhash/simhash/fingerprints) are map-side column
+  *    expressions; one shuffle per group-by, partial aggregation applies.
+  *  - Floating point is kept deterministic by quantizing each TERM to an
+  *    integer before summing (floor(x·10⁶)): integer sums are
+  *    order-independent, so a 1000-executor shuffle reduction hash-matches
+  *    the serial DuckDB oracle bit-for-bit.
+  *  - Cross-engine hash = [[Queries.hashStr]] (md5-derived 60-bit int).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles per doc (ref: standard MinHash shingling;
+    * the reference has no dedup operator — this is the M7 extension). */
+  private def shingled(d: DataFrame): DataFrame =
+    d.filter(size(words) >= 3).select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
+    )).as("sh"))
+
+  // constant-bound series + WHERE (DuckDB's generate_series can't take
+  // lateral column bounds); 500 safely exceeds the max words-per-doc
+  private val oShingles: String = """
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    CROSS JOIN generate_series(1, 500) g(i)
+    WHERE len(ws) >= 3 AND i <= len(ws) - 2"""
+
+  // ----------------------------------------------------------- dedup family
+
+  /** Exact dedup on a normalization key (md5 of the first-10-words prefix —
+    * the fixture's planted near-dup clusters share it). Hash-groupBy: one
+    * shuffle of (hash → docid), partial-agg'd. */
+  val qPipeDedupExact: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir)
+        .withColumn("sig", md5(concat_ws(" ", slice(words, 1, 10))))
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("sig")),
+    oracle = Some("""
+      SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS sig,
+             min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY sig HAVING COUNT(*) > 1 ORDER BY sig"""))
+
+  /** N-gram Jaccard near-dup pairs via an inverted-index self-join on
+    * shingles (doc pairs sharing ≥1 shingle), then |∩|/|∪|. At 100 TB the
+    * join key is the shingle — high-DF shingles would be dropped by a DF
+    * cap; the cartesian never happens. */
+  val qPipeJaccard: Q = Q(
+    run = (s, dir) => {
+      val sh = shingled(docs(s, dir)).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+        .withColumn("jac", col("inter").cast("double") / (col("s1") + col("s2") - col("inter")).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($oShingles),
+           sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+           pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+      SELECT d1, d2, inter,
+             CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) AS jac
+      FROM pr JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      WHERE CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) >= 0.5
+      ORDER BY d1, d2"""))
+
+  /** MinHash + LSH candidate pairs: 16 permutations (md5-derived hash per
+    * (seed, shingle), min per doc+seed), 4 bands × 4 rows, band-bucket join.
+    * The classic sub-quadratic near-dup path: only docs colliding in a band
+    * bucket are ever paired. */
+  val qPipeMinhashLsh: Q = Q(
+    run = (s, dir) => {
+      val sh = shingled(docs(s, dir))
+      val sig = sh
+        .withColumn("seed", explode(sequence(lit(0), lit(15))))
+        .withColumn("h", hashStr(concat(col("seed").cast("string"), lit("_"), col("sh"))))
+        .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+      val bands = sig
+        .withColumn("band", (col("seed") / 4).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(
+          min(when(col("seed") % 4 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 4 === 1, col("mh"))).as("m1"),
+          min(when(col("seed") % 4 === 2, col("mh"))).as("m2"),
+          min(when(col("seed") % 4 === 3, col("mh"))).as("m3"))
+        .withColumn("bkey", md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($oShingles),
+           sig AS (SELECT doc_id, seed, min(${oHash("seed || '_' || sh")}) AS mh
+                   FROM sh CROSS JOIN generate_series(0, 15) g(seed)
+                   GROUP BY doc_id, seed),
+           bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                            md5(min(CASE WHEN seed % 4 = 0 THEN mh END) || ',' ||
+                                min(CASE WHEN seed % 4 = 1 THEN mh END) || ',' ||
+                                min(CASE WHEN seed % 4 = 2 THEN mh END) || ',' ||
+                                min(CASE WHEN seed % 4 = 3 THEN mh END)) AS bkey
+                     FROM sig GROUP BY 1, 2)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ORDER BY d1, d2"""))
+
+  /** SimHash 60-bit signatures + near-dup pairs at Hamming distance ≤ 12.
+    * Signature is a per-doc map-side reduction (explode bit index → sign
+    * sum); the pair scan joins signatures only (500 at test SF; at scale
+    * you'd band the signature bits exactly like minhash — the signature
+    * column IS the scale artifact). */
+  val qPipeSimhash: Q = Q(
+    run = (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(words)).as("w"))
+        .withColumn("h", hashStr(col("w")))
+        .withColumn("b", explode(sequence(lit(0), lit(59))))
+        .withColumn("contrib", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("sgn"))
+        .withColumn("bitv", expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy(col("doc_id")).agg(sum(col("bitv")).as("sig"))
+      sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("ham", expr("bit_count(a.sig ^ b.sig)"))
+        .filter(col("ham") <= 12)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("ham"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH wd AS (SELECT DISTINCT doc_id, w
+                  FROM documents, unnest(string_split(text, ' ')) u(w)),
+           bits AS (SELECT doc_id, b, SUM(CASE WHEN (${oHash("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+                    FROM wd CROSS JOIN generate_series(0, 59) g(b)
+                    GROUP BY doc_id, b),
+           sig AS (SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS sig
+                   FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.sig, b.sig)) AS ham
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 12
+      ORDER BY d1, d2"""))
+
+  // ------------------------------------------------------ similarity search
+
+  /** Quantized-term L2-norm (long): order-independent, cross-engine exact. */
+  private val normQ: Column =
+    aggregate(
+      transform(col("embedding"), x => floor(x.cast("double") * x.cast("double") * 1000000.0).cast("long")),
+      lit(0L), (a, x) => a + x)
+
+  private def cosQ(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Brute-force cosine top-5 for a query set (vec_id < 10) against the
+    * whole corpus — the ANN correctness baseline. The query side is tiny →
+    * broadcast; the corpus is scanned map-side exactly once; top-k is a
+    * per-query window (at scale: per-partition top-k then re-rank, no
+    * corpus shuffle). */
+  val qPipeAnnBrute: Q = Q(
+    run = (s, dir) => {
+      val e = emb(s, dir).withColumn("nq", normQ)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nq").as("qn")))
+      val dot = aggregate(
+        zip_with(col("qe"), col("embedding"),
+          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val scored = q.join(e, col("vec_id") =!= col("qid"))
+        .withColumn("cosv", cosQ(dot, col("qn"), col("nq")))
+        .select(col("qid"), col("vec_id").as("cid"), col("cosv"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosv").desc, col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("cid"), col("cosv"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some("""
+      WITH norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS nq
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               SUM(CAST(FLOOR(CAST(q.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM embeddings q, embeddings c, generate_series(1, 64) g(d)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT qid, cid, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+      SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cid) AS rn, cid, cosv
+      FROM cos QUALIFY rn <= 5 ORDER BY qid, rn"""))
+
+  /** LSH-bucketed ANN (random-hyperplane signs → bucket, search within
+    * bucket): the 100 TB path — candidate set shrinks by the bucket factor,
+    * join key is the bucket id. Hyperplane coefficients are md5-derived
+    * integers (deterministic, no RNG). 4 planes → 16 buckets. */
+  val qPipeAnnLsh: Q = Q(
+    run = (s, dir) => {
+      val planes = 4
+      val e = emb(s, dir).withColumn("nq", normQ)
+      val withBucket = e.withColumn("bucket",
+        (0 until planes).map { p =>
+          val dot = aggregate(
+            transform(sequence(lit(1), lit(64)),
+              d => floor(element_at(col("embedding"), d).cast("double") *
+                ((hashStr(concat(lit(s"pl${p}_"), d.cast("string"))) % 2001) - 1000).cast("double") * 1000.0).cast("long")),
+            lit(0L), (a, x) => a + x)
+          when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _))
+      val q = broadcast(withBucket.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nq").as("qn"), col("bucket")))
+      val dot = aggregate(
+        zip_with(col("qe"), col("embedding"),
+          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      q.join(withBucket, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosv", cosQ(dot, col("qn"), col("nq")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosv").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("bucket"), col("cosv"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some(s"""
+      WITH coef AS (
+        SELECT p, d, (${oHash("'pl' || p || '_' || d")} % 2001) - 1000 AS c
+        FROM generate_series(0, 3) gp(p), generate_series(1, 64) gd(d)),
+      pd AS (
+        SELECT e.vec_id, p, SUM(CAST(FLOOR(CAST(e.embedding[d] AS DOUBLE) * CAST(c AS DOUBLE) * 1000.0) AS BIGINT)) AS dt
+        FROM embeddings e, coef WHERE coef.d <= len(e.embedding)
+        GROUP BY e.vec_id, p),
+      bk AS (
+        SELECT vec_id, SUM(CASE WHEN dt > 0 THEN (1 << p) ELSE 0 END)::INT AS bucket
+        FROM pd GROUP BY vec_id),
+      norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS nq
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, qb.bucket,
+               SUM(CAST(FLOOR(CAST(q.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM embeddings q JOIN bk qb ON qb.vec_id = q.vec_id,
+             embeddings c JOIN bk cb ON cb.vec_id = c.vec_id,
+             generate_series(1, 64) g(d)
+        WHERE q.vec_id < 50 AND qb.bucket = cb.bucket AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2, 3),
+      cos AS (
+        SELECT qid, cid, bucket, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        FROM cand JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
+      SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cid) AS rn, cid, bucket, cosv
+      FROM cos QUALIFY rn <= 3 ORDER BY qid, rn"""))
+
+  // --------------------------------------------------------- text analysis
+
+  private val stopLatin = Seq("the", "a", "data", "table")
+  private val stopOps = Seq("merge", "sort", "filter", "scan")
+  private val stopTech = Seq("spark", "query", "window", "stream")
+
+  private def ratio(list: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(list))).cast("double") / size(words).cast("double")
+
+  /** Heuristic language-ID: stopword-profile hit ratios, argmax with
+    * alphabetical tie-break — n-gram/stopword scoring shape of real LID at
+    * pipeline scale (pure map-side column math, no shuffle). */
+  val qPipeLangid: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        ratio(stopLatin).as("s_latin"),
+        ratio(stopOps).as("s_ops"),
+        ratio(stopTech).as("s_tech"))
+        .withColumn("pred",
+          when(col("s_latin") >= col("s_ops") && col("s_latin") >= col("s_tech"), "latin")
+            .when(col("s_ops") >= col("s_tech"), "ops")
+            .otherwise("tech"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(ws, w -> list_contains(['the','a','data','table'], w))) AS DOUBLE) / len(ws) AS s_latin,
+          CAST(len(list_filter(ws, w -> list_contains(['merge','sort','filter','scan'], w))) AS DOUBLE) / len(ws) AS s_ops,
+          CAST(len(list_filter(ws, w -> list_contains(['spark','query','window','stream'], w))) AS DOUBLE) / len(ws) AS s_tech
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+      SELECT doc_id, lang, s_latin, s_ops, s_tech,
+             CASE WHEN s_latin >= s_ops AND s_latin >= s_tech THEN 'latin'
+                  WHEN s_ops >= s_tech THEN 'ops' ELSE 'tech' END AS pred
+      FROM sc ORDER BY doc_id"""))
+
+  /** Quality scoring: length, uniqueness ratio, stopword ratio, mean word
+    * length → weighted score. All per-row column math (map-side). */
+  val qPipeQuality: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_uniq"),
+        (size(array_distinct(words)).cast("double") / size(words).cast("double")).as("uniq_ratio"),
+        (aggregate(transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x).cast("double") /
+          size(words).cast("double")).as("avg_wlen"),
+        ratio(stopLatin).as("stop_ratio"))
+        .withColumn("quality",
+          lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("avg_wlen") / 10.0, lit(1.0)))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id, length(text) AS n_chars_m, string_split(text, ' ') AS ws FROM documents),
+      m AS (
+        SELECT doc_id, n_chars_m, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_wlen,
+               CAST(len(list_filter(ws, w -> list_contains(['the','a','data','table'], w))) AS DOUBLE) / len(ws) AS stop_ratio
+        FROM b)
+      SELECT doc_id, n_chars_m, n_words, n_uniq, uniq_ratio, avg_wlen, stop_ratio,
+             0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.3 * least(avg_wlen / 10.0, 1.0) AS quality
+      FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish estimate (⌈len/4⌉ per
+    * word — the "chars/4" rule of thumb, exactly reproducible). */
+  val qPipeTokens: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(words).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
+        aggregate(transform(words, w => ceil(length(w).cast("double") / 4.0).cast("long")),
+          lit(0L), (a, x) => a + x).as("bpe_est"),
+        length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+             list_sum(list_transform(string_split(text, ' '),
+                      w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)))::BIGINT AS bpe_est,
+             length(text) AS n_chars_m
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: canonical sorted-unique-words md5 + a rolling
+    * polynomial hash (mod 1,000,003) over the word sequence — both pure
+    * map-side; the md5 fingerprint doubles as the exact-dedup key at scale. */
+  val qPipeFingerprint: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(words)), " ")).as("fp_set"),
+        aggregate(transform(words, w => hashStr(w) % 1000003),
+          lit(0L), (a, x) => (a * 31 + x) % 1000003).as("fp_roll"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ' '), w -> ${oHash("w")} % 1000003)),
+               (a, b) -> (a * 31 + b) % 1000003) AS fp_roll
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal column plumbing: opaque binary payload + typed metadata +
+    * per-frame sampling. The DECODE IS A DETERMINISTIC STUB (md5-derived
+    * width/height/frames — no image libs in this container); the Spark-side
+    * contract (binary column, metadata struct, frame explode shape,
+    * map-side partitioning) is the real, tested artifact. */
+  val qPipeMultimodal: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", length(col("payload")))
+        .withColumn("m", md5(col("text")))
+        .withColumn("width", (conv(substring(col("m"), 1, 4), 16, 10).cast("long") % 320 + 16).as("width"))
+        .withColumn("height", (conv(substring(col("m"), 5, 4), 16, 10).cast("long") % 240 + 16).as("height"))
+        .withColumn("frames", (conv(substring(col("m"), 9, 2), 16, 10).cast("long") % 8 + 1).as("frames"))
+        .withColumn("k", explode(sequence(lit(0L), least(col("frames") - 1, lit(2L)))))
+        .withColumn("frame_fp", md5(concat(col("m"), lit("_"), col("k").cast("string"))))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("frames"),
+                col("k"), col("frame_fp"))
+        .orderBy(col("doc_id"), col("k")),
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS m FROM documents),
+      meta AS (SELECT doc_id, n_bytes,
+                      ('0x' || substr(m, 1, 4))::BIGINT % 320 + 16 AS width,
+                      ('0x' || substr(m, 5, 4))::BIGINT % 240 + 16 AS height,
+                      ('0x' || substr(m, 9, 2))::BIGINT % 8 + 1 AS frames, m
+               FROM d)
+      SELECT doc_id, n_bytes, width, height, frames, k,
+             md5(m || '_' || k) AS frame_fp
+      FROM meta CROSS JOIN generate_series(0, 2) g(k)
+      WHERE k <= least(frames - 1, 2)
+      ORDER BY doc_id, k"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_dedup_exact" -> qPipeDedupExact,
+    "q_pipe_jaccard" -> qPipeJaccard,
+    "q_pipe_minhash_lsh" -> qPipeMinhashLsh,
+    "q_pipe_simhash" -> qPipeSimhash,
+    "q_pipe_ann_brute" -> qPipeAnnBrute,
+    "q_pipe_ann_lsh" -> qPipeAnnLsh,
+    "q_pipe_langid" -> qPipeLangid,
+    "q_pipe_quality" -> qPipeQuality,
+    "q_pipe_tokens" -> qPipeTokens,
+    "q_pipe_fingerprint" -> qPipeFingerprint,
+    "q_pipe_multimodal" -> qPipeMultimodal,
+  )
+}

@@ -1,0 +1,143 @@
+package graft.coverage
+
+import graft.{Q, Queries}
+import graft.Queries._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured-Streaming coverage (SURVEY.md §2.6 windows, §2.8 streaming
+  * Top-N/dedup, §2.13 watermarks, §2.12 CEP): every query here executes a
+  * REAL streaming query (readStream → transform → memory sink) — see
+  * [[StreamOps]] — and still hash-matches a DuckDB oracle because the
+  * fixture is one file → one deterministic micro-batch. */
+object StreamingQueries {
+
+  /** Streaming tumbling-window aggregation with watermark, Complete mode —
+    * ref WindowOperator.java:93 + WatermarkAssignerOperator; Spark's
+    * StateStore-backed windowed agg (same partial/final design as the
+    * reference's incremental pane agg). */
+  val qStreamTumble: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      val agg = src
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v_cents"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+                col("event_type"), col("n"), col("v_cents"))
+      StreamOps.runToMemory(s, agg, OutputMode.Complete()).orderBy(col("ws"), col("event_type"))
+    },
+    oracle = Some(s"""
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+             event_type, COUNT(*) AS n, SUM(${oCents("value")})::BIGINT AS v_cents
+      FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
+
+  /** Streaming dedup (keep-first per key) — ref deduplicate/
+    * RowTimeDeduplicateFunction.java:31; Spark `dropDuplicates` on a stream
+    * = state-backed keep-first. Output = just the keys, so intra-batch
+    * arrival order can't affect the hash. */
+  val qStreamDedup: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      val dd = src.dropDuplicates("user_id", "event_type").select(col("user_id"), col("event_type"))
+      StreamOps.runToMemory(s, dd, OutputMode.Append()).orderBy(col("user_id"), col("event_type"))
+    },
+    oracle = Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"))
+
+  /** Stream-stream interval join with watermarks on both sides — ref
+    * interval/TimeIntervalJoin.java (485 LoC); Spark's native watermarked
+    * stream-stream join IS this operator (SURVEY §2.4: "directly
+    * supported"). */
+  val qStreamIntervalJoin: Q = Q(
+    run = (s, dir) => {
+      val clicks = StreamOps.readTable(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+        .withWatermark("cts", "1 minute")
+      val purchases = StreamOps.readTable(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .withWatermark("pts", "1 minute")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") && col("pts") <= expr("cts + INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+      StreamOps.runToMemory(s, joined, OutputMode.Append())
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
+  /** Streaming Top-N per key via flatMapGroupsWithState — ref
+    * AppendOnlyTopNFunction.java:48 (see [[StreamOps.topNPerType]]). */
+  val qStreamTopN: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(s, StreamOps.topNPerType(s, src, 3), OutputMode.Update())
+        .orderBy(col("event_type"), col("rn"))
+    },
+    oracle = Some(s"""
+      SELECT event_type, rn, event_id, vc
+      FROM (SELECT event_type, event_id, ${oCents("value")} AS vc,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ${oCents("value")} DESC, event_id) AS rn
+            FROM events)
+      WHERE rn <= 3 ORDER BY event_type, rn"""))
+
+  /** Streaming session windows (Update mode + watermark) — ref
+    * SessionWindowAssigner.java / MergingWindowSet. */
+  val qStreamSession: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      val agg = src
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v_cents"))
+        .select(col("session_window.start").as("ss"), col("session_window.end").as("se"),
+                col("user_id"), col("n"), col("v_cents"))
+      StreamOps.runToMemory(s, agg, OutputMode.Complete()).orderBy(col("user_id"), col("ss"))
+    },
+    oracle = Some(s"""
+      WITH x AS (SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS brk
+                 FROM events),
+           y AS (SELECT user_id, ts, value,
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM x)
+      SELECT min(ts) AS ss, max(ts) + INTERVAL '30 minutes' AS se, user_id,
+             COUNT(*) AS n, SUM(${oCents("value")})::BIGINT AS v_cents
+      FROM y GROUP BY user_id, sid ORDER BY user_id, ss"""))
+
+  /** Streaming CEP (click → purchase, strict, ≤10 min) via
+    * flatMapGroupsWithState — ref CepOperator.java:83 (see
+    * [[StreamOps.cepClickPurchase]]); same oracle as the batch NFA. */
+  val qStreamCep: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(s, StreamOps.cepClickPurchase(s, src, 10), OutputMode.Update())
+        .orderBy(col("user_id"), col("click_id"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT user_id, event_id, event_type, ts,
+                        lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid, lead(ts) OVER w AS nts
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id, nid AS purchase_id
+      FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL '10 minutes'
+      ORDER BY user_id, click_id"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_stream_tumble" -> qStreamTumble,
+    "q_stream_dedup" -> qStreamDedup,
+    "q_stream_interval_join" -> qStreamIntervalJoin,
+    "q_stream_topn" -> qStreamTopN,
+    "q_stream_session" -> qStreamSession,
+    "q_stream_cep" -> qStreamCep,
+  )
+}

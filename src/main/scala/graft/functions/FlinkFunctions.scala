@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Flink-only scalar/aggregate functions missing from Spark's surface,
+  * registered under their Flink SQL names so Flink queries run unchanged.
+  *
+  * Reference inventory: flink-table-common/.../functions/
+  * BuiltInFunctionDefinitions.java (136 defs) and
+  * flink-table-runtime-blink/.../runtime/functions/SqlFunctionUtils.java.
+  * Everything Spark already has natively (UPPER, CONCAT, MD5, …) is NOT
+  * re-registered — Catalyst's codegen'd builtins win. These wrappers cover
+  * the ~10 gaps; per SURVEY §7 they stay plain UDFs until a benchmark shows
+  * a hot path worth a custom codegen'd Catalyst Expression.
+  */
+object FlinkFunctions {
+
+  /** SPLIT_INDEX(str, sep, idx) — 0-based, null out-of-range.
+    * Ref SqlFunctionUtils.splitIndex. */
+  def splitIndex(s: String, sep: String, idx: Int): String = {
+    if (s == null || sep == null || idx < 0) return null
+    val parts = s.split(java.util.regex.Pattern.quote(sep), -1)
+    if (idx >= parts.length) null else parts(idx)
+  }
+
+  /** IS_DIGIT / IS_ALPHA / IS_DECIMAL — ref SqlFunctionUtils.isDigit etc. */
+  def isDigit(s: String): Boolean = s != null && s.nonEmpty && s.forall(_.isDigit)
+  def isAlpha(s: String): Boolean =
+    s != null && s.nonEmpty && s.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+  def isDecimal(s: String): Boolean =
+    s != null && s.matches("^[-+]?[0-9]*\\.?[0-9]+$")
+
+  /** HASH_CODE — Java String.hashCode, ref SqlFunctionUtils.hashCode. */
+  def hashCode(s: String): Int = if (s == null) 0 else s.hashCode
+
+  /** SINGLE_VALUE — exactly-one-row-per-group or runtime error.
+    * Ref planner/functions/aggfunctions/SingleValueAggFunction.java.
+    * A typed [[Aggregator]] (the Spark analog of Flink's imperative
+    * AggregateFunction, SURVEY §2.14): partial merge keeps the count so the
+    * two-phase distributed aggregation still errors correctly. */
+  class SingleValueAgg extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) = {
+      if (b._2 >= 1) throw new IllegalStateException("SINGLE_VALUE: more than one row in group")
+      (if (a == null) 0.0 else a.doubleValue(), b._2 + 1)
+    }
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = {
+      if (x._2 + y._2 > 1) throw new IllegalStateException("SINGLE_VALUE: more than one row in group")
+      (if (x._2 == 1) x._1 else y._1, x._2 + y._2)
+    }
+    def finish(b: (Double, Long)): java.lang.Double = if (b._2 == 0) null else b._1
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** Idempotent registration of the whole surface on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("SPLIT_INDEX", splitIndex _)
+    spark.udf.register("IS_DIGIT", isDigit _)
+    spark.udf.register("IS_ALPHA", isAlpha _)
+    spark.udf.register("IS_DECIMAL", isDecimal _)
+    spark.udf.register("HASH_CODE", hashCode _)
+    spark.udf.register("SINGLE_VALUE", udaf(new SingleValueAgg))
+  }
+}

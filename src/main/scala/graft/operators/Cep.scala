@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Complex-event-processing: a small NFA over per-key time-ordered events.
+  *
+  * Reference: flink-libraries/flink-cep/.../nfa/NFA.java:86 (1104 LoC shared-
+  * buffer NFA) + pattern API Pattern.java:50 (begin/where/within/oneOrMore/
+  * times) + SQL MATCH_RECOGNIZE planned by StreamExecMatch.scala:68. This is
+  * the deliberately simplified port SURVEY §2.12 scopes: strict/relaxed
+  * contiguity, times(min,max) quantifiers, within-timeout, AFTER MATCH SKIP
+  * TO NEXT ROW (every row may start a match).
+  *
+  * Spark-first execution: batch = `groupByKey(key).flatMapGroups` with an
+  * in-memory per-key time sort (events of ONE key must fit an executor —
+  * same contract as the reference's keyed operator state); streaming =
+  * the same NFA inside `flatMapGroupsWithState` (graft.streaming). The
+  * groupByKey hash-shuffles once; match search is a linear scan with
+  * bounded backtracking, no cross-key data movement.
+  */
+object Cep {
+
+  case class Ev(userId: Long, eventId: Long, eventType: String, tsMicros: Long, valueCents: Long)
+  /** One pattern step: predicate + quantifier + contiguity to the PREVIOUS
+    * step (strict = next event must match immediately; relaxed = skip
+    * non-matching events, Flink `followedBy`). */
+  case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+  case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
+  case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
+
+  /** All matches over one key's time-sorted events; one (greedy) match per
+    * eligible start index. */
+  def matches(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
+    def go(pos: Int, si: Int, cnt: Int, acc: List[Int], startTs: Long): Option[List[Int]] = {
+      if (si == pattern.steps.length) Some(acc.reverse)
+      else {
+        val st = pattern.steps(si)
+        // first-candidate commit: on a matching event we recurse and do not
+        // retry later candidates for this step (bounded backtracking — the
+        // simplification SURVEY §2.12 scopes vs the reference's SharedBuffer)
+        def consume: Option[List[Int]] = {
+          var p = pos
+          while (p < evs.length && evs(p).tsMicros - startTs <= pattern.withinMicros) {
+            if (st.pred(evs(p))) return go(p + 1, si, cnt + 1, p :: acc, startTs)
+            if (st.strict) return None
+            p += 1
+          }
+          None
+        }
+        val tryMore = if (cnt < st.maxTimes) consume else None
+        tryMore.orElse(if (cnt >= st.minTimes) go(pos, si + 1, 0, acc, startTs) else None)
+      }
+    }
+    (0 until evs.length).iterator.flatMap { i =>
+      if (!pattern.steps.head.pred(evs(i))) None
+      else go(i + 1, 0, 1, List(i), evs(i).tsMicros).flatMap { idx =>
+        // the start was pre-consumed as step 0's first occurrence
+        val allIdx = idx
+        if (allIdx.isEmpty) None
+        else Some(Match(evs(i).userId, evs(i).eventId, evs(allIdx.last).eventId, allIdx.length, evs(i).tsMicros))
+      }
+    }
+  }
+
+  /** Batch driver: shuffle by key, sort each key's events by (ts, id), run
+    * the NFA — ref CepOperator.java:83 keyed semantics. */
+  def detect(spark: SparkSession, events: DataFrame, pattern: Pattern): Dataset[Match] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),
+              expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.eventId))
+        matches(sorted, pattern)
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.operators.Cep
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming execution harness + custom stateful operators
+  * (SURVEY.md §7 M4/M5).
+  *
+  * The coverage queries run REAL streaming queries: `readStream` on the
+  * fixture parquet, transform, `writeStream` into a memory sink with
+  * `Trigger.AvailableNow`, then return the sink table. The fixture is a
+  * single file → one micro-batch → deterministic output that the DuckDB
+  * oracle can hash-match. Multi-batch incremental semantics (the part a
+  * bounded oracle can't see) are asserted in StreamingSpec via MemoryStream.
+  */
+object StreamOps {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stream the given fixture table. */
+  def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$table.parquet"
+    // The file source wants a directory; the fixtures are single files →
+    // expose the file through a per-table temp dir via symlink (read-only
+    // fixtures stay untouched).
+    val linkDir = java.nio.file.Paths.get(s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$table")
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve(s"$table.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val stream = s.readStream.schema(s.read.parquet(path).schema).parquet(linkDir.toString)
+    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos, convert (see Tables.load)
+    if (table == "events") stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else stream
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink; return the
+    * materialized result. */
+  def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_mem_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ------------------------------------------------ custom stateful operators
+
+  case class TypedEvent(event_type: String, event_id: Long, vc: Long)
+  case class TopNState(items: List[(Long, Long)])
+  case class TopNOut(event_type: String, rn: Int, event_id: Long, vc: Long)
+
+  /** Streaming Top-N per key — ref AppendOnlyTopNFunction.java:48: keyed
+    * state holds only the current top-N (bounded, N entries per key — state
+    * size is N×keys regardless of input volume, the property that makes it
+    * run forever on an unbounded stream). Emits the full refreshed top-N of
+    * every key touched in the batch (Update mode, like the reference's
+    * retract-then-emit). */
+  def topNPerType(s: SparkSession, events: DataFrame, n: Int): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"),
+              floor(col("value") * 100.0).cast("long").as("vc"))
+      .as[TypedEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[TypedEvent], state: GroupState[TopNState]) => {
+          val old = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (old ++ it.map(e => (e.vc, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }.take(n)
+          state.update(TopNState(merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) => TopNOut(key, i + 1, id, v) }
+        })
+      .toDF()
+  }
+
+  case class CepState(events: List[Cep.Ev], emitted: Int)
+  case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
+
+  /** Streaming CEP — ref CepOperator.java:83: keyed state buffers the
+    * per-key event history; each batch appends, re-sorts by event time and
+    * emits only matches beyond the already-emitted count. (A production
+    * variant would prune the buffer below the watermark — noted in SURVEY
+    * §7 M5 risks.) */
+  def cepClickPurchase(s: SparkSession, events: DataFrame, withinMinutes: Int): DataFrame = {
+    import s.implicits._
+    val pattern = Cep.Pattern(IndexedSeq(
+      Cep.Step(_.eventType == "click"),
+      Cep.Step(_.eventType == "purchase")), withinMicros = withinMinutes * 60L * 1000000)
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),
+              expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[Cep.Ev]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[Cep.Ev], state: GroupState[CepState]) => {
+          val st = state.getOption.getOrElse(CepState(Nil, 0))
+          val all = (st.events ++ it).sortBy(e => (e.tsMicros, e.eventId))
+          val ms = Cep.matches(all.toIndexedSeq, pattern).toList
+          state.update(CepState(all, ms.length))
+          ms.drop(st.emitted).iterator.map(m => CepOut(m.userId, m.startId, m.endId))
+        })
+      .toDF()
+  }
+}
