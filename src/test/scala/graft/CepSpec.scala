@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Cep
+import graft.operators.Cep.{Ev, Match, Pattern, Step}
+
+/** NFA unit tests driven directly (the analog of the reference's operator
+  * harness tests, SURVEY §5): quantifiers, within-timeout, strict vs
+  * relaxed contiguity, skip-to-next-row overlap. */
+class CepSpec extends SparkTestBase {
+
+  private def ev(id: Long, tpe: String, tsSec: Long) = Ev(1L, id, tpe, tsSec * 1000000L, 0L)
+
+  private def run(evs: Seq[Ev], p: Pattern): List[Match] = Cep.matches(evs.toIndexedSeq, p).toList
+
+  private val click = Step((e: Ev) => e.eventType == "click")
+  private val purchase = Step((e: Ev) => e.eventType == "purchase")
+
+  test("strict adjacency matches only consecutive pairs") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "purchase", 10), ev(3, "click", 20), ev(4, "view", 30), ev(5, "purchase", 40))
+    val ms = run(evs, Pattern(IndexedSeq(click, purchase)))
+    assert(ms.map(m => (m.startId, m.endId)) == List((1L, 2L)))
+  }
+
+  test("within timeout excludes late completions") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "purchase", 100))
+    assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 50L * 1000000)).isEmpty)
+    assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 100L * 1000000)).size == 1)
+  }
+
+  test("relaxed contiguity skips unrelated events") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "error", 1), ev(3, "view", 2), ev(4, "purchase", 3))
+    val p = Pattern(IndexedSeq(click, Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    assert(run(evs, p).map(m => (m.startId, m.endId)) == List((1L, 4L)))
+  }
+
+  test("oneOrMore quantifier is greedy and bounded") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "view", 2), ev(4, "view", 3), ev(5, "purchase", 4))
+    val p = Pattern(IndexedSeq(
+      click,
+      Step((e: Ev) => e.eventType == "view", minTimes = 1, maxTimes = 5, strict = false),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    val ms = run(evs, p)
+    assert(ms.head.nEvents == 5) // click + 3 views + purchase
+    assert(ms.head.startId == 1L && ms.head.endId == 5L)
+  }
+
+  test("minTimes not met blocks the match") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "purchase", 1))
+    val p = Pattern(IndexedSeq(
+      click,
+      Step((e: Ev) => e.eventType == "view", minTimes = 2, maxTimes = 5, strict = false),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    assert(run(evs, p).isEmpty)
+  }
+
+  test("skip-to-next-row: overlapping matches from different starts") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "click", 1), ev(3, "purchase", 2))
+    val p = Pattern(IndexedSeq(click, Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    assert(run(evs, p).map(m => (m.startId, m.endId)) == List((1L, 3L), (2L, 3L)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Multi-batch INCREMENTAL semantics of the stateful streaming operators —
+  * the part the bounded DuckDB oracle can't see (it only checks the
+  * single-batch materialization). MemoryStream lets us control batch
+  * boundaries, like the reference's operator harness tests. */
+class StreamingSpec extends SparkTestBase {
+
+  case class Raw(user_id: Long, event_id: Long, event_type: String, tsSec: Long, value: Double)
+
+  private def toEvents(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts", expr("timestamp_micros(tsSec * 1000000)")).drop("tsSec")
+
+  test("topN state merges across micro-batches (bounded per-key state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.topNPerType(s, toEvents(in.toDF()), 2)
+      .writeStream.format("memory").queryName("topn_t").outputMode("update").start()
+    in.addData(Raw(1, 10, "click", 0, 5.0), Raw(1, 11, "click", 1, 9.0), Raw(1, 12, "click", 2, 1.0))
+    q.processAllAvailable()
+    val b1 = s.table("topn_t").as[(String, Int, Long, Long)].collect().toSet
+    assert(b1 == Set(("click", 1, 11L, 900L), ("click", 2, 10L, 500L)))
+    // batch 2: a new top value displaces rank 2; state kept only top-2
+    in.addData(Raw(1, 13, "click", 3, 7.0))
+    q.processAllAvailable()
+    val all = s.table("topn_t").as[(String, Int, Long, Long)].collect()
+    q.stop()
+    // update-mode sink accumulates; the LAST emission per key is the refreshed top-2
+    val last = all.takeRight(2).toSet
+    assert(last == Set(("click", 1, 11L, 900L), ("click", 2, 13L, 700L)))
+  }
+
+  test("streaming CEP emits only new matches per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.cepClickPurchase(s, toEvents(in.toDF()), withinMinutes = 10)
+      .writeStream.format("memory").queryName("cep_t").outputMode("update").start()
+    in.addData(Raw(7, 1, "click", 0, 0.0), Raw(7, 2, "purchase", 30, 0.0))
+    q.processAllAvailable()
+    assert(s.table("cep_t").count() == 1)
+    // batch 2: a second adjacent pair arrives later; first match NOT re-emitted
+    in.addData(Raw(7, 3, "click", 100, 0.0), Raw(7, 4, "purchase", 130, 0.0))
+    q.processAllAvailable()
+    val rows = s.table("cep_t").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((7L, 1L, 2L), (7L, 3L, 4L)))
+  }
+
+  test("streaming dropDuplicates keeps first across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val dd = toEvents(in.toDF()).dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_id"))
+    val q = dd.writeStream.format("memory").queryName("dd_t").outputMode("append").start()
+    in.addData(Raw(1, 1, "click", 0, 0.0))
+    q.processAllAvailable()
+    in.addData(Raw(1, 2, "click", 5, 0.0), Raw(2, 3, "click", 6, 0.0))
+    q.processAllAvailable()
+    val rows = s.table("dd_t").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 1L), (2L, 3L))) // event 2 deduped by state from batch 1
+  }
+
+  test("watermarked tumbling agg finalizes windows in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val agg = toEvents(in.toDF())
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_t").outputMode("append").start()
+    in.addData(Raw(1, 1, "click", 10, 0.0), Raw(1, 2, "click", 20, 0.0))
+    q.processAllAvailable()
+    assert(s.table("wm_t").count() == 0) // window [0,60) not yet below watermark
+    in.addData(Raw(1, 3, "click", 90, 0.0)) // advances watermark past 60s
+    q.processAllAvailable()
+    val rows = s.table("wm_t").as[(java.sql.Timestamp, Long)].collect()
+    q.stop()
+    assert(rows.map(_._2).toSeq == Seq(2L)) // finalized first window only
+  }
+}
