@@ -92,5 +92,6 @@ object Queries {
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q1_pricing_summary" -> q1PricingSummary,
   ) ++ coverage.RelationalQueries.all ++ coverage.WindowQueries.all ++
-    coverage.PipelineQueries.all ++ coverage.StreamingQueries.all
+    coverage.PipelineQueries.all ++ coverage.StreamingQueries.all ++
+    coverage.SqlDialectQueries.all
 }

@@ -1,0 +1,99 @@
+package graft.coverage
+
+import graft.{Q, Queries}
+import graft.sql.EngineEnv
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Flink-SQL surface coverage: the same queries a reference user writes
+  * (group-window functions, DDL with connectors + watermark) executed
+  * through [[EngineEnv]] + [[graft.sql.FlinkSqlDialect]] (SURVEY.md §3.1).
+  * Orders (ms timestamps) is the fact table here. */
+object SqlDialectQueries {
+
+  private def env(s: SparkSession, dir: String): EngineEnv = {
+    val e = new EngineEnv(s)
+    e.executeSql(s"""
+      CREATE TABLE orders_t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING,
+        WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '5' SECOND
+      ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+    e
+  }
+
+  /** TUMBLE group window written in Flink SQL — rewritten to Spark
+    * `window()`; ref FlinkSqlOperatorTable TUMBLE/_START/_END. */
+  val qSqlTumble: Q = Q(
+    run = (s, dir) => env(s, dir).sqlQuery("""
+      SELECT TUMBLE_START(o_orderdate, INTERVAL '1' DAY) AS ws,
+             TUMBLE_END(o_orderdate, INTERVAL '1' DAY) AS we,
+             o_orderstatus, COUNT(*) AS n
+      FROM orders_t
+      GROUP BY TUMBLE(o_orderdate, INTERVAL '1' DAY), o_orderstatus
+      ORDER BY ws, o_orderstatus"""),
+    oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS ws,
+             time_bucket(INTERVAL '1 day', o_orderdate) + INTERVAL '1 day' AS we,
+             o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2, 3 ORDER BY ws, o_orderstatus"""))
+
+  /** HOP group window (Flink arg order time, slide, size) → Spark
+    * window(time, size, slide). */
+  val qSqlHop: Q = Q(
+    run = (s, dir) => env(s, dir).sqlQuery("""
+      SELECT HOP_START(o_orderdate, INTERVAL '1' DAY, INTERVAL '2' DAY) AS ws,
+             HOP_END(o_orderdate, INTERVAL '1' DAY, INTERVAL '2' DAY) AS we,
+             COUNT(*) AS n
+      FROM orders_t
+      GROUP BY HOP(o_orderdate, INTERVAL '1' DAY, INTERVAL '2' DAY)
+      ORDER BY ws"""),
+    oracle = Some("""
+      SELECT ws, ws + INTERVAL '2 days' AS we, COUNT(*) AS n
+      FROM (SELECT time_bucket(INTERVAL '1 day', o_orderdate) - k * INTERVAL '1 day' AS ws
+            FROM orders CROSS JOIN generate_series(0, 1) g(k))
+      GROUP BY ws ORDER BY ws"""))
+
+  /** SESSION group window → Spark session_window. */
+  val qSqlSession: Q = Q(
+    run = (s, dir) => env(s, dir).sqlQuery("""
+      SELECT SESSION_START(o_orderdate, INTERVAL '1' HOUR) AS ss,
+             SESSION_END(o_orderdate, INTERVAL '1' HOUR) AS se,
+             o_orderstatus, COUNT(*) AS n
+      FROM orders_t
+      GROUP BY SESSION(o_orderdate, INTERVAL '1' HOUR), o_orderstatus
+      ORDER BY o_orderstatus, ss"""),
+    oracle = Some("""
+      WITH x AS (SELECT o_orderstatus, o_orderdate, o_orderkey,
+                        CASE WHEN lag(o_orderdate) OVER w IS NULL
+                               OR o_orderdate - lag(o_orderdate) OVER w >= INTERVAL '1 hour'
+                             THEN 1 ELSE 0 END AS brk
+                 FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)),
+           y AS (SELECT o_orderstatus, o_orderdate,
+                        SUM(brk) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM x)
+      SELECT min(o_orderdate) AS ss, max(o_orderdate) + INTERVAL '1 hour' AS se,
+             o_orderstatus, COUNT(*) AS n
+      FROM y GROUP BY o_orderstatus, sid ORDER BY o_orderstatus, ss"""))
+
+  /** datagen connector (ref DataGenTableSourceFactory) — deterministic
+    * md5-based generator instead of RNG so the oracle can replay it. */
+  val qSqlDatagen: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      e.executeSql("CREATE TABLE gen WITH ('connector'='datagen', 'number-of-rows'='1000')")
+      e.sqlQuery("SELECT id, k, v FROM gen ORDER BY id")
+    },
+    oracle = Some("""
+      SELECT range AS id,
+             ('0x' || substr(md5('k_' || range), 1, 15))::BIGINT AS k,
+             CAST(('0x' || substr(md5('v_' || range), 1, 8))::BIGINT AS DOUBLE) AS v
+      FROM range(0, 1000) ORDER BY id"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_sql_tumble" -> qSqlTumble,
+    "q_sql_hop" -> qSqlHop,
+    "q_sql_session" -> qSqlSession,
+    "q_sql_datagen" -> qSqlDatagen,
+  )
+}

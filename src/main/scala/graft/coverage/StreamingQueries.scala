@@ -103,13 +103,13 @@ object StreamingQueries {
       StreamOps.runToMemory(s, agg, OutputMode.Complete()).orderBy(col("user_id"), col("ss"))
     },
     oracle = Some(s"""
-      WITH x AS (SELECT user_id, ts, value,
-                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      WITH x AS (SELECT user_id, ts, value, event_id,
+                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
                              THEN 1 ELSE 0 END AS brk
                  FROM events),
            y AS (SELECT user_id, ts, value,
-                        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
                  FROM x)
       SELECT min(ts) AS ss, max(ts) + INTERVAL '30 minutes' AS se, user_id,
              COUNT(*) AS n, SUM(${oCents("value")})::BIGINT AS v_cents

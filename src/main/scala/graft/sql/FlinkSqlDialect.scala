@@ -1,0 +1,65 @@
+package graft.sql
+
+/** Flink-SQL → Spark-SQL dialect rewriter (SURVEY.md §3.1 / §7: "our engine
+  * is a library on top: SQL text goes through spark.sql after our dialect
+  * layer rewrites Flink-specific syntax").
+  *
+  * Reference surface being translated:
+  *  - group-window functions TUMBLE/HOP/SESSION (+_START/_END) —
+  *    FlinkSqlOperatorTable.java TUMBLE_OLD…SESSION_PROCTIME block, rewrite
+  *    rule StreamLogicalWindowAggregateRule.scala;
+  *  - PROCTIME() time attribute — ref TimestampKind PROCTIME
+  *    (TimestampType.java:51);
+  *  - interval literal spelling `INTERVAL '10' MINUTE` → Spark window
+  *    duration strings.
+  *
+  * String-level rewriting is deliberate (SURVEY §7: "string/AST level, not a
+  * Catalyst Rule"): the output is plain Spark SQL, so Catalyst owns
+  * analysis, optimization and codegen — the translation layer adds zero
+  * runtime cost.
+  *
+  * Spark SQL notes: `GROUP BY window(ts, '10 minutes')` exposes the group
+  * as a `window` struct column (analyzer rule TimeWindowing), so
+  * TUMBLE_START/_END map to `window.start`/`window.end`; HOP argument order
+  * flips (Flink: time, slide, size → Spark: time, size, slide); SESSION
+  * maps to `session_window` whose struct is named `session_window`.
+  */
+object FlinkSqlDialect {
+
+  private val unitMap = Map(
+    "SECOND" -> "seconds", "MINUTE" -> "minutes", "HOUR" -> "hours", "DAY" -> "days")
+
+  private def dur(n: String, unit: String): String = s"'$n ${unitMap(unit.toUpperCase)}'"
+
+  // INTERVAL '5' MINUTE (inside window fn args)
+  private val I = """INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)"""
+
+  def rewrite(flinkSql: String): String = {
+    var s = flinkSql
+
+    // window-bound accessors BEFORE the assigners (longer names first)
+    s = s.replaceAll(s"""(?i)TUMBLE_START\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*\\)""", "window.start")
+    s = s.replaceAll(s"""(?i)TUMBLE_END\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*\\)""", "window.end")
+    s = s.replaceAll(s"""(?i)HOP_START\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*,\\s*$I\\s*\\)""", "window.start")
+    s = s.replaceAll(s"""(?i)HOP_END\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*,\\s*$I\\s*\\)""", "window.end")
+    s = s.replaceAll(s"""(?i)SESSION_START\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*\\)""", "session_window.start")
+    s = s.replaceAll(s"""(?i)SESSION_END\\(\\s*([\\w.]+)\\s*,\\s*$I\\s*\\)""", "session_window.end")
+
+    // assigners
+    s = replaceFn(s, """(?i)TUMBLE\(\s*([\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r,
+      m => s"window(${m.group(1)}, ${dur(m.group(2), m.group(3))})")
+    // Flink HOP(time, slide, size) → Spark window(time, size, slide)
+    s = replaceFn(s, """(?i)HOP\(\s*([\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r,
+      m => s"window(${m.group(1)}, ${dur(m.group(4), m.group(5))}, ${dur(m.group(2), m.group(3))})")
+    s = replaceFn(s, """(?i)SESSION\(\s*([\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r,
+      m => s"session_window(${m.group(1)}, ${dur(m.group(2), m.group(3))})")
+
+    // time attributes
+    s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
+    s
+  }
+
+  private def replaceFn(s: String, r: scala.util.matching.Regex,
+                        f: scala.util.matching.Regex.Match => String): String =
+    r.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(f(m)))
+}

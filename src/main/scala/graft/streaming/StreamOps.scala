@@ -20,18 +20,25 @@ object StreamOps {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream the given fixture table. */
+  /** The file stream source wants a directory; the fixtures are single
+    * files → expose a file through a per-file temp dir via symlink
+    * (read-only fixtures stay untouched). Returns the path unchanged if it
+    * already is a directory. */
+  def fileAsDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) return path
+    val linkDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${path.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve(p.getFileName)
+    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, p)
+    linkDir.toString
+  }
+
   def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$table.parquet"
-    // The file source wants a directory; the fixtures are single files →
-    // expose the file through a per-table temp dir via symlink (read-only
-    // fixtures stay untouched).
-    val linkDir = java.nio.file.Paths.get(s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$table")
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    val stream = s.readStream.schema(s.read.parquet(path).schema).parquet(linkDir.toString)
+    val stream = s.readStream.schema(s.read.parquet(path).schema).parquet(fileAsDir(path))
     // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos, convert (see Tables.load)
     if (table == "events") stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else stream

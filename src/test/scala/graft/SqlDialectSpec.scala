@@ -1,0 +1,61 @@
+package graft
+
+import graft.sql.{EngineEnv, FlinkSqlDialect}
+import org.apache.spark.sql.functions._
+
+/** Dialect rewriter + EngineEnv catalog behavior. */
+class SqlDialectSpec extends SparkTestBase {
+
+  test("TUMBLE family rewrites to Spark window()") {
+    val out = FlinkSqlDialect.rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws, COUNT(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(out.contains("window(ts, '10 minutes')"))
+    assert(out.contains("window.start AS ws"))
+  }
+
+  test("HOP flips slide/size into Spark order") {
+    val out = FlinkSqlDialect.rewrite("GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '30' MINUTE)")
+    assert(out.contains("window(ts, '30 minutes', '5 minutes')"))
+  }
+
+  test("SESSION maps to session_window, PROCTIME to current_timestamp") {
+    assert(FlinkSqlDialect.rewrite("SESSION(ts, INTERVAL '1' HOUR)").contains("session_window(ts, '1 hours')"))
+    assert(FlinkSqlDialect.rewrite("SELECT PROCTIME()").contains("current_timestamp()"))
+  }
+
+  test("CREATE TABLE registers the view and records the watermark") {
+    val e = new EngineEnv(spark)
+    e.executeSql(s"""
+      CREATE TABLE wm_orders (
+        o_orderkey BIGINT, o_orderdate TIMESTAMP(3),
+        WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '30' SECOND
+      ) WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    assert(spark.table("wm_orders").count() > 0)
+    assert(e.watermarkOf("wm_orders").contains(("o_orderdate", "30 seconds")))
+  }
+
+  test("fromStream applies the declared watermark and streams the table") {
+    val e = new EngineEnv(spark)
+    e.executeSql(s"""
+      CREATE TABLE s_orders (
+        o_orderkey BIGINT, o_orderdate TIMESTAMP(3),
+        WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '1' MINUTE
+      ) WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    val stream = e.fromStream("s_orders")
+    assert(stream.isStreaming)
+    val agg = stream.groupBy(window(col("o_orderdate"), "1 day")).count()
+    val q = agg.writeStream.format("memory").queryName("wm_stream_t").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("wm_stream_t").count() > 0)
+  }
+
+  test("datagen is deterministic across invocations") {
+    val e = new EngineEnv(spark)
+    e.executeSql("CREATE TABLE g1 WITH ('connector'='datagen', 'number-of-rows'='10')")
+    val a = e.sqlQuery("SELECT * FROM g1 ORDER BY id").collect().toSeq
+    e.executeSql("CREATE TABLE g2 WITH ('connector'='datagen', 'number-of-rows'='10')")
+    val b = e.sqlQuery("SELECT * FROM g2 ORDER BY id").collect().toSeq
+    assert(a == b && a.size == 10)
+  }
+}
