@@ -1,0 +1,45 @@
+package graft.datastream
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.KeyValueGroupedDataset
+
+/** Typed DataStream-like facade (SURVEY.md §7 architecture item (d)): the
+  * reference's host-language API surface re-expressed over `Dataset[T]`.
+  *
+  * Reference: DataStream.java (map:666 / filter / flatMap / union:247 /
+  * project:849 / keyBy:318), KeyedStream.java (reduce / aggregate /
+  * process), StreamExecutionEnvironment.fromElements:1078.
+  *
+  * Deliberately thin: every method delegates to the Dataset operator that
+  * Catalyst optimizes — the wrapper exists so reference programs port
+  * 1:1, not to re-implement execution. Works identically for bounded
+  * Datasets and streaming Datasets (`readStream`-sourced), mirroring
+  * Flink's unified API. */
+final class DStream[T](val ds: Dataset[T]) {
+  def map[U: Encoder](f: T => U): DStream[U] = new DStream(ds.map(f))
+  def filter(f: T => Boolean): DStream[T] = new DStream(ds.filter(f))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): DStream[U] =
+    new DStream(ds.flatMap(f(_).iterator))
+  def union(other: DStream[T]): DStream[T] = new DStream(ds.union(other.ds))
+  def keyBy[K: Encoder](f: T => K): KeyedDStream[K, T] = new KeyedDStream(ds.groupByKey(f))
+  /** Flink `DataStream.executeAndCollect` analog (bounded only). */
+  def collect(): Seq[T] = ds.collect().toSeq
+}
+
+final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
+  /** Rolling reduce — ref KeyedStream.reduce (bounded: one result per key). */
+  def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): DStream[(K, T)] =
+    new DStream(kv.reduceGroups(f))
+  def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): DStream[U] = new DStream(kv.mapGroups(f))
+  /** Flink `KeyedProcessFunction` analog (per-key imperative logic). */
+  def process[U: Encoder](f: (K, Iterator[T]) => IterableOnce[U]): DStream[U] =
+    new DStream(kv.flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator))
+}
+
+/** StreamExecutionEnvironment analog. */
+final class DataStreamEnv(val spark: SparkSession) {
+  /** ref StreamExecutionEnvironment.fromElements:1078 */
+  def fromElements[T: Encoder](elems: T*): DStream[T] =
+    new DStream(spark.createDataset(elems))
+  def fromDataset[T](ds: Dataset[T]): DStream[T] = new DStream(ds)
+}
