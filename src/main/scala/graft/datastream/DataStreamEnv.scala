@@ -22,6 +22,17 @@ final class DStream[T](val ds: Dataset[T]) {
     new DStream(ds.flatMap(f(_).iterator))
   def union(other: DStream[T]): DStream[T] = new DStream(ds.union(other.ds))
   def keyBy[K: Encoder](f: T => K): KeyedDStream[K, T] = new KeyedDStream(ds.groupByKey(f))
+  /** Round-robin redistribution — ref DataStream.rebalance:520. */
+  def rebalance(n: Int): DStream[T] = new DStream(ds.repartition(n))
+  /** Local scale-down without shuffle — ref DataStream.rescale:557. */
+  def rescale(n: Int): DStream[T] = new DStream(ds.coalesce(n))
+  /** Everything to one task — ref DataStream.global:575. */
+  def global(): DStream[T] = new DStream(ds.coalesce(1))
+  /** Side output — ref ProcessFunction ctx.output(OutputTag) /
+    * OutputTag.java:53; SURVEY §2.2 maps it to a predicate split (two
+    * filtered sinks over one upstream). */
+  def sideOutput(isMain: T => Boolean): (DStream[T], DStream[T]) =
+    (filter(isMain), filter((t: T) => !isMain(t)))
   /** Flink `DataStream.executeAndCollect` analog (bounded only). */
   def collect(): Seq[T] = ds.collect().toSeq
 }

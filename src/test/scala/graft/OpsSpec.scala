@@ -1,0 +1,48 @@
+package graft
+
+import graft.datastream.DataStreamEnv
+import graft.operators.{AsyncIO, GraphOps}
+
+/** AsyncIO ordering, side outputs, partitioning facade, graph ops on a
+  * known tiny graph. */
+class OpsSpec extends SparkTestBase {
+
+  test("mapAsyncOrdered preserves input order with bounded parallelism") {
+    val s = spark
+    import s.implicits._
+    val ds = s.createDataset(1 to 100)
+    val out = AsyncIO.mapAsyncOrdered(ds.coalesce(1), parallelism = 8) { i =>
+      if (i % 7 == 0) Thread.sleep(5) // jitter: slow items must not reorder
+      i * 2
+    }.collect().toSeq
+    assert(out == (1 to 100).map(_ * 2)) // exact input order preserved
+  }
+
+  test("sideOutput splits main and side streams") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val (main, side) = env.fromElements(1, 2, 3, 4, 5).sideOutput(_ % 2 == 0)
+    assert(main.collect().toSet == Set(2, 4) && side.collect().toSet == Set(1, 3, 5))
+  }
+
+  test("rebalance/rescale/global control partition counts") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val d = env.fromDataset(s.createDataset(1 to 100).repartition(8))
+    assert(d.rebalance(4).ds.rdd.getNumPartitions == 4)
+    assert(d.rescale(2).ds.rdd.getNumPartitions == 2)
+    assert(d.global().ds.rdd.getNumPartitions == 1)
+  }
+
+  test("triangles finds the one triangle in a 4-vertex graph") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val tri = GraphOps.triangles(edges).as[(Long, Long, Long)].collect().toSet
+    assert(tri == Set((1L, 2L, 3L)))
+    val deg = GraphOps.degrees(edges).as[(Long, Long)].collect().toMap
+    assert(deg == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+}
