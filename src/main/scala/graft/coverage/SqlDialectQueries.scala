@@ -90,10 +90,58 @@ object SqlDialectQueries {
              CAST(('0x' || substr(md5('v_' || range), 1, 8))::BIGINT AS DOUBLE) AS v
       FROM range(0, 1000) ORDER BY id"""))
 
+  /** SQL MATCH_RECOGNIZE (strict contiguity, within) through the NFA
+    * front-end — ref StreamExecMatch.scala:68 / MatchRecognizeITCase; same
+    * oracle as the programmatic q_cep_strict. */
+  val qSqlMatchRecognize: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS click_id, B.event_id AS purchase_id
+          PATTERN (A B)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )""").orderBy(col("user_id"), col("click_id"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT user_id, event_id, event_type, ts,
+                        lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid, lead(ts) OVER w AS nts
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id, nid AS purchase_id
+      FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL '10 minutes'
+      ORDER BY user_id, click_id"""))
+
+  /** MATCH_RECOGNIZE with a + quantifier and FIRST/LAST measures (A B+ C) —
+    * not portably SQL-expressible → rows-only here; semantics pinned in
+    * CepSpec/SqlDialectSpec. */
+  val qSqlMatchRecognizePlus: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS start_id, FIRST(B.event_id) AS first_view,
+                   LAST(B.event_id) AS last_view, C.event_id AS purchase_id
+          PATTERN (A B+ C)
+          WITHIN INTERVAL '48' HOUR
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'view',
+                 C AS C.event_type = 'purchase'
+        )""").orderBy(col("user_id"), col("start_id"))
+    },
+    oracle = None)
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
     "q_sql_session" -> qSqlSession,
     "q_sql_datagen" -> qSqlDatagen,
+    "q_sql_match_recognize" -> qSqlMatchRecognize,
+    "q_sql_match_recognize_plus" -> qSqlMatchRecognizePlus,
   )
 }

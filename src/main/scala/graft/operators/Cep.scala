@@ -10,55 +10,69 @@ import org.apache.spark.sql.functions._
   * times) + SQL MATCH_RECOGNIZE planned by StreamExecMatch.scala:68. This is
   * the deliberately simplified port SURVEY §2.12 scopes: strict/relaxed
   * contiguity, times(min,max) quantifiers, within-timeout, AFTER MATCH SKIP
-  * TO NEXT ROW (every row may start a match).
+  * TO NEXT ROW (every row may start a match), first-candidate commit
+  * (bounded backtracking vs the reference's SharedBuffer).
+  *
+  * The core search is generic over the element type (`findAt`) so the same
+  * NFA serves the typed DataStream API ([[detect]]), the streaming operator
+  * (graft.streaming.StreamOps.cepClickPurchase) and the SQL
+  * MATCH_RECOGNIZE front-end ([[graft.sql.MatchRecognize]]).
   *
   * Spark-first execution: batch = `groupByKey(key).flatMapGroups` with an
   * in-memory per-key time sort (events of ONE key must fit an executor —
-  * same contract as the reference's keyed operator state); streaming =
-  * the same NFA inside `flatMapGroupsWithState` (graft.streaming). The
-  * groupByKey hash-shuffles once; match search is a linear scan with
-  * bounded backtracking, no cross-key data movement.
+  * same contract as the reference's keyed operator state); the groupByKey
+  * hash-shuffles once; match search is a linear scan with bounded
+  * backtracking, no cross-key data movement.
   */
 object Cep {
 
-  case class Ev(userId: Long, eventId: Long, eventType: String, tsMicros: Long, valueCents: Long)
   /** One pattern step: predicate + quantifier + contiguity to the PREVIOUS
     * step (strict = next event must match immediately; relaxed = skip
     * non-matching events, Flink `followedBy`). */
-  case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
-  case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
-  case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
+  case class StepG[E](pred: E => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
 
-  /** All matches over one key's time-sorted events; one (greedy) match per
-    * eligible start index. */
-  def matches(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
-    def go(pos: Int, si: Int, cnt: Int, acc: List[Int], startTs: Long): Option[List[Int]] = {
-      if (si == pattern.steps.length) Some(acc.reverse)
+  /** Greedy match attempt anchored at `start`. Returns (stepIdx, evIdx)
+    * pairs in match order, or None. */
+  def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
+                withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
+    if (!steps.head.pred(evs(start))) return None
+    val startTs = ts(evs(start))
+    def go(pos: Int, si: Int, cnt: Int, acc: List[(Int, Int)]): Option[List[(Int, Int)]] = {
+      if (si == steps.length) Some(acc.reverse)
       else {
-        val st = pattern.steps(si)
+        val st = steps(si)
         // first-candidate commit: on a matching event we recurse and do not
-        // retry later candidates for this step (bounded backtracking — the
-        // simplification SURVEY §2.12 scopes vs the reference's SharedBuffer)
-        def consume: Option[List[Int]] = {
+        // retry later candidates for this step (bounded backtracking)
+        def consume: Option[List[(Int, Int)]] = {
           var p = pos
-          while (p < evs.length && evs(p).tsMicros - startTs <= pattern.withinMicros) {
-            if (st.pred(evs(p))) return go(p + 1, si, cnt + 1, p :: acc, startTs)
+          while (p < evs.length && ts(evs(p)) - startTs <= withinMicros) {
+            if (st.pred(evs(p))) return go(p + 1, si, cnt + 1, (si, p) :: acc)
             if (st.strict) return None
             p += 1
           }
           None
         }
         val tryMore = if (cnt < st.maxTimes) consume else None
-        tryMore.orElse(if (cnt >= st.minTimes) go(pos, si + 1, 0, acc, startTs) else None)
+        tryMore.orElse(if (cnt >= st.minTimes) go(pos, si + 1, 0, acc) else None)
       }
     }
+    go(start + 1, 0, 1, List((0, start)))
+  }
+
+  // ------------------------------------------------- typed events surface
+
+  case class Ev(userId: Long, eventId: Long, eventType: String, tsMicros: Long, valueCents: Long)
+  case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+  case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
+  case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
+
+  /** All matches over one key's time-sorted events; one (greedy) match per
+    * eligible start index — AFTER MATCH SKIP TO NEXT ROW. */
+  def matches(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
+    val steps = pattern.steps.map(s => StepG[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
     (0 until evs.length).iterator.flatMap { i =>
-      if (!pattern.steps.head.pred(evs(i))) None
-      else go(i + 1, 0, 1, List(i), evs(i).tsMicros).flatMap { idx =>
-        // the start was pre-consumed as step 0's first occurrence
-        val allIdx = idx
-        if (allIdx.isEmpty) None
-        else Some(Match(evs(i).userId, evs(i).eventId, evs(allIdx.last).eventId, allIdx.length, evs(i).tsMicros))
+      findAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
+        Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)
       }
     }
   }

@@ -63,9 +63,11 @@ final class EngineEnv(val spark: SparkSession) {
     case q => sqlQuery(q)
   }
 
-  /** Flink-dialect query → DataFrame. */
+  /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
+    * front-end; everything else is string-rewritten into Spark SQL. */
   def sqlQuery(flinkSql: String): DataFrame =
-    spark.sql(FlinkSqlDialect.rewrite(flinkSql))
+    if (MatchRecognize.isMatchRecognize(flinkSql)) MatchRecognize.run(spark, flinkSql)
+    else spark.sql(FlinkSqlDialect.rewrite(flinkSql))
 
   /** Streaming read of a registered filesystem table with its declared
     * watermark applied. */

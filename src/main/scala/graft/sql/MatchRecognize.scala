@@ -1,0 +1,155 @@
+package graft.sql
+
+import graft.operators.Cep
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SQL MATCH_RECOGNIZE front-end (scoped subset) over the [[Cep]] NFA.
+  *
+  * Reference: SQL planned by flink-table-planner-blink physical/stream/
+  * StreamExecMatch.scala:68 + MatchCodeGenerator.scala, executed on the CEP
+  * NFA (NFA.java:86). Supported subset (the MatchRecognizeITCase core
+  * shapes):
+  *
+  * {{{
+  * SELECT * FROM <table> MATCH_RECOGNIZE (
+  *   PARTITION BY <col>
+  *   ORDER BY <tsCol>
+  *   MEASURES A.col AS name [, FIRST(B.col) AS n2, LAST(B.col) AS n3, ...]
+  *   PATTERN (A B+ C {m,n}-quantified...)
+  *   [WITHIN INTERVAL 'n' UNIT]
+  *   DEFINE A AS A.col = 'lit' [, B AS B.col <> 'lit', C AS C.col > 5 ...]
+  * )
+  * }}}
+  *
+  * Pattern variables are strictly contiguous (the MATCH_RECOGNIZE default),
+  * AFTER MATCH SKIP TO NEXT ROW, greedy quantifiers. Execution: one
+  * hash-shuffle on the partition key, per-key time sort, linear NFA scan —
+  * identical layout to [[Cep.detect]].
+  */
+object MatchRecognize {
+
+  case class Measure(fn: String, variable: String, col: String, as: String) // fn: "", FIRST, LAST
+  case class PatVar(name: String, min: Int, max: Int)
+  case class Define(variable: String, col: String, op: String, value: String)
+  case class Spec(table: String, partitionBy: String, orderBy: String,
+                  measures: Seq[Measure], pattern: Seq[PatVar],
+                  withinMicros: Long, defines: Map[String, Define])
+
+  private val outerRe =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
+  private val partRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
+  private val orderRe = """(?is)ORDER\s+BY\s+(\w+)""".r
+  private val measuresRe = """(?is)MEASURES\s+(.*?)\s+PATTERN""".r
+  private val measureRe = """(?i)\s*(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)\s*\)?\s+AS\s+(\w+)\s*""".r
+  private val patternRe = """(?is)PATTERN\s*\(\s*([^)]*?)\s*\)""".r
+  private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\})?""".r
+  private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private val defineRe = """(?is)DEFINE\s+(.*)$""".r
+  private val defRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-\d.]+))\s*""".r
+
+  def isMatchRecognize(sql: String): Boolean = outerRe.matches(sql)
+
+  def parse(sql: String): Spec = {
+    val outerRe(table, body) = sql: @unchecked
+    val part = partRe.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
+    val order = orderRe.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
+    val measures = measuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
+      .flatMap(_.split(",")).map {
+        case measureRe(fn, v, c, as) => Measure(Option(fn).getOrElse("").toUpperCase, v, c, as)
+        case other => throw new IllegalArgumentException(s"unsupported measure '$other'")
+      }
+    val pattern = patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      .split("\\s+").filter(_.nonEmpty).toSeq.map {
+        case patVarRe(name, null, _, _) => PatVar(name, 1, 1)
+        case patVarRe(name, "+", _, _) => PatVar(name, 1, Int.MaxValue)
+        case patVarRe(name, "*", _, _) => PatVar(name, 0, Int.MaxValue)
+        case patVarRe(name, _, mn, mx) => PatVar(name, mn.toInt, mx.toInt)
+        case other => throw new IllegalArgumentException(s"unsupported pattern token '$other'")
+      }
+    val within = withinRe.findFirstMatchIn(body).map { m =>
+      val n = m.group(1).toLong
+      m.group(2).toUpperCase match {
+        case "SECOND" => n * 1000000L
+        case "MINUTE" => n * 60L * 1000000
+        case "HOUR" => n * 3600L * 1000000
+        case "DAY" => n * 86400L * 1000000
+      }
+    }.getOrElse(Long.MaxValue)
+    val defines = defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
+      .flatMap(_.split(",")).map {
+        case defRe(v, _, c, op, slit, nlit) =>
+          v.toUpperCase -> Define(v.toUpperCase, c, op, if (slit != null) slit else nlit)
+        case other => throw new IllegalArgumentException(s"unsupported define '$other'")
+      }.toMap
+    Spec(table, part, order, measures, pattern, within, defines)
+  }
+
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    val spec = parse(sql)
+    val df = spark.table(spec.table)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(spec.partitionBy)
+    val tsIdx = schema.fieldIndex(spec.orderBy)
+
+    def predOf(v: PatVar): Row => Boolean = spec.defines.get(v.name.toUpperCase) match {
+      case None => (_: Row) => true // undefined variable matches any row
+      case Some(d) =>
+        val ci = schema.fieldIndex(d.col)
+        val isNum = schema(ci).dataType.isInstanceOf[NumericType]
+        (r: Row) => {
+          if (r.isNullAt(ci)) false
+          else if (isNum) {
+            val x = r.get(ci).toString.toDouble; val y = d.value.toDouble
+            d.op match {
+              case "=" => x == y; case "<>" => x != y
+              case ">" => x > y; case "<" => x < y
+              case ">=" => x >= y; case "<=" => x <= y
+            }
+          } else {
+            val x = r.get(ci).toString
+            d.op match {
+              case "=" => x == d.value; case "<>" => x != d.value
+              case ">" => x > d.value; case "<" => x < d.value
+              case ">=" => x >= d.value; case "<=" => x <= d.value
+            }
+          }
+        }
+    }
+    val steps = spec.pattern.toIndexedSeq.map(v => Cep.StepG[Row](predOf(v), v.min, v.max, strict = true))
+    val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
+    val measureIdx = spec.measures.map(m =>
+      (varIdxOf(m.variable.toUpperCase), schema.fieldIndex(m.col), m.fn))
+
+    val outSchema = StructType(
+      schema(keyIdx) +: spec.measures.map(m => StructField(m.as, schema(schema.fieldIndex(m.col)).dataType)))
+    implicit val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+
+    val tsMicros: Row => Long = { r =>
+      r.get(tsIdx) match {
+        case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+        case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+        case l: Long => l
+        case other => throw new IllegalArgumentException(s"unsupported ORDER BY type $other")
+      }
+    }
+
+    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it: Iterator[Row]) =>
+        val sorted = it.toIndexedSeq.sortBy(tsMicros)
+        (0 until sorted.length).iterator.flatMap { i =>
+          Cep.findAt(sorted, i, steps, spec.withinMicros, tsMicros).map { idx =>
+            val key = sorted(i).get(keyIdx)
+            val vals = measureIdx.map { case (vi, ci, fn) =>
+              val ofVar = idx.filter(_._1 == vi)
+              val pick = if (fn == "FIRST") ofVar.head else ofVar.last // "" == LAST (SQL default: last row of var)
+              sorted(pick._2).get(ci)
+            }
+            Row.fromSeq(key +: vals)
+          }
+        }
+      }
+  }
+}

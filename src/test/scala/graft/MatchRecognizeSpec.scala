@@ -1,0 +1,63 @@
+package graft
+
+import graft.sql.{EngineEnv, MatchRecognize}
+import org.apache.spark.sql.functions._
+
+/** MATCH_RECOGNIZE parser + semantics on hand-built sequences. */
+class MatchRecognizeSpec extends SparkTestBase {
+
+  private def mkEvents(rows: Seq[(Long, Long, String, Long)]): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "event_id", "event_type", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+      .createOrReplaceTempView("mr_events")
+  }
+
+  test("parser extracts partition/order/measures/pattern/within/define") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES A.x AS ax, FIRST(B.y) AS fy
+        PATTERN (A B{2,4} C)
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE A AS A.t = 'x', B AS B.v > 5, C AS C.t <> 'z')""")
+    assert(spec.partitionBy == "k" && spec.orderBy == "ts")
+    assert(spec.pattern.map(p => (p.name, p.min, p.max)) == Seq(("A", 1, 1), ("B", 2, 4), ("C", 1, 1)))
+    assert(spec.withinMicros == 30L * 60 * 1000000)
+    assert(spec.defines("B").op == ">" && spec.defines("B").value == "5")
+    assert(spec.measures.map(_.as) == Seq("ax", "fy"))
+  }
+
+  test("A B+ C with FIRST/LAST measures over a known sequence") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "view", 10L), (1L, 3L, "view", 20L), (1L, 4L, "purchase", 30L),
+      (2L, 5L, "click", 0L), (2L, 6L, "purchase", 10L))) // no views → no match for user 2
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, FIRST(B.event_id) AS b_first,
+                 LAST(B.event_id) AS b_last, C.event_id AS c_id
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
+               C AS C.event_type = 'purchase')""")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L, 3L, 4L)))
+  }
+
+  test("WITHIN excludes slow completions") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq((1L, 1L, "click", 0L), (1L, 2L, "purchase", 7200L)))
+    val q = """
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B) %s
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase')"""
+    assert(new EngineEnv(s).sqlQuery(q.format("WITHIN INTERVAL '1' HOUR")).count() == 0)
+    assert(new EngineEnv(s).sqlQuery(q.format("WITHIN INTERVAL '3' HOUR")).count() == 1)
+  }
+}
