@@ -120,11 +120,16 @@ object ExtraQueries {
             FROM events)
       GROUP BY 1, 2 ORDER BY user_id, wid"""))
 
-  /** Co-occurrence graph from purchase events (same user-day edges) +
-    * vertex degrees — Gelly getDegrees (see [[GraphOps]]). */
+  /** Co-occurrence graph from purchase events: edge when two users purchase
+    * within the same 10-MINUTE tumbling window — vertex degrees = Gelly
+    * getDegrees (see [[GraphOps]]). The narrow window keeps per-window
+    * co-occurrence (and thus edge count / triangle fan-out) bounded as the
+    * event volume grows — a day-sized window makes the graph near-complete
+    * at 10× data and the triangle join quadratic, the exact hub-explosion
+    * GraphOps' scaladoc warns about. */
   private def coEdges(s: SparkSession, dir: String): DataFrame = {
     val p = ev(s, dir).filter(col("event_type") === "purchase")
-      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      .select(col("user_id"), window(col("ts"), "10 minutes").getField("start").as("d")).distinct()
     p.as("a").join(p.as("b"), col("a.d") === col("b.d") && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
       .distinct()
@@ -132,8 +137,8 @@ object ExtraQueries {
 
   private val oEdges: String = """
     SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-    FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events WHERE event_type = 'purchase') a
-    JOIN (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events WHERE event_type = 'purchase') b
+    FROM (SELECT DISTINCT user_id, time_bucket(INTERVAL '10 minutes', ts) AS d FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT DISTINCT user_id, time_bucket(INTERVAL '10 minutes', ts) AS d FROM events WHERE event_type = 'purchase') b
       ON a.d = b.d AND a.user_id < b.user_id"""
 
   val qGraphDegrees: Q = Q(

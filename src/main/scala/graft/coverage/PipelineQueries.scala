@@ -69,7 +69,15 @@ object PipelineQueries {
     * cap; the cartesian never happens. */
   val qPipeJaccard: Q = Q(
     run = (s, dir) => {
-      val sh = shingled(docs(s, dir)).cache()
+      // DF cap: shingles present in >20% of the corpus are stop-shingles —
+      // they pair everything with everything (the quadratic blowup) while
+      // carrying no near-dup signal. Cap BEFORE the self-join; sizes are
+      // computed on the capped set so Jaccard stays internally consistent.
+      val raw = shingled(docs(s, dir)).cache()
+      val nDocs = docs(s, dir).count()
+      val rare = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= nDocs / 5).select(col("sh"))
+      val sh = raw.join(broadcast(rare), "sh").cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -83,7 +91,10 @@ object PipelineQueries {
         .orderBy(col("d1"), col("d2"))
     },
     oracle = Some(s"""
-      WITH sh AS ($oShingles),
+      WITH raw AS ($oShingles),
+           sh AS (SELECT raw.* FROM raw
+                  JOIN (SELECT sh FROM raw GROUP BY sh
+                        HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) // 5) r USING (sh)),
            sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
            pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -94,16 +105,20 @@ object PipelineQueries {
       WHERE CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
 
-  /** MinHash + LSH candidate pairs: 16 permutations (md5-derived hash per
-    * (seed, shingle), min per doc+seed), 4 bands × 4 rows, band-bucket join.
-    * The classic sub-quadratic near-dup path: only docs colliding in a band
-    * bucket are ever paired. */
+  /** MinHash + LSH candidate pairs: 16 permutations — ONE md5 per shingle
+    * then a per-seed universal rehash ((2s+1)·h + 12345s + 7 mod p), min
+    * per doc+seed — 4 bands × 4 rows, band-bucket join. The classic
+    * sub-quadratic near-dup path: only docs colliding in a band bucket are
+    * ever paired; the LCG rehash is 16× cheaper than hashing (seed,shingle)
+    * pairs and just as oracle-reproducible. */
   val qPipeMinhashLsh: Q = Q(
     run = (s, dir) => {
       val sh = shingled(docs(s, dir))
+      val p = 2147483647L
       val sig = sh
+        .withColumn("h0", hashStr(col("sh")) % p)
         .withColumn("seed", explode(sequence(lit(0), lit(15))))
-        .withColumn("h", hashStr(concat(col("seed").cast("string"), lit("_"), col("sh"))))
+        .withColumn("h", ((col("seed") * 2 + 1) * col("h0") + col("seed") * 12345 + 7) % p)
         .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
       val bands = sig
         .withColumn("band", (col("seed") / 4).cast("int"))
@@ -123,7 +138,8 @@ object PipelineQueries {
     },
     oracle = Some(s"""
       WITH sh AS ($oShingles),
-           sig AS (SELECT doc_id, seed, min(${oHash("seed || '_' || sh")}) AS mh
+           sig AS (SELECT doc_id, seed,
+                          min(((seed * 2 + 1) * (${oHash("sh")} % 2147483647) + seed * 12345 + 7) % 2147483647) AS mh
                    FROM sh CROSS JOIN generate_series(0, 15) g(seed)
                    GROUP BY doc_id, seed),
            bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
