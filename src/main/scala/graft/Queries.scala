@@ -93,5 +93,6 @@ object Queries {
     "q1_pricing_summary" -> q1PricingSummary,
   ) ++ coverage.RelationalQueries.all ++ coverage.WindowQueries.all ++
     coverage.PipelineQueries.all ++ coverage.StreamingQueries.all ++
-    coverage.SqlDialectQueries.all ++ coverage.MiscQueries.all ++ coverage.ExtraQueries.all
+    coverage.SqlDialectQueries.all ++ coverage.MiscQueries.all ++ coverage.ExtraQueries.all ++
+    coverage.Extra2Queries.all
 }

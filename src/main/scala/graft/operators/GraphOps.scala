@@ -23,6 +23,39 @@ object GraphOps {
     edges.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
 
+  /** Connected components by iterative min-label propagation — the Gelly
+    * ConnectedComponents library algorithm (flink-gelly/.../library/
+    * ConnectedComponents.java), whose delta-iteration becomes a driver-side
+    * loop over DataFrames (SURVEY §2.13 Iterations). Each round: every
+    * vertex takes the min label among itself and its neighbors; stop when a
+    * round changes nothing. Rounds = graph diameter; each round is one
+    * shuffle-join on vertex id — the standard large-graph CC layout. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bi = edges.select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.select(col("dst").as("v"), col("src").as("u")))
+      .distinct().cache()
+    var labels = bi.select(col("v")).distinct().withColumn("label", col("v")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = bi
+        .join(labels.select(col("v").as("lv"), col("label")), col("u") === col("lv"))
+        .groupBy(col("v")).agg(min(col("label")).as("nmin"))
+        .select(col("v").as("nv"), col("nmin"))
+      val next = labels.join(neighborMin, col("v") === col("nv"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next
+        .join(labels.select(col("v").as("ov"), col("label").as("old")), col("v") === col("ov"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    bi.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

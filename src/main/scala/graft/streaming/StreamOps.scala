@@ -84,6 +84,38 @@ object StreamOps {
       .toDF()
   }
 
+  case class OverState(runSum: Long, runN: Long)
+  case class OverOut(user_id: Long, event_id: Long, run_sum: Long, run_n: Long)
+
+  /** Streaming over-aggregate (unbounded-preceding running sum/count per
+    * key, event-time order) — ref RowTimeRowsUnboundedPrecedingFunction /
+    * RowTimeRangeBoundedPrecedingFunction.java:55 (SURVEY §2.7 "no native
+    * streaming over"): keyed state carries the running accumulator; each
+    * batch is sorted by (ts, id) and emits one output row per input row.
+    * State is O(1) per key — the property the reference's operator also
+    * maintains (its state holds accumulators, not history). Assumes
+    * event-time-ordered batches (watermark-complete micro-batches, SURVEY
+    * §2.9 temporal sort note). */
+  def runningAggPerUser(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              expr("unix_micros(ts)").as("tsMicros"), expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[OverState]) => {
+          var st = state.getOption.getOrElse(OverState(0L, 0L))
+          val out = it.toIndexedSeq.sortBy(e => (e._3, e._2)).map { e =>
+            st = OverState(st.runSum + e._4, st.runN + 1)
+            OverOut(key, e._2, st.runSum, st.runN)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class CepState(events: List[Cep.Ev], emitted: Int)
   case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
 
