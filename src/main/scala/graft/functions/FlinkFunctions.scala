@@ -55,9 +55,16 @@ object FlinkFunctions {
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
-  /** Idempotent registration of the whole surface on a session. */
+  /** Idempotent registration of the whole surface on a session.
+    * SPLIT_INDEX registers as a NATIVE codegen'd Catalyst expression
+    * ([[graft.plans.SplitIndexExpr]]) — the §2.11 hot-path upgrade; the
+    * rest stay Scala UDFs until a benchmark says otherwise. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("SPLIT_INDEX", splitIndex _)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "SPLIT_INDEX",
+        exprs => graft.plans.SplitIndexExpr(exprs(0), exprs(1), exprs(2)),
+        "built-in")
     spark.udf.register("IS_DIGIT", isDigit _)
     spark.udf.register("IS_ALPHA", isAlpha _)
     spark.udf.register("IS_DECIMAL", isDecimal _)

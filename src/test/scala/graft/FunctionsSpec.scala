@@ -18,6 +18,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(FlinkFunctions.hashCode("abc") == "abc".hashCode)
   }
 
+  test("SPLIT_INDEX is a native codegen expression (no ScalaUDF in plan)") {
+    val s = spark
+    import s.implicits._
+    FlinkFunctions.registerAll(s)
+    Seq(("a,b,c", 0), ("a,b,c", 2), ("a,b,c", 7), ("x", 0)).toDF("str", "i")
+      .createOrReplaceTempView("si_t")
+    val df = s.sql("SELECT SPLIT_INDEX(str, ',', i) AS p FROM si_t")
+    assert(df.as[Option[String]].collect().toSeq == Seq(Some("a"), Some("c"), None, Some("x")))
+    // over a file scan the expression must survive in the codegen'd plan
+    // (not a ScalaUDF wrapper)
+    Tables.load(s, sfDir, "part").createOrReplaceTempView("part_si")
+    val scan = s.sql("SELECT SPLIT_INDEX(p_type, ' ', 1) AS p FROM part_si")
+    assert(scan.count() > 0)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("split_index"))
+    // Column-API wrapper agrees
+    import org.apache.spark.sql.functions.{col, lit}
+    val viaCol = Seq("q|w|e").toDF("s")
+      .select(graft.plans.SplitIndexExpr.splitIndex(col("s"), lit("|"), lit(1)).as("p"))
+      .as[String].collect().toSeq
+    assert(viaCol == Seq("w"))
+  }
+
   test("SINGLE_VALUE returns the value for 1-row groups") {
     val s = spark
     import s.implicits._
