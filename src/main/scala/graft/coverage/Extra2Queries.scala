@@ -158,7 +158,41 @@ object Extra2Queries {
              arr[2] AS map_b
       FROM q ORDER BY vec_id"""))
 
+  /** Salted skew join — identical result to the plain equi-join (the
+    * oracle), hot keys spread over `factor` reducers (see
+    * [[graft.operators.SkewJoin]]). events.user_id ⋈ customer. */
+  val qJoinSalted: Q = Q(
+    run = (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_custkey"), col("event_id"), cents(col("value")).as("vc"))
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(e, c, "c_custkey", factor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("v_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n, SUM(${oCents("value")})::BIGINT AS v_cents
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'purchase'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Approximate aggregates (HLL count-distinct, quantile sketch) — ref
+    * FlinkSqlOperatorTable APPROX_COUNT_DISTINCT. Sketch internals aren't
+    * oracle-replicable → rows-only here; ApproxSpec bounds the error vs the
+    * exact answer. */
+  val qAggApprox: Q = Q(
+    run = (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             expr(s"approx_percentile(${"l_extendedprice"}, 0.5)").as("p50_price"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    oracle = None)
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_join_salted" -> qJoinSalted,
+    "q_agg_approx" -> qAggApprox,
     "q_stream_over" -> qStreamOver,
     "q_graph_components" -> qGraphComponents,
     "q_decimal_agg" -> qDecimalAgg,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern evidence: bucketed co-located joins (no shuffle), salted
+  * join equivalence, approximate-aggregate error bounds,
+  * dropDuplicatesWithinWatermark. */
+class ScaleSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    Tables.load(s, sfDir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+    Tables.load(s, sfDir, "customer").write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+    val joined = s.table("orders_bkt")
+      .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: the join itself needs no Exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+    s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join result equals the plain join") {
+    val s = spark
+    val e = Tables.load(s, sfDir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id").as("c_custkey"), col("event_id"))
+    val c = Tables.load(s, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val plain = e.join(c, "c_custkey").count()
+    val salted = SkewJoin.saltedJoin(e, c, "c_custkey", factor = 8).count()
+    assert(plain == salted && plain > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val s = spark
+    import s.implicits._
+    val li = Tables.load(s, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val dd = in.toDF().toDF("k", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), col("sec"))
+    val q = dd.writeStream.format("memory").queryName("ddw_t").outputMode("append").start()
+    in.addData((1L, 0L), (1L, 5L), (2L, 6L)) // dup of key 1 within horizon
+    q.processAllAvailable()
+    val rows = s.table("ddw_t").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows.map(_._1) == Set(1L, 2L) && rows.size == 2)
+  }
+}
