@@ -31,6 +31,18 @@ object GraphOps {
     * round changes nothing. Rounds = graph diameter; each round is one
     * shuffle-join on vertex id — the standard large-graph CC layout. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // each round is a join+agg over the (small after dedup) edge list; the
+    // session's batch shuffle width just adds per-task overhead × rounds —
+    // size the loop's shuffles to the data (driver-side iteration is already
+    // the scale story here, per SURVEY §2.13 Iterations)
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try { connectedComponentsImpl(edges, maxIter) }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, maxIter: Int): DataFrame = {
     val bi = edges.select(col("src").as("v"), col("dst").as("u"))
       .union(edges.select(col("dst").as("v"), col("src").as("u")))
       .distinct().cache()

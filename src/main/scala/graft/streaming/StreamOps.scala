@@ -48,9 +48,16 @@ object StreamOps {
     * materialized result. */
   def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_mem_${counter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful streaming cost scales with state-store instances (one per
+    // shuffle partition, committed every batch): 8 partitions is plenty for
+    // the fixture volume and ~4× cheaper than the batch default of 32
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -11,6 +11,17 @@ class ScaleSpec extends SparkTestBase {
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    // drop tables AND their warehouse dirs (a fresh in-memory metastore
+    // doesn't know about locations left by a previous test JVM)
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     Tables.load(s, sfDir, "orders").write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
     Tables.load(s, sfDir, "customer").write.mode("overwrite")
