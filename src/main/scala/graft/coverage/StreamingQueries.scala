@@ -132,7 +132,33 @@ object StreamingQueries {
       FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL '10 minutes'
       ORDER BY user_id, click_id"""))
 
+  /** Streaming count-tumbling window with a count evictor (fires every 5
+    * events per key, aggregates the last 3) — ref CountTumblingWindowAssigner
+    * + CountEvictor via [[StreamOps.countTumbleWindow]]; partial windows
+    * never fire, exactly like the reference. */
+  val qStreamCountWindow: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(s, StreamOps.countTumbleWindow(s, src, size = 5, keep = 3), OutputMode.Update())
+        .orderBy(col("user_id"), col("win_seq"))
+    },
+    oracle = Some(s"""
+      WITH r AS (SELECT user_id, event_id, ${oCents("value")} AS vc,
+                        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM events),
+           g AS (SELECT user_id, event_id, vc,
+                        CAST(FLOOR((rn - 1) / 5.0) AS BIGINT) AS win_seq,
+                        (rn - 1) % 5 AS pos,
+                        COUNT(*) OVER (PARTITION BY user_id, CAST(FLOOR((rn - 1) / 5.0) AS BIGINT)) AS wn
+                 FROM r)
+      SELECT user_id, win_seq, CAST(3 AS INT) AS n,
+             SUM(CASE WHEN pos >= 2 THEN vc END)::BIGINT AS v_cents,
+             MAX(CASE WHEN pos = 4 THEN event_id END) AS last_id
+      FROM g WHERE wn = 5
+      GROUP BY user_id, win_seq ORDER BY user_id, win_seq"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_stream_count_window" -> qStreamCountWindow,
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_interval_join" -> qStreamIntervalJoin,

@@ -123,6 +123,73 @@ object StreamOps {
       .toDF()
   }
 
+  case class CountWinState(buf: List[(Long, Long, Long)], winSeq: Long) // (tsMicros, eventId, vc)
+  case class CountWinOut(user_id: Long, win_seq: Long, n: Int, v_cents: Long, last_id: Long)
+
+  /** Count-based tumbling window WITH a count evictor — ref DataStream
+    * WindowOperator.java:98 + CountTumblingWindowAssigner + CountEvictor
+    * (SURVEY §2.6 "count windows → stateful flatMapGroupsWithState (no
+    * native)"): fires when `size` events have buffered for a key; the
+    * evictor keeps only the LAST `keep` of them for the aggregate (Flink
+    * CountEvictor.of(keep) semantics). Partial windows never fire — exactly
+    * the reference's behavior. State = at most `size-1` buffered events per
+    * key, bounded. */
+  def countTumbleWindow(s: SparkSession, events: DataFrame, size: Int, keep: Int): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              expr("unix_micros(ts)").as("tsMicros"), expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[CountWinState]) => {
+          var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
+          val out = scala.collection.mutable.ListBuffer[CountWinOut]()
+          // event-time order within the batch (watermark-complete batches)
+          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+            val buf = st.buf :+ ((e._3, e._2, e._4))
+            if (buf.length == size) {
+              val kept = buf.takeRight(keep) // CountEvictor: evict from the front
+              out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, kept.last._2)
+              st = CountWinState(Nil, st.winSeq + 1)
+            } else st = st.copy(buf = buf)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  case class SortState(buf: List[(Long, Long, Long)]) // (tsMicros, eventId, vc)
+  case class SortOut(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** Event-time temporal sort — ref RowTimeSortOperator / StreamExecTemporalSort
+    * (SURVEY §2.9): buffer per key, flush rows at or below the current
+    * watermark in event-time order each batch (the watermark IS the timer,
+    * ref WatermarkAssignerOperator). State holds only the above-watermark
+    * tail. */
+  def temporalSort(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      // the watermark-tagged TIMESTAMP column must survive into the grouped
+      // Dataset — Spark refuses getCurrentWatermarkMs otherwise
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              col("ts").cast("timestamp").as("ts"), expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)], state: GroupState[SortState]) => {
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val all = state.getOption.map(_.buf).getOrElse(Nil) ++
+            it.map(e => (e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000, e._2, e._4))
+          val (ripe, tail) = all.partition(_._1 <= wm)
+          state.update(SortState(tail))
+          ripe.sortBy(e => (e._1, e._2)).iterator.map(e => SortOut(key, e._2, e._1))
+        })
+      .toDF()
+  }
+
   case class CepState(events: List[Cep.Ev], emitted: Int)
   case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
 

@@ -47,6 +47,22 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, 2L, 3L, 4L)))
   }
 
+  test("relaxed contiguity via an undefined skip variable (A S* B)") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "error", 5L), (1L, 3L, "view", 8L), (1L, 4L, "purchase", 10L)))
+    // S is undefined → matches any row: A S* B == Flink followedBy semantics
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A S* B)
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase')""")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 4L)))
+  }
+
   test("WITHIN excludes slow completions") {
     val s = spark
     import s.implicits._

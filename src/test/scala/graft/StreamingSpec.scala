@@ -72,6 +72,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 1L), (2L, 3L))) // event 2 deduped by state from batch 1
   }
 
+  test("temporal sort flushes below-watermark rows in event-time order") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.temporalSort(s, toEvents(in.toDF()))
+      .writeStream.format("memory").queryName("tsort_t").outputMode("update").start()
+    in.addData(Raw(1, 10, "a", 50, 0.0), Raw(1, 11, "a", 20, 0.0), Raw(1, 12, "a", 80, 0.0))
+    q.processAllAvailable()
+    assert(s.table("tsort_t").count() == 0) // watermark still behind — all buffered
+    in.addData(Raw(1, 13, "a", 100, 0.0)) // advances watermark to 80s
+    q.processAllAvailable()
+    val flushed = s.table("tsort_t").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    q.stop()
+    assert(flushed == Seq(11L, 10L, 12L)) // event-time order, ts<=watermark only
+  }
+
+  test("late events beyond the watermark are dropped from windowed aggs") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val agg = toEvents(in.toDF())
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_t").outputMode("append").start()
+    in.addData(Raw(1, 1, "a", 10, 0.0), Raw(1, 2, "a", 90, 0.0)) // wm → 90s, window[0,60) closes
+    q.processAllAvailable()
+    in.addData(Raw(1, 3, "a", 15, 0.0)) // LATE: belongs to the closed window
+    q.processAllAvailable()
+    in.addData(Raw(1, 4, "a", 200, 0.0)) // close window [60,120)
+    q.processAllAvailable()
+    val rows = s.table("late_t").as[(java.sql.Timestamp, Long)].collect()
+      .map { case (ts, n) => (ts.getTime / 1000, n) }.toMap
+    q.stop()
+    assert(rows(0L) == 1L)  // late event 3 did NOT reopen the closed window
+    assert(rows(60L) == 1L)
+  }
+
   test("watermarked tumbling agg finalizes windows in append mode") {
     val s = spark
     import s.implicits._
