@@ -77,9 +77,13 @@ object PipelineQueries {
       val nDocs = docs(s, dir).count()
       val rare = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= nDocs / 5).select(col("sh"))
-      val sh = raw.join(broadcast(rare), "sh").cache()
+      // join on a 60-bit hash of the shingle, not the string: the self-join
+      // shuffles an 8-byte key instead of ~20-byte text (collision odds
+      // ~|shingles|²/2⁶¹ — immaterial); counts, and thus Jaccard, unchanged
+      val sh = raw.join(broadcast(rare), "sh")
+        .select(col("doc_id"), hashStr(col("sh")).as("shid")).cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
       pairs

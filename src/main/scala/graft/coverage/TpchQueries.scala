@@ -1,0 +1,97 @@
+package graft.coverage
+
+import graft.{Q, Queries, Tables}
+import graft.Queries._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped headline analytics (the reference's own correctness corpus
+  * family — flink-tpch-test / TpchDataGenerator.java): multi-join +
+  * aggregate + top-k shapes over the star schema, adapted to the fixture
+  * columns. These are the recognizable end-to-end workloads the bench
+  * tracks alongside the per-operator microqueries. */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Q3 shape — shipping priority: 3-way join, filter both sides of a date,
+    * top-10 revenue orders. Joins shuffle on their keys; the date filters
+    * push into both parquet scans. */
+  val qTpchQ3: Q = Q(
+    run = (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+              col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp")),
+              col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+    oracle = Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** Q10 shape — returned-item reporting: revenue lost to returns per
+    * customer, top 20. */
+  val qTpchQ10: Q = Q(
+    run = (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+              col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+    oracle = Some(s"""
+      SELECT c_custkey, c_name, n_name,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Q18 shape — large-volume customers: HAVING-style semi-join on an
+    * aggregated subquery (orders whose total quantity exceeds a threshold). */
+  val qTpchQ18: Q = Q(
+    run = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+        .filter(col("qty_cents") > 250L * 100)
+        .select(col("bk"))
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_quantity"))).as("total_qty_cents"))
+        .orderBy(col("total_qty_cents").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    oracle = Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             SUM(${oCents("l_quantity")})::BIGINT AS total_qty_cents
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(${oCents("l_quantity")}) > 25000)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      ORDER BY total_qty_cents DESC, o_orderkey LIMIT 50"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q10" -> qTpchQ10,
+    "q_tpch_q18" -> qTpchQ18,
+  )
+}
