@@ -33,8 +33,26 @@ final class DStream[T](val ds: Dataset[T]) {
     * filtered sinks over one upstream). */
   def sideOutput(isMain: T => Boolean): (DStream[T], DStream[T]) =
     (filter(isMain), filter((t: T) => !isMain(t)))
+  /** Connect with a second stream of a different type — ref
+    * ConnectedStreams / CoProcessFunction (CoBroadcastWithKeyedOperator
+    * .java:64 family): both inputs keyed to the same key space, processed
+    * together per key. Implemented as a keyed cogroup over an Either-tagged
+    * union — one co-partitioned shuffle, same layout as the reference's
+    * two-input operator. */
+  def connect[T2](other: DStream[T2]): ConnectedDStream[T, T2] = new ConnectedDStream(this, other)
+
   /** Flink `DataStream.executeAndCollect` analog (bounded only). */
   def collect(): Seq[T] = ds.collect().toSeq
+}
+
+final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {
+  /** Keyed two-input process — ref KeyedCoProcessFunction. */
+  def keyedProcess[K: Encoder, U: Encoder](k1: T1 => K, k2: T2 => K)(
+      f: (K, Iterator[T1], Iterator[T2]) => IterableOnce[U]): DStream[U] = {
+    val g1 = s1.ds.groupByKey(k1)
+    val g2 = s2.ds.groupByKey(k2)
+    new DStream(g1.cogroup(g2)((k: K, it1: Iterator[T1], it2: Iterator[T2]) => f(k, it1, it2).iterator))
+  }
 }
 
 final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {

@@ -57,9 +57,14 @@ object GraphOps {
       val next = labels.join(neighborMin, col("v") === col("nv"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      changed = next
-        .join(labels.select(col("v").as("ov"), col("label").as("old")), col("v") === col("ov"))
-        .filter(col("label") =!= col("old")).count()
+      // convergence check is its own job — run it every other round (label
+      // propagation converges in ~diameter rounds; one possibly-redundant
+      // round is cheaper than a count per round)
+      if (i % 2 == 1 || i >= maxIter - 1) {
+        changed = next
+          .join(labels.select(col("v").as("ov"), col("label").as("old")), col("v") === col("ov"))
+          .filter(col("label") =!= col("old")).count()
+      } else next.count() // materialize the cache so the lineage stays short
       labels.unpersist()
       labels = next
       i += 1

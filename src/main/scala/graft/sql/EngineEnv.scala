@@ -32,6 +32,8 @@ final class EngineEnv(val spark: SparkSession) {
     """(?is)CREATE\s+TABLE\s+(\w+)\s*(?:\((.*)\))?\s*WITH\s*\((.*)\)\s*""".r
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private val insertRe =
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT.*)""".r
 
   /** DDL + commands. Returns an empty DataFrame for DDL (like the
     * reference's TableResult for CREATE). */
@@ -59,6 +61,17 @@ final class EngineEnv(val spark: SparkSession) {
           catalog(name) = TableSpec("", "datagen", None, None)
         case other => throw new IllegalArgumentException(s"unsupported connector '$other'")
       }
+      spark.emptyDataFrame
+    // INSERT INTO/OVERWRITE a registered filesystem table — the reference's
+    // ModifyOperation → FileSystemTableSink path (SURVEY §3.1 step 2):
+    // append/overwrite the table's files, refresh the view.
+    case insertRe(mode, name, query) =>
+      val spec = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown sink table '$name'"))
+      val df = sqlQuery(query)
+      df.write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+        .format(spec.format).save(spec.path)
+      read(spec.path, spec.format).createOrReplaceTempView(name)
       spark.emptyDataFrame
     case q => sqlQuery(q)
   }

@@ -50,6 +50,33 @@ class SqlDialectSpec extends SparkTestBase {
     assert(spark.table("wm_stream_t").count() > 0)
   }
 
+  test("INSERT INTO appends to a registered filesystem table") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_ins_t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(path)
+    val e = new EngineEnv(s)
+    e.executeSql(s"CREATE TABLE ins_t WITH ('connector'='filesystem', 'path'='$path', 'format'='parquet')")
+    assert(s.table("ins_t").count() == 2)
+    e.executeSql("INSERT INTO ins_t SELECT k + 10 AS k, v FROM ins_t")
+    assert(s.table("ins_t").count() == 4)
+  }
+
+  test("connected streams: keyed two-input process") {
+    val s = spark
+    import s.implicits._
+    val env = new graft.datastream.DataStreamEnv(s)
+    val left = env.fromElements((1, "l1"), (2, "l2"))
+    val right = env.fromElements((1, 100), (1, 200), (3, 300))
+    val out = left.connect(right).keyedProcess[Int, (Int, String, Int)](_._1, _._1) {
+      (k, ls, rs) =>
+        val name = ls.map(_._2).toSeq.headOption.getOrElse("-")
+        val total = rs.map(_._2).sum
+        Iterator((k, name, total))
+    }.collect().toSet
+    assert(out == Set((1, "l1", 300), (2, "l2", 0), (3, "-", 300)))
+  }
+
   test("datagen is deterministic across invocations") {
     val e = new EngineEnv(spark)
     e.executeSql("CREATE TABLE g1 WITH ('connector'='datagen', 'number-of-rows'='10')")
