@@ -440,7 +440,31 @@ object PipelineQueries {
       WHERE k <= least(frames - 1, 2)
       ORDER BY doc_id, k"""))
 
+  /** Typed partition-wise decode variant of the multimodal pipeline (one
+    * codec context per partition via mapPartitions — see
+    * [[graft.operators.Multimodal]]); same deterministic stub, same oracle
+    * math as q_pipe_multimodal. */
+  val qPipeMultimodalTyped: Q = Q(
+    run = (s, dir) =>
+      graft.operators.Multimodal.decodeFrames(
+        s, docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx")),
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS m FROM documents),
+      meta AS (SELECT doc_id, n_bytes,
+                      ('0x' || substr(m, 1, 4))::BIGINT % 320 + 16 AS width,
+                      ('0x' || substr(m, 5, 4))::BIGINT % 240 + 16 AS height,
+                      ('0x' || substr(m, 9, 2))::BIGINT % 8 + 1 AS frames, m
+               FROM d)
+      SELECT doc_id, n_bytes, width, height, frames, k AS frame_idx,
+             md5(m || '_' || k) AS frame_fp
+      FROM meta CROSS JOIN generate_series(0, 2) g(k)
+      WHERE k <= least(frames - 1, 2)
+      ORDER BY doc_id, frame_idx"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_multimodal_typed" -> qPipeMultimodalTyped,
     "q_pipe_dedup_exact" -> qPipeDedupExact,
     "q_pipe_jaccard" -> qPipeJaccard,
     "q_pipe_minhash_lsh" -> qPipeMinhashLsh,

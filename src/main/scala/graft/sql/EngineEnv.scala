@@ -34,6 +34,11 @@ final class EngineEnv(val spark: SparkSession) {
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
     """(?is)INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT.*)""".r
+  private val createViewRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.*)""".r
+  private val dropRe =
+    """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val showRe = """(?is)SHOW\s+TABLES\s*""".r
 
   /** DDL + commands. Returns an empty DataFrame for DDL (like the
     * reference's TableResult for CREATE). */
@@ -73,6 +78,16 @@ final class EngineEnv(val spark: SparkSession) {
         .format(spec.format).save(spec.path)
       read(spec.path, spec.format).createOrReplaceTempView(name)
       spark.emptyDataFrame
+    // remaining DDL surface — ref flink-sql-parser/.../ddl (30 statement
+    // classes); views/drop/show map straight onto the Spark temp catalog
+    case createViewRe(name, query) =>
+      sqlQuery(query).createOrReplaceTempView(name)
+      spark.emptyDataFrame
+    case dropRe(name) =>
+      spark.catalog.dropTempView(name)
+      catalog.remove(name)
+      spark.emptyDataFrame
+    case showRe() => spark.sql("SHOW VIEWS")
     case q => sqlQuery(q)
   }
 

@@ -77,6 +77,17 @@ class SqlDialectSpec extends SparkTestBase {
     assert(out == Set((1, "l1", 300), (2, "l2", 0), (3, "-", 300)))
   }
 
+  test("CREATE VIEW / DROP / SHOW TABLES complete the DDL surface") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE ddl_orders WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    e.executeSql("CREATE VIEW big_orders AS SELECT * FROM ddl_orders WHERE o_totalprice > 1000")
+    assert(s.table("big_orders").count() > 0)
+    assert(e.executeSql("SHOW TABLES").collect().map(_.getString(1)).contains("big_orders"))
+    e.executeSql("DROP VIEW big_orders")
+    assert(!s.catalog.tableExists("big_orders"))
+  }
+
   test("datagen is deterministic across invocations") {
     val e = new EngineEnv(spark)
     e.executeSql("CREATE TABLE g1 WITH ('connector'='datagen', 'number-of-rows'='10')")
