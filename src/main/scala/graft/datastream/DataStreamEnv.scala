@@ -22,6 +22,10 @@ final class DStream[T](val ds: Dataset[T]) {
     new DStream(ds.flatMap(f(_).iterator))
   def union(other: DStream[T]): DStream[T] = new DStream(ds.union(other.ds))
   def keyBy[K: Encoder](f: T => K): KeyedDStream[K, T] = new KeyedDStream(ds.groupByKey(f))
+  /** Keyed tumbling event-time window — ref keyBy().window(Tumbling
+    * EventTimeWindows.of(size)); see [[WindowedDStream]]. */
+  def keyByWindowed[K](f: T => K, tsMillis: T => Long, sizeMillis: Long): WindowedDStream[K, T] =
+    new WindowedDStream(ds, f, tsMillis, sizeMillis)
   /** Round-robin redistribution — ref DataStream.rebalance:520. */
   def rebalance(n: Int): DStream[T] = new DStream(ds.repartition(n))
   /** Local scale-down without shuffle — ref DataStream.rescale:557. */
@@ -63,6 +67,23 @@ final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
   /** Flink `KeyedProcessFunction` analog (per-key imperative logic). */
   def process[U: Encoder](f: (K, Iterator[T]) => IterableOnce[U]): DStream[U] =
     new DStream(kv.flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator))
+}
+
+/** `keyBy().window(TumblingEventTimeWindows.of(size)).aggregate(agg)` — ref
+  * WindowedStream.aggregate:283 + TumblingEventTimeWindows. Epoch-aligned
+  * bucketing like the reference's assigner; the fold is incremental (no
+  * per-window materialization). Obtained via [[DStream.keyByWindowed]]. */
+final class WindowedDStream[K, T](ds: org.apache.spark.sql.Dataset[T], keyF: T => K,
+                                  tsMillis: T => Long, sizeMillis: Long) {
+  def aggregate[A: Encoder, U: Encoder](zero: A)(fold: (A, T) => A)(
+      finish: (K, Long, A) => U)(implicit ke: Encoder[(K, Long)]): DStream[U] = {
+    // capture fields as locals: the closure must not drag `this` (not
+    // serializable) to the executors
+    val (kf, tsf, size) = (keyF, tsMillis, sizeMillis)
+    val grouped = ds.groupByKey(t => (kf(t), tsf(t) - math.floorMod(tsf(t), size)))
+    new DStream(grouped.mapGroups((kw: (K, Long), it: Iterator[T]) =>
+      finish(kw._1, kw._2, it.foldLeft(zero)(fold))))
+  }
 }
 
 /** StreamExecutionEnvironment analog. */

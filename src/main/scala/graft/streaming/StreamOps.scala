@@ -160,6 +160,41 @@ object StreamOps {
       .toDF()
   }
 
+  case class AsOfState(rights: List[(Long, Long)], pendingLefts: List[(Long, Long)])
+  case class AsOfOut(key: Long, left_id: Long, right_id: Long)
+
+  /** Streaming event-time as-of join — ref temporal/TemporalRowTimeJoinOperator
+    * .java:77: both inputs keyed and unioned into one stateful operator
+    * (side 0 = versioned right, side 1 = left); lefts are held until the
+    * watermark guarantees no earlier right version can still arrive, then
+    * matched to the latest right with rightTs <= leftTs. Right versions
+    * below the watermark could be pruned to the latest (state TTL —
+    * SURVEY §7 M5 risk note). Inputs: (key, side, tsMicros, id). */
+  def streamingAsOf(s: SparkSession, tagged: DataFrame): DataFrame = {
+    import s.implicits._
+    tagged
+      .select(col("key").cast("long").as("_1"), col("side").cast("int").as("_2"),
+              col("tsMicros").cast("long").as("_3"), col("id").cast("long").as("_4"),
+              col("ts").as("_5"))
+      .withWatermark("_5", "0 seconds")
+      .as[(Long, Int, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Int, Long, Long, java.sql.Timestamp)], state: GroupState[AsOfState]) => {
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val batch = it.toList
+          val rights = (st.rights ++ batch.filter(_._2 == 0).map(e => (e._3, e._4))).sortBy(_._1)
+          val lefts = st.pendingLefts ++ batch.filter(_._2 == 1).map(e => (e._3, e._4))
+          val (ripe, pending) = lefts.partition(_._1 <= wm)
+          state.update(AsOfState(rights, pending))
+          ripe.sortBy(l => (l._1, l._2)).iterator.flatMap { case (lts, lid) =>
+            rights.takeWhile(_._1 <= lts).lastOption.map { case (_, rid) => AsOfOut(key, lid, rid) }
+          }
+        })
+      .toDF()
+  }
+
   case class SortState(buf: List[(Long, Long, Long)]) // (tsMicros, eventId, vc)
   case class SortOut(user_id: Long, event_id: Long, ts_us: Long)
 

@@ -112,6 +112,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(60L) == 1L)
   }
 
+  test("streaming as-of join matches lefts to the latest right version at or before their ts") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    case class Tag(key: Long, side: Int, tsMicros: Long, id: Long, sec: Long)
+    val in = MemoryStream[(Long, Int, Long, Long)] // key, side, sec, id
+    val tagged = in.toDF().toDF("key", "side", "sec", "id")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("tsMicros", expr("sec * 1000000"))
+    val q = StreamOps.streamingAsOf(s, tagged)
+      .writeStream.format("memory").queryName("asof_t").outputMode("update").start()
+    // batch 1: right versions at t=10, t=20; a left at t=15 (held: wm=0)
+    in.addData((1L, 0, 10L, 100L), (1L, 0, 20L, 101L), (1L, 1, 15L, 500L))
+    q.processAllAvailable()
+    assert(s.table("asof_t").count() == 0)
+    // batch 2: watermark advanced past 15 → left 500 matches version 100 (ts10 ≤ 15 < ts20)
+    in.addData((1L, 1, 30L, 501L))
+    q.processAllAvailable()
+    val r1 = s.table("asof_t").as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((1L, 500L, 100L)))
+    // batch 3: advance watermark past 30 → left 501 matches version 101
+    in.addData((1L, 0, 100L, 102L))
+    q.processAllAvailable()
+    val r2 = s.table("asof_t").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(r2 == Set((1L, 500L, 100L), (1L, 501L, 101L)))
+  }
+
+  test("keyed tumbling window aggregate via the DataStream facade") {
+    val s = spark
+    import s.implicits._
+    val env = new graft.datastream.DataStreamEnv(s)
+    val data = env.fromDataset(s.createDataset(Seq(
+      (1L, 5000L, 2.0), (1L, 8000L, 3.0), (1L, 12000L, 10.0), (2L, 1000L, 7.0))))
+    val out = data.keyByWindowed(_._1, _._2, sizeMillis = 10000L)
+      .aggregate(0.0)((acc, t) => acc + t._3)((k, ws, a) => (k, ws, a))
+      .collect().toSet
+    assert(out == Set((1L, 0L, 5.0), (1L, 10000L, 10.0), (2L, 0L, 7.0)))
+  }
+
   test("watermarked tumbling agg finalizes windows in append mode") {
     val s = spark
     import s.implicits._
