@@ -24,27 +24,11 @@ object MiscQueries {
   val qChangelogAgg: Q = Q(
     run = (s, dir) => {
       val ev = Tables.load(s, dir, "events").select(col("event_id"), col("event_type"))
-      val base = java.nio.file.Paths.get(s"/tmp/graft_changelog/${san(dir)}")
-      val srcDir = base.resolve("src")
-      // stage the two batches as single files with ordered mtimes
-      if (java.nio.file.Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      java.nio.file.Files.createDirectories(srcDir)
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = base.resolve(s"stage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get
-        val dst = srcDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        dst.toFile.setLastModified(mtime)
-      }
-      stage(ev.filter(col("event_id") % 2 === 0), "b1", 1000000L)
-      stage(ev.filter(col("event_id") % 2 === 1), "b2", 2000000L)
+      val srcDir = StreamOps.stageBatches(s, s"changelog_${san(dir)}", Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1)))
       val stream = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString)
+        .parquet(srcDir)
       StreamOps.runToMemory(s, ChangelogAgg.countChangelog(s, stream, "event_type"), OutputMode.Update())
         .orderBy(col("key"), col("row_kind"))
     },

@@ -157,7 +157,37 @@ object StreamingQueries {
       FROM g WHERE wn = 5
       GROUP BY user_id, win_seq ORDER BY user_id, win_seq"""))
 
+  /** Streaming event-time as-of join over two replayed micro-batches
+    * (batch 1 = click versions, batch 2 = purchases) — ref
+    * TemporalRowTimeJoinOperator.java:77 via [[StreamOps.streamingAsOf]].
+    * Lefts are watermark-held: only purchases at or below the batch-1
+    * watermark (max click time, ms-truncated — Spark watermarks are
+    * millisecond-granular) emit, matched to the latest prior click.
+    * Oracle: DuckDB ASOF JOIN + the same watermark cutoff. */
+  val qStreamAsOf: Q = Q(
+    run = (s, dir) => {
+      val e = graft.Tables.load(s, dir, "events")
+      def tagged(tpe: String, side: Int) = e.filter(col("event_type") === tpe)
+        .select(col("user_id").cast("long").as("key"), lit(side).as("side"),
+                expr("unix_micros(ts)").as("tsMicros"), col("event_id").cast("long").as("id"), col("ts"))
+      val srcDir = StreamOps.stageBatches(s, s"asof_${dir.replaceAll("[^A-Za-z0-9]", "_")}", Seq(
+        tagged("click", 0), tagged("purchase", 1)))
+      val schema = tagged("click", 0).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamOps.runToMemory(s, StreamOps.streamingAsOf(s, stream), OutputMode.Update())
+        .orderBy(col("key"), col("left_id"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+           wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM c)
+      SELECT p.user_id AS key, p.event_id AS left_id, c.event_id AS right_id
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      WHERE epoch_us(p.ts) <= (SELECT w FROM wm)
+      ORDER BY key, left_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_stream_asof" -> qStreamAsOf,
     "q_stream_count_window" -> qStreamCountWindow,
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_dedup" -> qStreamDedup,

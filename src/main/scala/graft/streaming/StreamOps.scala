@@ -35,6 +35,29 @@ object StreamOps {
     linkDir.toString
   }
 
+  /** Stage DataFrames as single parquet files with ordered mtimes in a
+    * fresh dir, so a file stream with maxFilesPerTrigger=1 replays them as
+    * deterministic micro-batches (oldest first). Returns the source dir. */
+  def stageBatches(s: SparkSession, id: String, batches: Seq[DataFrame]): String = {
+    val base = java.nio.file.Paths.get(s"/tmp/graft_batches/$id")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val srcDir = base.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = base.resolve(s"stage_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get
+      val dst = srcDir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    srcDir.toString
+  }
+
   def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$table.parquet"
