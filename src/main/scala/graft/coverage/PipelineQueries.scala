@@ -77,9 +77,12 @@ object PipelineQueries {
       val nDocs = docs(s, dir).count()
       val rare = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= nDocs / 5).select(col("sh"))
-      // join on a 60-bit hash of the shingle, not the string: the self-join
-      // shuffles an 8-byte key instead of ~20-byte text (collision odds
-      // ~|shingles|²/2⁶¹ — immaterial); counts, and thus Jaccard, unchanged
+      // 60-bit shingle hashes as join keys (8-byte shuffle keys, collision
+      // odds ~|shingles|²/2⁶¹ — immaterial). Direct inverted-index join:
+      // on THIS corpus (tiny vocab → high overlap) it beats the
+      // prefix-filtered SetSimJoin, whose pruning assumes low overlap —
+      // SetSimJoinSpec proves both produce identical results; at real-corpus
+      // shingle diversity the prefix variant is the scale path.
       val sh = raw.join(broadcast(rare), "sh")
         .select(col("doc_id"), hashStr(col("sh")).as("shid")).cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
