@@ -26,16 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Cep {
 
-  /** One pattern step: predicate + quantifier + contiguity to the PREVIOUS
-    * step (strict = next event must match immediately; relaxed = skip
-    * non-matching events, Flink `followedBy`). */
-  case class StepG[E](pred: E => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+  /** Partial-match context handed to predicates: lets a DEFINE reference
+    * earlier pattern variables (Flink `B AS B.price > A.price` — ref
+    * flink-cep pattern/conditions/IterativeCondition). `lastOf(varIdx)` is
+    * the most recent row matched to that variable so far. */
+  final class MatchCtx[E](evs: IndexedSeq[E], acc: List[(Int, Int)]) {
+    def lastOf(varIdx: Int): Option[E] = acc.find(_._1 == varIdx).map(p => evs(p._2))
+    def firstOf(varIdx: Int): Option[E] = acc.reverse.collectFirst { case (v, i) if v == varIdx => evs(i) }
+  }
+
+  /** One pattern step: context-aware predicate + quantifier + contiguity to
+    * the PREVIOUS step (strict = next event must match immediately; relaxed
+    * = skip non-matching events, Flink `followedBy`). */
+  case class StepG[E](pred: (E, MatchCtx[E]) => Boolean,
+                      minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+
+  object StepG {
+    /** Context-free predicate step. */
+    def simple[E](p: E => Boolean, minTimes: Int = 1, maxTimes: Int = 1,
+                  strict: Boolean = true): StepG[E] =
+      StepG((e: E, _: MatchCtx[E]) => p(e), minTimes, maxTimes, strict)
+  }
 
   /** Greedy match attempt anchored at `start`. Returns (stepIdx, evIdx)
     * pairs in match order, or None. */
   def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
                 withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
-    if (!steps.head.pred(evs(start))) return None
+    if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return None
     val startTs = ts(evs(start))
     def go(pos: Int, si: Int, cnt: Int, acc: List[(Int, Int)]): Option[List[(Int, Int)]] = {
       if (si == steps.length) Some(acc.reverse)
@@ -46,7 +63,7 @@ object Cep {
         def consume: Option[List[(Int, Int)]] = {
           var p = pos
           while (p < evs.length && ts(evs(p)) - startTs <= withinMicros) {
-            if (st.pred(evs(p))) return go(p + 1, si, cnt + 1, (si, p) :: acc)
+            if (st.pred(evs(p), new MatchCtx(evs, acc))) return go(p + 1, si, cnt + 1, (si, p) :: acc)
             if (st.strict) return None
             p += 1
           }
@@ -69,7 +86,7 @@ object Cep {
   /** All matches over one key's time-sorted events; one (greedy) match per
     * eligible start index — AFTER MATCH SKIP TO NEXT ROW. */
   def matches(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
-    val steps = pattern.steps.map(s => StepG[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
+    val steps = pattern.steps.map(s => StepG.simple[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
     (0 until evs.length).iterator.flatMap { i =>
       findAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
         Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)

@@ -31,7 +31,8 @@ object MatchRecognize {
 
   case class Measure(fn: String, variable: String, col: String, as: String) // fn: "", FIRST, LAST
   case class PatVar(name: String, min: Int, max: Int)
-  case class Define(variable: String, col: String, op: String, value: String)
+  case class Define(variable: String, col: String, op: String, value: String,
+                    rhsVar: Option[(String, String)] = None) // (variable, col) for cross-var predicates
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   measures: Seq[Measure], pattern: Seq[PatVar],
                   withinMicros: Long, defines: Map[String, Define])
@@ -47,6 +48,8 @@ object MatchRecognize {
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val defRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-\d.]+))\s*""".r
+  // cross-variable predicate: B AS B.price > A.price (Flink IterativeCondition)
+  private val defXRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)\s*""".r
 
   def isMatchRecognize(sql: String): Boolean = outerRe.matches(sql)
 
@@ -82,6 +85,8 @@ object MatchRecognize {
       .flatMap(_.split(",")).map {
         case defRe(v, _, c, op, slit, nlit) =>
           v.toUpperCase -> Define(v.toUpperCase, c, op, if (slit != null) slit else nlit)
+        case defXRe(v, _, c, op, rv, rc) =>
+          v.toUpperCase -> Define(v.toUpperCase, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
         case other => throw new IllegalArgumentException(s"unsupported define '$other'")
       }.toMap
     Spec(table, part, order, measures, pattern, within, defines)
@@ -94,32 +99,44 @@ object MatchRecognize {
     val keyIdx = schema.fieldIndex(spec.partitionBy)
     val tsIdx = schema.fieldIndex(spec.orderBy)
 
-    def predOf(v: PatVar): Row => Boolean = spec.defines.get(v.name.toUpperCase) match {
-      case None => (_: Row) => true // undefined variable matches any row
+    val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
+    def cmpNum(x: Double, op: String, y: Double): Boolean = op match {
+      case "=" => x == y; case "<>" => x != y
+      case ">" => x > y; case "<" => x < y
+      case ">=" => x >= y; case "<=" => x <= y
+    }
+    def cmpStr(x: String, op: String, y: String): Boolean = op match {
+      case "=" => x == y; case "<>" => x != y
+      case ">" => x > y; case "<" => x < y
+      case ">=" => x >= y; case "<=" => x <= y
+    }
+    def predOf(v: PatVar): (Row, Cep.MatchCtx[Row]) => Boolean = spec.defines.get(v.name.toUpperCase) match {
+      case None => (_: Row, _: Cep.MatchCtx[Row]) => true // undefined variable matches any row
       case Some(d) =>
         val ci = schema.fieldIndex(d.col)
         val isNum = schema(ci).dataType.isInstanceOf[NumericType]
-        (r: Row) => {
-          if (r.isNullAt(ci)) false
-          else if (isNum) {
-            val x = r.get(ci).toString.toDouble; val y = d.value.toDouble
-            d.op match {
-              case "=" => x == y; case "<>" => x != y
-              case ">" => x > y; case "<" => x < y
-              case ">=" => x >= y; case "<=" => x <= y
-            }
-          } else {
-            val x = r.get(ci).toString
-            d.op match {
-              case "=" => x == d.value; case "<>" => x != d.value
-              case ">" => x > d.value; case "<" => x < d.value
-              case ">=" => x >= d.value; case "<=" => x <= d.value
-            }
-          }
+        d.rhsVar match {
+          case Some((rv, rc)) =>
+            // compare against the LAST row matched to the referenced
+            // variable so far (running semantics); rhsVar == this variable
+            // means "previous occurrence of myself" and fails on the first
+            val rvi = varIdxOf.getOrElse(rv,
+              throw new IllegalArgumentException(s"DEFINE references unknown variable $rv"))
+            val rci = schema.fieldIndex(rc)
+            (r: Row, ctx: Cep.MatchCtx[Row]) =>
+              !r.isNullAt(ci) && ctx.lastOf(rvi).exists { prev =>
+                !prev.isNullAt(rci) && (
+                  if (isNum) cmpNum(r.get(ci).toString.toDouble, d.op, prev.get(rci).toString.toDouble)
+                  else cmpStr(r.get(ci).toString, d.op, prev.get(rci).toString))
+              }
+          case None =>
+            (r: Row, _: Cep.MatchCtx[Row]) =>
+              !r.isNullAt(ci) && (
+                if (isNum) cmpNum(r.get(ci).toString.toDouble, d.op, d.value.toDouble)
+                else cmpStr(r.get(ci).toString, d.op, d.value))
         }
     }
     val steps = spec.pattern.toIndexedSeq.map(v => Cep.StepG[Row](predOf(v), v.min, v.max, strict = true))
-    val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
     val measureIdx = spec.measures.map(m =>
       (varIdxOf(m.variable.toUpperCase), schema.fieldIndex(m.col), m.fn))
 

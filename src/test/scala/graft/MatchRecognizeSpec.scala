@@ -63,6 +63,24 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, 4L)))
   }
 
+  test("cross-variable DEFINE: rising-value pair (B.value > A.value)") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1L, 5.0, 0L), (1L, 2L, 9.0, 10L), (1L, 3L, 4.0, 20L), (1L, 4L, 8.0, 30L))
+      .toDF("user_id", "event_id", "value", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+      .createOrReplaceTempView("mr_vals")
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_vals MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.value > 0, B AS B.value > A.value)""")
+      .as[(Long, Long, Long)].collect().toSet
+    // adjacent rising pairs only: (1→2: 9>5) and (3→4: 8>4); (2→3: 4>9 fails)
+    assert(out == Set((1L, 1L, 2L), (1L, 3L, 4L)))
+  }
+
   test("WITHIN excludes slow completions") {
     val s = spark
     import s.implicits._
