@@ -46,6 +46,39 @@ object StreamingQueries {
     },
     oracle = Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"))
 
+  /** Streaming dedup keep-LAST per key — ref
+    * ProcTimeDeduplicateKeepLastRowFunction.java (SURVEY §2.8 "keep-last →
+    * flatMapGroupsWithState"): state holds the current winner; each batch
+    * emits the refreshed last row per touched key (Update mode). Single
+    * deterministic batch → the batch keep-last oracle. */
+  val qStreamDedupLast: Q = Q(
+    run = (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val src = StreamOps.readTable(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"), col("event_type").as("t"),
+                expr("unix_micros(ts)").as("tsu"), col("event_id").cast("long").as("eid"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(e => (e._1, e._2))
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          (key: (Long, String), it: Iterator[(Long, String, Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+            val cur = state.getOption
+            val best = (cur.toList ++ it.map(e => (e._3, e._4)))
+              .maxBy(identity) // (ts, event_id) lexicographic → latest wins
+            state.update(best)
+            Iterator((key._1, key._2, best._2))
+          })
+        .toDF("user_id", "event_type", "event_id")
+      StreamOps.runToMemory(s, src, OutputMode.Update()).orderBy(col("user_id"), col("event_type"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_type, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
   /** Stream-stream interval join with watermarks on both sides — ref
     * interval/TimeIntervalJoin.java (485 LoC); Spark's native watermarked
     * stream-stream join IS this operator (SURVEY §2.4: "directly
@@ -191,6 +224,7 @@ object StreamingQueries {
     "q_stream_count_window" -> qStreamCountWindow,
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_dedup_last" -> qStreamDedupLast,
     "q_stream_interval_join" -> qStreamIntervalJoin,
     "q_stream_topn" -> qStreamTopN,
     "q_stream_session" -> qStreamSession,

@@ -123,6 +123,30 @@ object WindowQueries {
         ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  /** Interval join with SYMMETRIC bounds (b.ts BETWEEN a.ts - 10 min AND
+    * a.ts + 30 min) — the general `a.ts BETWEEN b.ts - x AND b.ts + y`
+    * shape of TimeIntervalJoin.java (negative lower bound included). */
+  val qJoinIntervalSym: Q = Q(
+    run = (s, dir) => {
+      val e = ev(s, dir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      c.join(p, col("user_id") === col("p_user") &&
+               col("pts") >= expr("cts - INTERVAL 10 MINUTES") &&
+               col("pts") <= expr("cts + INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts - INTERVAL '10 minutes' AND p.ts <= c.ts + INTERVAL '30 minutes'
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   /** Event-time as-of join (FOR SYSTEM_TIME AS OF) — ref
     * TemporalRowTimeJoinOperator.java:77 via [[AsOfJoin]] (union + one
     * sorted window scan, see its scaladoc for the 100 TB argument).
@@ -193,6 +217,7 @@ object WindowQueries {
     "q_window_session" -> qWindowSession,
     "q_window_cumulative" -> qWindowCumulative,
     "q_join_interval" -> qJoinInterval,
+    "q_join_interval_sym" -> qJoinIntervalSym,
     "q_join_asof" -> qJoinAsOf,
     "q_cep_strict" -> qCepStrict,
     "q_cep_funnel" -> qCepFunnel,

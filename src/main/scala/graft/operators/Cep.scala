@@ -83,12 +83,19 @@ object Cep {
   case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
   case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
 
-  /** All matches over one key's time-sorted events; one (greedy) match per
-    * eligible start index — AFTER MATCH SKIP TO NEXT ROW. */
-  def matches(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
+  /** All matches over one key's time-sorted events.
+    * @param skipPastLastRow false = AFTER MATCH SKIP TO NEXT ROW (every row
+    *        may start a match, overlaps allowed — the default here and in
+    *        Flink); true = AFTER MATCH SKIP PAST LAST ROW (resume after the
+    *        previous match's last row — no overlapping matches). */
+  def matches(evs: IndexedSeq[Ev], pattern: Pattern,
+              skipPastLastRow: Boolean = false): Iterator[Match] = {
     val steps = pattern.steps.map(s => StepG.simple[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
+    var resumeAt = 0
     (0 until evs.length).iterator.flatMap { i =>
-      findAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
+      if (skipPastLastRow && i < resumeAt) None
+      else findAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
+        if (skipPastLastRow) resumeAt = idx.last._2 + 1
         Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)
       }
     }

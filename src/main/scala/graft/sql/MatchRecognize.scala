@@ -35,7 +35,8 @@ object MatchRecognize {
                     rhsVar: Option[(String, String)] = None) // (variable, col) for cross-var predicates
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   measures: Seq[Measure], pattern: Seq[PatVar],
-                  withinMicros: Long, defines: Map[String, Define])
+                  withinMicros: Long, defines: Map[String, Define],
+                  skipPastLastRow: Boolean)
 
   private val outerRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
@@ -47,6 +48,7 @@ object MatchRecognize {
   private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\})?""".r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
+  private val skipRe = """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)""".r
   private val defRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-\d.]+))\s*""".r
   // cross-variable predicate: B AS B.price > A.price (Flink IterativeCondition)
   private val defXRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)\s*""".r
@@ -89,7 +91,9 @@ object MatchRecognize {
           v.toUpperCase -> Define(v.toUpperCase, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
         case other => throw new IllegalArgumentException(s"unsupported define '$other'")
       }.toMap
-    Spec(table, part, order, measures, pattern, within, defines)
+    val skipPast = skipRe.findFirstMatchIn(body)
+      .exists(_.group(1).toUpperCase.startsWith("PAST"))
+    Spec(table, part, order, measures, pattern, within, defines, skipPast)
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
@@ -156,8 +160,11 @@ object MatchRecognize {
     df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it: Iterator[Row]) =>
         val sorted = it.toIndexedSeq.sortBy(tsMicros)
+        var resumeAt = 0
         (0 until sorted.length).iterator.flatMap { i =>
-          Cep.findAt(sorted, i, steps, spec.withinMicros, tsMicros).map { idx =>
+          if (spec.skipPastLastRow && i < resumeAt) None
+          else Cep.findAt(sorted, i, steps, spec.withinMicros, tsMicros).map { idx =>
+            if (spec.skipPastLastRow) resumeAt = idx.last._2 + 1
             val key = sorted(i).get(keyIdx)
             val vals = measureIdx.map { case (vi, ci, fn) =>
               val ofVar = idx.filter(_._1 == vi)

@@ -63,6 +63,24 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, 4L)))
   }
 
+  test("AFTER MATCH SKIP PAST LAST ROW forbids overlapping matches") {
+    val s = spark
+    import s.implicits._
+    // a,a,a: pattern (A A) overlapping → 2 matches with TO NEXT ROW, 1 with PAST LAST ROW
+    mkEvents(Seq((1L, 1L, "a", 0L), (1L, 2L, "a", 1L), (1L, 3L, "a", 2L)))
+    def q(skip: String) = s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS first_id, LAST(A.event_id) AS last_id
+        PATTERN (A{2,2}) $skip
+        DEFINE A AS A.event_type = 'a')"""
+    val env = new EngineEnv(s)
+    assert(env.sqlQuery(q("AFTER MATCH SKIP TO NEXT ROW")).count() == 2)
+    val past = env.sqlQuery(q("AFTER MATCH SKIP PAST LAST ROW"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(past == Set((1L, 1L, 2L)))
+  }
+
   test("cross-variable DEFINE: rising-value pair (B.value > A.value)") {
     val s = spark
     import s.implicits._
