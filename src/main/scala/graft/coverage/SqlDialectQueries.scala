@@ -112,7 +112,7 @@ object SqlDialectQueries {
                         lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid, lead(ts) OVER w AS nts
                  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT user_id, event_id AS click_id, nid AS purchase_id
-      FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL '10 minutes'
+      FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts < ts + INTERVAL '10 minutes'
       ORDER BY user_id, click_id"""))
 
   /** MATCH_RECOGNIZE with a + quantifier and FIRST/LAST measures (A B+ C) —

@@ -40,18 +40,23 @@ object FlinkFunctions {
     * A typed [[Aggregator]] (the Spark analog of Flink's imperative
     * AggregateFunction, SURVEY §2.14): partial merge keeps the count so the
     * two-phase distributed aggregation still errors correctly. */
-  class SingleValueAgg extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
-    def zero: (Double, Long) = (0.0, 0L)
-    def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) = {
+  /** Buffer = (value, rowCount, valueIsNull): a present-but-NULL single row
+    * must survive to finish() as NULL (ref SingleValueAggFunction returns
+    * the value as-is), not collapse to 0.0. */
+  class SingleValueAgg extends Aggregator[java.lang.Double, (Double, Long, Boolean), java.lang.Double] {
+    def zero: (Double, Long, Boolean) = (0.0, 0L, false)
+    def reduce(b: (Double, Long, Boolean), a: java.lang.Double): (Double, Long, Boolean) = {
       if (b._2 >= 1) throw new IllegalStateException("SINGLE_VALUE: more than one row in group")
-      (if (a == null) 0.0 else a.doubleValue(), b._2 + 1)
+      if (a == null) (0.0, b._2 + 1, true) else (a.doubleValue(), b._2 + 1, false)
     }
-    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = {
+    def merge(x: (Double, Long, Boolean), y: (Double, Long, Boolean)): (Double, Long, Boolean) = {
       if (x._2 + y._2 > 1) throw new IllegalStateException("SINGLE_VALUE: more than one row in group")
-      (if (x._2 == 1) x._1 else y._1, x._2 + y._2)
+      if (x._2 == 1) x.copy(_2 = x._2 + y._2) else y.copy(_2 = x._2 + y._2)
     }
-    def finish(b: (Double, Long)): java.lang.Double = if (b._2 == 0) null else b._1
-    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def finish(b: (Double, Long, Boolean)): java.lang.Double =
+      if (b._2 == 0 || b._3) null else b._1
+    def bufferEncoder: Encoder[(Double, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaBoolean)
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 

@@ -33,23 +33,30 @@ object AsOfJoin {
     val payloadCols = rightPayload.toSeq.sortBy(_._1)
     val leftCols = left.columns.toSeq
 
+    // the payload travels as ONE struct so every carried field comes from the
+    // SAME right row — per-column last(ignoreNulls) would mix versions when a
+    // right row holds NULL in one payload column, and the inner-join filter
+    // keys off the struct (a matched-but-all-null payload row still joins)
+    import org.apache.spark.sql.types.StructType
+    val payloadType = StructType(payloadCols.map { case (src, dst) =>
+      right.schema(src).copy(name = dst)
+    })
     val taggedRight = right.select(
       (col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        (leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payloadCols.map { case (src, dst) => col(src).as(dst) })): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map { case (src, dst) => col(src).as(dst) }: _*).as("__payload")): _*)
     val taggedLeft = left.select(
       (col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        (leftCols.filterNot(_ == key).map(col) ++
-          payloadCols.map { case (src, dst) => lit(null).cast(right.schema(src).dataType).as(dst) })): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(payloadType).as("__payload")): _*)
 
     val w = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, (_, dst)) => df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__side") === 1 && payloadCols.map(p => col(p._2).isNotNull).reduce(_ && _))
-      .withColumnRenamed("__key", key)
-      .drop("__ts", "__side")
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__payload").isNotNull)
+      .select((col("__key").as(key) +:
+        leftCols.filterNot(_ == key).map(col)) ++
+        payloadCols.map { case (_, dst) => col(s"__payload.$dst").as(dst) }: _*)
   }
 }

@@ -13,23 +13,47 @@ import scala.concurrent.duration.Duration
   * `mapPartitions`, so each partition keeps at most `parallelism` requests
   * outstanding and emits strictly in input order. The executor-side pool is
   * the Spark-idiomatic placement: no driver coordination, scales with the
-  * partition count. */
+  * partition count. The pool uses daemon threads and is shut down when the
+  * task's input is exhausted, so long-lived executors running many tasks
+  * never accumulate threads; a per-request timeout mirrors the reference
+  * operator's `timeout` (AsyncWaitOperator fails the record on expiry).
+  */
 object AsyncIO {
 
-  def mapAsyncOrdered[T, U: Encoder](ds: Dataset[T], parallelism: Int)(f: T => U): Dataset[U] =
+  def mapAsyncOrdered[T, U: Encoder](ds: Dataset[T], parallelism: Int,
+                                     timeout: Duration = Duration.Inf)(f: T => U): Dataset[U] =
     ds.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-        java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-async-io")
+          t.setDaemon(true) // never block executor JVM shutdown
+          t
+        })
+      // tasks that stop consuming early (limit, error) still release the pool
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // keep at most `parallelism` futures in flight; emit in input order
       new Iterator[U] {
         private val queue = new scala.collection.mutable.Queue[Future[U]]()
-        override def hasNext: Boolean = queue.nonEmpty || it.hasNext
+        override def hasNext: Boolean = {
+          val more = queue.nonEmpty || it.hasNext
+          if (!more) pool.shutdown() // input exhausted → release the threads
+          more
+        }
         override def next(): U = {
           while (it.hasNext && queue.size < parallelism) {
             val t = it.next() // materialize on the task thread — the source
             queue.enqueue(Future(f(t))) // iterator is not thread-safe
           }
-          Await.result(queue.dequeue(), Duration.Inf)
+          try Await.result(queue.dequeue(), timeout)
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              pool.shutdownNow()
+              throw new java.util.concurrent.TimeoutException(
+                s"AsyncIO request exceeded $timeout: ${e.getMessage}")
+          }
         }
       }
     }

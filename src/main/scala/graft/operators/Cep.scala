@@ -62,7 +62,11 @@ object Cep {
         // retry later candidates for this step (bounded backtracking)
         def consume: Option[List[(Int, Int)]] = {
           var p = pos
-          while (p < evs.length && ts(evs(p)) - startTs <= withinMicros) {
+          // strict boundary: the reference NFA times out a partial match when
+          // timestamp - startTimestamp >= windowTime (NFA.java:301) — a match
+          // spanning exactly WITHIN is rejected. Long.MaxValue (no window)
+          // stays safe: ts deltas of real event times never reach it.
+          while (p < evs.length && ts(evs(p)) - startTs < withinMicros) {
             if (st.pred(evs(p), new MatchCtx(evs, acc))) return go(p + 1, si, cnt + 1, (si, p) :: acc)
             if (st.strict) return None
             p += 1

@@ -77,10 +77,13 @@ object MatchRecognize {
     val within = withinRe.findFirstMatchIn(body).map { m =>
       val n = m.group(1).toLong
       m.group(2).toUpperCase match {
+        case "MILLISECOND" => n * 1000L
         case "SECOND" => n * 1000000L
         case "MINUTE" => n * 60L * 1000000
         case "HOUR" => n * 3600L * 1000000
         case "DAY" => n * 86400L * 1000000
+        case other => throw new IllegalArgumentException(
+          s"unsupported WITHIN INTERVAL unit '$other' (use MILLISECOND/SECOND/MINUTE/HOUR/DAY)")
       }
     }.getOrElse(Long.MaxValue)
     val defines = defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
@@ -104,10 +107,20 @@ object MatchRecognize {
     val tsIdx = schema.fieldIndex(spec.orderBy)
 
     val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
-    def cmpNum(x: Double, op: String, y: Double): Boolean = op match {
-      case "=" => x == y; case "<>" => x != y
-      case ">" => x > y; case "<" => x < y
-      case ">=" => x >= y; case "<=" => x <= y
+    // exact numeric compare: BigDecimal(toString) is lossless for BIGINT
+    // above 2^53 and DECIMAL — routing through Double is not
+    def toBig(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal => d
+      case d: BigDecimal => d.bigDecimal
+      case other => new java.math.BigDecimal(other.toString)
+    }
+    def cmpNum(x: Any, op: String, y: Any): Boolean = {
+      val c = toBig(x).compareTo(toBig(y))
+      op match {
+        case "=" => c == 0; case "<>" => c != 0
+        case ">" => c > 0; case "<" => c < 0
+        case ">=" => c >= 0; case "<=" => c <= 0
+      }
     }
     def cmpStr(x: String, op: String, y: String): Boolean = op match {
       case "=" => x == y; case "<>" => x != y
@@ -130,13 +143,13 @@ object MatchRecognize {
             (r: Row, ctx: Cep.MatchCtx[Row]) =>
               !r.isNullAt(ci) && ctx.lastOf(rvi).exists { prev =>
                 !prev.isNullAt(rci) && (
-                  if (isNum) cmpNum(r.get(ci).toString.toDouble, d.op, prev.get(rci).toString.toDouble)
+                  if (isNum) cmpNum(r.get(ci), d.op, prev.get(rci))
                   else cmpStr(r.get(ci).toString, d.op, prev.get(rci).toString))
               }
           case None =>
             (r: Row, _: Cep.MatchCtx[Row]) =>
               !r.isNullAt(ci) && (
-                if (isNum) cmpNum(r.get(ci).toString.toDouble, d.op, d.value.toDouble)
+                if (isNum) cmpNum(r.get(ci), d.op, d.value)
                 else cmpStr(r.get(ci).toString, d.op, d.value))
         }
     }

@@ -20,4 +20,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("p2") == "r_at_200") // latest ≤ 205
     assert(!out.contains("p3"))     // right row is later than left → dropped (inner)
   }
+
+  test("a NULL in one payload column does not mix right versions or drop the row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 150L, "p1"), (1L, 250L, "p2"))
+      .toDF("k", "t", "pid").withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    // newest right version (t=200) has a NULL in `b` — the carried payload
+    // must be (a2, NULL), not (a2, b1) mixed from the older version
+    val right = Seq((1L, 100L, Some("a1"), Some("b1")), (1L, 200L, Some("a2"), None))
+      .toDF("k", "t", "a", "b").withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts", Map("a" -> "ca", "b" -> "cb"))
+      .select("pid", "ca", "cb").as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("p1") == (("a1", Some("b1"))))
+    assert(out("p2") == (("a2", None))) // same-version fields, row kept
+  }
 }

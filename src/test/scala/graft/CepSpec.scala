@@ -21,10 +21,12 @@ class CepSpec extends SparkTestBase {
     assert(ms.map(m => (m.startId, m.endId)) == List((1L, 2L)))
   }
 
-  test("within timeout excludes late completions") {
+  test("within timeout excludes late completions (strict boundary, NFA.java:301)") {
     val evs = Seq(ev(1, "click", 0), ev(2, "purchase", 100))
     assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 50L * 1000000)).isEmpty)
-    assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 100L * 1000000)).size == 1)
+    // a match spanning EXACTLY the within interval is timed out (>= windowTime)
+    assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 100L * 1000000)).isEmpty)
+    assert(run(evs, Pattern(IndexedSeq(click, purchase), withinMicros = 100L * 1000000 + 1)).size == 1)
   }
 
   test("relaxed contiguity skips unrelated events") {

@@ -62,4 +62,14 @@ class FunctionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("SINGLE_VALUE") ||
       Option(e.getCause).exists(_.getMessage.contains("SINGLE_VALUE")))
   }
+
+  test("SINGLE_VALUE over a single NULL row returns NULL, not 0.0") {
+    val s = spark
+    import s.implicits._
+    FlinkFunctions.registerAll(s)
+    Seq((1, Some(2.5)), (2, None)).toDF("k", "v").createOrReplaceTempView("sv_null")
+    val out = s.sql("SELECT k, SINGLE_VALUE(v) AS sv FROM sv_null GROUP BY k ORDER BY k")
+      .as[(Int, Option[Double])].collect().toSeq
+    assert(out == Seq((1, Some(2.5)), (2, None)))
+  }
 }
