@@ -73,18 +73,22 @@ object PipelineQueries {
       // they pair everything with everything (the quadratic blowup) while
       // carrying no near-dup signal. Cap BEFORE the self-join; sizes are
       // computed on the capped set so Jaccard stays internally consistent.
-      val raw = shingled(docs(s, dir)).cache()
-      val nDocs = docs(s, dir).count()
-      val rare = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= nDocs / 5).select(col("sh"))
+      // The cap is IN-PLAN: per-shingle DF via a window over the shingle key
+      // (one shuffle, no driver count() action) against a broadcast 1-row
+      // corpus total — no cache, no extra job, nothing driver-side.
+      val total = docs(s, dir).agg(count(lit(1)).as("n_total"))
       // 60-bit shingle hashes as join keys (8-byte shuffle keys, collision
       // odds ~|shingles|²/2⁶¹ — immaterial). Direct inverted-index join:
       // on THIS corpus (tiny vocab → high overlap) it beats the
       // prefix-filtered SetSimJoin, whose pruning assumes low overlap —
       // SetSimJoinSpec proves both produce identical results; at real-corpus
       // shingle diversity the prefix variant is the scale path.
-      val sh = raw.join(broadcast(rare), "sh")
-        .select(col("doc_id"), hashStr(col("sh")).as("shid")).cache()
+      val sh = shingled(docs(s, dir))
+        .select(col("doc_id"), hashStr(col("sh")).as("shid"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shid"))))
+        .crossJoin(broadcast(total))
+        .filter(col("df") <= expr("n_total DIV 5"))
+        .select(col("doc_id"), col("shid"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
