@@ -163,28 +163,58 @@ object PipelineQueries {
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       ORDER BY d1, d2"""))
 
-  /** SimHash 60-bit signatures + near-dup pairs at Hamming distance ≤ 12.
-    * Signature is a per-doc map-side reduction (explode bit index → sign
-    * sum); the pair scan joins signatures only (500 at test SF; at scale
-    * you'd band the signature bits exactly like minhash — the signature
-    * column IS the scale artifact). */
+  /** Per-doc 60-bit SimHash signature (map-side reduction: explode bit
+    * index → sign sum → bit vector). Shared by both simhash queries. */
+  private def simhashSig(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(array_distinct(words)).as("w"))
+      .withColumn("h", hashStr(col("w")))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn("contrib", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("sgn"))
+      .withColumn("bitv", expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id")).agg(sum(col("bitv")).as("sig"))
+
+  /** Banded candidate pairs at Hamming ≤ maxHam: split the 60-bit signature
+    * into `nBands` equal bands and join on (band index, band value) — two
+    * signatures within Hamming d share an untouched band whenever
+    * d < nBands (pigeonhole), so the banding is LOSSLESS for
+    * maxHam < nBands; candidates are then Hamming-verified exactly. Never
+    * an all-pairs join: the join key is the band bucket. A pair colliding
+    * in several bands is emitted only from its FIRST colliding band (a
+    * map-side filter on s1^s2) — no distinct shuffle needed. */
+  private def simhashPairs(sig: DataFrame, nBands: Int, maxHam: Int): DataFrame = {
+    require(maxHam < nBands, s"banding is only lossless for maxHam < nBands")
+    val bits = 60 / nBands
+    val mask = (1L << bits) - 1
+    val bands = sig
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bval", expr(s"shiftright(sig, band * $bits) & $mask"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.band").as("band"), col("a.sig").as("s1"), col("b.sig").as("s2"))
+      // first colliding band as an allocation-free when-chain over s1^s2
+      .filter(col("band") === (0 until nBands).foldRight(lit(-1): Column) { (j, rest) =>
+        when(expr(s"(shiftright(s1 ^ s2, ${j * bits}) & $mask) = 0"), lit(j)).otherwise(rest)
+      })
+      .withColumn("ham", expr("bit_count(s1 ^ s2)"))
+      .filter(col("ham") <= maxHam)
+      .select(col("d1"), col("d2"), col("ham"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dup pairs at Hamming ≤ 5, banded 6 × 10 bits (5 < 6 →
+    * lossless; 2¹⁰ bucket values → selective buckets). The radius is chosen
+    * to sit inside banded-LSH's sub-quadratic regime: a radius like 12 on a
+    * 60-bit signature needs ≥13 bands → ≤4-bit bands → 16-value buckets
+    * whose bucket joins regenerate ~n² intermediate rows (measured 24s at
+    * sf0.1 vs 4s for this design) — past that radius banding provably can't
+    * help, which is why production simhash dedup uses small radii
+    * (see [[qPipeSimhashK3]], the Manku/Jain/Sarma WWW'07 parameters). */
   val qPipeSimhash: Q = Q(
-    run = (s, dir) => {
-      val sig = docs(s, dir)
-        .select(col("doc_id"), explode(array_distinct(words)).as("w"))
-        .withColumn("h", hashStr(col("w")))
-        .withColumn("b", explode(sequence(lit(0), lit(59))))
-        .withColumn("contrib", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("contrib")).as("sgn"))
-        .withColumn("bitv", expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .groupBy(col("doc_id")).agg(sum(col("bitv")).as("sig"))
-      sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("ham", expr("bit_count(a.sig ^ b.sig)"))
-        .filter(col("ham") <= 12)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("ham"))
-        .orderBy(col("d1"), col("d2"))
-    },
+    run = (s, dir) => simhashPairs(simhashSig(docs(s, dir)), nBands = 6, maxHam = 5),
     oracle = Some(s"""
       WITH wd AS (SELECT DISTINCT doc_id, w
                   FROM documents, unnest(string_split(text, ' ')) u(w)),
@@ -195,7 +225,26 @@ object PipelineQueries {
                    FROM bits GROUP BY doc_id)
       SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.sig, b.sig)) AS ham
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sig, b.sig)) <= 12
+      WHERE bit_count(xor(a.sig, b.sig)) <= 5
+      ORDER BY d1, d2"""))
+
+  /** SimHash at the production near-dup radius (Hamming ≤ 3), banded
+    * 4 × 15 bits — the Manku/Jain/Sarma web-dedup design (WWW'07): 3 < 4
+    * bands → lossless, and 2¹⁵ bucket values make band buckets tiny, so
+    * the candidate set is a sliver of n² — the real 100 TB path. */
+  val qPipeSimhashK3: Q = Q(
+    run = (s, dir) => simhashPairs(simhashSig(docs(s, dir)), nBands = 4, maxHam = 3),
+    oracle = Some(s"""
+      WITH wd AS (SELECT DISTINCT doc_id, w
+                  FROM documents, unnest(string_split(text, ' ')) u(w)),
+           bits AS (SELECT doc_id, b, SUM(CASE WHEN (${oHash("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+                    FROM wd CROSS JOIN generate_series(0, 59) g(b)
+                    GROUP BY doc_id, b),
+           sig AS (SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS sig
+                   FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.sig, b.sig)) AS ham
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY d1, d2"""))
 
   // ------------------------------------------------------ similarity search
@@ -476,6 +525,7 @@ object PipelineQueries {
     "q_pipe_jaccard" -> qPipeJaccard,
     "q_pipe_minhash_lsh" -> qPipeMinhashLsh,
     "q_pipe_simhash" -> qPipeSimhash,
+    "q_pipe_simhash_k3" -> qPipeSimhashK3,
     "q_pipe_ann_brute" -> qPipeAnnBrute,
     "q_pipe_ann_lsh" -> qPipeAnnLsh,
     "q_pipe_langid" -> qPipeLangid,
