@@ -36,6 +36,22 @@ class OpsSpec extends SparkTestBase {
     assert(d.global().ds.rdd.getNumPartitions == 1)
   }
 
+  test("large-star/small-star CC: chain + separate component + isolated self-loop") {
+    val s = spark
+    import s.implicits._
+    // a 12-vertex chain (diameter 11 — label propagation would need 11
+    // rounds; star contraction needs ~log n), a triangle, and a self-loop
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L)))
+      .toDF("src", "dst")
+    val out = graft.operators.GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 12L).foreach(v => assert(out(v) == 1L, s"vertex $v"))
+    Seq(20L, 21L, 22L).foreach(v => assert(out(v) == 20L))
+    assert(out(30L) == 30L) // self-loop-only vertex labels itself
+    assert(out.size == 16)
+  }
+
   test("triangles finds the one triangle in a 4-vertex graph") {
     val s = spark
     import s.implicits._
