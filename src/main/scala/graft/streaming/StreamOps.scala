@@ -253,26 +253,44 @@ object StreamOps {
 
   /** Streaming CEP — ref CepOperator.java:83: keyed state buffers the
     * per-key event history; each batch appends, re-sorts by event time and
-    * emits only matches beyond the already-emitted count. (A production
-    * variant would prune the buffer below the watermark — noted in SURVEY
-    * §7 M5 risks.) */
-  def cepClickPurchase(s: SparkSession, events: DataFrame, withinMinutes: Int): DataFrame = {
+    * emits only matches beyond the already-emitted count.
+    *
+    * State is BOUNDED by watermark pruning (the reference prunes its
+    * SharedBuffer the same way): an event at ts ≤ watermark − within can
+    * only complete matches whose every event is ≤ watermark — all found by
+    * now — so it is evicted after each batch. Match search scans only
+    * suffix-started windows, so prefix eviction never changes results.
+    *
+    * @param stateGauge optional max-state-size gauge (events buffered per
+    *        key, max over keys/batches) — the Flink-style state metric,
+    *        used by StreamingSpec to pin boundedness. */
+  def cepClickPurchase(s: SparkSession, events: DataFrame, withinMinutes: Int,
+                       stateGauge: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import s.implicits._
+    val withinMicros = withinMinutes * 60L * 1000000
     val pattern = Cep.Pattern(IndexedSeq(
       Cep.Step(_.eventType == "click"),
-      Cep.Step(_.eventType == "purchase")), withinMicros = withinMinutes * 60L * 1000000)
+      Cep.Step(_.eventType == "purchase")), withinMicros = withinMicros)
     events
-      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
-              col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),
-              expr("cast(floor(value * 100.0) as long)").as("valueCents"))
-      .as[Cep.Ev]
-      .groupByKey(_.userId)
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              col("event_type").as("_3"), expr("unix_micros(ts)").as("_4"),
+              expr("cast(floor(value * 100.0) as long)").as("_5"),
+              col("ts").cast("timestamp").as("_6")) // watermark col must survive grouping
+      .withWatermark("_6", "0 seconds")
+      .as[(Long, Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[Cep.Ev], state: GroupState[CepState]) => {
+        (key: Long, it: Iterator[(Long, Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[CepState]) => {
+          val wm = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(CepState(Nil, 0))
-          val all = (st.events ++ it).sortBy(e => (e.tsMicros, e.eventId))
+          val all = (st.events ++ it.map(e => Cep.Ev(e._1, e._2, e._3, e._4, e._5)))
+            .sortBy(e => (e.tsMicros, e.eventId))
           val ms = Cep.matches(all.toIndexedSeq, pattern).toList
-          state.update(CepState(all, ms.length))
+          val cutoff = wm - withinMicros // wm ≥ 0, within bounded → no overflow
+          val kept = all.filter(_.tsMicros > cutoff)
+          stateGauge.foreach(_.add(kept.length.toLong)) // per-batch buffered-events metric
+          state.update(CepState(kept, ms.count(_.startTsMicros > cutoff)))
           ms.drop(st.emitted).iterator.map(m => CepOut(m.userId, m.startId, m.endId))
         })
       .toDF()

@@ -55,6 +55,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((7L, 1L, 2L), (7L, 3L, 4L)))
   }
 
+  test("streaming CEP prunes state below watermark - within, same emissions") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val gauge = s.sparkContext.longAccumulator("cep_state_events")
+    val q = StreamOps.cepClickPurchase(s, toEvents(in.toDF()), withinMinutes = 10,
+        stateGauge = Some(gauge))
+      .writeStream.format("memory").queryName("cep_p").outputMode("update").start()
+    // batch 1: a match at t≈0 plus a dangling click
+    in.addData(Raw(9, 1, "click", 0, 0.0), Raw(9, 2, "purchase", 30, 0.0),
+               Raw(9, 3, "click", 60, 0.0))
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past 600s (within) — the t≤wm-600s
+    // prefix (events 1-3) must be evicted after this batch
+    in.addData(Raw(9, 4, "click", 5000, 0.0))
+    q.processAllAvailable()
+    // batch 3: purchase pairs with the batch-2 click (cross-batch match
+    // survives pruning); the ancient clicks must not re-match or re-emit
+    in.addData(Raw(9, 5, "purchase", 5100, 0.0))
+    q.processAllAvailable()
+    val rows = s.table("cep_p").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((9L, 1L, 2L), (9L, 4L, 5L)))
+    // bounded state: batches buffered ≤ 3+4+2 events total; unpruned history
+    // would re-buffer all 5 events in batch 3 (sum ≥ 3+4+5)
+    assert(gauge.value <= 9, s"state not pruned: ${gauge.value} events buffered")
+  }
+
   test("streaming dropDuplicates keeps first across batches") {
     val s = spark
     import s.implicits._
