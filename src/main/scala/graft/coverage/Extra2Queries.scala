@@ -179,16 +179,30 @@ object Extra2Queries {
 
   /** Approximate aggregates (HLL count-distinct, quantile sketch) — ref
     * FlinkSqlOperatorTable APPROX_COUNT_DISTINCT. Sketch internals aren't
-    * oracle-replicable → rows-only here; ApproxSpec bounds the error vs the
-    * exact answer. */
+    * oracle-replicable, but their error CONTRACTS are: the query emits the
+    * exact answers plus in-plan booleans asserting the sketch estimates sit
+    * inside their documented bounds (HLL++ rsd 5%; GK percentile within the
+    * exact p45..p55 rank envelope), and the oracle expects TRUE — so the
+    * driver gate now fails if either sketch ever drifts out of contract.
+    * ScaleSpec still pins the numeric error magnitudes. */
   val qAggApprox: Q = Q(
     run = (s, dir) =>
       Tables.load(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             expr(s"approx_percentile(${"l_extendedprice"}, 0.5)").as("p50_price"),
-             count(lit(1)).as("n"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             count(lit(1)).as("n"),
+             approx_count_distinct(col("l_partkey")).as("apx"),
+             expr("approx_percentile(l_extendedprice, 0.5)").as("p50"),
+             expr("percentile(l_extendedprice, 0.45)").as("lo"),
+             expr("percentile(l_extendedprice, 0.55)").as("hi"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+                (abs(col("apx") - col("exact_parts")) <=
+                  col("exact_parts").cast("double") * 0.05).as("hll_ok"),
+                (col("p50") >= col("lo") && col("p50") <= col("hi")).as("p50_ok"))
         .orderBy(col("l_returnflag")),
-    oracle = None)
+    oracle = Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n,
+             TRUE AS hll_ok, TRUE AS p50_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_join_salted" -> qJoinSalted,

@@ -115,9 +115,11 @@ object SqlDialectQueries {
       FROM s WHERE event_type = 'click' AND nt = 'purchase' AND nts < ts + INTERVAL '10 minutes'
       ORDER BY user_id, click_id"""))
 
-  /** MATCH_RECOGNIZE with a + quantifier and FIRST/LAST measures (A B+ C) —
-    * not portably SQL-expressible → rows-only here; semantics pinned in
-    * CepSpec/SqlDialectSpec. */
+  /** MATCH_RECOGNIZE with a + quantifier and FIRST/LAST measures (A B+ C,
+    * strict contiguity). Strict + greedy reduces to closed form: a maximal
+    * consecutive view-run whose predecessor is a click and whose successor
+    * is a purchase inside the window — gaps-and-islands SQL, so the oracle
+    * gates it exactly. */
   val qSqlMatchRecognizePlus: Q = Q(
     run = (s, dir) => {
       graft.Tables.registerAll(s, dir)
@@ -134,7 +136,23 @@ object SqlDialectQueries {
                  C AS C.event_type = 'purchase'
         )""").orderBy(col("user_id"), col("start_id"))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      v AS (SELECT user_id, event_id, pos,
+                   pos - row_number() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+            FROM ord WHERE event_type = 'view'),
+      runs AS (SELECT user_id, grp, min(pos) AS a, max(pos) AS b,
+                      arg_min(event_id, pos) AS first_view, arg_max(event_id, pos) AS last_view
+               FROM v GROUP BY 1, 2)
+      SELECT r.user_id, c.event_id AS start_id, r.first_view, r.last_view,
+             p.event_id AS purchase_id
+      FROM runs r
+      JOIN ord c ON c.user_id = r.user_id AND c.pos = r.a - 1 AND c.event_type = 'click'
+      JOIN ord p ON p.user_id = r.user_id AND p.pos = r.b + 1 AND p.event_type = 'purchase'
+      WHERE p.ts < c.ts + INTERVAL '48 hours'
+      ORDER BY r.user_id, start_id"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,

@@ -193,10 +193,13 @@ object WindowQueries {
       ORDER BY user_id, click_id"""))
 
   /** MATCH_RECOGNIZE with a quantifier, relaxed contiguity: click,
-    * view{1,5} (skipping unrelated events), purchase, all within 1 h — the
-    * A B+ C funnel shape (ref Pattern.oneOrMore:350). Not expressible in
-    * portable SQL → rows-only gate here; exact-match assertions live in
-    * CepSpec. */
+    * view{1,5} (skipping unrelated events), purchase, all within 48 h — the
+    * A B{1,5} C funnel shape (ref Pattern.oneOrMore:350). The greedy NFA
+    * with per-step backtracking reduces to closed form: consume the first
+    * k* ≤ 5 views after the click where k* is the LARGEST k with a purchase
+    * after view k inside the window, then the first such purchase — which
+    * IS SQL-expressible (positional self-joins + correlated min), so the
+    * oracle gates it exactly. */
   val qCepFunnel: Q = Q(
     run = (s, dir) => {
       val pattern = Cep.Pattern(IndexedSeq(
@@ -209,7 +212,32 @@ object WindowQueries {
                 col("endId").as("purchase_id"), col("nEvents").as("n_events"))
         .orderBy(col("user_id"), col("start_id"))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      clicks AS (SELECT user_id, event_id AS start_id, ts AS t0, pos AS cpos
+                 FROM ord WHERE event_type = 'click'),
+      v AS (SELECT c.user_id, c.start_id, c.t0, o.pos AS vpos,
+                   row_number() OVER (PARTITION BY c.user_id, c.start_id ORDER BY o.pos) AS k
+            FROM clicks c JOIN ord o
+              ON o.user_id = c.user_id AND o.pos > c.cpos AND o.event_type = 'view'
+             AND o.ts < c.t0 + INTERVAL '48 hours'
+            QUALIFY k <= 5),
+      vp AS (SELECT v.*,
+                    (SELECT min(o2.pos) FROM ord o2
+                     WHERE o2.user_id = v.user_id AND o2.pos > v.vpos
+                       AND o2.event_type = 'purchase'
+                       AND o2.ts < v.t0 + INTERVAL '48 hours') AS ppos
+             FROM v),
+      best AS (SELECT user_id, start_id, max(k) AS kstar
+               FROM vp WHERE ppos IS NOT NULL GROUP BY 1, 2)
+      SELECT b.user_id, b.start_id, o.event_id AS purchase_id,
+             CAST(b.kstar + 2 AS INT) AS n_events
+      FROM best b
+      JOIN vp ON vp.user_id = b.user_id AND vp.start_id = b.start_id AND vp.k = b.kstar
+      JOIN ord o ON o.user_id = b.user_id AND o.pos = vp.ppos
+      ORDER BY b.user_id, b.start_id"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_window_tumble" -> qWindowTumble,
