@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming two-sided changelog joins: inner / left-outer / semi / anti
+  * over unbounded keyed streams, emitting +I/-D retract rows and consuming
+  * them too (both inputs may be changelogs).
+  *
+  * Reference: flink-table-runtime-blink/.../operators/join/stream/
+  * StreamingJoinOperator.java:36 (inner/outer, state both sides) and
+  * StreamingSemiAntiJoinOperator.java:34, over the state views of
+  * AbstractStreamingJoinOperator.java. Semantics ported:
+  *  - inner: a new left row joins every buffered right row (and vice
+  *    versa); a retracted row deletes its joined rows.
+  *  - left outer: a left row with no right match emits [l, null]; when the
+  *    key's FIRST right row arrives, every null-padded result is retracted
+  *    (-D [l, null]) and replaced by real joins; when the LAST right row
+  *    retracts, the null-padded rows come back (+I [l, null]).
+  *  - semi: a left row is emitted while the key has ≥1 right row — the
+  *    0→1 / 1→0 transitions of the right count insert/retract every
+  *    buffered left.
+  *  - anti: the mirror — emitted while the right count is 0.
+  *
+  * Spark-first layout: both sides union-tagged into ONE keyed stream (the
+  * [[StreamOps.streamingAsOf]] layout generalized), so the operator is a
+  * single `flatMapGroupsWithState` — one hash shuffle on the join key, the
+  * same physical placement as the reference's keyed two-input operator.
+  * State per key = the two row buffers, exactly the reference's
+  * JoinRecordStateView; like the reference, unbounded-history keys need a
+  * state TTL in production (the reference's `table.exec.state.ttl`).
+  *
+  * Input columns: key (long), side (0=left/1=right), kind ("+I"/"-D"),
+  * id (long row payload), seq (long, deterministic in-batch processing
+  * order — the arrival-order stand-in inside an unordered micro-batch).
+  */
+object StreamJoin {
+
+  case class JoinState(lefts: List[Long], rights: List[Long])
+  case class JoinOut(row_kind: String, key: Long, l_id: Option[Long], r_id: Option[Long])
+
+  private def removeOne(xs: List[Long], x: Long): List[Long] = {
+    val i = xs.indexOf(x)
+    if (i < 0) xs else xs.patch(i, Nil, 1)
+  }
+
+  def changelogJoin(s: SparkSession, tagged: DataFrame, joinType: String): DataFrame = {
+    import s.implicits._
+    require(Set("inner", "left_outer", "semi", "anti")(joinType), s"bad joinType $joinType")
+    tagged
+      .select(col("key").cast("long").as("_1"), col("side").cast("int").as("_2"),
+              col("kind").cast("string").as("_3"), col("id").cast("long").as("_4"),
+              col("seq").cast("long").as("_5"))
+      .as[(Long, Int, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Int, String, Long, Long)],
+         state: GroupState[JoinState]) => {
+          var st = state.getOption.getOrElse(JoinState(Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer[JoinOut]()
+          def emit(k: String, l: Option[Long], r: Option[Long]): Unit =
+            out += JoinOut(k, key, l, r)
+          it.toIndexedSeq.sortBy(_._5).foreach { case (_, side, kind, id, _) =>
+            (kind, side) match {
+              case ("+I", 0) =>
+                joinType match {
+                  case "inner" => st.rights.foreach(r => emit("+I", Some(id), Some(r)))
+                  case "left_outer" =>
+                    if (st.rights.isEmpty) emit("+I", Some(id), None)
+                    else st.rights.foreach(r => emit("+I", Some(id), Some(r)))
+                  case "semi" => if (st.rights.nonEmpty) emit("+I", Some(id), None)
+                  case "anti" => if (st.rights.isEmpty) emit("+I", Some(id), None)
+                }
+                st = st.copy(lefts = st.lefts :+ id)
+              case ("+I", 1) =>
+                joinType match {
+                  case "inner" => st.lefts.foreach(l => emit("+I", Some(l), Some(id)))
+                  case "left_outer" =>
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
+                    st.lefts.foreach(l => emit("+I", Some(l), Some(id)))
+                  case "semi" =>
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                  case "anti" =>
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
+                }
+                st = st.copy(rights = st.rights :+ id)
+              case ("-D", 0) =>
+                st = st.copy(lefts = removeOne(st.lefts, id))
+                joinType match {
+                  case "inner" => st.rights.foreach(r => emit("-D", Some(id), Some(r)))
+                  case "left_outer" =>
+                    if (st.rights.isEmpty) emit("-D", Some(id), None)
+                    else st.rights.foreach(r => emit("-D", Some(id), Some(r)))
+                  case "semi" => if (st.rights.nonEmpty) emit("-D", Some(id), None)
+                  case "anti" => if (st.rights.isEmpty) emit("-D", Some(id), None)
+                }
+              case ("-D", 1) =>
+                st = st.copy(rights = removeOne(st.rights, id))
+                joinType match {
+                  case "inner" => st.lefts.foreach(l => emit("-D", Some(l), Some(id)))
+                  case "left_outer" =>
+                    st.lefts.foreach(l => emit("-D", Some(l), Some(id)))
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                  case "semi" =>
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
+                  case "anti" =>
+                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                }
+              case other => throw new IllegalArgumentException(s"bad changelog row $other")
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** Apply a +I/-D changelog to get the materialized table: net-positive
+    * (key, l_id, r_id) rows, with multiplicity — the "sink view" a
+    * changelog consumer maintains (ref RowKind.java:25 lattice). */
+  def materialize(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("key"), col("l_id"), col("r_id"))
+      .agg(sum(when(col("row_kind") === "+I", 1).otherwise(-1)).as("net"))
+      .filter(col("net") > 0)
+      .select(col("key"), col("l_id"), col("r_id"), col("net"))
+}

@@ -84,6 +84,50 @@ class StreamingSpec extends SparkTestBase {
     assert(gauge.value <= 9, s"state not pruned: ${gauge.value} events buffered")
   }
 
+  test("changelog left-outer join: null-pad, retract on first right, restore on last-right retract") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Int, String, Long, Long)] // key, side, kind, id, seq
+    val q = graft.streaming.StreamJoin.changelogJoin(
+        s, in.toDF().toDF("key", "side", "kind", "id", "seq"), "left_outer")
+      .writeStream.format("memory").queryName("clj").outputMode("update").start()
+    def rows() = s.table("clj").as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+
+    in.addData((1L, 0, "+I", 100L, 1L)) // left arrives, no right yet
+    q.processAllAvailable()
+    assert(rows() == Seq(("+I", 1L, Some(100L), None)))
+
+    in.addData((1L, 1, "+I", 200L, 2L)) // first right: retract null-pad, join
+    q.processAllAvailable()
+    assert(rows().drop(1) == Seq(("-D", 1L, Some(100L), None), ("+I", 1L, Some(100L), Some(200L))))
+
+    in.addData((1L, 1, "-D", 200L, 3L)) // last right retracts: null-pad returns
+    q.processAllAvailable()
+    assert(rows().drop(3) == Seq(("-D", 1L, Some(100L), Some(200L)), ("+I", 1L, Some(100L), None)))
+    q.stop()
+  }
+
+  test("changelog semi/anti join emit and retract on the 0<->1 right-count transitions") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def run(joinType: String): Seq[(String, Long, Option[Long], Option[Long])] = {
+      val in = MemoryStream[(Long, Int, String, Long, Long)]
+      val q = graft.streaming.StreamJoin.changelogJoin(
+          s, in.toDF().toDF("key", "side", "kind", "id", "seq"), joinType)
+        .writeStream.format("memory").queryName(s"clj_$joinType").outputMode("update").start()
+      in.addData((1L, 0, "+I", 100L, 1L)); q.processAllAvailable() // left, no right
+      in.addData((1L, 1, "+I", 200L, 2L)); q.processAllAvailable() // right count 0->1
+      in.addData((1L, 1, "-D", 200L, 3L)); q.processAllAvailable() // right count 1->0
+      val out = s.table(s"clj_$joinType").as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+      q.stop(); out
+    }
+    assert(run("semi") == Seq(("+I", 1L, Some(100L), None), ("-D", 1L, Some(100L), None)))
+    assert(run("anti") == Seq(("+I", 1L, Some(100L), None), ("-D", 1L, Some(100L), None),
+                              ("+I", 1L, Some(100L), None)))
+  }
+
   test("streaming dropDuplicates keeps first across batches") {
     val s = spark
     import s.implicits._
