@@ -1,7 +1,7 @@
 package graft.coverage
 
 import graft.{Q, Tables}
-import graft.streaming.{StreamJoin, StreamOps}
+import graft.streaming.{RetractableTopN, StreamJoin, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -99,9 +99,49 @@ object Streaming2Queries {
       WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id)
       ORDER BY key, l_id"""))
 
+  /** Retractable streaming Top-N — ref RetractableTopNFunction.java:53.
+    * Input = the exact changelog [[graft.streaming.ChangelogAgg]] emits for
+    * per-type counts over two batches (+I half-counts, then -U/+U full
+    * counts — the equivalence is itself gated by q_changelog_agg), replayed
+    * as a stream. Batch 2 CHANGES batch 1's ranking (at sf0.01: click
+    * 1st→3rd, signup 3rd→1st), so the final top-3 equals the batch answer
+    * only if retractions are honored — the append-only operator provably
+    * cannot produce this row. */
+  val qStreamRetractTopN: Q = Q(
+    run = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val c1 = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c1"))
+      val cT = ev.groupBy(col("event_type")).agg(count(lit(1)).as("ct"))
+      val b1 = c1.select(lit("+I").as("kind"), lit("all").as("pkey"),
+        col("event_type").as("id"), col("c1").as("value"), lit(0L).as("seq"))
+      // per type: retract the batch-1 count, insert the full count (types
+      // unseen in batch 1 arrive as plain +I)
+      val j = cT.join(c1, Seq("event_type"), "left")
+      val b2 = j.filter(col("c1").isNotNull)
+          .select(lit("-U").as("kind"), lit("all").as("pkey"),
+                  col("event_type").as("id"), col("c1").as("value"), lit(0L).as("seq"))
+        .unionByName(j.select(
+          when(col("c1").isNotNull, "+U").otherwise("+I").as("kind"), lit("all").as("pkey"),
+          col("event_type").as("id"), col("ct").as("value"), lit(1L).as("seq")))
+      val srcDir = StreamOps.stageBatches(s, s"rtopn_${san(dir)}", Seq(b1, b2))
+      val stream = s.readStream.schema(b1.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val acc = StreamOps.runToMemory(
+        s, RetractableTopN.retractableTopN(s, stream, 3), OutputMode.Update())
+      RetractableTopN.latestRanking(acc)
+        .select(col("rn"), col("id").as("event_type"), col("value").as("cnt"))
+        .orderBy(col("rn"))
+    },
+    oracle = Some("""
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, event_type) AS INT) AS rn,
+             event_type, c AS cnt
+      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
+      QUALIFY rn <= 3 ORDER BY rn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
     "q_stream_anti_join" -> qStreamAntiJoin,
+    "q_stream_retract_topn" -> qStreamRetractTopN,
   )
 }

@@ -128,6 +128,32 @@ class StreamingSpec extends SparkTestBase {
                               ("+I", 1L, Some(100L), None)))
   }
 
+  test("retractable topN re-ranks on -U/+U and re-admits runner-up on -D") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(String, String, String, Long, Long)] // kind,pkey,id,value,seq
+    val q = graft.streaming.RetractableTopN.retractableTopN(
+        s, in.toDF().toDF("kind", "pkey", "id", "value", "seq"), 2)
+      .writeStream.format("memory").queryName("rtopn").outputMode("update").start()
+    def last(k: Int) = s.table("rtopn").as[(String, Long, Int, String, Long)]
+      .collect().toSeq.sortBy(r => (r._2, r._3)).takeRight(k).map(r => (r._3, r._4, r._5))
+
+    in.addData(("+I", "p", "a", 10L, 0L), ("+I", "p", "b", 8L, 0L), ("+I", "p", "c", 5L, 0L))
+    q.processAllAvailable()
+    assert(last(2) == Seq((1, "a", 10L), (2, "b", 8L)))
+    // update flips the ranking: c overtakes a; b retracted entirely
+    in.addData(("-U", "p", "c", 5L, 0L), ("+U", "p", "c", 20L, 1L), ("-D", "p", "b", 8L, 0L))
+    q.processAllAvailable()
+    assert(last(2) == Seq((1, "c", 20L), (2, "a", 10L)))
+    // retracting the leader re-admits the runner-up set
+    in.addData(("-D", "p", "c", 20L, 0L))
+    q.processAllAvailable()
+    val fin = last(1)
+    q.stop()
+    assert(fin == Seq((1, "a", 10L)))
+  }
+
   test("streaming dropDuplicates keeps first across batches") {
     val s = spark
     import s.implicits._
