@@ -138,10 +138,49 @@ object Streaming2Queries {
       FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
       QUALIFY rn <= 3 ORDER BY rn"""))
 
+  /** Bounded event-time RANGE over-aggregate on a stream — ref
+    * RowTimeRangeBoundedPrecedingFunction.java:55; trailing 10-minute
+    * frame per user, ties share the aggregate (SQL RANGE). */
+  val qStreamOverRangeBounded: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.boundedOverAgg(s, src, "range", 10L * 60 * 1000000), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS agg_sum,
+             COUNT(*) OVER w AS agg_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** Bounded ROWS over-aggregate on a stream (trailing 5 rows per user) —
+    * ref RowTimeRowsBoundedPrecedingFunction. */
+  val qStreamOverRowsBounded: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.boundedOverAgg(s, src, "rows", 5L), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS agg_sum,
+             COUNT(*) OVER w AS agg_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
     "q_stream_anti_join" -> qStreamAntiJoin,
     "q_stream_retract_topn" -> qStreamRetractTopN,
+    "q_stream_over_range_bounded" -> qStreamOverRangeBounded,
+    "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
   )
 }

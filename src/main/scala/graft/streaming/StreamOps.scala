@@ -248,6 +248,62 @@ object StreamOps {
       .toDF()
   }
 
+  case class BOverState(buf: List[(Long, Long, Long)]) // (tsMicros, eventId, vc)
+  case class BOverOut(user_id: Long, event_id: Long, agg_sum: Long, agg_n: Long)
+
+  /** Bounded streaming over-aggregate — the reference's bounded-preceding
+    * family (RowTimeRangeBoundedPrecedingFunction.java:55 /
+    * RowTimeRowsBoundedPrecedingFunction): per key, each row is aggregated
+    * over its trailing frame and state holds ONLY the frame-reachable rows.
+    *
+    *  - mode="rows": frame = the `bound`−1 preceding rows + current (by
+    *    (ts, id) order); eviction keeps the last `bound`−1 rows.
+    *  - mode="range": frame = rows with ts ∈ [t − `bound` µs, t] INCLUSIVE
+    *    of ties (SQL RANGE semantics — same-ts rows share one aggregate);
+    *    eviction keeps ts ≥ maxTs − bound.
+    *
+    * Frames are computed with one prefix-sum pass per batch (O(rows),
+    * matching the reference's incremental retract-on-evict accumulator).
+    * Assumes event-time-ordered, watermark-complete batches like
+    * [[runningAggPerUser]]. */
+  def boundedOverAgg(s: SparkSession, events: DataFrame, mode: String, bound: Long): DataFrame = {
+    import s.implicits._
+    require(mode == "rows" || mode == "range", s"bad mode $mode")
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              expr("unix_micros(ts)").as("_3"), expr("cast(floor(value * 100.0) as long)").as("_4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[BOverState]) => {
+          val st = state.getOption.getOrElse(BOverState(Nil))
+          val fresh = it.map(e => (e._3, e._2, e._4)).toIndexedSeq
+          val freshIds = fresh.map(_._2).toSet
+          val all = (st.buf ++ fresh).sortBy(r => (r._1, r._2)).toIndexedSeq
+          val prefix = all.scanLeft(0L)(_ + _._3) // prefix(i) = sum of v before index i
+          val out = all.indices.collect { case i if freshIds(all(i)._2) =>
+            val (lo, hi) =
+              if (mode == "rows") (math.max(0, i - (bound.toInt - 1)), i)
+              else {
+                val t = all(i)._1
+                // two bounds by binary search over the ts-sorted seq
+                var l = 0; var h = i
+                while (l < h) { val m = (l + h) / 2; if (all(m)._1 >= t - bound) h = m else l = m + 1 }
+                var h2 = i
+                while (h2 + 1 < all.length && all(h2 + 1)._1 == t) h2 += 1 // RANGE includes ties
+                (l, h2)
+              }
+            BOverOut(key, all(i)._2, prefix(hi + 1) - prefix(lo), (hi - lo + 1).toLong)
+          }
+          val kept =
+            if (mode == "rows") all.takeRight(bound.toInt - 1)
+            else { val maxTs = if (all.isEmpty) 0L else all.last._1; all.filter(_._1 >= maxTs - bound) }
+          state.update(BOverState(kept.toList))
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class CepState(events: List[Cep.Ev], emitted: Int)
   case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
 

@@ -154,6 +154,29 @@ class StreamingSpec extends SparkTestBase {
     assert(fin == Seq((1, "a", 10L)))
   }
 
+  test("bounded over-agg frames span batches; evicted rows leave the frame") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    // RANGE 100s trailing frame
+    val q = StreamOps.boundedOverAgg(s, toEvents(in.toDF()), "range", 100L * 1000000)
+      .writeStream.format("memory").queryName("bover").outputMode("update").start()
+    in.addData(Raw(1, 1, "e", 0, 1.0), Raw(1, 2, "e", 50, 2.0))
+    q.processAllAvailable()
+    // batch 2: row at 120 sees row@50 (within 100s) but NOT row@0 (evicted
+    // AND out of frame); row at 300 sees only itself
+    in.addData(Raw(1, 3, "e", 120, 4.0), Raw(1, 4, "e", 300, 8.0))
+    q.processAllAvailable()
+    val rows = s.table("bover").as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    q.stop()
+    assert(rows(1L) == ((100L, 1L)))       // itself
+    assert(rows(2L) == ((300L, 2L)))       // 0+50 both in frame
+    assert(rows(3L) == ((600L, 2L)))       // 50+120, row@0 out of frame
+    assert(rows(4L) == ((800L, 1L)))       // alone
+  }
+
   test("streaming dropDuplicates keeps first across batches") {
     val s = spark
     import s.implicits._
