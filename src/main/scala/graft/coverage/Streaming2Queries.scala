@@ -175,6 +175,77 @@ object Streaming2Queries {
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
+  /** Events replayed out of time order across 3 batches: b1 = even event
+    * ids; b2 = the recent odds (top 30-min band — they advance the
+    * watermark but are never late); b3 = the remaining odds, genuinely late
+    * against the watermark b1 established. Three batches because Spark's
+    * micro-batch late filter uses the watermark committed two batches back
+    * (measured: filterWm(N) = max event time over batches ≤ N−2, minus
+    * delay) — with b2 in between, b3's filter watermark is exactly
+    * max(even ts) − 30 min, which the oracle can replay. */
+  private def lateStagedStream(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+    val tmax = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // staging-time scalar
+    val cut = new java.sql.Timestamp(tmax.getTime - 30L * 60 * 1000)
+    val odds = ev.filter(col("event_id") % 2 === 1)
+    val srcDir = StreamOps.stageBatches(s, s"late_${tag}_${san(dir)}", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      odds.filter(col("ts") > lit(cut)),
+      odds.filter(col("ts") <= lit(cut))))
+    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+  }
+
+  /** allowedLateness MAIN branch — ref WindowedStream.java:108: tumbling
+    * count with the watermark delayed by the 30-min allowed lateness, so
+    * late rows within the bound still join their open window while
+    * expired-window rows are dropped (they land in q_stream_late_side).
+    * Append mode: only watermark-finalized windows emit. The oracle
+    * replays the watermark arithmetic: W1 = max(even ts) − 30 min gates
+    * batch-3 admission, W2 = max(all ts) − 30 min gates final emission. */
+  val qStreamLateMain: Q = Q(
+    run = (s, dir) => {
+      val main = lateStagedStream(s, dir, "main")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+      StreamOps.runToMemory(s, main, OutputMode.Append()).orderBy(col("ws"))
+    },
+    oracle = Some("""
+      WITH w1 AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events WHERE event_id % 2 = 0),
+           w2 AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events),
+           keep AS (
+             SELECT ts FROM events WHERE event_id % 2 = 0
+             UNION ALL
+             SELECT ts FROM events WHERE event_id % 2 = 1
+               AND time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' > (SELECT w FROM w1))
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, COUNT(*) AS n
+      FROM keep
+      GROUP BY ws
+      HAVING ws + INTERVAL '10 minutes' <= (SELECT w FROM w2)
+      ORDER BY ws"""))
+
+  /** allowedLateness SIDE branch (sideOutputLateData) — the pass-through
+    * classifier flags rows whose window already finalized under the
+    * watermark it observes (the one-batch-fresher eviction watermark, so
+    * batch 3 is judged against W2 = max(all ts) − 30 min; in Flink both
+    * views share one watermark — the skew is a micro-batch artifact,
+    * exactly mirrored in the oracle). */
+  val qStreamLateSide: Q = Q(
+    run = (s, dir) => {
+      StreamOps.runToMemory(
+          s, StreamOps.lateSideOutput(s, lateStagedStream(s, dir, "side"),
+            10L * 60 * 1000000, "30 minutes"),
+          OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id FROM events
+      WHERE event_id % 2 = 1
+        AND time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' <=
+            (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+      ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -182,5 +253,7 @@ object Streaming2Queries {
     "q_stream_retract_topn" -> qStreamRetractTopN,
     "q_stream_over_range_bounded" -> qStreamOverRangeBounded,
     "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
+    "q_stream_late_main" -> qStreamLateMain,
+    "q_stream_late_side" -> qStreamLateSide,
   )
 }

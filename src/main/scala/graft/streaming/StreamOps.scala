@@ -304,6 +304,38 @@ object StreamOps {
       .toDF()
   }
 
+  case class LateOut(user_id: Long, event_id: Long)
+
+  /** Late-data side output for a watermarked tumbling window — the
+    * allowedLateness pattern (ref flink-streaming-java WindowedStream
+    * .java:108-124 allowedLateness + sideOutputLateData): the MAIN query is
+    * a windowed agg whose watermark is delayed by the allowed lateness
+    * (rows inside the lateness bound still join their open window); this
+    * operator is the SIDE branch — a pass-through classifier over the same
+    * watermark that captures exactly the rows the main agg drops (their
+    * epoch-aligned window already finalized, i.e. window end ≤ watermark).
+    * Dual-sink: run both queries over one source. */
+  def lateSideOutput(s: SparkSession, events: DataFrame, windowMicros: Long,
+                     allowedLateness: String): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              col("ts").cast("timestamp").as("_3"))
+      .withWatermark("_3", allowedLateness)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[Long]) => {
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          it.filter { r =>
+            val tsMicros = r._3.getTime * 1000 + (r._3.getNanos / 1000) % 1000
+            val wEnd = (tsMicros / windowMicros) * windowMicros + windowMicros
+            wEnd <= wm // the window this row belongs to is already finalized
+          }.map(r => LateOut(key, r._2))
+        })
+      .toDF()
+  }
+
   case class CepState(events: List[Cep.Ev], emitted: Int)
   case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
 
