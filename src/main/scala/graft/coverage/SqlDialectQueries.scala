@@ -154,6 +154,90 @@ object SqlDialectQueries {
       WHERE p.ts < c.ts + INTERVAL '48 hours'
       ORDER BY r.user_id, start_id"""))
 
+  /** AFTER MATCH SKIP TO LAST <var> — ref AfterMatchSkipStrategy.java: with
+    * the all-rows pattern A B{2} C, matches restart at the last B (relative
+    * position +2), producing the stride-2 overlap that neither TO NEXT ROW
+    * (stride 1) nor PAST LAST ROW (stride 4) yields; the closed-form oracle
+    * joins rows at even relative positions. */
+  val qSqlMrSkipToLast: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, FIRST(B.event_id) AS first_b,
+                   LAST(B.event_id) AS last_b, C.event_id AS c_id
+          AFTER MATCH SKIP TO LAST B
+          PATTERN (A B{2} C)
+        )""").orderBy(col("user_id"), col("a_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p
+                   FROM events)
+      SELECT a.user_id, a.event_id AS a_id, b1.event_id AS first_b,
+             b2.event_id AS last_b, c.event_id AS c_id
+      FROM ord a
+      JOIN ord b1 ON b1.user_id = a.user_id AND b1.p = a.p + 1
+      JOIN ord b2 ON b2.user_id = a.user_id AND b2.p = a.p + 2
+      JOIN ord c  ON c.user_id  = a.user_id AND c.p  = a.p + 3
+      WHERE a.p % 2 = 0
+      ORDER BY a.user_id, a_id"""))
+
+  /** ALL ROWS PER MATCH + CLASSIFIER() + MATCH_NUMBER() — ref
+    * StreamExecMatch one-row/all-rows modes: each matched event emits with
+    * its variable name and the per-partition match counter; the oracle
+    * expands every click→purchase adjacency into its two rows. */
+  val qSqlMrAllRows: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, A.event_id AS a_id
+          ALL ROWS PER MATCH
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )""").select(col("user_id"), col("mn"), col("cls"), col("a_id"))
+          .orderBy(col("user_id"), col("mn"), col("cls"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT user_id, event_id, event_type, ts,
+                        lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      m AS (SELECT user_id, event_id AS a_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mn
+            FROM s WHERE event_type = 'click' AND nt = 'purchase')
+      SELECT user_id, mn, cls, a_id
+      FROM m CROSS JOIN (VALUES ('A'), ('B')) v(cls)
+      ORDER BY user_id, mn, cls"""))
+
+  /** Multi-column PARTITION BY + MATCH_NUMBER in ONE ROW mode: consecutive
+    * pairs within (user, event_type); every row matches the undefined
+    * variable, so matches start at every position with a successor. */
+  val qSqlMrMultiPartition: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id, event_type
+          ORDER BY ts
+          MEASURES MATCH_NUMBER() AS mn, FIRST(X.event_id) AS id1, LAST(X.event_id) AS id2
+          PATTERN (X{2})
+        )""").orderBy(col("user_id"), col("event_type"), col("mn"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_type, event_id,
+                          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS p,
+                          lead(event_id) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS nid
+                   FROM events)
+      SELECT user_id, event_type, p AS mn, event_id AS id1, nid AS id2
+      FROM ord WHERE nid IS NOT NULL
+      ORDER BY user_id, event_type, mn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
@@ -161,5 +245,8 @@ object SqlDialectQueries {
     "q_sql_datagen" -> qSqlDatagen,
     "q_sql_match_recognize" -> qSqlMatchRecognize,
     "q_sql_match_recognize_plus" -> qSqlMatchRecognizePlus,
+    "q_sql_mr_skip_to_last" -> qSqlMrSkipToLast,
+    "q_sql_mr_all_rows" -> qSqlMrAllRows,
+    "q_sql_mr_multi_partition" -> qSqlMrMultiPartition,
   )
 }

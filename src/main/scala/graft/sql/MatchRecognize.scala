@@ -8,47 +8,65 @@ import org.apache.spark.sql.types._
   *
   * Reference: SQL planned by flink-table-planner-blink physical/stream/
   * StreamExecMatch.scala:68 + MatchCodeGenerator.scala, executed on the CEP
-  * NFA (NFA.java:86). Supported subset (the MatchRecognizeITCase core
-  * shapes):
+  * NFA (NFA.java:86); skip strategies in flink-cep/.../nfa/aftermatch/
+  * AfterMatchSkipStrategy.java. Supported subset (MatchRecognizeITCase
+  * core shapes):
   *
   * {{{
   * SELECT * FROM <table> MATCH_RECOGNIZE (
-  *   PARTITION BY <col>
+  *   PARTITION BY <col> [, <col>...]
   *   ORDER BY <tsCol>
-  *   MEASURES A.col AS name [, FIRST(B.col) AS n2, LAST(B.col) AS n3, ...]
+  *   MEASURES A.col AS name [, FIRST(B.col) AS n2, LAST(B.col) AS n3,
+  *            MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, ...]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *   [AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
+  *    SKIP TO FIRST <var> | SKIP TO LAST <var>]
   *   PATTERN (A B+ C {m,n}-quantified...)
   *   [WITHIN INTERVAL 'n' UNIT]
-  *   DEFINE A AS A.col = 'lit' [, B AS B.col <> 'lit', C AS C.col > 5 ...]
+  *   DEFINE A AS A.col = 'lit' [, B AS B.price > A.price ...]
   * )
   * }}}
   *
-  * Pattern variables are strictly contiguous (the MATCH_RECOGNIZE default),
-  * AFTER MATCH SKIP TO NEXT ROW, greedy quantifiers. Execution: one
-  * hash-shuffle on the partition key, per-key time sort, linear NFA scan —
-  * identical layout to [[Cep.detect]].
-  */
+  * Pattern variables are strictly contiguous (the MATCH_RECOGNIZE
+  * default), greedy quantifiers. `ALL ROWS PER MATCH` emits one row per
+  * matched event with RUNNING measure semantics (Flink's default):
+  * `X.col` / `LAST(X.col)` = the latest X at or before the current row,
+  * `FIRST(X.col)` = the earliest so far, NULL until X first matches;
+  * CLASSIFIER() is the current row's variable. SKIP TO FIRST/LAST <var>
+  * resumes the scan at that row of the finished match; a resume target at
+  * the match start throws (the reference rejects it as an infinite loop).
+  * Execution: one hash-shuffle on the partition key, per-key time sort,
+  * linear NFA scan — identical layout to [[Cep.detect]]. */
 object MatchRecognize {
 
-  case class Measure(fn: String, variable: String, col: String, as: String) // fn: "", FIRST, LAST
+  case class Measure(fn: String, variable: String, col: String, as: String) // fn: "", FIRST, LAST, MATCH_NUMBER, CLASSIFIER
   case class PatVar(name: String, min: Int, max: Int)
   case class Define(variable: String, col: String, op: String, value: String,
                     rhsVar: Option[(String, String)] = None) // (variable, col) for cross-var predicates
-  case class Spec(table: String, partitionBy: String, orderBy: String,
+  sealed trait Skip
+  case object SkipToNextRow extends Skip
+  case object SkipPastLastRow extends Skip
+  case class SkipToFirst(v: String) extends Skip
+  case class SkipToLast(v: String) extends Skip
+  case class Spec(table: String, partitionBy: Seq[String], orderBy: String,
                   measures: Seq[Measure], pattern: Seq[PatVar],
                   withinMicros: Long, defines: Map[String, Define],
-                  skipPastLastRow: Boolean)
+                  skip: Skip, allRows: Boolean)
 
   private val outerRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
-  private val partRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
+  private val partRe = """(?is)PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)""".r
   private val orderRe = """(?is)ORDER\s+BY\s+(\w+)""".r
-  private val measuresRe = """(?is)MEASURES\s+(.*?)\s+PATTERN""".r
+  private val measuresRe = """(?is)MEASURES\s+(.*?)\s+(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""".r
   private val measureRe = """(?i)\s*(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)\s*\)?\s+AS\s+(\w+)\s*""".r
+  private val measureFnRe = """(?i)\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val patternRe = """(?is)PATTERN\s*\(\s*([^)]*?)\s*\)""".r
-  private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\})?""".r
+  private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\}|\{(\d+)\})?""".r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
-  private val skipRe = """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)""".r
+  private val rowsPerRe = """(?is)(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH""".r
+  private val skipRe =
+    """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
   private val defRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-\d.]+))\s*""".r
   // cross-variable predicate: B AS B.price > A.price (Flink IterativeCondition)
   private val defXRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)\s*""".r
@@ -59,19 +77,22 @@ object MatchRecognize {
     val outerRe(table, body) = sql: @unchecked
     val part = partRe.findFirstMatchIn(body).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
+      .split(",").map(_.trim).toSeq
     val order = orderRe.findFirstMatchIn(body).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
     val measures = measuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
       .flatMap(_.split(",")).map {
+        case measureFnRe(fn, as) => Measure(fn.toUpperCase, "", "", as)
         case measureRe(fn, v, c, as) => Measure(Option(fn).getOrElse("").toUpperCase, v, c, as)
         case other => throw new IllegalArgumentException(s"unsupported measure '$other'")
       }
     val pattern = patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
       .split("\\s+").filter(_.nonEmpty).toSeq.map {
-        case patVarRe(name, null, _, _) => PatVar(name, 1, 1)
-        case patVarRe(name, "+", _, _) => PatVar(name, 1, Int.MaxValue)
-        case patVarRe(name, "*", _, _) => PatVar(name, 0, Int.MaxValue)
-        case patVarRe(name, _, mn, mx) => PatVar(name, mn.toInt, mx.toInt)
+        case patVarRe(name, null, _, _, _) => PatVar(name, 1, 1)
+        case patVarRe(name, "+", _, _, _) => PatVar(name, 1, Int.MaxValue)
+        case patVarRe(name, "*", _, _, _) => PatVar(name, 0, Int.MaxValue)
+        case patVarRe(name, _, mn, mx, null) if mn != null => PatVar(name, mn.toInt, mx.toInt)
+        case patVarRe(name, _, _, _, k) if k != null => PatVar(name, k.toInt, k.toInt)
         case other => throw new IllegalArgumentException(s"unsupported pattern token '$other'")
       }
     val within = withinRe.findFirstMatchIn(body).map { m =>
@@ -94,19 +115,27 @@ object MatchRecognize {
           v.toUpperCase -> Define(v.toUpperCase, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
         case other => throw new IllegalArgumentException(s"unsupported define '$other'")
       }.toMap
-    val skipPast = skipRe.findFirstMatchIn(body)
-      .exists(_.group(1).toUpperCase.startsWith("PAST"))
-    Spec(table, part, order, measures, pattern, within, defines, skipPast)
+    val skip = skipRe.findFirstMatchIn(body).map { m =>
+      val head = m.group(1).toUpperCase
+      if (head.startsWith("PAST")) SkipPastLastRow
+      else if (head.startsWith("TO NEXT")) SkipToNextRow
+      else if (m.group(2) != null) SkipToFirst(m.group(2).toUpperCase)
+      else SkipToLast(m.group(3).toUpperCase)
+    }.getOrElse(SkipToNextRow)
+    val allRows = rowsPerRe.findFirstMatchIn(body)
+      .exists(_.group(1).toUpperCase.startsWith("ALL"))
+    Spec(table, part, order, measures, pattern, within, defines, skip, allRows)
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     val spec = parse(sql)
     val df = spark.table(spec.table)
     val schema = df.schema
-    val keyIdx = schema.fieldIndex(spec.partitionBy)
+    val keyIdx = spec.partitionBy.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(spec.orderBy)
 
     val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
+    val varNames = spec.pattern.map(_.name.toUpperCase).toIndexedSeq
     // exact numeric compare: BigDecimal(toString) is lossless for BIGINT
     // above 2^53 and DECIMAL — routing through Double is not
     def toBig(v: Any): java.math.BigDecimal = v match {
@@ -154,11 +183,17 @@ object MatchRecognize {
         }
     }
     val steps = spec.pattern.toIndexedSeq.map(v => Cep.StepG[Row](predOf(v), v.min, v.max, strict = true))
-    val measureIdx = spec.measures.map(m =>
-      (varIdxOf(m.variable.toUpperCase), schema.fieldIndex(m.col), m.fn))
 
-    val outSchema = StructType(
-      schema(keyIdx) +: spec.measures.map(m => StructField(m.as, schema(schema.fieldIndex(m.col)).dataType)))
+    def measureType(m: Measure): DataType = m.fn match {
+      case "MATCH_NUMBER" => LongType
+      case "CLASSIFIER" => StringType
+      case _ => schema(schema.fieldIndex(m.col)).dataType
+    }
+    val outFields =
+      keyIdx.map(schema(_)) ++
+        (if (spec.allRows) Seq(schema(tsIdx)) else Nil) ++
+        spec.measures.map(m => StructField(m.as, measureType(m)))
+    val outSchema = StructType(outFields)
     implicit val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
 
     val tsMicros: Row => Long = { r =>
@@ -170,23 +205,81 @@ object MatchRecognize {
       }
     }
 
-    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
+    val measures = spec.measures
+    val skip = spec.skip
+    val allRows = spec.allRows
+
+    df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))(
+        org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it: Iterator[Row]) =>
         val sorted = it.toIndexedSeq.sortBy(tsMicros)
-        var resumeAt = 0
-        (0 until sorted.length).iterator.flatMap { i =>
-          if (spec.skipPastLastRow && i < resumeAt) None
-          else Cep.findAt(sorted, i, steps, spec.withinMicros, tsMicros).map { idx =>
-            if (spec.skipPastLastRow) resumeAt = idx.last._2 + 1
-            val key = sorted(i).get(keyIdx)
-            val vals = measureIdx.map { case (vi, ci, fn) =>
-              val ofVar = idx.filter(_._1 == vi)
-              val pick = if (fn == "FIRST") ofVar.head else ofVar.last // "" == LAST (SQL default: last row of var)
-              sorted(pick._2).get(ci)
-            }
-            Row.fromSeq(key +: vals)
+        val out = scala.collection.mutable.ListBuffer[Row]()
+        var matchNo = 0L
+        var i = 0
+        while (i < sorted.length) {
+          Cep.findAt(sorted, i, steps, spec.withinMicros, tsMicros) match {
+            case None => i += 1
+            case Some(idx) => // idx: (stepIdx, evIdx) in match order
+              matchNo += 1
+              val keyVals = keyIdx.map(sorted(i).get)
+              if (!allRows) {
+                val vals = measures.map { m =>
+                  m.fn match {
+                    case "MATCH_NUMBER" => matchNo
+                    case "CLASSIFIER" => varNames(idx.last._1) // last row's variable
+                    case fn =>
+                      val vi = varIdxOf(m.variable.toUpperCase)
+                      val ofVar = idx.filter(_._1 == vi)
+                      val pick = if (fn == "FIRST") ofVar.head else ofVar.last
+                      sorted(pick._2).get(schema.fieldIndex(m.col))
+                  }
+                }
+                out += Row.fromSeq(keyVals ++ vals)
+              } else {
+                // ALL ROWS PER MATCH, RUNNING measure semantics
+                var sofar = Map[Int, List[Int]]().withDefaultValue(Nil)
+                idx.foreach { case (vi, ei) =>
+                  sofar = sofar.updated(vi, sofar(vi) :+ ei)
+                  val vals = measures.map { m =>
+                    m.fn match {
+                      case "MATCH_NUMBER" => matchNo
+                      case "CLASSIFIER" => varNames(vi)
+                      case fn =>
+                        val mvi = varIdxOf(m.variable.toUpperCase)
+                        val occ = sofar(mvi)
+                        if (occ.isEmpty) null
+                        else sorted(if (fn == "FIRST") occ.head else occ.last)
+                          .get(schema.fieldIndex(m.col))
+                    }
+                  }
+                  out += Row.fromSeq(keyVals ++ Seq(sorted(ei).get(tsIdx)) ++ vals)
+                }
+              }
+              val resume = skip match {
+                case SkipToNextRow => i + 1
+                case SkipPastLastRow => idx.last._2 + 1
+                case SkipToFirst(v) =>
+                  val vi = varIdxOf.getOrElse(v, throw new IllegalArgumentException(
+                    s"AFTER MATCH SKIP TO FIRST references unknown variable $v"))
+                  val occ = idx.filter(_._1 == vi)
+                  if (occ.isEmpty) throw new IllegalStateException(
+                    s"SKIP TO FIRST $v: variable matched no rows")
+                  occ.head._2
+                case SkipToLast(v) =>
+                  val vi = varIdxOf.getOrElse(v, throw new IllegalArgumentException(
+                    s"AFTER MATCH SKIP TO LAST references unknown variable $v"))
+                  val occ = idx.filter(_._1 == vi)
+                  if (occ.isEmpty) throw new IllegalStateException(
+                    s"SKIP TO LAST $v: variable matched no rows")
+                  occ.last._2
+              }
+              if (resume <= i) throw new IllegalStateException(
+                s"AFTER MATCH SKIP strategy resumes at or before the match start (row $resume) — " +
+                  "infinite loop (the reference NFA rejects this the same way)")
+              i = resume
           }
         }
+        out.iterator
       }
   }
 }

@@ -22,7 +22,7 @@ class MatchRecognizeSpec extends SparkTestBase {
         PATTERN (A B{2,4} C)
         WITHIN INTERVAL '30' MINUTE
         DEFINE A AS A.t = 'x', B AS B.v > 5, C AS C.t <> 'z')""")
-    assert(spec.partitionBy == "k" && spec.orderBy == "ts")
+    assert(spec.partitionBy == Seq("k") && spec.orderBy == "ts")
     assert(spec.pattern.map(p => (p.name, p.min, p.max)) == Seq(("A", 1, 1), ("B", 2, 4), ("C", 1, 1)))
     assert(spec.withinMicros == 30L * 60 * 1000000)
     assert(spec.defines("B").op == ">" && spec.defines("B").value == "5")
@@ -97,6 +97,65 @@ class MatchRecognizeSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     // adjacent rising pairs only: (1→2: 9>5) and (3→4: 8>4); (2→3: 4>9 fails)
     assert(out == Set((1L, 1L, 2L), (1L, 3L, 4L)))
+  }
+
+  test("SKIP TO LAST resumes at the last row of the variable; TO FIRST of the start errors") {
+    val s = spark
+    import s.implicits._
+    // 5 'a' rows, pattern (A B{2}): TO NEXT ROW -> starts 0,1,2; TO LAST B -> starts 0,2
+    mkEvents((1L to 5L).map(i => (1L, i, "a", i * 10L)))
+    def q(skip: String) = s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, LAST(B.event_id) AS b_id
+        $skip
+        PATTERN (A B{2}))"""
+    val env = new EngineEnv(s)
+    assert(env.sqlQuery(q("AFTER MATCH SKIP TO NEXT ROW")).count() == 3)
+    val toLast = env.sqlQuery(q("AFTER MATCH SKIP TO LAST B")).as[(Long, Long, Long)].collect().toSet
+    assert(toLast == Set((1L, 1L, 3L), (1L, 3L, 5L)))
+    val e = intercept[Exception](env.sqlQuery(q("AFTER MATCH SKIP TO FIRST A")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("infinite loop")))
+  }
+
+  test("ALL ROWS PER MATCH with RUNNING measures, CLASSIFIER and MATCH_NUMBER") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "view", 10L), (1L, 3L, "view", 20L), (1L, 4L, "purchase", 30L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                 LAST(B.event_id) AS run_b, C.event_id AS run_c
+        ALL ROWS PER MATCH
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
+               C AS C.event_type = 'purchase')""")
+      .select(col("mn"), col("cls"), col("run_b"), col("run_c"))
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    // RUNNING semantics: B/C measures are NULL before the variable matches
+    assert(out == Seq(
+      (1L, "A", None, None), (1L, "B", Some(2L), None),
+      (1L, "B", Some(3L), None), (1L, "C", Some(3L), Some(4L))))
+  }
+
+  test("multi-column PARTITION BY partitions independently") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq(
+      (1L, 1L, "x", 0L), (1L, 2L, "x", 10L), (1L, 3L, "y", 20L), (2L, 4L, "x", 0L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id, event_type
+        ORDER BY ts
+        MEASURES FIRST(X.event_id) AS id1, LAST(X.event_id) AS id2
+        PATTERN (X{2}))""")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // only (user 1, type x) has two rows; y and user 2 partitions are too short
+    assert(out == Set((1L, "x", 1L, 2L)))
   }
 
   test("WITHIN excludes slow completions") {
