@@ -246,6 +246,96 @@ object Streaming2Queries {
             (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
       ORDER BY user_id, event_id"""))
 
+  /** Count-tumbling window + TimeEvictor (fires every 5 events, aggregates
+    * only those within 30 min of the window's newest) — ref
+    * TimeEvictor.java via [[StreamOps.countWindowTimeEvict]]. */
+  val qStreamTimeEvictor: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.countWindowTimeEvict(s, src, 5, 30L * 60 * 1000000), OutputMode.Update())
+        .orderBy(col("user_id"), col("win_seq"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, ts, CAST(FLOOR(value * 100.0) AS BIGINT) AS vc,
+                          CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5 AS BIGINT) AS w,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+                          count(*) OVER (PARTITION BY user_id) AS ntot
+                   FROM events),
+      full_w AS (SELECT * FROM ord WHERE (w + 1) * 5 <= ntot),
+      agg AS (SELECT user_id, w AS win_seq, max(ts) AS mx,
+                     arg_max(event_id, p) AS last_id
+              FROM full_w GROUP BY 1, 2)
+      SELECT a.user_id, a.win_seq,
+             CAST(COUNT(*) FILTER (WHERE f.ts > a.mx - INTERVAL '30 minutes') AS INT) AS n,
+             CAST(COALESCE(SUM(f.vc) FILTER (WHERE f.ts > a.mx - INTERVAL '30 minutes'), 0) AS BIGINT) AS v_cents,
+             a.last_id
+      FROM agg a JOIN full_w f ON f.user_id = a.user_id AND f.w = a.win_seq
+      GROUP BY a.user_id, a.win_seq, a.last_id
+      ORDER BY a.user_id, a.win_seq"""))
+
+  /** Count-tumbling window + DeltaEvictor (evict elements > 20.00 away
+    * from the window's last value) — ref DeltaEvictor.java via
+    * [[StreamOps.countWindowDeltaEvict]]. */
+  val qStreamDeltaEvictor: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.countWindowDeltaEvict(s, src, 5, 2000L), OutputMode.Update())
+        .orderBy(col("user_id"), col("win_seq"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS vc,
+                          CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5 AS BIGINT) AS w,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+                          count(*) OVER (PARTITION BY user_id) AS ntot
+                   FROM events),
+      full_w AS (SELECT * FROM ord WHERE (w + 1) * 5 <= ntot),
+      lastv AS (SELECT user_id, w, arg_max(vc, p) AS lvc, arg_max(event_id, p) AS last_id
+                FROM full_w GROUP BY 1, 2)
+      SELECT f.user_id, f.w AS win_seq,
+             CAST(COUNT(*) FILTER (WHERE abs(f.vc - l.lvc) <= 2000) AS INT) AS n,
+             CAST(COALESCE(SUM(f.vc) FILTER (WHERE abs(f.vc - l.lvc) <= 2000), 0) AS BIGINT) AS v_cents,
+             l.last_id
+      FROM full_w f JOIN lastv l ON l.user_id = f.user_id AND l.w = f.w
+      GROUP BY f.user_id, f.w, l.last_id
+      ORDER BY f.user_id, win_seq"""))
+
+  /** GlobalWindows + custom purging trigger (fire when the running value
+    * sum crosses 200.00, then purge) — ref GlobalWindows.java +
+    * PurgingTrigger via [[StreamOps.globalWindowSumTrigger]]; the
+    * sequential reset is replayed by a recursive CTE. */
+  val qStreamGlobalWindow: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.globalWindowSumTrigger(s, src, 20000L), OutputMode.Update())
+        .orderBy(col("user_id"), col("win_seq"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE ord AS (
+        SELECT user_id, event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS vc,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, rn, event_id,
+               CASE WHEN vc >= 20000 THEN 0 ELSE vc END AS acc,
+               CASE WHEN vc >= 20000 THEN 0::BIGINT ELSE 1::BIGINT END AS n,
+               CASE WHEN vc >= 20000 THEN 1::BIGINT ELSE 0::BIGINT END AS seq,
+               (vc >= 20000) AS fired, vc AS facc, 1::BIGINT AS fn
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.event_id,
+               CASE WHEN w.acc + o.vc >= 20000 THEN 0 ELSE w.acc + o.vc END,
+               CASE WHEN w.acc + o.vc >= 20000 THEN 0::BIGINT ELSE w.n + 1 END,
+               w.seq + CASE WHEN w.acc + o.vc >= 20000 THEN 1 ELSE 0 END,
+               (w.acc + o.vc >= 20000), w.acc + o.vc, w.n + 1
+        FROM walk w JOIN ord o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+      SELECT user_id, seq - 1 AS win_seq, fn AS n, CAST(facc AS BIGINT) AS v_cents,
+             event_id AS last_id
+      FROM walk WHERE fired
+      ORDER BY user_id, win_seq"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -255,5 +345,8 @@ object Streaming2Queries {
     "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
     "q_stream_late_main" -> qStreamLateMain,
     "q_stream_late_side" -> qStreamLateSide,
+    "q_stream_time_evictor" -> qStreamTimeEvictor,
+    "q_stream_delta_evictor" -> qStreamDeltaEvictor,
+    "q_stream_global_window" -> qStreamGlobalWindow,
   )
 }

@@ -183,6 +183,88 @@ object StreamOps {
       .toDF()
   }
 
+  /** Count-tumbling window with a TIME evictor — ref TimeEvictor.java:
+    * before the window function runs, evict elements older than
+    * `keepMicros` before the window's max timestamp (the evictor's
+    * currentTime). Same firing rule as [[countTumbleWindow]]. */
+  def countWindowTimeEvict(s: SparkSession, events: DataFrame, size: Int,
+                           keepMicros: Long): DataFrame =
+    countWindowWithEvictor(s, events, size) { buf =>
+      val maxTs = buf.map(_._1).max
+      buf.filter(_._1 > maxTs - keepMicros)
+    }
+
+  /** Count-tumbling window with a DELTA evictor — ref DeltaEvictor.java:
+    * evict elements whose |value − lastElement.value| exceeds the
+    * threshold (delta function = absolute cents difference). */
+  def countWindowDeltaEvict(s: SparkSession, events: DataFrame, size: Int,
+                            thresholdCents: Long): DataFrame =
+    countWindowWithEvictor(s, events, size) { buf =>
+      val lastVc = buf.last._3
+      buf.filter(e => math.abs(e._3 - lastVc) <= thresholdCents)
+    }
+
+  private def countWindowWithEvictor(s: SparkSession, events: DataFrame, size: Int)(
+      evict: IndexedSeq[(Long, Long, Long)] => IndexedSeq[(Long, Long, Long)]): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              expr("unix_micros(ts)").as("tsMicros"), expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[CountWinState]) => {
+          var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
+          val out = scala.collection.mutable.ListBuffer[CountWinOut]()
+          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+            val buf = st.buf :+ ((e._3, e._2, e._4))
+            if (buf.length == size) {
+              val kept = evict(buf.toIndexedSeq)
+              out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, buf.last._2)
+              st = CountWinState(Nil, st.winSeq + 1)
+            } else st = st.copy(buf = buf)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  case class GlobalWinState(accCents: Long, n: Long, winSeq: Long)
+  case class GlobalWinOut(user_id: Long, win_seq: Long, n: Long, v_cents: Long, last_id: Long)
+
+  /** GlobalWindows + a custom purging trigger — ref GlobalWindows.java
+    * (assigner that never ends a window) + Trigger.java/PurgingTrigger:
+    * all events of a key share ONE window; a custom trigger FIREs when the
+    * accumulated value crosses `thresholdCents` and then purges the
+    * accumulator — the Flink pattern for value-based batching. State is
+    * O(1) per key (running aggregate, not a buffer). */
+  def globalWindowSumTrigger(s: SparkSession, events: DataFrame,
+                             thresholdCents: Long): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              expr("unix_micros(ts)").as("tsMicros"), expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[GlobalWinState]) => {
+          var st = state.getOption.getOrElse(GlobalWinState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer[GlobalWinOut]()
+          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+            val acc = st.accCents + e._4
+            val n = st.n + 1
+            if (acc >= thresholdCents) { // FIRE + PURGE
+              out += GlobalWinOut(key, st.winSeq, n, acc, e._2)
+              st = GlobalWinState(0L, 0L, st.winSeq + 1)
+            } else st = GlobalWinState(acc, n, st.winSeq)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class AsOfState(rights: List[(Long, Long)], pendingLefts: List[(Long, Long)])
   case class AsOfOut(key: Long, left_id: Long, right_id: Long)
 
