@@ -27,9 +27,10 @@ final class EngineEnv(val spark: SparkSession) {
 
   case class TableSpec(path: String, format: String, watermarkCol: Option[String], watermarkDelay: Option[String])
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
+  private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
+  private var currentDb = "default_database"
 
-  private val createRe =
-    """(?is)CREATE\s+TABLE\s+(\w+)\s*(?:\((.*)\))?\s*WITH\s*\((.*)\)\s*""".r
+  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""".r
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
@@ -39,32 +40,100 @@ final class EngineEnv(val spark: SparkSession) {
   private val dropRe =
     """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val showRe = """(?is)SHOW\s+TABLES\s*""".r
+  private val alterRenameRe = """(?is)ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  private val alterSetRe = """(?is)ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
+  private val createFnRe =
+    """(?is)CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*""".r
+  private val dropFnRe = """(?is)DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val describeRe = """(?is)DESC(?:RIBE)?\s+(\w+)\s*""".r
+  private val explainRe = """(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)""".r
+  private val showFnRe = """(?is)SHOW\s+(?:USER\s+)?FUNCTIONS\s*""".r
+  private val createDbRe = """(?is)CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
+  private val dropDbRe = """(?is)DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val useRe = """(?is)USE\s+(\w+)\s*""".r
+  private val showDbRe = """(?is)SHOW\s+DATABASES\s*""".r
 
-  /** DDL + commands. Returns an empty DataFrame for DDL (like the
-    * reference's TableResult for CREATE). */
+  /** The balanced `(...)` starting at `open`, honoring '…' string literals
+    * (so a DECIMAL(10,2) column or a ')' inside an option value never
+    * mis-splits — the round-1 greedy-regex hazard). Returns (content,
+    * index after the close paren). */
+  private def balanced(s: String, open: Int): (String, Int) = {
+    require(open < s.length && s(open) == '(', s"expected '(' at $open in: $s")
+    var depth = 0; var i = open; var inQ = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** `[ (cols) ] [ WITH (opts) ] [ LIKE base ]` tail of CREATE TABLE. */
+  private def parseCreateTail(tail0: String): (Option[String], Map[String, String], Option[String]) = {
+    var tail = tail0.trim
+    var cols: Option[String] = None
+    if (tail.startsWith("(")) {
+      val (c, next) = balanced(tail, 0)
+      cols = Some(c); tail = tail.substring(next).trim
+    }
+    var opts = Map[String, String]()
+    val withM = """(?is)^WITH\s*""".r.findFirstMatchIn(tail)
+    withM.foreach { m =>
+      val (o, next) = balanced(tail, m.end)
+      opts = parseOptions(o); tail = tail.substring(next).trim
+    }
+    val like = """(?is)^LIKE\s+(\w+)""".r.findFirstMatchIn(tail).map(_.group(1))
+    // LIKE may also precede WITH in Flink syntax: CREATE TABLE t LIKE b
+    (cols, opts, like)
+  }
+
+  private def register(name: String, spec: TableSpec): Unit = {
+    read(spec.path, spec.format).createOrReplaceTempView(name)
+    catalog(name) = spec
+  }
+
+  /** DDL + commands — ref flink-sql-parser/.../ddl statement classes
+    * (SqlCreateTable/SqlCreateTableLike/SqlAlterTableRename/
+    * SqlAlterTableOptions/SqlCreateFunction/SqlCreateDatabase/…) mapped
+    * onto the Spark temp catalog. Returns an empty DataFrame for DDL
+    * (like the reference's TableResult for CREATE). */
   def executeSql(sql: String): DataFrame = sql.trim match {
-    case createRe(name, colsOrNull, withClause) =>
-      val opts = parseOptions(withClause)
-      val wm = Option(colsOrNull).flatMap(c => watermarkRe.findFirstMatchIn(c))
+    case createHeadRe(name, tail) =>
+      val (cols, opts, like) = parseCreateTail(tail)
+      val wm = cols.flatMap(c => watermarkRe.findFirstMatchIn(c))
         .map(m => (m.group(1), s"${m.group(2)} ${unitName(m.group(3))}"))
-      opts.getOrElse("connector", "") match {
-        case "filesystem" =>
-          val path = opts("path")
-          val fmt = opts.getOrElse("format", "parquet")
-          val df = read(path, fmt)
-          df.createOrReplaceTempView(name)
-          catalog(name) = TableSpec(path, fmt, wm.map(_._1), wm.map(_._2))
-        case "datagen" =>
+      (like, opts.get("connector")) match {
+        // CREATE TABLE t [WITH (overrides)] LIKE base — SqlCreateTableLike:
+        // clone the base spec, apply option overrides, keep/override watermark
+        case (Some(base), _) =>
+          val b = catalog.getOrElse(base,
+            throw new IllegalArgumentException(s"LIKE references unknown table '$base'"))
+          val spec = TableSpec(
+            opts.getOrElse("path", b.path), opts.getOrElse("format", b.format),
+            wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay))
+          register(name, spec)
+        case (None, Some("filesystem")) =>
+          register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
+            wm.map(_._1), wm.map(_._2)))
+        case (None, Some("datagen")) =>
           // ref DataGenTableSourceFactory: deterministic generator (md5-based,
           // not RNG) so results are reproducible and oracle-checkable
           val n = opts.getOrElse("number-of-rows", "1000").toLong
-          val df = spark.range(n).select(
+          spark.range(n).select(
             col("id"),
             expr("conv(substr(md5(concat('k_', id)), 1, 15), 16, 10)").cast("long").as("k"),
             expr("conv(substr(md5(concat('v_', id)), 1, 8), 16, 10)").cast("double").as("v"))
-          df.createOrReplaceTempView(name)
+            .createOrReplaceTempView(name)
           catalog(name) = TableSpec("", "datagen", None, None)
-        case other => throw new IllegalArgumentException(s"unsupported connector '$other'")
+        case (None, other) => throw new IllegalArgumentException(s"unsupported connector '$other'")
       }
       spark.emptyDataFrame
     // INSERT INTO/OVERWRITE a registered filesystem table — the reference's
@@ -78,18 +147,60 @@ final class EngineEnv(val spark: SparkSession) {
         .format(spec.format).save(spec.path)
       read(spec.path, spec.format).createOrReplaceTempView(name)
       spark.emptyDataFrame
-    // remaining DDL surface — ref flink-sql-parser/.../ddl (30 statement
-    // classes); views/drop/show map straight onto the Spark temp catalog
     case createViewRe(name, query) =>
       sqlQuery(query).createOrReplaceTempView(name)
+      spark.emptyDataFrame
+    case alterRenameRe(from, to) => // SqlAlterTableRename
+      val spec = catalog.getOrElse(from,
+        throw new IllegalArgumentException(s"unknown table '$from'"))
+      spark.catalog.dropTempView(from); catalog.remove(from)
+      register(to, spec)
+      spark.emptyDataFrame
+    case alterSetRe(name, withClause) => // SqlAlterTableOptions
+      val spec = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table '$name'"))
+      val opts = parseOptions(withClause)
+      register(name, spec.copy(
+        path = opts.getOrElse("path", spec.path),
+        format = opts.getOrElse("format", spec.format)))
+      spark.emptyDataFrame
+    // CREATE FUNCTION alias AS 'target' — SqlCreateFunction; the target is
+    // any resolvable function name (built-in or graft-registered): the
+    // builder emits an UnresolvedFunction the analyzer resolves per call
+    case createFnRe(name, target) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.createOrReplaceTempFunction(
+          name,
+          exprs => org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq(target), exprs, isDistinct = false),
+          "built-in")
+      spark.emptyDataFrame
+    case dropFnRe(name) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))
       spark.emptyDataFrame
     case dropRe(name) =>
       spark.catalog.dropTempView(name)
       catalog.remove(name)
       spark.emptyDataFrame
     case showRe() => spark.sql("SHOW VIEWS")
+    case showFnRe() => spark.sql("SHOW FUNCTIONS")
+    case describeRe(name) => spark.sql(s"DESCRIBE $name")
+    case explainRe(query) => spark.sql("EXPLAIN " + FlinkSqlDialect.rewrite(query))
+    case createDbRe(db) => databases += db; spark.emptyDataFrame
+    case dropDbRe(db) =>
+      if (db == currentDb) throw new IllegalArgumentException(s"cannot drop current database '$db'")
+      databases -= db; spark.emptyDataFrame
+    case useRe(db) if databases(db) => currentDb = db; spark.emptyDataFrame
+    case useRe(db) => throw new IllegalArgumentException(s"unknown database '$db'")
+    case showDbRe() =>
+      import spark.implicits._
+      databases.toSeq.toDF("database_name")
     case q => sqlQuery(q)
   }
+
+  def currentDatabase: String = currentDb
 
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
     * front-end; everything else is string-rewritten into Spark SQL. */

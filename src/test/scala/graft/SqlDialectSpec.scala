@@ -88,6 +88,59 @@ class SqlDialectSpec extends SparkTestBase {
     assert(!s.catalog.tableExists("big_orders"))
   }
 
+  test("paren-aware DDL: DECIMAL(p,s) columns and ')' inside option values parse") {
+    val s = spark
+    val e = new EngineEnv(s)
+    // nested parens in the column list + a paren and quoted '=' in options
+    e.executeSql(s"""CREATE TABLE ddl_paren (
+        o_orderkey BIGINT,
+        o_totalprice DECIMAL(10,2),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet',
+              'format'='parquet', 'comment'='weird (value) = here')""")
+    assert(s.table("ddl_paren").count() > 0)
+    assert(e.watermarkOf("ddl_paren").contains(("ts", "5 seconds")))
+  }
+
+  test("CREATE TABLE LIKE clones the spec; ALTER TABLE renames and re-points") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE ddl_base (WATERMARK FOR ts AS ts - INTERVAL '10' SECOND)
+      WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    e.executeSql("CREATE TABLE ddl_clone LIKE ddl_base")
+    assert(e.watermarkOf("ddl_clone").contains(("ts", "10 seconds"))) // inherited
+    assert(s.table("ddl_clone").count() == s.table("ddl_base").count())
+    e.executeSql("ALTER TABLE ddl_clone RENAME TO ddl_renamed")
+    assert(!s.catalog.tableExists("ddl_clone") && s.table("ddl_renamed").count() > 0)
+    e.executeSql(s"ALTER TABLE ddl_renamed SET ('path'='$sfDir/nation.parquet')")
+    assert(s.table("ddl_renamed").columns.contains("n_nationkey")) // re-pointed
+  }
+
+  test("CREATE FUNCTION aliases a resolvable function; databases track USE") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql("CREATE TEMPORARY FUNCTION shout AS 'upper'")
+    assert(e.sqlQuery("SELECT shout('ok') AS x").collect()(0).getString(0) == "OK")
+    e.executeSql("DROP FUNCTION shout")
+    intercept[Exception](e.sqlQuery("SELECT shout('ok') AS x").collect())
+    e.executeSql("CREATE DATABASE analytics")
+    e.executeSql("USE analytics")
+    assert(e.currentDatabase == "analytics")
+    assert(e.executeSql("SHOW DATABASES").collect().map(_.getString(0)).contains("analytics"))
+    intercept[IllegalArgumentException](e.executeSql("USE nope"))
+  }
+
+  test("DESCRIBE and EXPLAIN run through the dialect") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE ddl_desc WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    val cols = e.executeSql("DESCRIBE ddl_desc").collect().map(_.getString(0))
+    assert(cols.contains("n_nationkey"))
+    val plan = e.executeSql("EXPLAIN SELECT n_name FROM ddl_desc WHERE n_nationkey > 3")
+      .collect()(0).getString(0)
+    assert(plan.contains("Filter") || plan.contains("filter"))
+  }
+
   test("datagen is deterministic across invocations") {
     val e = new EngineEnv(spark)
     e.executeSql("CREATE TABLE g1 WITH ('connector'='datagen', 'number-of-rows'='10')")
