@@ -94,5 +94,6 @@ object Queries {
   ) ++ coverage.RelationalQueries.all ++ coverage.WindowQueries.all ++
     coverage.PipelineQueries.all ++ coverage.StreamingQueries.all ++
     coverage.SqlDialectQueries.all ++ coverage.MiscQueries.all ++ coverage.ExtraQueries.all ++
-    coverage.Extra2Queries.all ++ coverage.TpchQueries.all ++ coverage.Streaming2Queries.all
+    coverage.Extra2Queries.all ++ coverage.TpchQueries.all ++ coverage.Streaming2Queries.all ++
+    coverage.TpcdsShapeQueries.all
 }
