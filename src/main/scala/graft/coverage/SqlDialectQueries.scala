@@ -238,6 +238,51 @@ object SqlDialectQueries {
       FROM ord WHERE nid IS NOT NULL
       ORDER BY user_id, event_type, mn"""))
 
+  /** SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR):
+    * % and _ wildcards mixed with regex alternation, whole-string match;
+    * the dialect rewrites to an anchored RLIKE. */
+  val qSimilarTo: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT p_partkey, p_type FROM part
+        WHERE p_type SIMILAR TO '(ECON|PRO)%'
+          AND p_name NOT SIMILAR TO 's%'
+        ORDER BY p_partkey""")
+    },
+    oracle = Some("""
+      SELECT p_partkey, p_type FROM part
+      WHERE regexp_matches(p_type, '^(?:(ECON|PRO).*)$')
+        AND NOT regexp_matches(p_name, '^(?:s.*)$')
+      ORDER BY p_partkey"""))
+
+  /** Window join (DataStream JoinedStreams .window, ref JoinedStreams
+    * .java:63 / batch window-join): two keyed streams joined when their
+    * elements fall in the SAME tumbling window — an equi-join on
+    * (key, window) after window assignment, demonstrating that the window
+    * column is a first-class join key. */
+  val qWindowJoin: Q = Q(
+    run = (s, dir) => {
+      val ev = graft.Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+                window(col("ts"), "10 minutes").as("w"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("event_id").as("purchase_id"),
+                window(col("ts"), "10 minutes").as("w2"))
+      clicks.join(purchases, col("user_id") === col("u2") && col("w") === col("w2"))
+        .select(col("user_id"), col("w.start").as("ws"), col("click_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("ws"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id AS user_id, time_bucket(INTERVAL '10 minutes', c.ts) AS ws,
+             c.event_id AS click_id, p.event_id AS purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND time_bucket(INTERVAL '10 minutes', c.ts) = time_bucket(INTERVAL '10 minutes', p.ts)
+      ORDER BY c.user_id, ws, click_id, purchase_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
@@ -248,5 +293,7 @@ object SqlDialectQueries {
     "q_sql_mr_skip_to_last" -> qSqlMrSkipToLast,
     "q_sql_mr_all_rows" -> qSqlMrAllRows,
     "q_sql_mr_multi_partition" -> qSqlMrMultiPartition,
+    "q_similar_to" -> qSimilarTo,
+    "q_window_join" -> qWindowJoin,
   )
 }

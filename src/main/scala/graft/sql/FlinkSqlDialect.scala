@@ -56,6 +56,16 @@ object FlinkSqlDialect {
 
     // time attributes
     s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
+
+    // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR):
+    // SQL wildcards % / _ become .* / . and the pattern anchors whole-string;
+    // remaining regex syntax ((), |, [], quantifiers) passes through —
+    // Spark spells it RLIKE
+    s = replaceFn(s, """(?i)(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'""".r, m => {
+      val pat = m.group(2).replace("%", ".*").replace("_", ".")
+      val not = if (m.group(1) != null) "NOT " else ""
+      s"${not}RLIKE '^(?:$pat)$$'"
+    })
     s
   }
 

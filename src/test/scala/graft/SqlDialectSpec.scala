@@ -141,6 +141,33 @@ class SqlDialectSpec extends SparkTestBase {
     assert(plan.contains("Filter") || plan.contains("filter"))
   }
 
+  test("socketTextStream: Spark socket source reads a localhost line server") {
+    val s = spark
+    import s.implicits._
+    // ref StreamExecutionEnvironment.socketTextStream — the debug line
+    // source; Spark's built-in 'socket' format is the 1:1 analog. A local
+    // loopback server stands in for the remote endpoint (zero egress).
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      val c = server.accept()
+      val w = new java.io.PrintWriter(c.getOutputStream, true)
+      (1 to 5).foreach(i => w.println(s"line_$i"))
+      Thread.sleep(3000); w.close(); c.close()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val q = s.readStream.format("socket")
+      .option("host", "localhost").option("port", port).load()
+      .writeStream.format("memory").queryName("sock_t").outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (s.table("sock_t").count() < 5 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    val rows = s.table("sock_t").as[String].collect().toSet
+    q.stop(); server.close()
+    assert(rows == (1 to 5).map(i => s"line_$i").toSet)
+  }
+
   test("datagen is deterministic across invocations") {
     val e = new EngineEnv(spark)
     e.executeSql("CREATE TABLE g1 WITH ('connector'='datagen', 'number-of-rows'='10')")
