@@ -336,6 +336,29 @@ object Streaming2Queries {
       FROM walk WHERE fired
       ORDER BY user_id, win_seq"""))
 
+  /** Event-time timers (KeyedProcessFunction.registerEventTimeTimer /
+    * onTimer) — inactivity timeout: alert when a user goes quiet for
+    * 30 min (timer re-registered per event, fired by the watermark; the
+    * final pending timer fires via the EventTimeTimeout callback). */
+  val qStreamTimer: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.inactivityTimeout(s, src, 30L * 60 * 1000000), OutputMode.Update())
+        .orderBy(col("user_id"), col("last_event_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ntsu
+                   FROM events),
+           mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+      SELECT user_id, event_id AS last_event_id, tsu AS last_ts_us,
+             tsu + 1800000000 AS timeout_at_us
+      FROM ord
+      WHERE (ntsu IS NOT NULL AND ntsu > tsu + 1800000000)
+         OR (ntsu IS NULL AND (tsu + 1800000000) // 1000 < (SELECT m FROM mx) // 1000)
+      ORDER BY user_id, last_event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -345,6 +368,7 @@ object Streaming2Queries {
     "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
     "q_stream_late_main" -> qStreamLateMain,
     "q_stream_late_side" -> qStreamLateSide,
+    "q_stream_timer" -> qStreamTimer,
     "q_stream_time_evictor" -> qStreamTimeEvictor,
     "q_stream_delta_evictor" -> qStreamDeltaEvictor,
     "q_stream_global_window" -> qStreamGlobalWindow,

@@ -47,7 +47,9 @@ case class SplitIndexExpr(first: Expression, second: Expression, third: Expressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, sep, idx) => {
-      val evaluator = SplitIndexEval.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // the object's static instance lives on the `...$` class — Janino
+      // resolves `graft.plans.SplitIndexEval$.MODULE$` (keep BOTH dollars)
+      val evaluator = SplitIndexEval.getClass.getName + ".MODULE$"
       s"""
          |${ev.value} = $evaluator.eval($s, $sep, $idx);
          |${ev.isNull} = ${ev.value} == null;

@@ -386,6 +386,61 @@ object StreamOps {
       .toDF()
   }
 
+  case class TimerState(lastTs: Long, lastId: Long, timerAt: Long)
+  case class TimerOut(user_id: Long, last_event_id: Long, last_ts_us: Long, timeout_at_us: Long)
+
+  /** Event-time timers — ref KeyedProcessFunction.registerEventTimeTimer /
+    * onTimer (KeyedProcessOperator.java): each event (re)registers a timer
+    * at ts + gap; when the WATERMARK passes a pending timer before a newer
+    * event superseded it, onTimer fires an inactivity alert. The classic
+    * timeout-detection pattern; state = one (lastTs, timerAt) pair per key.
+    *
+    * Spark mapping: `GroupStateTimeout.EventTimeTimeout` +
+    * `state.setTimeoutTimestamp` IS registerEventTimeTimer — the
+    * `hasTimedOut` invocation (which reaches keys with no rows in the
+    * batch) is onTimer. Timers that lapse BETWEEN two events of the same
+    * micro-batch fire inline while processing (the reference fires them as
+    * the watermark sweeps past). */
+  def inactivityTimeout(s: SparkSession, events: DataFrame, gapMicros: Long): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              col("ts").cast("timestamp").as("_3"))
+      .withWatermark("_3", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[TimerState]) => {
+          if (state.hasTimedOut) { // onTimer
+            val st = state.get
+            state.remove()
+            Iterator.single(TimerOut(key, st.lastId, st.lastTs, st.timerAt))
+          } else {
+            var st = state.getOption.getOrElse(TimerState(Long.MinValue, -1L, Long.MaxValue))
+            val out = scala.collection.mutable.ListBuffer[TimerOut]()
+            it.toIndexedSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+              val ts = e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000
+              if (st.timerAt != Long.MaxValue && ts > st.timerAt)
+                out += TimerOut(key, st.lastId, st.lastTs, st.timerAt) // lapsed between events
+              st = TimerState(ts, e._2, ts + gapMicros)
+            }
+            if (st.timerAt != Long.MaxValue) {
+              state.update(st)
+              // register the pending timer; a timestamp at/below the current
+              // watermark would be rejected — it is already expired, fire now
+              if (st.timerAt / 1000 > state.getCurrentWatermarkMs()) {
+                state.setTimeoutTimestamp(st.timerAt / 1000)
+              } else {
+                out += TimerOut(key, st.lastId, st.lastTs, st.timerAt)
+                state.remove()
+              }
+            }
+            out.iterator
+          }
+        })
+      .toDF()
+  }
+
   case class LateOut(user_id: Long, event_id: Long)
 
   /** Late-data side output for a watermarked tumbling window — the

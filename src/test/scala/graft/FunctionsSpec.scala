@@ -41,6 +41,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaCol == Seq("w"))
   }
 
+  test("SPLIT_INDEX generated code COMPILES (no interpreted fallback)") {
+    val s = spark
+    import s.implicits._
+    FlinkFunctions.registerAll(s)
+    // with fallback disabled a doGenCode compile error fails the query
+    // instead of silently degrading to the interpreted path
+    val prev = s.conf.getOption("spark.sql.codegen.fallback")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq(("a,b,c", 1)).toDF("str", "i")
+        .selectExpr("SPLIT_INDEX(str, ',', i) AS p").as[String].collect().toSeq
+      assert(out == Seq("b"))
+    } finally prev.fold(s.conf.unset("spark.sql.codegen.fallback"))(
+      v => s.conf.set("spark.sql.codegen.fallback", v))
+  }
+
   test("SINGLE_VALUE returns the value for 1-row groups") {
     val s = spark
     import s.implicits._
