@@ -51,4 +51,32 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_pipe_ann_brute").contains("BroadcastNestedLoopJoin") ||
       plan("q_pipe_ann_brute").contains("BroadcastHashJoin"))
   }
+
+  test("q_pipe_simhash: banded join — NO all-pairs cartesian in the plan") {
+    // the round-1 scale hole: pair generation must go through the
+    // (band, band-value) bucket join, never an all-pairs product
+    Seq("q_pipe_simhash", "q_pipe_simhash_k3").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join")
+    }
+  }
+
+  test("q_pipe_jaccard: no InMemoryTableScan (cache) in the query path") {
+    val p = plan("q_pipe_jaccard")
+    assert(!p.contains("InMemoryTableScan"), "jaccard re-grew a cache dependency")
+  }
+
+  test("q_ds_multijoin: dims broadcast; selective filters pushed to scans") {
+    val p = plan("q_ds_multijoin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters") && p.contains("p_size"))
+  }
+
+  test("q_tpch_q6: every predicate reaches the lineitem scan") {
+    val p = plan("q_tpch_q6")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"))
+  }
 }
