@@ -98,6 +98,39 @@ object GraphOps {
       .select(col("v"), coalesce(col("component"), col("v")).as("component"))
   }
 
+  /** Deterministic integer PageRank — the Gelly library PageRank analog
+    * (flink-gelly/.../library/linkanalysis/PageRank.java) over the
+    * undirected (bi-directed) edge list. Scores live in integer millionths
+    * and per-edge contributions use floor division, so the shuffled
+    * distributed sums are bit-identical to a serial evaluation — the same
+    * determinism trick as the quantized float aggregates (no float drift
+    * across 1000 executors). Fixed iteration count like the reference's
+    * default termination; lineage cut per round via localCheckpoint. */
+  def pageRank(edges: DataFrame, iters: Int = 10, dampingPct: Long = 85): DataFrame = {
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val bi = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val degs = bi.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val base = lit((100 - dampingPct) * 10000) // (1-d) × 10⁶, in millionths
+      var sc = bi.select(col("u").as("pv")).distinct().withColumn("s", lit(1000000L))
+        .localCheckpoint()
+      (1 to iters).foreach { _ =>
+        sc = bi
+          .join(sc, col("u") === col("pv"))
+          .join(degs, "u")
+          .select(col("v"), expr("s DIV dg").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+          .select(col("v").as("pv"), (base + expr(s"($dampingPct * cs) DIV 100")).cast("long").as("s"))
+          .localCheckpoint()
+      }
+      sc.select(col("pv").as("v"), col("s").as("score_ppm"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

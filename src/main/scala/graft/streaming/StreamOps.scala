@@ -386,6 +386,41 @@ object StreamOps {
       .toDF()
   }
 
+  case class RuleOut(event_type: String, event_id: Long, v_cents: Long)
+
+  /** Broadcast state / BroadcastProcessFunction — ref flink-streaming-java
+    * co.BroadcastProcessFunction + BroadcastState: a CONTROL stream of rule
+    * updates (side 0: per-type value threshold) is applied to the DATA
+    * stream (side 1) as it flows; a rule update in a later batch changes
+    * how subsequent data is filtered, and types with no rule yet drop
+    * everything (the reference's empty-broadcast-state behavior). Both
+    * streams union-tagged and keyed by the rule key, so the rule lives in
+    * keyed state exactly where the data needs it — the Spark spelling of
+    * "broadcast the control stream to every data partition". */
+  def broadcastRuleFilter(s: SparkSession, tagged: DataFrame): DataFrame = {
+    import s.implicits._
+    tagged
+      .select(col("etype").cast("string").as("_1"), col("side").cast("int").as("_2"),
+              col("id").cast("long").as("_3"), col("v").cast("long").as("_4"),
+              col("seq").cast("long").as("_5"))
+      .as[(String, Int, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Int, Long, Long, Long)], state: GroupState[Long]) => {
+          var threshold = state.getOption.getOrElse(Long.MaxValue) // no rule → drop
+          val out = scala.collection.mutable.ListBuffer[RuleOut]()
+          // rules sort before data within a batch (seq 0 vs 1)
+          it.toIndexedSeq.sortBy(e => (e._5, e._3)).foreach {
+            case (_, 0, _, v, _) => threshold = v // rule update
+            case (_, 1, id, v, _) => if (v >= threshold) out += RuleOut(key, id, v)
+            case other => throw new IllegalArgumentException(s"bad side in $other")
+          }
+          state.update(threshold)
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class TimerState(lastTs: Long, lastId: Long, timerAt: Long)
   case class TimerOut(user_id: Long, last_event_id: Long, last_ts_us: Long, timeout_at_us: Long)
 
