@@ -30,12 +30,18 @@ object PipelineQueries {
   private val words: Column = split(col("text"), " ")
 
   /** Distinct word-3-gram shingles per doc (ref: standard MinHash shingling;
-    * the reference has no dedup operator — this is the M7 extension). */
+    * the reference has no dedup operator — this is the M7 extension).
+    * The split is BOUND to a projected column first: an inline `split(...)`
+    * referenced via element_at inside the transform lambda re-evaluates the
+    * split per element (~300 splits/doc — measured 7× slower). */
   private def shingled(d: DataFrame): DataFrame =
-    d.filter(size(words) >= 3).select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
-    )).as("sh"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))
+      )).as("sh"))
 
   // constant-bound series + WHERE (DuckDB's generate_series can't take
   // lateral column bounds); 500 safely exceeds the max words-per-doc
@@ -126,20 +132,23 @@ object PipelineQueries {
     run = (s, dir) => {
       val sh = shingled(docs(s, dir))
       val p = 2147483647L
+      // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
+      // rows (partial agg applies): 16× less shuffle volume than exploding a
+      // seed dimension, same math as the oracle
+      val seeds = 0 until 16
       val sig = sh
         .withColumn("h0", hashStr(col("sh")) % p)
-        .withColumn("seed", explode(sequence(lit(0), lit(15))))
-        .withColumn("h", ((col("seed") * 2 + 1) * col("h0") + col("seed") * 12345 + 7) % p)
-        .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-      val bands = sig
-        .withColumn("band", (col("seed") / 4).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(
-          min(when(col("seed") % 4 === 0, col("mh"))).as("m0"),
-          min(when(col("seed") % 4 === 1, col("mh"))).as("m1"),
-          min(when(col("seed") % 4 === 2, col("mh"))).as("m2"),
-          min(when(col("seed") % 4 === 3, col("mh"))).as("m3"))
-        .withColumn("bkey", md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))))
+        .groupBy(col("doc_id"))
+        .agg(seeds.map(sd =>
+          min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
+          seeds.tail.map(sd =>
+            min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
+          .as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
