@@ -72,10 +72,11 @@ object StreamOps {
   def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_mem_${counter.incrementAndGet()}"
     // stateful streaming cost scales with state-store instances (one per
-    // shuffle partition, committed every batch): 8 partitions is plenty for
-    // the fixture volume and ~4× cheaper than the batch default of 32
+    // shuffle partition, committed every batch): 4 partitions halves the
+    // fixed per-query harness cost vs 8 (measured; 2 is no better) while
+    // the fixture volume stays far below per-partition limits
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", sys.props.getOrElse("graft.stream.parts", "4"))
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
