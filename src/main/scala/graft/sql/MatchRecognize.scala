@@ -49,6 +49,7 @@ object MatchRecognize {
   case class SkipToFirst(v: String) extends Skip
   case class SkipToLast(v: String) extends Skip
   case class Spec(table: String, partitionBy: Seq[String], orderBy: String,
+                  orderTiebreak: Option[String],
                   measures: Seq[Measure], pattern: Seq[PatVar],
                   withinMicros: Long, defines: Map[String, Define],
                   skip: Skip, allRows: Boolean)
@@ -56,7 +57,7 @@ object MatchRecognize {
   private val outerRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
   private val partRe = """(?is)PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)""".r
-  private val orderRe = """(?is)ORDER\s+BY\s+(\w+)""".r
+  private val orderRe = """(?is)ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?""".r
   private val measuresRe = """(?is)MEASURES\s+(.*?)\s+(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""".r
   private val measureRe = """(?i)\s*(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)\s*\)?\s+AS\s+(\w+)\s*""".r
   private val measureFnRe = """(?i)\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
@@ -78,8 +79,10 @@ object MatchRecognize {
     val part = partRe.findFirstMatchIn(body).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
       .split(",").map(_.trim).toSeq
-    val order = orderRe.findFirstMatchIn(body).map(_.group(1))
+    val orderM = orderRe.findFirstMatchIn(body)
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
+    val order = orderM.group(1)
+    val tiebreak = Option(orderM.group(2))
     val measures = measuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
       .flatMap(_.split(",")).map {
         case measureFnRe(fn, as) => Measure(fn.toUpperCase, "", "", as)
@@ -124,7 +127,7 @@ object MatchRecognize {
     }.getOrElse(SkipToNextRow)
     val allRows = rowsPerRe.findFirstMatchIn(body)
       .exists(_.group(1).toUpperCase.startsWith("ALL"))
-    Spec(table, part, order, measures, pattern, within, defines, skip, allRows)
+    Spec(table, part, order, tiebreak, measures, pattern, within, defines, skip, allRows)
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
@@ -209,10 +212,24 @@ object MatchRecognize {
     val skip = spec.skip
     val allRows = spec.allRows
 
+    // secondary ORDER BY column = deterministic tiebreak for equal
+    // timestamps (without one, equal-ts ordering is shuffle-dependent)
+    val tieKey: Row => java.math.BigDecimal = spec.orderTiebreak match {
+      case None => _ => java.math.BigDecimal.ZERO
+      case Some(c) =>
+        val ti = schema.fieldIndex(c)
+        require(schema(ti).dataType.isInstanceOf[NumericType],
+          s"ORDER BY tiebreak column $c must be numeric")
+        r => if (r.isNullAt(ti)) java.math.BigDecimal.ZERO
+             else new java.math.BigDecimal(r.get(ti).toString)
+    }
+    implicit val bdOrdering: Ordering[java.math.BigDecimal] =
+      Ordering.fromLessThan(_.compareTo(_) < 0)
+
     df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it: Iterator[Row]) =>
-        val sorted = it.toIndexedSeq.sortBy(tsMicros)
+        val sorted = it.toIndexedSeq.sortBy(r => (tsMicros(r), tieKey(r)))
         val out = scala.collection.mutable.ListBuffer[Row]()
         var matchNo = 0L
         var i = 0

@@ -158,6 +158,21 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out == Set((1L, "x", 1L, 2L)))
   }
 
+  test("ORDER BY tiebreak column resolves equal timestamps deterministically") {
+    val s = spark
+    import s.implicits._
+    // two events at the SAME second — event_id tiebreak decides A-then-B
+    mkEvents(Seq((1L, 2L, "purchase", 10L), (1L, 1L, "click", 10L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase')""")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L)))
+  }
+
   test("WITHIN excludes slow completions") {
     val s = spark
     import s.implicits._
