@@ -366,6 +366,70 @@ object PipelineQueries {
       SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cid) AS rn, cid, bucket, cosv
       FROM cos QUALIFY rn <= 3 ORDER BY qid, rn"""))
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-family variant of
+    * ANN): corpus vectors bucketed by random-hyperplane signs, candidate
+    * pairs from one bucket-key equi-join, exact quantized-cosine
+    * verification — the sub-quadratic near-dup path. Like every LSH,
+    * single-table recall is probabilistic, so the CONTRACT (and the
+    * oracle) is bucket-candidates-then-verify: the oracle replicates the
+    * deterministic md5-derived bucketing, exactly as q_pipe_ann_lsh does.
+    * (This corpus plants no true near-dups — max pairwise cosine ≈ 0.51 —
+    * so the demo threshold is 0.3.) */
+  val qPipeDedupCosine: Q = Q(
+    run = (s, dir) => {
+      val planes = 4
+      val e = emb(s, dir).withColumn("nq", normQ)
+      val withBucket = e.withColumn("bucket",
+        (0 until planes).map { p =>
+          val dot = aggregate(
+            transform(sequence(lit(1), lit(64)),
+              d => floor(element_at(col("embedding"), d).cast("double") *
+                ((hashStr(concat(lit(s"pl${p}_"), d.cast("string"))) % 2001) - 1000).cast("double") * 1000.0).cast("long")),
+            lit(0L), (a, x) => a + x)
+          when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _))
+        .select(col("vec_id"), col("embedding"), col("nq"), col("bucket"))
+      val dot = aggregate(
+        zip_with(col("e1"), col("e2"),
+          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      withBucket.as("a").join(withBucket.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+                col("a.embedding").as("e1"), col("b.embedding").as("e2"),
+                col("a.nq").as("n1"), col("b.nq").as("n2"))
+        .withColumn("cosv", cosQ(dot, col("n1"), col("n2")))
+        .filter(col("cosv") >= 0.3)
+        .select(col("v1"), col("v2"), col("cosv"))
+        .orderBy(col("v1"), col("v2"))
+    },
+    oracle = Some(s"""
+      WITH coef AS (
+        SELECT p, d, (${oHash("'pl' || p || '_' || d")} % 2001) - 1000 AS c
+        FROM generate_series(0, 3) gp(p), generate_series(1, 64) gd(d)),
+      pd AS (
+        SELECT e.vec_id, p, SUM(CAST(FLOOR(CAST(e.embedding[d] AS DOUBLE) * CAST(c AS DOUBLE) * 1000.0) AS BIGINT)) AS dt
+        FROM embeddings e, coef WHERE coef.d <= len(e.embedding)
+        GROUP BY e.vec_id, p),
+      bk AS (
+        SELECT vec_id, SUM(CASE WHEN dt > 0 THEN (1 << p) ELSE 0 END)::INT AS bucket
+        FROM pd GROUP BY vec_id),
+      norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS nq
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               SUM(CAST(FLOOR(CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM embeddings a JOIN bk ba ON ba.vec_id = a.vec_id,
+             embeddings b JOIN bk bb ON bb.vec_id = b.vec_id,
+             generate_series(1, 64) g(d)
+        WHERE a.vec_id < b.vec_id AND ba.bucket = bb.bucket
+        GROUP BY 1, 2)
+      SELECT v1, v2, CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cosv
+      FROM dots JOIN norms na ON na.vec_id = v1 JOIN norms nb ON nb.vec_id = v2
+      WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
+      ORDER BY v1, v2"""))
+
   // --------------------------------------------------------- text analysis
 
   private val stopLatin = Seq("the", "a", "data", "table")
@@ -537,6 +601,7 @@ object PipelineQueries {
     "q_pipe_simhash_k3" -> qPipeSimhashK3,
     "q_pipe_ann_brute" -> qPipeAnnBrute,
     "q_pipe_ann_lsh" -> qPipeAnnLsh,
+    "q_pipe_dedup_cosine" -> qPipeDedupCosine,
     "q_pipe_langid" -> qPipeLangid,
     "q_pipe_quality" -> qPipeQuality,
     "q_pipe_tokens" -> qPipeTokens,
