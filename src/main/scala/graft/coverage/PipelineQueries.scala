@@ -377,7 +377,7 @@ object PipelineQueries {
     * so the demo threshold is 0.3.) */
   val qPipeDedupCosine: Q = Q(
     run = (s, dir) => {
-      val planes = 4
+      val planes = 6 // 64 buckets: ~16× fewer candidate pairs than 4 planes
       val e = emb(s, dir).withColumn("nq", normQ)
       val withBucket = e.withColumn("bucket",
         (0 until planes).map { p =>
@@ -406,7 +406,7 @@ object PipelineQueries {
     oracle = Some(s"""
       WITH coef AS (
         SELECT p, d, (${oHash("'pl' || p || '_' || d")} % 2001) - 1000 AS c
-        FROM generate_series(0, 3) gp(p), generate_series(1, 64) gd(d)),
+        FROM generate_series(0, 5) gp(p), generate_series(1, 64) gd(d)),
       pd AS (
         SELECT e.vec_id, p, SUM(CAST(FLOOR(CAST(e.embedding[d] AS DOUBLE) * CAST(c AS DOUBLE) * 1000.0) AS BIGINT)) AS dt
         FROM embeddings e, coef WHERE coef.d <= len(e.embedding)

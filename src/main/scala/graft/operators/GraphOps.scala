@@ -109,7 +109,7 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10, dampingPct: Long = 85): DataFrame = {
     val spark = edges.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val bi = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
