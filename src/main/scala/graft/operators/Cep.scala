@@ -49,35 +49,54 @@ object Cep {
   }
 
   /** Greedy match attempt anchored at `start`. Returns (stepIdx, evIdx)
-    * pairs in match order, or None. */
+    * pairs in match order, or None.
+    *
+    * The search is an EXPLICIT-stack DFS (heap frames, not JVM recursion):
+    * search depth equals the match length, so a quantified step consuming a
+    * million-event run must not ride the call stack. Each frame tries its
+    * two ordered children — consume one more event for the current step
+    * (first-candidate commit: a failing descent is not retried with later
+    * candidates), then advance to the next step if the quantifier minimum
+    * is met — exactly the recursion it replaces. */
   def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
                 withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
     if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return None
     val startTs = ts(evs(start))
-    def go(pos: Int, si: Int, cnt: Int, acc: List[(Int, Int)]): Option[List[(Int, Int)]] = {
-      if (si == steps.length) Some(acc.reverse)
-      else {
-        val st = steps(si)
-        // first-candidate commit: on a matching event we recurse and do not
-        // retry later candidates for this step (bounded backtracking)
-        def consume: Option[List[(Int, Int)]] = {
-          var p = pos
-          // strict boundary: the reference NFA times out a partial match when
-          // timestamp - startTimestamp >= windowTime (NFA.java:301) — a match
-          // spanning exactly WITHIN is rejected. Long.MaxValue (no window)
-          // stays safe: ts deltas of real event times never reach it.
-          while (p < evs.length && ts(evs(p)) - startTs < withinMicros) {
-            if (st.pred(evs(p), new MatchCtx(evs, acc))) return go(p + 1, si, cnt + 1, (si, p) :: acc)
-            if (st.strict) return None
-            p += 1
+    final class Frame(val pos: Int, val si: Int, val cnt: Int,
+                      val acc: List[(Int, Int)], var stage: Int)
+    val stack = scala.collection.mutable.Stack(
+      new Frame(start + 1, 0, 1, List((0, start)), 0))
+    while (stack.nonEmpty) {
+      val f = stack.top
+      if (f.si == steps.length) return Some(f.acc.reverse)
+      f.stage match {
+        case 0 => // child 1: consume one more event for this step
+          f.stage = 1
+          val st = steps(f.si)
+          if (f.cnt < st.maxTimes) {
+            var p = f.pos
+            var found = -1
+            // strict boundary: the reference NFA times out a partial match
+            // when timestamp - startTimestamp >= windowTime (NFA.java:301) —
+            // a match spanning exactly WITHIN is rejected. Long.MaxValue (no
+            // window) stays safe: real ts deltas never reach it.
+            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
+              if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
+              else if (st.strict) p = evs.length // strict: no skipping
+              else p += 1
+            }
+            if (found >= 0)
+              stack.push(new Frame(found + 1, f.si, f.cnt + 1, (f.si, found) :: f.acc, 0))
           }
-          None
-        }
-        val tryMore = if (cnt < st.maxTimes) consume else None
-        tryMore.orElse(if (cnt >= st.minTimes) go(pos, si + 1, 0, acc) else None)
+        case 1 => // child 2: advance to the next step
+          f.stage = 2
+          if (f.cnt >= steps(f.si).minTimes)
+            stack.push(new Frame(f.pos, f.si + 1, 0, f.acc, 0))
+        case _ => // both children exhausted → backtrack
+          stack.pop()
       }
     }
-    go(start + 1, 0, 1, List((0, start)))
+    None
   }
 
   // ------------------------------------------------- typed events surface

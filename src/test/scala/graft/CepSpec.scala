@@ -55,6 +55,20 @@ class CepSpec extends SparkTestBase {
     assert(run(evs, p).isEmpty)
   }
 
+  test("a 50k-event quantified run does not overflow the stack") {
+    // A B* C where B consumes the entire 50k-view run: the match search
+    // depth equals the run length — JVM recursion would overflow here
+    val n = 50000
+    val evs = (ev(0, "click", 0) +: (1 to n).map(i => ev(i.toLong, "view", i.toLong))) :+
+      ev(n + 1L, "purchase", n + 1L)
+    val p = Pattern(IndexedSeq(
+      click,
+      Step((e: Ev) => e.eventType == "view", minTimes = 0, maxTimes = Int.MaxValue, strict = false),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    val ms = Cep.matches(evs.toIndexedSeq, p, skipPastLastRow = true).toList
+    assert(ms.head.nEvents == n + 2 && ms.head.endId == n + 1L)
+  }
+
   test("skip-to-next-row: overlapping matches from different starts") {
     val evs = Seq(ev(1, "click", 0), ev(2, "click", 1), ev(3, "purchase", 2))
     val p = Pattern(IndexedSeq(click, Step((e: Ev) => e.eventType == "purchase", strict = false)))
