@@ -41,7 +41,7 @@ object Round2Queries {
     run = (s, dir) => GraphOps.pageRank(coEdges(s, dir), iters = 10).orderBy(col("v")),
     oracle = Some {
       val steps = (1 to 10).map { i =>
-        s"""p$i AS (SELECT b.v AS v, 150000 + (85 * SUM(p${i - 1}.s // d.dg)) // 100 AS s
+        s"""p$i AS (SELECT b.v AS v, (150000 + (85 * SUM(p${i - 1}.s // d.dg)) // 100)::BIGINT AS s
            |        FROM bi b JOIN p${i - 1} ON p${i - 1}.v = b.u JOIN deg d ON d.u = b.u
            |        GROUP BY b.v)""".stripMargin
       }.mkString(",\n")

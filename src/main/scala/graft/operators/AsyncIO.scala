@@ -36,7 +36,11 @@ object AsyncIO {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // keep at most `parallelism` futures in flight; emit in input order
       new Iterator[U] {
-        private val queue = new scala.collection.mutable.Queue[Future[U]]()
+        // (future, submit-time) — the deadline runs from SUBMISSION, like the
+        // reference operator registering the timeout when the element enters
+        // (AsyncWaitOperator.processElement), so k requests stalled behind a
+        // slow head surface after ~timeout, not k×timeout (ADVICE r2)
+        private val queue = new scala.collection.mutable.Queue[(Future[U], Long)]()
         override def hasNext: Boolean = {
           val more = queue.nonEmpty || it.hasNext
           if (!more) pool.shutdown() // input exhausted → release the threads
@@ -45,14 +49,18 @@ object AsyncIO {
         override def next(): U = {
           while (it.hasNext && queue.size < parallelism) {
             val t = it.next() // materialize on the task thread — the source
-            queue.enqueue(Future(f(t))) // iterator is not thread-safe
+            queue.enqueue((Future(f(t)), System.nanoTime())) // iterator is not thread-safe
           }
-          try Await.result(queue.dequeue(), timeout)
+          val (fut, submitted) = queue.dequeue()
+          val remaining =
+            if (!timeout.isFinite) timeout
+            else timeout - Duration.fromNanos(System.nanoTime() - submitted)
+          try Await.result(fut, if (remaining.isFinite && remaining < Duration.Zero) Duration.Zero else remaining)
           catch {
             case e: java.util.concurrent.TimeoutException =>
               pool.shutdownNow()
               throw new java.util.concurrent.TimeoutException(
-                s"AsyncIO request exceeded $timeout: ${e.getMessage}")
+                s"AsyncIO request exceeded $timeout from submission: ${e.getMessage}")
           }
         }
       }

@@ -90,6 +90,11 @@ object GraphOps {
       converged = nonStar == 0
       i += 1
     }
+    // intermediate parent pointers are NOT component labels — vertices of
+    // one component could get different labels; fail loudly rather than
+    // return a silently-wrong labeling (ADVICE r2)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach the star-forest fixed point in $maxIter rounds")
     // at the fixed point every edge is (vertex → component root); roots and
     // isolated vertices label themselves. The final `e` stays cached — the
     // returned plan reads it (callers evaluate lazily).

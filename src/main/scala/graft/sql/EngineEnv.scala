@@ -30,7 +30,7 @@ final class EngineEnv(val spark: SparkSession) {
   private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
   private var currentDb = "default_database"
 
-  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""".r
+  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""".r
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
@@ -106,7 +106,10 @@ final class EngineEnv(val spark: SparkSession) {
     * onto the Spark temp catalog. Returns an empty DataFrame for DDL
     * (like the reference's TableResult for CREATE). */
   def executeSql(sql: String): DataFrame = sql.trim match {
-    case createHeadRe(name, tail) =>
+    case createHeadRe(ifNotExists, name, tail) =>
+      // IF NOT EXISTS on an existing registration is a NO-OP (SqlCreateTable
+      // semantics — ADVICE r2), not a silent replace
+      if (ifNotExists != null && catalog.contains(name)) return spark.emptyDataFrame
       val (cols, opts, like) = parseCreateTail(tail)
       val wm = cols.flatMap(c => watermarkRe.findFirstMatchIn(c))
         .map(m => (m.group(1), s"${m.group(2)} ${unitName(m.group(3))}"))

@@ -57,12 +57,14 @@ object FlinkSqlDialect {
     // time attributes
     s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
 
-    // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR):
-    // SQL wildcards % / _ become .* / . and the pattern anchors whole-string;
-    // remaining regex syntax ((), |, [], quantifiers) passes through —
-    // Spark spells it RLIKE
-    s = replaceFn(s, """(?i)(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'""".r, m => {
-      val pat = m.group(2).replace("%", ".*").replace("_", ".")
+    // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR,
+    // rewrite semantics per SqlLikeUtils.sqlToRegexSimilar): SQL wildcards
+    // % / _ become (?s:.*) / . — but ONLY outside [...] character
+    // enumerations, where they stay literal; an ESCAPE 'x' clause makes the
+    // following char literal. Remaining regex syntax ((), |, quantifiers)
+    // passes through — Spark spells it RLIKE
+    s = replaceFn(s, """(?i)(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'(\s+ESCAPE\s+'(.)')?""".r, m => {
+      val pat = similarToRegex(m.group(2), Option(m.group(4)).map(_.head))
       val not = if (m.group(1) != null) "NOT " else ""
       s"${not}RLIKE '^(?:$pat)$$'"
     })
@@ -72,4 +74,36 @@ object FlinkSqlDialect {
   private def replaceFn(s: String, r: scala.util.matching.Regex,
                         f: scala.util.matching.Regex.Match => String): String =
     r.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(f(m)))
+
+  /** SQL SIMILAR TO pattern → Java regex, via the same character walk the
+    * reference uses (SqlLikeUtils.sqlToRegexSimilar): wildcard substitution
+    * is suppressed inside [...] enumerations, % maps to dotall (?s:.*) so a
+    * multi-line value still matches, and the declared escape char makes the
+    * next char literal (regex-quoted). */
+  private[graft] def similarToRegex(pat: String, escape: Option[Char]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inBracket = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (escape.contains(c) && !inBracket && i + 1 < pat.length) {
+        // literal next char: regex-escape non-alphanumerics. The SQL text
+        // needs a DOUBLE backslash — Spark's string-literal parser consumes
+        // one level before RLIKE compiles the regex.
+        val lit = pat.charAt(i + 1)
+        if (lit.isLetterOrDigit) out.append(lit) else out.append("\\\\").append(lit)
+        i += 1
+      } else if (inBracket) {
+        out.append(c)
+        if (c == ']') inBracket = false
+      } else c match {
+        case '[' => out.append(c); inBracket = true
+        case '%' => out.append("(?s:.*)")
+        case '_' => out.append('.')
+        case _   => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
 }

@@ -463,9 +463,11 @@ object StreamOps {
             if (st.timerAt != Long.MaxValue) {
               state.update(st)
               // register the pending timer; a timestamp at/below the current
-              // watermark would be rejected — it is already expired, fire now
-              if (st.timerAt / 1000 > state.getCurrentWatermarkMs()) {
-                state.setTimeoutTimestamp(st.timerAt / 1000)
+              // watermark would be rejected — it is already expired, fire now.
+              // Compare in MICROS (strict passing) and round the ms-granular
+              // Spark timer UP so it never fires before the µs deadline
+              if (st.timerAt > state.getCurrentWatermarkMs() * 1000) {
+                state.setTimeoutTimestamp((st.timerAt + 999) / 1000)
               } else {
                 out += TimerOut(key, st.lastId, st.lastTs, st.timerAt)
                 state.remove()

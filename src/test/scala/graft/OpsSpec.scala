@@ -18,6 +18,22 @@ class OpsSpec extends SparkTestBase {
     assert(out == (1 to 100).map(_ * 2)) // exact input order preserved
   }
 
+  test("mapAsyncOrdered deadline runs from submission, not dequeue") {
+    val s = spark
+    import s.implicits._
+    // both requests submitted together; head returns fast, second sleeps 500ms.
+    // With a 350ms budget FROM SUBMISSION the second must time out even though
+    // it completes within 350ms of its dequeue (the old per-dequeue budget).
+    val ds = s.createDataset(Seq(1, 2))
+    val out = AsyncIO.mapAsyncOrdered(ds.coalesce(1), parallelism = 2,
+      timeout = scala.concurrent.duration.Duration("350 ms")) { i =>
+      Thread.sleep(if (i == 1) 50 else 500); i
+    }
+    val e = intercept[org.apache.spark.SparkException](out.collect())
+    assert(e.getCause.isInstanceOf[java.util.concurrent.TimeoutException] ||
+      e.getMessage.contains("TimeoutException"))
+  }
+
   test("sideOutput splits main and side streams") {
     val s = spark
     import s.implicits._

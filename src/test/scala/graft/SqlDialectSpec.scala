@@ -23,6 +23,38 @@ class SqlDialectSpec extends SparkTestBase {
     assert(FlinkSqlDialect.rewrite("SELECT PROCTIME()").contains("current_timestamp()"))
   }
 
+  test("SIMILAR TO: wildcards stay literal inside [...], % is dotall, ESCAPE honored") {
+    // bracket enumeration: % and _ inside [...] are LITERAL members
+    // (ref SqlLikeUtils.sqlToRegexSimilar character walk)
+    assert(FlinkSqlDialect.similarToRegex("a[%_]b", None) == "a[%_]b")
+    assert(FlinkSqlDialect.similarToRegex("a%b_c", None) == "a(?s:.*)b.c")
+    // ESCAPE makes the next char literal (regex-escaped for the SQL literal)
+    assert(FlinkSqlDialect.similarToRegex("100!%", Some('!')) == "100\\\\%")
+    assert(FlinkSqlDialect.similarToRegex("a!_b%", Some('!')) == "a\\\\_b(?s:.*)")
+    // end-to-end through spark.sql: dotall % spans newlines; escaped % literal
+    val r = spark.sql(FlinkSqlDialect.rewrite(
+      """SELECT 'a\nz' SIMILAR TO 'a%z' AS dotall,
+                '5%' SIMILAR TO '_!%' ESCAPE '!' AS esc_hit,
+                '5x' SIMILAR TO '_!%' ESCAPE '!' AS esc_miss,
+                'a_b' SIMILAR TO 'a[%_]b' AS bracket""")).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("CREATE TABLE IF NOT EXISTS on an existing table is a no-op") {
+    val e = new EngineEnv(spark)
+    e.executeSql(s"""CREATE TABLE ine_t WITH ('connector'='filesystem',
+      'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    val before = spark.table("ine_t").count()
+    // second registration points at a DIFFERENT table; must be ignored
+    e.executeSql(s"""CREATE TABLE IF NOT EXISTS ine_t WITH ('connector'='filesystem',
+      'path'='$sfDir/region.parquet', 'format'='parquet')""")
+    assert(spark.table("ine_t").count() == before)
+    // without the qualifier the registration IS replaced
+    e.executeSql(s"""CREATE TABLE ine_t WITH ('connector'='filesystem',
+      'path'='$sfDir/region.parquet', 'format'='parquet')""")
+    assert(spark.table("ine_t").count() == 5)
+  }
+
   test("CREATE TABLE registers the view and records the watermark") {
     val e = new EngineEnv(spark)
     e.executeSql(s"""

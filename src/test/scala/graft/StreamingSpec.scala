@@ -211,6 +211,34 @@ class StreamingSpec extends SparkTestBase {
     assert(flushed == Seq(11L, 10L, 12L)) // event-time order, ts<=watermark only
   }
 
+  test("event-time timers honor microsecond deadlines (no sub-ms early fire)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val src = in.toDF().select(col("_1").as("user_id"), col("_2").as("event_id"),
+      expr("timestamp_micros(_3)").as("ts"))
+    val q = StreamOps.inactivityTimeout(s, src, gapMicros = 500L)
+      .writeStream.format("memory").queryName("ustimer_t").outputMode("update").start()
+    val t = 1000000000L // 1000s in µs, ms-aligned
+    in.addData((2L, 20L, t)) // batch 1: advances watermark to 1000000 ms
+    q.processAllAvailable()
+    // batch 2: user 1 at t+200µs (just above the watermark, same ms); its
+    // timer lands at t+700µs — INSIDE the current-watermark millisecond. A
+    // ms-truncated comparison would fire it immediately (~0.3ms early); the
+    // µs comparison must keep it pending.
+    in.addData((1L, 10L, t + 200L))
+    q.processAllAvailable()
+    assert(s.table("ustimer_t").count() == 0)
+    // batch 3: watermark sweeps past both pending timers → both fire, with
+    // the exact µs deadline in the payload
+    in.addData((3L, 30L, t + 2000000L))
+    q.processAllAvailable()
+    val rows = s.table("ustimer_t").as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 10L, t + 200L, t + 700L), (2L, 20L, t, t + 500L)))
+  }
+
   test("late events beyond the watermark are dropped from windowed aggs") {
     val s = spark
     import s.implicits._
