@@ -258,6 +258,29 @@ object PipelineQueries {
 
   // ------------------------------------------------------ similarity search
 
+  /** Driver-side replica of `Queries.hashStr` (md5 hex first-15 → long) —
+    * lets the hyperplane coefficient matrix be built ONCE on the driver and
+    * shipped as literals instead of re-hashing per row×plane×dim (the md5s
+    * were ~2M interpreted calls at sf0.1; the values are row-independent). */
+  private def hashStrLocal(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Random-hyperplane sign bucket over `embedding` from md5-derived integer
+    * coefficients (deterministic, no RNG) — identical values to the oracle's
+    * `(oHash('pl'||p||'_'||d) % 2001) - 1000` coef table. */
+  private def planeBucket(planes: Int): Column =
+    (0 until planes).map { p =>
+      val coefs = (1 to 64).map(d => hashStrLocal(s"pl${p}_$d") % 2001 - 1000)
+      val dot = aggregate(
+        zip_with(col("embedding"), array(coefs.map(lit): _*),
+          (x, c) => floor(x.cast("double") * c.cast("double") * 1000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Quantized-term L2-norm (long): order-independent, cross-engine exact. */
   private val normQ: Column =
     aggregate(
@@ -315,15 +338,7 @@ object PipelineQueries {
     run = (s, dir) => {
       val planes = 4
       val e = emb(s, dir).withColumn("nq", normQ)
-      val withBucket = e.withColumn("bucket",
-        (0 until planes).map { p =>
-          val dot = aggregate(
-            transform(sequence(lit(1), lit(64)),
-              d => floor(element_at(col("embedding"), d).cast("double") *
-                ((hashStr(concat(lit(s"pl${p}_"), d.cast("string"))) % 2001) - 1000).cast("double") * 1000.0).cast("long")),
-            lit(0L), (a, x) => a + x)
-          when(dot > 0, lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _))
+      val withBucket = e.withColumn("bucket", planeBucket(planes))
       val q = broadcast(withBucket.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nq").as("qn"), col("bucket")))
       val dot = aggregate(
@@ -379,15 +394,7 @@ object PipelineQueries {
     run = (s, dir) => {
       val planes = 6 // 64 buckets: ~16× fewer candidate pairs than 4 planes
       val e = emb(s, dir).withColumn("nq", normQ)
-      val withBucket = e.withColumn("bucket",
-        (0 until planes).map { p =>
-          val dot = aggregate(
-            transform(sequence(lit(1), lit(64)),
-              d => floor(element_at(col("embedding"), d).cast("double") *
-                ((hashStr(concat(lit(s"pl${p}_"), d.cast("string"))) % 2001) - 1000).cast("double") * 1000.0).cast("long")),
-            lit(0L), (a, x) => a + x)
-          when(dot > 0, lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _))
+      val withBucket = e.withColumn("bucket", planeBucket(planes))
         .select(col("vec_id"), col("embedding"), col("nq"), col("bucket"))
       val dot = aggregate(
         zip_with(col("e1"), col("e2"),

@@ -118,19 +118,29 @@ object GraphOps {
     try {
       val bi = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct()
+      // degree pre-joined ONCE into the (static) edge list — each iteration
+      // then needs a single join against the tiny score frame (AQE
+      // broadcasts it) + one partial-agg shuffle, not two joins
       val degs = bi.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val ce = bi.join(degs, "u").localCheckpoint()
       val base = lit((100 - dampingPct) * 10000) // (1-d) × 10⁶, in millionths
-      var sc = bi.select(col("u").as("pv")).distinct().withColumn("s", lit(1000000L))
+      var sc = degs.select(col("u").as("pv")).withColumn("s", lit(1000000L))
         .localCheckpoint()
-      (1 to iters).foreach { _ =>
-        sc = bi
-          .join(sc, col("u") === col("pv"))
-          .join(degs, "u")
+      (1 to iters).foreach { i =>
+        // the score frame is |V| rows — EXPLICIT broadcast: a checkpointed
+        // frame has no stats (defaultSizeInBytes), so AQE would otherwise
+        // shuffle the full edge list every iteration. When |V| outgrows
+        // broadcast on a real cluster, drop the hint and pre-partition ce
+        // by u — the loop body is unchanged.
+        sc = ce
+          .join(broadcast(sc), col("u") === col("pv"))
           .select(col("v"), expr("s DIV dg").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("cs"))
           .select(col("v").as("pv"), (base + expr(s"($dampingPct * cs) DIV 100")).cast("long").as("s"))
-          .localCheckpoint()
+        // lineage cut every OTHER round — each eager localCheckpoint is a
+        // blocking job, and a 2-iteration plan (2 joins deep) analyzes fine
+        if (i % 2 == 0 || i == iters) sc = sc.localCheckpoint()
       }
       sc.select(col("pv").as("v"), col("s").as("score_ppm"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
