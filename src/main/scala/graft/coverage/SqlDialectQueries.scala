@@ -238,6 +238,71 @@ object SqlDialectQueries {
       FROM ord WHERE nid IS NOT NULL
       ORDER BY user_id, event_type, mn"""))
 
+  /** PREV() physical navigation in DEFINE + LAST(col, n) logical offset in
+    * MEASURES — ref Flink pattern-navigation (MatchCodeGenerator PREV/
+    * LAST-with-offset): strictly-rising value triples; each U must beat its
+    * physical predecessor (the anchor S for the first U). Overlapping
+    * matches (SKIP TO NEXT ROW) reduce to a closed-form double-lead oracle. */
+  val qSqlMrPrev: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS s_id, FIRST(U.event_id) AS u1,
+                   LAST(U.event_id, 1) AS u1b, LAST(U.event_id) AS u2
+          PATTERN (S U{2})
+          DEFINE U AS U.value > PREV(U.value)
+        )""").orderBy(col("user_id"), col("s_id"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT user_id, event_id, value AS v,
+                        lead(event_id) OVER w AS id1, lead(value) OVER w AS v1,
+                        lead(event_id, 2) OVER w AS id2, lead(value, 2) OVER w AS v2
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS s_id, id1 AS u1, id1 AS u1b, id2 AS u2
+      FROM s WHERE v1 > v AND v2 > v1
+      ORDER BY user_id, s_id"""))
+
+  /** RUNNING vs FINAL measures under ALL ROWS PER MATCH — ref Flink
+    * match_recognize RUNNING/FINAL semantics: greedy A B+ (click then the
+    * maximal view run); every emitted row carries both the running last B
+    * (NULL on the A row) and the final last B of the completed match. */
+  val qSqlMrFinalRunning: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, CLASSIFIER() AS cls,
+                   RUNNING LAST(B.event_id) AS run_b, FINAL LAST(B.event_id) AS fin_b
+          ALL ROWS PER MATCH
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'view'
+        )""").orderBy(col("user_id"), col("a_id"), col("ts"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      v AS (SELECT user_id, event_id, ts, pos,
+                   pos - row_number() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+            FROM ord WHERE event_type = 'view'),
+      runs AS (SELECT user_id, grp, min(pos) AS a, max(pos) AS b,
+                      arg_max(event_id, pos) AS fin_b
+               FROM v GROUP BY 1, 2),
+      m AS (SELECT r.user_id, c.event_id AS a_id, c.ts AS cts, r.a, r.b, r.fin_b
+            FROM runs r JOIN ord c ON c.user_id = r.user_id AND c.pos = r.a - 1
+                                   AND c.event_type = 'click')
+      SELECT user_id, cts AS ts, a_id, 'A' AS cls, CAST(NULL AS BIGINT) AS run_b, fin_b FROM m
+      UNION ALL
+      SELECT m.user_id, o.ts, m.a_id, 'B' AS cls, o.event_id AS run_b, m.fin_b
+      FROM m JOIN ord o ON o.user_id = m.user_id AND o.pos BETWEEN m.a AND m.b
+      ORDER BY user_id, a_id, ts"""))
+
   /** SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR):
     * % and _ wildcards mixed with regex alternation, whole-string match;
     * the dialect rewrites to an anchored RLIKE. */
@@ -293,6 +358,8 @@ object SqlDialectQueries {
     "q_sql_mr_skip_to_last" -> qSqlMrSkipToLast,
     "q_sql_mr_all_rows" -> qSqlMrAllRows,
     "q_sql_mr_multi_partition" -> qSqlMrMultiPartition,
+    "q_sql_mr_prev" -> qSqlMrPrev,
+    "q_sql_mr_final_running" -> qSqlMrFinalRunning,
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,
   )

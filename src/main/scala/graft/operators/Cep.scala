@@ -33,6 +33,11 @@ object Cep {
   final class MatchCtx[E](evs: IndexedSeq[E], acc: List[(Int, Int)]) {
     def lastOf(varIdx: Int): Option[E] = acc.find(_._1 == varIdx).map(p => evs(p._2))
     def firstOf(varIdx: Int): Option[E] = acc.reverse.collectFirst { case (v, i) if v == varIdx => evs(i) }
+    /** n-th previously matched row (1 = most recent). Under STRICT
+      * contiguity the matched rows are physically consecutive, so this IS
+      * SQL `PREV(col, n)` physical navigation (Flink MatchCodeGenerator
+      * PREV — resolves to an input-offset read). */
+    def nthBack(n: Int): Option[E] = acc.drop(n - 1).headOption.map(p => evs(p._2))
   }
 
   /** One pattern step: context-aware predicate + quantifier + contiguity to

@@ -16,14 +16,16 @@ import org.apache.spark.sql.types._
   * SELECT * FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <col> [, <col>...]
   *   ORDER BY <tsCol>
-  *   MEASURES A.col AS name [, FIRST(B.col) AS n2, LAST(B.col) AS n3,
+  *   MEASURES A.col AS name [, FIRST(B.col[, off]) AS n2, LAST(B.col[, off]) AS n3,
+  *            RUNNING LAST(B.col) AS r1, FINAL LAST(B.col) AS f1,
   *            MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, ...]
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
   *    SKIP TO FIRST <var> | SKIP TO LAST <var>]
   *   PATTERN (A B+ C {m,n}-quantified...)
   *   [WITHIN INTERVAL 'n' UNIT]
-  *   DEFINE A AS A.col = 'lit' [, B AS B.price > A.price ...]
+  *   DEFINE A AS A.col = 'lit' [, B AS B.price > A.price,
+  *          C AS C.price > PREV(C.price[, n]) ...]
   * )
   * }}}
   *
@@ -39,10 +41,16 @@ import org.apache.spark.sql.types._
   * linear NFA scan — identical layout to [[Cep.detect]]. */
 object MatchRecognize {
 
-  case class Measure(fn: String, variable: String, col: String, as: String) // fn: "", FIRST, LAST, MATCH_NUMBER, CLASSIFIER
+  /** fn: "", FIRST, LAST, MATCH_NUMBER, CLASSIFIER; mode: "" (default),
+    * RUNNING, FINAL (only meaningful under ALL ROWS PER MATCH, where the
+    * default is RUNNING — Flink's MatchCodeGenerator semantics); offset =
+    * logical navigation offset for FIRST/LAST (`LAST(B.col, 1)`). */
+  case class Measure(fn: String, variable: String, col: String, as: String,
+                     mode: String = "", offset: Int = 0)
   case class PatVar(name: String, min: Int, max: Int)
   case class Define(variable: String, col: String, op: String, value: String,
-                    rhsVar: Option[(String, String)] = None) // (variable, col) for cross-var predicates
+                    rhsVar: Option[(String, String)] = None, // (variable, col) for cross-var predicates
+                    rhsPrev: Option[(String, Int)] = None)   // (col, n) for PREV(X.col, n) physical navigation
   sealed trait Skip
   case object SkipToNextRow extends Skip
   case object SkipPastLastRow extends Skip
@@ -59,7 +67,8 @@ object MatchRecognize {
   private val partRe = """(?is)PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)""".r
   private val orderRe = """(?is)ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?""".r
   private val measuresRe = """(?is)MEASURES\s+(.*?)\s+(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN)""".r
-  private val measureRe = """(?i)\s*(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)\s*\)?\s+AS\s+(\w+)\s*""".r
+  private val measureRe =
+    """(?i)\s*(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)?\s+AS\s+(\w+)\s*""".r
   private val measureFnRe = """(?i)\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val patternRe = """(?is)PATTERN\s*\(\s*([^)]*?)\s*\)""".r
   private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\}|\{(\d+)\})?""".r
@@ -71,6 +80,10 @@ object MatchRecognize {
   private val defRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-\d.]+))\s*""".r
   // cross-variable predicate: B AS B.price > A.price (Flink IterativeCondition)
   private val defXRe = """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)\s*""".r
+  // physical navigation: B AS B.price > PREV(B.price[, n]) (Flink pattern
+  // navigation — PREV is row-offset, variable-agnostic)
+  private val defPrevRe =
+    """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*PREV\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)\s*""".r
 
   def isMatchRecognize(sql: String): Boolean = outerRe.matches(sql)
 
@@ -83,10 +96,25 @@ object MatchRecognize {
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
     val order = orderM.group(1)
     val tiebreak = Option(orderM.group(2))
+    // split measures on top-level commas only — `LAST(B.col, 1)` has one inside parens
+    def splitTop(s: String): Seq[String] = {
+      val parts = scala.collection.mutable.ListBuffer[String]()
+      var depth = 0; var last = 0
+      s.zipWithIndex.foreach {
+        case ('(', _) => depth += 1
+        case (')', _) => depth -= 1
+        case (',', i) if depth == 0 => parts += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      (parts += s.substring(last)).toSeq
+    }
     val measures = measuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
-      .flatMap(_.split(",")).map {
+      .flatMap(splitTop).map {
         case measureFnRe(fn, as) => Measure(fn.toUpperCase, "", "", as)
-        case measureRe(fn, v, c, as) => Measure(Option(fn).getOrElse("").toUpperCase, v, c, as)
+        case measureRe(mode, fn, v, c, off, as) =>
+          Measure(Option(fn).getOrElse("").toUpperCase, v, c, as,
+            mode = Option(mode).getOrElse("").toUpperCase,
+            offset = Option(off).map(_.toInt).getOrElse(0))
         case other => throw new IllegalArgumentException(s"unsupported measure '$other'")
       }
     val pattern = patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
@@ -111,9 +139,12 @@ object MatchRecognize {
       }
     }.getOrElse(Long.MaxValue)
     val defines = defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
-      .flatMap(_.split(",")).map {
+      .flatMap(splitTop).map {
         case defRe(v, _, c, op, slit, nlit) =>
           v.toUpperCase -> Define(v.toUpperCase, c, op, if (slit != null) slit else nlit)
+        case defPrevRe(v, _, c, op, _, pc, off) =>
+          v.toUpperCase -> Define(v.toUpperCase, c, op, "",
+            rhsPrev = Some((pc, Option(off).map(_.toInt).getOrElse(1))))
         case defXRe(v, _, c, op, rv, rc) =>
           v.toUpperCase -> Define(v.toUpperCase, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
         case other => throw new IllegalArgumentException(s"unsupported define '$other'")
@@ -164,8 +195,21 @@ object MatchRecognize {
       case Some(d) =>
         val ci = schema.fieldIndex(d.col)
         val isNum = schema(ci).dataType.isInstanceOf[NumericType]
-        d.rhsVar match {
-          case Some((rv, rc)) =>
+        (d.rhsPrev, d.rhsVar) match {
+          case (Some((pc, n)), _) =>
+            // PREV(col, n): compare against the n-th physical predecessor.
+            // All steps are strict-contiguous, so the matched prefix IS the
+            // physical run — nthBack(n) is the offset read. PREV beyond the
+            // match start (e.g. the anchor row) is NULL → predicate false,
+            // matching the reference's null-comparison semantics.
+            val pci = schema.fieldIndex(pc)
+            (r: Row, ctx: Cep.MatchCtx[Row]) =>
+              !r.isNullAt(ci) && ctx.nthBack(n).exists { prev =>
+                !prev.isNullAt(pci) && (
+                  if (isNum) cmpNum(r.get(ci), d.op, prev.get(pci))
+                  else cmpStr(r.get(ci).toString, d.op, prev.get(pci).toString))
+              }
+          case (None, Some((rv, rc))) =>
             // compare against the LAST row matched to the referenced
             // variable so far (running semantics); rhsVar == this variable
             // means "previous occurrence of myself" and fails on the first
@@ -178,7 +222,7 @@ object MatchRecognize {
                   if (isNum) cmpNum(r.get(ci), d.op, prev.get(rci))
                   else cmpStr(r.get(ci).toString, d.op, prev.get(rci).toString))
               }
-          case None =>
+          case _ =>
             (r: Row, _: Cep.MatchCtx[Row]) =>
               !r.isNullAt(ci) && (
                 if (isNum) cmpNum(r.get(ci), d.op, d.value)
@@ -239,21 +283,24 @@ object MatchRecognize {
             case Some(idx) => // idx: (stepIdx, evIdx) in match order
               matchNo += 1
               val keyVals = keyIdx.map(sorted(i).get)
+              // FIRST/LAST with logical offset over a variable's occurrence
+              // list (Flink pattern navigation `LAST(B.col, 1)`); out-of-
+              // range offsets are NULL like the reference
+              def navigate(m: Measure, occ: Seq[Int]): Any = {
+                val pick = if (m.fn == "FIRST") occ.lift(m.offset)
+                           else occ.lift(occ.length - 1 - m.offset)
+                pick.map(e => sorted(e).get(schema.fieldIndex(m.col))).orNull
+              }
+              def finalVal(m: Measure): Any = m.fn match {
+                case "MATCH_NUMBER" => matchNo
+                case "CLASSIFIER" => varNames(idx.last._1) // last row's variable
+                case _ => navigate(m, idx.filter(_._1 == varIdxOf(m.variable.toUpperCase)).map(_._2))
+              }
               if (!allRows) {
-                val vals = measures.map { m =>
-                  m.fn match {
-                    case "MATCH_NUMBER" => matchNo
-                    case "CLASSIFIER" => varNames(idx.last._1) // last row's variable
-                    case fn =>
-                      val vi = varIdxOf(m.variable.toUpperCase)
-                      val ofVar = idx.filter(_._1 == vi)
-                      val pick = if (fn == "FIRST") ofVar.head else ofVar.last
-                      sorted(pick._2).get(schema.fieldIndex(m.col))
-                  }
-                }
-                out += Row.fromSeq(keyVals ++ vals)
+                out += Row.fromSeq(keyVals ++ measures.map(finalVal)) // ONE ROW = all FINAL
               } else {
-                // ALL ROWS PER MATCH, RUNNING measure semantics
+                // ALL ROWS PER MATCH: RUNNING measure semantics by default,
+                // FINAL <nav> forces the completed-match value on every row
                 var sofar = Map[Int, List[Int]]().withDefaultValue(Nil)
                 idx.foreach { case (vi, ei) =>
                   sofar = sofar.updated(vi, sofar(vi) :+ ei)
@@ -261,12 +308,8 @@ object MatchRecognize {
                     m.fn match {
                       case "MATCH_NUMBER" => matchNo
                       case "CLASSIFIER" => varNames(vi)
-                      case fn =>
-                        val mvi = varIdxOf(m.variable.toUpperCase)
-                        val occ = sofar(mvi)
-                        if (occ.isEmpty) null
-                        else sorted(if (fn == "FIRST") occ.head else occ.last)
-                          .get(schema.fieldIndex(m.col))
+                      case _ if m.mode == "FINAL" => finalVal(m)
+                      case _ => navigate(m, sofar(varIdxOf(m.variable.toUpperCase)))
                     }
                   }
                   out += Row.fromSeq(keyVals ++ Seq(sorted(ei).get(tsIdx)) ++ vals)

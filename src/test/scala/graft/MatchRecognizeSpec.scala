@@ -99,6 +99,55 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, 2L), (1L, 3L, 4L)))
   }
 
+  test("PREV physical navigation in DEFINE and LAST offset in MEASURES") {
+    val s = spark
+    import s.implicits._
+    // values 5,6,9,3,7,8,9: rising triples anchored at 5 (5<6<9) and 3 (3<7<8) and 7 (7<8<9)
+    Seq((1L, 1L, 5.0, 0L), (1L, 2L, 6.0, 10L), (1L, 3L, 9.0, 20L), (1L, 4L, 3.0, 30L),
+        (1L, 5L, 7.0, 40L), (1L, 6L, 8.0, 50L), (1L, 7L, 9.0, 60L))
+      .toDF("user_id", "event_id", "value", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+      .createOrReplaceTempView("mr_prev")
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_prev MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, LAST(U.event_id, 1) AS u_first, LAST(U.event_id) AS u_last
+        PATTERN (S U{2})
+        DEFINE U AS U.value > PREV(U.value))""")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // LAST(U, 1) with two U's = the first U (offset 1 back from the last)
+    assert(out == Set((1L, 1L, 2L, 3L), (1L, 4L, 5L, 6L), (1L, 5L, 6L, 7L)))
+    // PREV with explicit offset 2 compares across two rows
+    val o2 = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_prev MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, LAST(U.event_id) AS u_id
+        PATTERN (S X U)
+        DEFINE U AS U.value > PREV(U.value, 2))""")
+      .as[(Long, Long, Long)].collect().toSet
+    // U.value > value two rows back (the S row): 9>5@1, 7>9✗@2... anchors 1(9>5), 3(7>9✗)→
+    // triples (s,x,u): (1,2,3):9>5✓ (2,3,4):3>6✗ (3,4,5):7>9✗ (4,5,6):8>3✓ (5,6,7):9>7✓
+    assert(o2 == Set((1L, 1L, 3L), (1L, 4L, 6L), (1L, 5L, 7L)))
+  }
+
+  test("FINAL vs RUNNING measures under ALL ROWS PER MATCH") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq((1L, 1L, "click", 0L), (1L, 2L, "view", 10L), (1L, 3L, "view", 20L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES CLASSIFIER() AS cls, RUNNING LAST(B.event_id) AS run_b,
+                 FINAL LAST(B.event_id) AS fin_b
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view')""")
+      .select(col("cls"), col("run_b"), col("fin_b"))
+      .as[(String, Option[Long], Long)].collect().toSeq
+    // running last-B is NULL on the A row, then tracks; final is 3 on every row
+    assert(out == Seq(("A", None, 3L), ("B", Some(2L), 3L), ("B", Some(3L), 3L)))
+  }
+
   test("SKIP TO LAST resumes at the last row of the variable; TO FIRST of the start errors") {
     val s = spark
     import s.implicits._
