@@ -1,0 +1,205 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.Queries._
+import graft.operators.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data pipeline additions: near-dup CLUSTER
+  * canonicalization (pairs → connected components → keeper), IVF-style ANN
+  * (coarse quantizer + probed lists — the scale path next to the LSH
+  * variant), Gopher-style repetition signals, and deterministic
+  * stratified + reservoir sampling.
+  *
+  * Same determinism toolkit as [[PipelineQueries]]: md5-derived hashes,
+  * term-quantized integer dots, integer ratios.
+  */
+object Pipeline3Queries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Near-dup cluster canonicalization — the step AFTER pair generation in
+    * every production dedup pipeline (minhash pairs are edges; transitive
+    * closure groups them; one keeper per cluster survives). Pairs come from
+    * [[PipelineQueries.minhashPairs]]; components from the O(log n)
+    * large-star/small-star contraction (GraphOps) — both already
+    * scale-shaped; the canonical id is the cluster min. */
+  val qPipeDedupCluster: Q = Q(
+    run = (s, dir) => {
+      val pairs = PipelineQueries.minhashPairs(s, dir)
+      val comp = GraphOps.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs(s, dir).select(col("doc_id"))
+        .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .withColumn("kept", col("doc_id") === col("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE
+      ${PipelineQueries.oMinhashCtes},
+      bi AS (SELECT d1 AS v, d2 AS u FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(v, u) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM bi)
+        UNION
+        SELECT r.v, bi.u FROM reach r JOIN bi ON r.u = bi.v),
+      comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v)
+      SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS canonical_id,
+             (COALESCE(comp.c, d.doc_id) = d.doc_id) AS kept
+      FROM documents d LEFT JOIN comp ON comp.v = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** IVF-style ANN: a coarse quantizer (8 deterministic centroids — the
+    * first 8 corpus vectors) assigns every vector to its nearest-centroid
+    * list ONCE (broadcast centroids, map-side); each query probes its 2
+    * nearest lists and scores exactly inside them. At 100 TB the lists are
+    * the partition key — a query touches nprobe/nlist of the corpus, and
+    * the centroid table stays broadcast-sized (real IVF trains k-means;
+    * the assignment/probe dataflow is identical). */
+  val qPipeAnnIvf: Q = Q(
+    run = (s, dir) => {
+      val e = emb(s, dir).withColumn("nq", PipelineQueries.normQ)
+      val cent = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nq").as("cn")))
+      val cdot = aggregate(
+        zip_with(col("embedding"), col("ce"),
+          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val sim = e.crossJoin(cent)
+        .withColumn("sim", PipelineQueries.cosQ(cdot, col("nq"), col("cn")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+      val assign = sim.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("nq"))
+      val probes = sim.filter(col("crn") <= 2 && col("vec_id").between(100, 109))
+        .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"), col("nq").as("qn"))
+      val qdot = aggregate(
+        zip_with(col("qe"), col("embedding"),
+          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
+        lit(0L), (a, x) => a + x)
+      probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosv", PipelineQueries.cosQ(qdot, col("qn"), col("nq")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosv").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cosv"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some("""
+      WITH norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS nq
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      cd AS (
+        SELECT v.vec_id, c.vec_id AS cid,
+               SUM(CAST(FLOOR(CAST(v.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM embeddings v, embeddings c, generate_series(1, 64) g(d)
+        WHERE c.vec_id < 8 GROUP BY 1, 2),
+      sim AS (
+        SELECT cd.vec_id, cid,
+               row_number() OVER (PARTITION BY cd.vec_id
+                 ORDER BY CAST(dp AS DOUBLE) / (sqrt(CAST(nv.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) DESC, cid) AS crn
+        FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id JOIN norms nc ON nc.vec_id = cid),
+      assign AS (SELECT vec_id, cid FROM sim WHERE crn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM sim WHERE crn <= 2 AND vec_id BETWEEN 100 AND 109),
+      cand AS (SELECT p.qid, a.vec_id AS cv
+               FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+      dots AS (
+        SELECT qid, cv,
+               SUM(CAST(FLOOR(CAST(q.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                  JOIN embeddings c ON c.vec_id = cand.cv,
+             generate_series(1, 64) g(d)
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT qid, cv, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cv)
+      SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cv) AS rn,
+             cv AS cid, cosv
+      FROM cos QUALIFY rn <= 3 ORDER BY qid, rn"""))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
+    * duplicate-word fraction and top-bigram fraction per document, plus the
+    * "repetitive" gate (top bigram > 20% of all bigrams). Pure map-side
+    * n-gram build + one partial-agg'd shuffle per metric — integer ratios
+    * (permille) keep the gate cross-engine exact. */
+  val qPipeRepetition: Q = Q(
+    run = (s, dir) => {
+      val w = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val gstats = w.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1)))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      w.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+               size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+        .join(gstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          expr("((n_words - n_distinct) * 1000) DIV n_words").as("dup_word_permille"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          coalesce(col("top_bigram_n") * 5 > col("n_bigrams"), lit(false)).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+            FROM w CROSS JOIN generate_series(1, 500) s(i)
+            WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      gc AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+      gs AS (SELECT doc_id, SUM(n)::BIGINT AS n_bigrams, MAX(n)::BIGINT AS top_bigram_n
+             FROM gc GROUP BY 1),
+      ws AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                    len(list_distinct(ws))::BIGINT AS n_distinct FROM w)
+      SELECT ws.doc_id, n_words, n_distinct,
+             ((n_words - n_distinct) * 1000) // n_words AS dup_word_permille,
+             COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+             COALESCE(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+             COALESCE(top_bigram_n * 5 > n_bigrams, FALSE) AS repetitive
+      FROM ws LEFT JOIN gs ON gs.doc_id = ws.doc_id
+      ORDER BY ws.doc_id"""))
+
+  /** Deterministic sampling, both flavors a data pipeline needs:
+    * stratified Bernoulli (per-source rate, hash-gated — exact replay on
+    * any cluster size, no RNG state) and reservoir-k per stratum (the k
+    * smallest hashes — the order-independent distributed equivalent of
+    * reservoir sampling; a top-k per group, never a global sort). */
+  val qPipeSample: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir)
+        .withColumn("hv", hashStr(concat(lit("smp_"), col("doc_id").cast("string"))) % 1000)
+        .withColumn("rate",
+          when(col("source").isin("src0", "src1", "src2"), lit(500))
+            .when(col("source").isin("src3", "src4"), lit(200))
+            .otherwise(lit(100)))
+        .withColumn("bern", col("hv") < col("rate"))
+        .withColumn("res_rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+        .withColumn("kept_res", col("res_rank") <= 10)
+        .select(col("doc_id"), col("source"), col("hv"), col("bern"),
+                col("res_rank"), col("kept_res"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                        ${oHash("'smp_' || doc_id")} % 1000 AS hv,
+                        CASE WHEN source IN ('src0', 'src1', 'src2') THEN 500
+                             WHEN source IN ('src3', 'src4') THEN 200
+                             ELSE 100 END AS rate
+                 FROM documents)
+      SELECT doc_id, source, hv, hv < rate AS bern,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS res_rank,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 10 AS kept_res
+      FROM h ORDER BY doc_id"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_dedup_cluster" -> qPipeDedupCluster,
+    "q_pipe_ann_ivf" -> qPipeAnnIvf,
+    "q_pipe_repetition" -> qPipeRepetition,
+    "q_pipe_sample" -> qPipeSample,
+  )
+}

@@ -128,49 +128,58 @@ object PipelineQueries {
     * sub-quadratic near-dup path: only docs colliding in a band bucket are
     * ever paired; the LCG rehash is 16× cheaper than hashing (seed,shingle)
     * pairs and just as oracle-reproducible. */
+  /** MinHash-LSH candidate pair frame (d1 < d2, distinct) — shared by
+    * q_pipe_minhash_lsh and the cluster-canonicalization query. */
+  private[coverage] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(docs(s, dir))
+    val p = 2147483647L
+    // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
+    // rows (partial agg applies): 16× less shuffle volume than exploding a
+    // seed dimension, same math as the oracle
+    val seeds = 0 until 16
+    val sig = sh
+      .withColumn("h0", hashStr(col("sh")) % p)
+      .groupBy(col("doc_id"))
+      .agg(seeds.map(sd =>
+        min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
+        seeds.tail.map(sd =>
+          min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
+        .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Oracle CTE chain ending in `pairs(d1, d2)` — the SQL twin of
+    * [[minhashPairs]]. */
+  private[coverage] val oMinhashCtes: String = s"""
+      sh AS ($oShingles),
+      sig AS (SELECT doc_id, seed,
+                     min(((seed * 2 + 1) * (${oHash("sh")} % 2147483647) + seed * 12345 + 7) % 2147483647) AS mh
+              FROM sh CROSS JOIN generate_series(0, 15) g(seed)
+              GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                       md5(min(CASE WHEN seed % 4 = 0 THEN mh END) || ',' ||
+                           min(CASE WHEN seed % 4 = 1 THEN mh END) || ',' ||
+                           min(CASE WHEN seed % 4 = 2 THEN mh END) || ',' ||
+                           min(CASE WHEN seed % 4 = 3 THEN mh END)) AS bkey
+                FROM sig GROUP BY 1, 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
   val qPipeMinhashLsh: Q = Q(
-    run = (s, dir) => {
-      val sh = shingled(docs(s, dir))
-      val p = 2147483647L
-      // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
-      // rows (partial agg applies): 16× less shuffle volume than exploding a
-      // seed dimension, same math as the oracle
-      val seeds = 0 until 16
-      val sig = sh
-        .withColumn("h0", hashStr(col("sh")) % p)
-        .groupBy(col("doc_id"))
-        .agg(seeds.map(sd =>
-          min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
-          seeds.tail.map(sd =>
-            min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
-          .as("bd"))
-        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .orderBy(col("d1"), col("d2"))
-    },
+    run = (s, dir) => minhashPairs(s, dir).orderBy(col("d1"), col("d2")),
     oracle = Some(s"""
-      WITH sh AS ($oShingles),
-           sig AS (SELECT doc_id, seed,
-                          min(((seed * 2 + 1) * (${oHash("sh")} % 2147483647) + seed * 12345 + 7) % 2147483647) AS mh
-                   FROM sh CROSS JOIN generate_series(0, 15) g(seed)
-                   GROUP BY doc_id, seed),
-           bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-                            md5(min(CASE WHEN seed % 4 = 0 THEN mh END) || ',' ||
-                                min(CASE WHEN seed % 4 = 1 THEN mh END) || ',' ||
-                                min(CASE WHEN seed % 4 = 2 THEN mh END) || ',' ||
-                                min(CASE WHEN seed % 4 = 3 THEN mh END)) AS bkey
-                     FROM sig GROUP BY 1, 2)
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      ORDER BY d1, d2"""))
+      WITH $oMinhashCtes
+      SELECT d1, d2 FROM pairs ORDER BY d1, d2"""))
 
   /** Per-doc 60-bit SimHash signature (map-side reduction: explode bit
     * index → sign sum → bit vector). Shared by both simhash queries. */
@@ -282,12 +291,12 @@ object PipelineQueries {
     }.reduce(_ + _)
 
   /** Quantized-term L2-norm (long): order-independent, cross-engine exact. */
-  private val normQ: Column =
+  private[coverage] val normQ: Column =
     aggregate(
       transform(col("embedding"), x => floor(x.cast("double") * x.cast("double") * 1000000.0).cast("long")),
       lit(0L), (a, x) => a + x)
 
-  private def cosQ(dot: Column, n1: Column, n2: Column): Column =
+  private[coverage] def cosQ(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
   /** Brute-force cosine top-5 for a query set (vec_id < 10) against the
