@@ -157,11 +157,104 @@ object TpcdsShapeQueries {
       WHERE rk <= 2
       ORDER BY c_mktsegment, rk"""))
 
+  /** TPC-DS q10/q35 shape — correlated EXISTS + NOT EXISTS chain over two
+    * fact arms (Catalyst plans semi + anti joins), aggregated per segment. */
+  val qDsExistsChain: Q = {
+    val sql = """
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q71/q76 shape — UNION ALL of three labeled channels re-grouped
+    * into a (channel, year) matrix; each branch prunes on its own filter. */
+  val qDsUnionChannels: Q = {
+    val sql = """
+      SELECT src, yr, COUNT(*) AS n, CAST(SUM(price_cents) AS BIGINT) AS v_cents
+      FROM (
+        SELECT 'open' AS src, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'filled', CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'partial', CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+        FROM orders WHERE o_orderstatus = 'P') u
+      GROUP BY src, yr
+      ORDER BY src, yr"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q88 shape — one fact scan fanned into bucketed conditional
+    * counts (COUNT(CASE ...)): a single-pass multi-filter aggregate. */
+  val qDsCaseCounts: Q = {
+    val sql = """
+      SELECT
+        COUNT(CASE WHEN l_quantity < 10 THEN 1 END) AS n_q_lo,
+        COUNT(CASE WHEN l_quantity >= 10 AND l_quantity < 25 THEN 1 END) AS n_q_mid,
+        COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_q_hi,
+        COUNT(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'A' THEN 1 END) AS n_disc_a,
+        COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END) AS n_rf,
+        COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_notax,
+        COUNT(*) AS n_all
+      FROM lineitem"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q67 shape — top-3 parts per brand by revenue with the brand
+    * total carried by a second window (rank + windowed SUM over the same
+    * partition; integer cents, no float thresholds). */
+  val qDsWindowedShare: Q = {
+    val sql = """
+      WITH pr AS (
+        SELECT p_brand, p_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey)
+      SELECT p_brand, p_partkey, rev, rk, brand_tot FROM (
+        SELECT *, CAST(rank() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS INT) AS rk,
+               CAST(SUM(rev) OVER (PARTITION BY p_brand) AS BIGINT) AS brand_tot
+        FROM pr) x
+      WHERE rk <= 3
+      ORDER BY p_brand, rk, p_partkey"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q47 shape — year-over-year deltas per status via LAG over a
+    * two-level aggregate. */
+  val qDsYearOverYear: Q = {
+    val sql = """
+      WITH t AS (
+        SELECT o_orderstatus AS st, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v_cents
+        FROM orders GROUP BY 1, 2)
+      SELECT st, yr, v_cents,
+             lag(v_cents) OVER (PARTITION BY st ORDER BY yr) AS prev_cents,
+             v_cents - COALESCE(lag(v_cents) OVER (PARTITION BY st ORDER BY yr), 0) AS delta_cents
+      FROM t ORDER BY st, yr"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_corr_subquery" -> qDsCorrSubquery,
     "q_ds_grouping_sets" -> qDsGroupingSets,
     "q_ds_multijoin" -> qDsMultijoin,
     "q_ds_channel_intersect" -> qDsChannelIntersect,
     "q_ds_rank_within" -> qDsRankWithin,
+    "q_ds_exists_chain" -> qDsExistsChain,
+    "q_ds_union_channels" -> qDsUnionChannels,
+    "q_ds_case_counts" -> qDsCaseCounts,
+    "q_ds_windowed_share" -> qDsWindowedShare,
+    "q_ds_year_over_year" -> qDsYearOverYear,
   )
 }
