@@ -30,22 +30,22 @@ final class EngineEnv(val spark: SparkSession) {
   private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
   private var currentDb = "default_database"
 
-  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""".r
+  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)""".r
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
-    """(?is)INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT.*)""".r
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT.*)""".r
   private val createViewRe =
-    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.*)""".r
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val dropRe =
-    """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+    """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val showRe = """(?is)SHOW\s+TABLES\s*""".r
-  private val alterRenameRe = """(?is)ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
-  private val alterSetRe = """(?is)ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
+  private val alterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val alterSetRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
   private val createFnRe =
     """(?is)CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*""".r
   private val dropFnRe = """(?is)DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
-  private val describeRe = """(?is)DESC(?:RIBE)?\s+(\w+)\s*""".r
+  private val describeRe = """(?is)DESC(?:RIBE)?\s+([\w.]+)\s*""".r
   private val explainRe = """(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)""".r
   private val showFnRe = """(?is)SHOW\s+(?:USER\s+)?FUNCTIONS\s*""".r
   private val createDbRe = """(?is)CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
@@ -95,9 +95,55 @@ final class EngineEnv(val spark: SparkSession) {
     (cols, opts, like)
   }
 
+  /** Database qualification (ref SqlCreateDatabase/CatalogManager name
+    * resolution): an unqualified name lives in the CURRENT database; a
+    * `db.table` reference is explicit. The catalog key is always the
+    * qualified `db.table`; the backing Spark temp view is the bare name in
+    * the default database (back-compat) and `db__table` elsewhere (Spark
+    * temp views are a flat namespace). */
+  private def qualify(name: String): (String, String) = {
+    val i = name.indexOf('.')
+    if (i < 0) (currentDb, name)
+    else {
+      val db = name.substring(0, i)
+      if (!databases(db)) throw new IllegalArgumentException(s"unknown database '$db'")
+      (db, name.substring(i + 1))
+    }
+  }
+  private def keyOf(name: String): String = { val (d, t) = qualify(name); s"$d.$t" }
+  private def viewOf(name: String): String = {
+    val (d, t) = qualify(name)
+    if (d == "default_database") t else s"${d}__$t"
+  }
+
+  /** Rewrite known table references (qualified `db.t` anywhere; bare `t` of
+    * the current database) to their backing view names before Spark sees
+    * the SQL. Word-boundary textual substitution — same class of rewrite as
+    * [[FlinkSqlDialect]]. */
+  private def resolveTables(sql: String): String = {
+    var s = sql
+    val split = catalog.keys.toSeq.map { k =>
+      val Array(db, t) = k.split("\\.", 2)
+      (db, t, if (db == "default_database") t else s"${db}__$t")
+    }
+    // ALL qualified references first — a bare-name pass running earlier
+    // would capture the table part of another database's qualified ref
+    split.foreach { case (db, t, view) =>
+      s = s.replaceAll(
+        s"""\\b${java.util.regex.Pattern.quote(db)}\\.${java.util.regex.Pattern.quote(t)}\\b""", view)
+    }
+    // then bare names of the CURRENT database (never after a '.', which
+    // would be a column/alias qualification)
+    split.foreach { case (db, t, view) =>
+      if (db == currentDb && view != t)
+        s = s.replaceAll(s"""(?<!\\.)\\b${java.util.regex.Pattern.quote(t)}\\b""", view)
+    }
+    s
+  }
+
   private def register(name: String, spec: TableSpec): Unit = {
-    read(spec.path, spec.format).createOrReplaceTempView(name)
-    catalog(name) = spec
+    read(spec.path, spec.format).createOrReplaceTempView(viewOf(name))
+    catalog(keyOf(name)) = spec
   }
 
   /** DDL + commands — ref flink-sql-parser/.../ddl statement classes
@@ -109,7 +155,7 @@ final class EngineEnv(val spark: SparkSession) {
     case createHeadRe(ifNotExists, name, tail) =>
       // IF NOT EXISTS on an existing registration is a NO-OP (SqlCreateTable
       // semantics — ADVICE r2), not a silent replace
-      if (ifNotExists != null && catalog.contains(name)) return spark.emptyDataFrame
+      if (ifNotExists != null && catalog.contains(keyOf(name))) return spark.emptyDataFrame
       val (cols, opts, like) = parseCreateTail(tail)
       val wm = cols.flatMap(c => watermarkRe.findFirstMatchIn(c))
         .map(m => (m.group(1), s"${m.group(2)} ${unitName(m.group(3))}"))
@@ -117,7 +163,7 @@ final class EngineEnv(val spark: SparkSession) {
         // CREATE TABLE t [WITH (overrides)] LIKE base — SqlCreateTableLike:
         // clone the base spec, apply option overrides, keep/override watermark
         case (Some(base), _) =>
-          val b = catalog.getOrElse(base,
+          val b = catalog.getOrElse(keyOf(base),
             throw new IllegalArgumentException(s"LIKE references unknown table '$base'"))
           val spec = TableSpec(
             opts.getOrElse("path", b.path), opts.getOrElse("format", b.format),
@@ -134,8 +180,8 @@ final class EngineEnv(val spark: SparkSession) {
             col("id"),
             expr("conv(substr(md5(concat('k_', id)), 1, 15), 16, 10)").cast("long").as("k"),
             expr("conv(substr(md5(concat('v_', id)), 1, 8), 16, 10)").cast("double").as("v"))
-            .createOrReplaceTempView(name)
-          catalog(name) = TableSpec("", "datagen", None, None)
+            .createOrReplaceTempView(viewOf(name))
+          catalog(keyOf(name)) = TableSpec("", "datagen", None, None)
         case (None, other) => throw new IllegalArgumentException(s"unsupported connector '$other'")
       }
       spark.emptyDataFrame
@@ -143,24 +189,24 @@ final class EngineEnv(val spark: SparkSession) {
     // ModifyOperation → FileSystemTableSink path (SURVEY §3.1 step 2):
     // append/overwrite the table's files, refresh the view.
     case insertRe(mode, name, query) =>
-      val spec = catalog.getOrElse(name,
+      val spec = catalog.getOrElse(keyOf(name),
         throw new IllegalArgumentException(s"unknown sink table '$name'"))
       val df = sqlQuery(query)
       df.write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
         .format(spec.format).save(spec.path)
-      read(spec.path, spec.format).createOrReplaceTempView(name)
+      read(spec.path, spec.format).createOrReplaceTempView(viewOf(name))
       spark.emptyDataFrame
     case createViewRe(name, query) =>
-      sqlQuery(query).createOrReplaceTempView(name)
+      sqlQuery(query).createOrReplaceTempView(viewOf(name))
       spark.emptyDataFrame
     case alterRenameRe(from, to) => // SqlAlterTableRename
-      val spec = catalog.getOrElse(from,
+      val spec = catalog.getOrElse(keyOf(from),
         throw new IllegalArgumentException(s"unknown table '$from'"))
-      spark.catalog.dropTempView(from); catalog.remove(from)
+      spark.catalog.dropTempView(viewOf(from)); catalog.remove(keyOf(from))
       register(to, spec)
       spark.emptyDataFrame
     case alterSetRe(name, withClause) => // SqlAlterTableOptions
-      val spec = catalog.getOrElse(name,
+      val spec = catalog.getOrElse(keyOf(name),
         throw new IllegalArgumentException(s"unknown table '$name'"))
       val opts = parseOptions(withClause)
       register(name, spec.copy(
@@ -184,12 +230,12 @@ final class EngineEnv(val spark: SparkSession) {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name))
       spark.emptyDataFrame
     case dropRe(name) =>
-      spark.catalog.dropTempView(name)
-      catalog.remove(name)
+      spark.catalog.dropTempView(viewOf(name))
+      catalog.remove(keyOf(name))
       spark.emptyDataFrame
     case showRe() => spark.sql("SHOW VIEWS")
     case showFnRe() => spark.sql("SHOW FUNCTIONS")
-    case describeRe(name) => spark.sql(s"DESCRIBE $name")
+    case describeRe(name) => spark.sql(s"DESCRIBE ${viewOf(name)}")
     case explainRe(query) => spark.sql("EXPLAIN " + FlinkSqlDialect.rewrite(query))
     case createDbRe(db) => databases += db; spark.emptyDataFrame
     case dropDbRe(db) =>
@@ -207,14 +253,16 @@ final class EngineEnv(val spark: SparkSession) {
 
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
     * front-end; everything else is string-rewritten into Spark SQL. */
-  def sqlQuery(flinkSql: String): DataFrame =
-    if (MatchRecognize.isMatchRecognize(flinkSql)) MatchRecognize.run(spark, flinkSql)
-    else spark.sql(FlinkSqlDialect.rewrite(flinkSql))
+  def sqlQuery(flinkSql: String): DataFrame = {
+    val resolved = resolveTables(flinkSql)
+    if (MatchRecognize.isMatchRecognize(resolved)) MatchRecognize.run(spark, resolved)
+    else spark.sql(FlinkSqlDialect.rewrite(resolved))
+  }
 
   /** Streaming read of a registered filesystem table with its declared
     * watermark applied. */
   def fromStream(name: String): DataFrame = {
-    val spec = catalog(name)
+    val spec = catalog(keyOf(name))
     val schema = read(spec.path, spec.format).schema
     val base = spark.readStream.schema(schema).format(spec.format)
       .load(graft.streaming.StreamOps.fileAsDir(spec.path))
@@ -228,7 +276,7 @@ final class EngineEnv(val spark: SparkSession) {
   }
 
   def watermarkOf(name: String): Option[(String, String)] =
-    catalog.get(name).flatMap(s => s.watermarkCol.zip(s.watermarkDelay))
+    catalog.get(keyOf(name)).flatMap(s => s.watermarkCol.zip(s.watermarkDelay))
 
   private def read(path: String, fmt: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

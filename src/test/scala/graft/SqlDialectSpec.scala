@@ -55,6 +55,32 @@ class SqlDialectSpec extends SparkTestBase {
     assert(spark.table("ine_t").count() == 5)
   }
 
+  test("databases qualify table names: same name in two dbs, cross-db joins") {
+    val e = new EngineEnv(spark)
+    e.executeSql("CREATE DATABASE db_a")
+    e.executeSql("CREATE DATABASE db_b")
+    e.executeSql("USE db_a")
+    e.executeSql(s"""CREATE TABLE facts WITH ('connector'='filesystem',
+      'path'='$sfDir/region.parquet', 'format'='parquet')""")
+    e.executeSql("USE db_b")
+    e.executeSql(s"""CREATE TABLE facts WITH ('connector'='filesystem',
+      'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    // unqualified resolves against the CURRENT database (db_b → nation: 25)
+    assert(e.sqlQuery("SELECT COUNT(*) AS n FROM facts").head().getLong(0) == 25)
+    e.executeSql("USE db_a")
+    assert(e.sqlQuery("SELECT COUNT(*) AS n FROM facts").head().getLong(0) == 5)
+    // qualified references reach across databases in one query
+    val joined = e.sqlQuery("""
+      SELECT r_name, COUNT(*) AS n
+      FROM db_a.facts JOIN db_b.facts ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+    assert(joined.count() == 5)
+    // per-db watermark catalog entries stay distinct
+    assert(e.watermarkOf("db_a.facts").isEmpty)
+    e.executeSql("DROP TABLE db_b.facts")
+    intercept[Exception](e.fromStream("db_b.facts"))
+  }
+
   test("CREATE TABLE registers the view and records the watermark") {
     val e = new EngineEnv(spark)
     e.executeSql(s"""
