@@ -303,6 +303,73 @@ object SqlDialectQueries {
       FROM m JOIN ord o ON o.user_id = m.user_id AND o.pos BETWEEN m.a AND m.b
       ORDER BY user_id, a_id, ts"""))
 
+  /** Absence pattern — Flink CEP notFollowedBy(purchase).followedBy(error)
+    * (ref flink-cep Pattern.notFollowedBy): a click, then the FIRST error
+    * with NO purchase in between, via a skip variable excluding both (the
+    * canonical MATCH_RECOGNIZE encoding of mid-pattern negation; needs the
+    * conjunctive DEFINE). WITHIN bounds the whole match. */
+  val qSqlMrNotFollowed: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS click_id, C.event_id AS error_id
+          PATTERN (A S* C)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.event_type = 'click',
+                 S AS S.event_type <> 'purchase' AND S.event_type <> 'error',
+                 C AS C.event_type = 'error'
+        )""").orderBy(col("user_id"), col("click_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      firsts AS (
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS cts, c.pos,
+               (SELECT min(e.pos) FROM ord e WHERE e.user_id = c.user_id
+                  AND e.pos > c.pos AND e.event_type = 'error') AS epos,
+               (SELECT min(p.pos) FROM ord p WHERE p.user_id = c.user_id
+                  AND p.pos > c.pos AND p.event_type = 'purchase') AS ppos
+        FROM ord c WHERE c.event_type = 'click')
+      SELECT f.user_id, f.click_id, e.event_id AS error_id
+      FROM firsts f JOIN ord e ON e.user_id = f.user_id AND e.pos = f.epos
+      WHERE (f.ppos IS NULL OR f.epos < f.ppos)
+        AND e.ts < f.cts + INTERVAL '30 minutes'
+      ORDER BY f.user_id, f.click_id"""))
+
+  /** Dynamic-gap session windows — ref EventTimeSessionWindows
+    * .withDynamicGap (SessionWindowTimeGapExtractor): each event extends
+    * the session by its OWN gap (clicks 5 min, everything else 10);
+    * Spark's session_window accepts the per-row gap expression natively.
+    * Oracle = islands with a running max of per-event window ends. */
+  val qWindowSessionDynamic: Q = Q(
+    run = (s, dir) =>
+      graft.Tables.load(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "click", "5 minutes").otherwise("10 minutes")))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("ss"),
+                col("session_window.end").as("se"), col("n"))
+        .orderBy(col("user_id"), col("ss")),
+    oracle = Some("""
+      WITH x AS (SELECT user_id, event_id, ts,
+                        ts + CASE WHEN event_type = 'click' THEN INTERVAL '5 minutes'
+                                  ELSE INTERVAL '10 minutes' END AS e
+                 FROM events),
+      y AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+            FROM x),
+      z AS (SELECT *, CASE WHEN pe IS NULL OR ts >= pe THEN 1 ELSE 0 END AS brk FROM y),
+      w AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM z)
+      SELECT user_id, min(ts) AS ss, max(e) AS se, COUNT(*) AS n
+      FROM w GROUP BY user_id, sid
+      ORDER BY user_id, ss"""))
+
   /** SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR):
     * % and _ wildcards mixed with regex alternation, whole-string match;
     * the dialect rewrites to an anchored RLIKE. */
@@ -360,6 +427,8 @@ object SqlDialectQueries {
     "q_sql_mr_multi_partition" -> qSqlMrMultiPartition,
     "q_sql_mr_prev" -> qSqlMrPrev,
     "q_sql_mr_final_running" -> qSqlMrFinalRunning,
+    "q_sql_mr_not_followed" -> qSqlMrNotFollowed,
+    "q_window_session_dynamic" -> qWindowSessionDynamic,
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,
   )

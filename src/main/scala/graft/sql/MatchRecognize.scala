@@ -59,7 +59,7 @@ object MatchRecognize {
   case class Spec(table: String, partitionBy: Seq[String], orderBy: String,
                   orderTiebreak: Option[String],
                   measures: Seq[Measure], pattern: Seq[PatVar],
-                  withinMicros: Long, defines: Map[String, Define],
+                  withinMicros: Long, defines: Map[String, Seq[Define]],
                   skip: Skip, allRows: Boolean)
 
   private val outerRe =
@@ -138,16 +138,27 @@ object MatchRecognize {
           s"unsupported WITHIN INTERVAL unit '$other' (use MILLISECOND/SECOND/MINUTE/HOUR/DAY)")
       }
     }.getOrElse(Long.MaxValue)
+    // each define item is `VAR AS <conjunct> [AND <conjunct> ...]` — Flink
+    // DEFINEs are arbitrary boolean expressions; the conjunctive subset
+    // covers the common shapes (incl. absence-pattern skip variables like
+    // `S AS S.t <> 'a' AND S.t <> 'b'`)
     val defines = defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
-      .flatMap(splitTop).map {
-        case defRe(v, _, c, op, slit, nlit) =>
-          v.toUpperCase -> Define(v.toUpperCase, c, op, if (slit != null) slit else nlit)
-        case defPrevRe(v, _, c, op, _, pc, off) =>
-          v.toUpperCase -> Define(v.toUpperCase, c, op, "",
-            rhsPrev = Some((pc, Option(off).map(_.toInt).getOrElse(1))))
-        case defXRe(v, _, c, op, rv, rc) =>
-          v.toUpperCase -> Define(v.toUpperCase, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
-        case other => throw new IllegalArgumentException(s"unsupported define '$other'")
+      .flatMap(splitTop).map { item =>
+        val headM = """(?is)^\s*(\w+)\s+AS\s+(.*)$""".r.findFirstMatchIn(item)
+          .getOrElse(throw new IllegalArgumentException(s"unsupported define '$item'"))
+        val v = headM.group(1).toUpperCase
+        val conjuncts = headM.group(2).split("(?i)\\s+AND\\s+").toSeq.map { cj =>
+          s"$v AS $cj" match {
+            case defRe(_, _, c, op, slit, nlit) =>
+              Define(v, c, op, if (slit != null) slit else nlit)
+            case defPrevRe(_, _, c, op, _, pc, off) =>
+              Define(v, c, op, "", rhsPrev = Some((pc, Option(off).map(_.toInt).getOrElse(1))))
+            case defXRe(_, _, c, op, rv, rc) =>
+              Define(v, c, op, "", rhsVar = Some((rv.toUpperCase, rc)))
+            case other => throw new IllegalArgumentException(s"unsupported define conjunct '$cj'")
+          }
+        }
+        v -> conjuncts
       }.toMap
     val skip = skipRe.findFirstMatchIn(body).map { m =>
       val head = m.group(1).toUpperCase
@@ -192,7 +203,11 @@ object MatchRecognize {
     }
     def predOf(v: PatVar): (Row, Cep.MatchCtx[Row]) => Boolean = spec.defines.get(v.name.toUpperCase) match {
       case None => (_: Row, _: Cep.MatchCtx[Row]) => true // undefined variable matches any row
-      case Some(d) =>
+      case Some(conjuncts) =>
+        val preds = conjuncts.map(conjunctPred)
+        (r: Row, ctx: Cep.MatchCtx[Row]) => preds.forall(_(r, ctx))
+    }
+    def conjunctPred(d: Define): (Row, Cep.MatchCtx[Row]) => Boolean = {
         val ci = schema.fieldIndex(d.col)
         val isNum = schema(ci).dataType.isInstanceOf[NumericType]
         (d.rhsPrev, d.rhsVar) match {

@@ -25,7 +25,7 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(spec.partitionBy == Seq("k") && spec.orderBy == "ts")
     assert(spec.pattern.map(p => (p.name, p.min, p.max)) == Seq(("A", 1, 1), ("B", 2, 4), ("C", 1, 1)))
     assert(spec.withinMicros == 30L * 60 * 1000000)
-    assert(spec.defines("B").op == ">" && spec.defines("B").value == "5")
+    assert(spec.defines("B").head.op == ">" && spec.defines("B").head.value == "5")
     assert(spec.measures.map(_.as) == Seq("ax", "fy"))
   }
 
