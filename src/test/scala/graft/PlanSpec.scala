@@ -79,4 +79,31 @@ class PlanSpec extends SparkTestBase {
     assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
       pushed.contains("l_quantity"))
   }
+
+  test("q_pipe_ann_ivf: centroid table broadcast; probed-list join is hash, not cartesian") {
+    val p = plan("q_pipe_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid assignment should broadcast the 8-row centroid table")
+    // the probe→list lookup is an equi-join on the centroid id
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"), "IVF probe must never scan the whole corpus")
+  }
+
+  test("q_pipe_dedup_cosine: bucket join only — no all-pairs product") {
+    val p = plan("q_pipe_dedup_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cosine dedup must pair via LSH buckets, not all-pairs")
+  }
+
+  test("q_pipe_sample: single-pass — one scan, no joins") {
+    val p = plan("q_pipe_sample")
+    assert(!p.contains("Join"), "sampling must not join")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 2)
+  }
+
+  test("q_ds_exists_chain: correlated EXISTS/NOT EXISTS become semi and anti joins") {
+    val p = plan("q_ds_exists_chain")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
 }
