@@ -422,6 +422,36 @@ object StreamOps {
       .toDF()
   }
 
+  case class ProcTimerOut(user_id: Long, n_events: Long)
+
+  /** PROCESSING-time timers — ref KeyedProcessFunction
+    * .registerProcessingTimeTimer / onTimer: buffer a per-key count, arm a
+    * wall-clock timer, flush when it fires (the classic delayed-flush /
+    * debounce pattern). Spark mapping: `GroupStateTimeout
+    * .ProcessingTimeTimeout` + `setTimeoutDuration`; `hasTimedOut` is
+    * onTimer and fires on the first trigger after the duration elapses.
+    * Wall-clock dependent, so spec-gated (StreamingSpec), not oracle-gated. */
+  def procTimeDebounce(s: SparkSession, events: DataFrame, durationMs: Long): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { // onTimer: flush the buffered count
+            val n = state.get
+            state.remove()
+            Iterator.single(ProcTimerOut(key, n))
+          } else {
+            state.update(state.getOption.getOrElse(0L) + it.size)
+            state.setTimeoutDuration(durationMs) // registerProcessingTimeTimer
+            Iterator.empty
+          }
+        })
+      .toDF()
+  }
+
   case class TimerState(lastTs: Long, lastId: Long, timerAt: Long)
   case class TimerOut(user_id: Long, last_event_id: Long, last_ts_us: Long, timeout_at_us: Long)
 

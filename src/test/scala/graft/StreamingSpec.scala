@@ -211,6 +211,54 @@ class StreamingSpec extends SparkTestBase {
     assert(flushed == Seq(11L, 10L, 12L)) // event-time order, ts<=watermark only
   }
 
+  test("processing-time timers fire after the wall-clock duration (onTimer flush)") {
+    // two checkpointed AvailableNow runs — a ProcessingTimeTimeout query
+    // under a continuous trigger re-batches forever (shouldRunAnotherBatch),
+    // so the deterministic harness is stop + restart: the timer is armed in
+    // run 1, survives the checkpoint, and fires on run 2's first batch.
+    val s = spark
+    import s.implicits._
+    val base = "/tmp/graft_proctimer"
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("user_id", "event_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    @annotation.nowarn("cat=deprecation")
+    def run(): Unit = {
+      val stream = s.readStream.schema("user_id LONG, event_id LONG").parquet(src)
+      val q = StreamOps.procTimeDebounce(s, stream, durationMs = 500)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        // Trigger.Once, NOT AvailableNow: a ProcessingTimeTimeout query
+        // always reports shouldRunAnotherBatch, so AvailableNow never
+        // reaches its "done" condition; Once runs exactly one batch
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    addFile("f0", Seq((1L, 10L), (1L, 11L)))
+    run() // arms key 1's 500ms timer; nothing flushed
+    assert(s.read.parquet(out).count() == 0)
+    Thread.sleep(800) // let the wall-clock deadline lapse while stopped
+    addFile("f1", Seq((2L, 20L)))
+    run() // restart: processes f1 AND fires key 1's expired timer
+    val rows = s.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 2L))) // buffered count flushed exactly once
+  }
+
   test("event-time timers honor microsecond deadlines (no sub-ms early fire)") {
     val s = spark
     import s.implicits._
