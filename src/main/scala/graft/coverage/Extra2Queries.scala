@@ -204,7 +204,45 @@ object Extra2Queries {
              TRUE AS hll_ok, TRUE AS p50_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Remaining §2.11 scalar surface: REGEXP_EXTRACT / REGEXP predicate,
+    * SHA2, COT, SINH/COSH/TANH (oracle composes exp — Math.sinh vs the
+    * formula differ by ulps, absorbed by the 1e-6 quantization), NULLIF,
+    * IF, PI, E, and Flink TRUNCATE(x, 2) as the exact floor rewrite. */
+  val qScalarMisc: Q = Q(
+    run = (s, dir) =>
+      Tables.load(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("rx1"),
+        col("p_type").rlike("^ECON").as("rxb"),
+        sha2(col("p_brand"), 256).as("sh"),
+        qz6(expr("cot(cast(p_size as double) + 1.5)")).as("ct"),
+        qz6(expr("sinh(cast(p_size as double) / 10.0)")).as("snh"),
+        qz6(expr("cosh(cast(p_size as double) / 10.0)")).as("csh"),
+        qz6(expr("tanh(cast(p_size as double) / 10.0)")).as("tnh"),
+        expr("nullif(p_size, 25)").as("nf"),
+        expr("if(p_size > 25, 'big', 'small')").as("iff"),
+        expr("pi()").as("piv"),
+        qz6(expr("e()")).as("ev"),
+        (floor(col("p_retailprice") * 100.0) / 100.0).as("tr2"))
+        .orderBy(col("p_partkey")),
+    oracle = Some(s"""
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+)', 1) AS rx1,
+             regexp_matches(p_type, '^ECON') AS rxb,
+             sha256(p_brand) AS sh,
+             ${oQz6("cot(CAST(p_size AS DOUBLE) + 1.5)")} AS ct,
+             ${oQz6("(exp(CAST(p_size AS DOUBLE) / 10.0) - exp(-CAST(p_size AS DOUBLE) / 10.0)) / 2.0")} AS snh,
+             ${oQz6("(exp(CAST(p_size AS DOUBLE) / 10.0) + exp(-CAST(p_size AS DOUBLE) / 10.0)) / 2.0")} AS csh,
+             ${oQz6("(exp(CAST(p_size AS DOUBLE) / 5.0) - 1.0) / (exp(CAST(p_size AS DOUBLE) / 5.0) + 1.0)")} AS tnh,
+             nullif(p_size, 25) AS nf,
+             if(p_size > 25, 'big', 'small') AS iff,
+             pi() AS piv,
+             ${oQz6("exp(1.0)")} AS ev,
+             FLOOR(p_retailprice * 100.0) / 100.0 AS tr2
+      FROM part ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_scalar_misc" -> qScalarMisc,
     "q_join_salted" -> qJoinSalted,
     "q_agg_approx" -> qAggApprox,
     "q_stream_over" -> qStreamOver,

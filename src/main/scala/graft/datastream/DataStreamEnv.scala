@@ -32,6 +32,39 @@ final class DStream[T](val ds: Dataset[T]) {
   def rescale(n: Int): DStream[T] = new DStream(ds.coalesce(n))
   /** Everything to one task — ref DataStream.global:575. */
   def global(): DStream[T] = new DStream(ds.coalesce(1))
+  /** Custom partitioner — ref DataStream.partitionCustom:388-431
+    * (Partitioner.partition(key, numPartitions)): rows land in the
+    * partition the user function picks. Spark spelling:
+    * `repartitionByRange`-free HASH exchange on the computed partition id
+    * via repartition(n, expr) is NOT custom; the faithful mapping drops to
+    * the RDD partitioner, preserving the Dataset element type. */
+  def partitionCustom(n: Int)(part: T => Int)(implicit enc: Encoder[T]): DStream[T] = {
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = {
+        val p = part(key.asInstanceOf[T]) % n
+        if (p < 0) p + n else p
+      }
+    }
+    val sess = ds.sparkSession
+    implicit val ct: scala.reflect.ClassTag[T] = enc.clsTag
+    val rdd = ds.rdd.map(t => (t, ())).partitionBy(partitioner).map(_._1)
+    new DStream(sess.createDataset(rdd))
+  }
+
+  /** Bounded iteration — ref DataStream.iterate:624-652 / DataSet
+    * IterativeDataSet: the body transforms the stream; the driver loops a
+    * fixed number of rounds (SURVEY §2.13 Iterations: driver-side loop,
+    * lineage cut per round so plans stay analyzable). */
+  def iterate(rounds: Int)(body: DStream[T] => DStream[T]): DStream[T] = {
+    var cur = this
+    (1 to rounds).foreach { _ =>
+      cur = body(cur)
+      cur = new DStream(cur.ds.localCheckpoint())
+    }
+    cur
+  }
+
   /** Side output — ref ProcessFunction ctx.output(OutputTag) /
     * OutputTag.java:53; SURVEY §2.2 maps it to a predicate split (two
     * filtered sinks over one upstream). */

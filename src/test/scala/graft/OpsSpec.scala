@@ -52,6 +52,24 @@ class OpsSpec extends SparkTestBase {
     assert(d.global().ds.rdd.getNumPartitions == 1)
   }
 
+  test("partitionCustom routes rows by the user partitioner") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val d = env.fromDataset(s.createDataset(1 to 100)).partitionCustom(4)(i => i % 4)
+    assert(d.ds.rdd.getNumPartitions == 4)
+    val byPart = d.ds.rdd.mapPartitionsWithIndex((pi, it) => it.map(v => (pi, v))).collect()
+    assert(byPart.forall { case (pi, v) => pi == v % 4 }) // user routing honored exactly
+  }
+
+  test("iterate runs the body a fixed number of rounds") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val out = env.fromElements(1, 2, 3).iterate(3)(d => d.map(_ * 2)).collect().toSet
+    assert(out == Set(8, 16, 24)) // ×2 applied 3 times
+  }
+
   test("large-star/small-star CC: chain + separate component + isolated self-loop") {
     val s = spark
     import s.implicits._
