@@ -4,6 +4,7 @@ import graft.{Q, Queries, Tables}
 import graft.Queries._
 import graft.operators.{AsOfJoin, Cep}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-windowed aggregation + temporal join coverage (SURVEY.md §2.4 time
@@ -96,6 +97,31 @@ object WindowQueries {
       FROM events CROSS JOIN generate_series(1, 4) g(k)
       WHERE ts < date_trunc('hour', ts) + INTERVAL (k * 15) MINUTE
       GROUP BY 1, 2 ORDER BY ws, we"""))
+
+  /** Window Top-N — the Flink 1.12 "Window TopN" pattern (rank inside each
+    * group window; ref StreamExecRank over windowed agg): top-2 users per
+    * 1-hour tumble by spend. Two-phase: windowed agg (partial+final), then
+    * a rank whose WindowGroupLimit pushes the per-window top-k below the
+    * sort — never a global sort of the aggregate. */
+  val qWindowTopn: Q = Q(
+    run = (s, dir) => {
+      val agg = ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("v_cents"))
+        .select(col("window.start").as("ws"), col("user_id"), col("v_cents"))
+      agg.withColumn("rk", row_number().over(
+          Window.partitionBy(col("ws")).orderBy(col("v_cents").desc, col("user_id"))))
+        .filter(col("rk") <= 2)
+        .orderBy(col("ws"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+               SUM(${oCents("value")})::BIGINT AS v_cents
+        FROM events GROUP BY 1, 2)
+      SELECT ws, user_id, v_cents,
+             row_number() OVER (PARTITION BY ws ORDER BY v_cents DESC, user_id) AS rk
+      FROM agg QUALIFY rk <= 2 ORDER BY ws, rk"""))
 
   /** Interval (time-windowed) join — ref interval/TimeIntervalJoin.java
     * (485 LoC) / KeyedStream.intervalJoin:438: purchase within [0, 30 min]
@@ -244,6 +270,7 @@ object WindowQueries {
     "q_window_hop" -> qWindowHop,
     "q_window_session" -> qWindowSession,
     "q_window_cumulative" -> qWindowCumulative,
+    "q_window_topn" -> qWindowTopn,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_sym" -> qJoinIntervalSym,
     "q_join_asof" -> qJoinAsOf,

@@ -350,6 +350,31 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Set((1L, 0L, 5.0), (1L, 10000L, 10.0), (2L, 0L, 7.0)))
   }
 
+  test("update-mode windowed agg emits early partials then refinements (early-fire)") {
+    // Flink table.exec.emit.early-fire ≈ Spark Update mode: every
+    // micro-batch emits the refreshed aggregate of each touched window —
+    // an early partial before the window closes, refined by later batches
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val agg = toEvents(in.toDF())
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("earlyfire_t")
+      .outputMode("update").start()
+    in.addData(Raw(1, 10, "a", 5, 0.0), Raw(1, 11, "a", 20, 0.0))
+    q.processAllAvailable()
+    val first = s.table("earlyfire_t").as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(first.map(r => (r._2, r._3)) == Seq((1L, 2L))) // early partial: n=2
+    in.addData(Raw(1, 12, "a", 40, 0.0)) // same 1-minute window
+    q.processAllAvailable()
+    val all = s.table("earlyfire_t").as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    q.stop()
+    assert(all.map(r => (r._2, r._3)) == Seq((1L, 2L), (1L, 3L))) // refinement emitted
+  }
+
   test("watermarked tumbling agg finalizes windows in append mode") {
     val s = spark
     import s.implicits._
