@@ -245,7 +245,93 @@ object TpcdsShapeQueries {
     Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
   }
 
+  /** TPC-DS q5/q77 shape — ROLLUP over a multi-join (channel totals with
+    * region/nation subtotal rows and a grand total). */
+  val qDsRollupJoin: Q = {
+    val sql = """
+      SELECT r_name, n_name,
+             CAST(grouping_id(r_name, n_name) AS INT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+                  JOIN customer ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY gid, r_name, n_name"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q23 shape — HAVING against a scalar subquery (segments whose
+    * order count beats the all-segment average; cross-multiplied exact). */
+  val qDsHavingSubquery: Q = {
+    val sql = """
+      WITH seg AS (
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment)
+      SELECT c_mktsegment, n FROM seg
+      WHERE n * (SELECT COUNT(*) FROM seg) > (SELECT SUM(n) FROM seg)
+      ORDER BY c_mktsegment"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-H q17 / TPC-DS q17 shape — correlated per-group average pushed
+    * into a fact filter: lineitems under 20% of their part's average
+    * quantity, compared exactly by cross-multiplication. */
+  val qDsBelowAvgFilter: Q = {
+    val sql = """
+      WITH pq AS (
+        SELECT l_partkey AS pk, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l.l_partkey, COUNT(*) AS n_small,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem l JOIN pq ON pq.pk = l.l_partkey
+      WHERE 5 * CAST(FLOOR(l.l_quantity * 100.0) AS BIGINT) * pq.n < pq.sq
+      GROUP BY l.l_partkey
+      ORDER BY l.l_partkey"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q97 shape — FULL OUTER join of two channel aggregates counting
+    * both/left-only/right-only key overlap in one pass. */
+  val qDsFullOuterOverlap: Q = {
+    val sql = """
+      WITH early AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                     WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+           late AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1)
+      SELECT COUNT(CASE WHEN e.k IS NOT NULL AND l.k IS NOT NULL THEN 1 END) AS n_both,
+             COUNT(CASE WHEN l.k IS NULL THEN 1 END) AS n_early_only,
+             COUNT(CASE WHEN e.k IS NULL THEN 1 END) AS n_late_only
+      FROM early e FULL OUTER JOIN late l ON e.k = l.k"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q31 shape — period-over-period share comparison across two
+    * joined aggregates of the same fact (growth flags, exact integer
+    * cross-multiplied ratio compare). */
+  val qDsPeriodCompare: Q = {
+    val sql = """
+      WITH y97 AS (SELECT o_orderpriority AS pr,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v
+                   FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 GROUP BY 1),
+           y98 AS (SELECT o_orderpriority AS pr,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v
+                   FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 GROUP BY 1)
+      SELECT a.pr, a.v AS v97, b.v AS v98,
+             (b.v * 100 > a.v * 105) AS grew_5pct
+      FROM y97 a JOIN y98 b ON a.pr = b.pr
+      ORDER BY a.pr"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_ds_rollup_join" -> qDsRollupJoin,
+    "q_ds_having_subquery" -> qDsHavingSubquery,
+    "q_ds_below_avg_filter" -> qDsBelowAvgFilter,
+    "q_ds_full_outer_overlap" -> qDsFullOuterOverlap,
+    "q_ds_period_compare" -> qDsPeriodCompare,
     "q_ds_corr_subquery" -> qDsCorrSubquery,
     "q_ds_grouping_sets" -> qDsGroupingSets,
     "q_ds_multijoin" -> qDsMultijoin,
