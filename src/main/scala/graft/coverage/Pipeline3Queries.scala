@@ -196,7 +196,44 @@ object Pipeline3Queries {
              row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 10 AS kept_res
       FROM h ORDER BY doc_id"""))
 
+  /** PII redaction with audit counts — the masking pass every training-data
+    * pipeline runs before tokenization: regex-replace emails and long digit
+    * runs, count what was masked (map-side only, no shuffle). The corpus
+    * fixture carries no PII, so the contact string is SYNTHESIZED
+    * deterministically from doc_id — identically on both engines — and the
+    * operator (global regex replace + regexp_count audit) is what's under
+    * test. */
+  val qPipeRedact: Q = Q(
+    run = (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id"), lit("@example.com ref "),
+                 (col("doc_id") * 7917) % 10000, lit(" "),
+                 substring(col("text"), 1, 40)).as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("raw"), "[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>").as("redacted"),
+          expr("regexp_count(raw, '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+')").as("n_emails"),
+          expr("regexp_count(regexp_replace(raw, '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+', '<EMAIL>'), '[0-9]{3,}')").as("n_nums"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               'contact user' || doc_id || '@example.com ref ' ||
+               (doc_id * 7917) % 10000 || ' ' || substr(text, 1, 40) AS raw
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(raw, '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                            '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(raw, '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(
+               regexp_replace(raw, '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{3,}')) AS INT) AS n_nums
+      FROM raw ORDER BY doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_redact" -> qPipeRedact,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,
     "q_pipe_repetition" -> qPipeRepetition,
