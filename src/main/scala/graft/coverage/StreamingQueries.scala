@@ -219,8 +219,40 @@ object StreamingQueries {
       WHERE epoch_us(p.ts) <= (SELECT w FROM wm)
       ORDER BY key, left_id"""))
 
+  /** Streaming Window Top-N — the Flink "Window Top-N" cascade (window agg
+    * → rank over each CLOSED window): stage 1 is a real watermarked
+    * streaming agg in Append mode (only finalized windows reach the sink);
+    * stage 2 ranks the materialized finalized windows — the same two-
+    * operator cascade the reference plans (StreamExecRank consuming
+    * StreamExecWindowAggregate output). */
+  val qStreamWindowTopn: Q = Q(
+    run = (s, dir) => {
+      val agg = StreamOps.readTable(s, dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("v_cents"))
+        .select(col("window.start").as("ws"), col("user_id"), col("v_cents"))
+      val finalized = StreamOps.runToMemory(s, agg, OutputMode.Append())
+      finalized.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ws")).orderBy(col("v_cents").desc, col("user_id"))))
+        .filter(col("rk") <= 2)
+        .orderBy(col("ws"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+               SUM(${oCents("value")})::BIGINT AS v_cents
+        FROM events GROUP BY 1, 2),
+      fin AS (SELECT * FROM agg
+              WHERE ws + INTERVAL '1 hour' <= (SELECT max(ts) FROM events))
+      SELECT ws, user_id, v_cents,
+             row_number() OVER (PARTITION BY ws ORDER BY v_cents DESC, user_id) AS rk
+      FROM fin QUALIFY rk <= 2 ORDER BY ws, rk"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_asof" -> qStreamAsOf,
+    "q_stream_window_topn" -> qStreamWindowTopn,
     "q_stream_count_window" -> qStreamCountWindow,
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_dedup" -> qStreamDedup,
