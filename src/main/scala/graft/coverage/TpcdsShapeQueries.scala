@@ -326,7 +326,91 @@ object TpcdsShapeQueries {
     Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
   }
 
+  /** TPC-DS q38 shape — customers present in ALL THREE channels via a
+    * chained INTERSECT, counted. */
+  val qDsTripleIntersect: Q = {
+    val sql = """
+      SELECT COUNT(*) AS n_all3 FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') x"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q16 shape — NOT IN subquery (null-aware anti join): parts with
+    * no lineitem shipped in the first window, counted per brand. */
+  val qDsNotIn: Q = {
+    val sql = """
+      SELECT p_brand, COUNT(*) AS n_unsold
+      FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                              WHERE l_shipdate < TIMESTAMP '1995-02-01 00:00:00')
+      GROUP BY p_brand
+      ORDER BY p_brand"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q51 shape — running cumulative sum compared against the running
+    * max of another channel over the same day spine. */
+  val qDsMovingCompare: Q = {
+    val sql = """
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt, o_orderstatus AS st,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1, 2),
+      r AS (SELECT dt, st, v,
+                   CAST(SUM(v) OVER (PARTITION BY st ORDER BY dt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(MAX(v) OVER (PARTITION BY st ORDER BY dt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+            FROM d)
+      SELECT dt, st, v, cum, runmax FROM r
+      WHERE cum > 20 * runmax
+      ORDER BY dt, st"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** TPC-DS q66 shape — month pivot in one scan via SUM(CASE), per status. */
+  val qDsPivotCase: Q = {
+    val sql = """
+      SELECT o_orderstatus,
+             CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 1 THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS jan_cents,
+             CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 2 THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS feb_cents,
+             CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 3 THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS mar_cents,
+             CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 4 THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS apr_cents
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** Cohort shape (first-touch then aggregate — the q30/q81 family): first
+    * order year per customer, then cohort size and value per (year,
+    * segment). */
+  val qDsCohort: Q = {
+    val sql = """
+      WITH firsts AS (
+        SELECT o_custkey, CAST(MIN(EXTRACT(YEAR FROM o_orderdate)) AS BIGINT) AS first_yr
+        FROM orders GROUP BY o_custkey),
+      tot AS (
+        SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey)
+      SELECT f.first_yr, c.c_mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(t.v) AS BIGINT) AS v_cents
+      FROM firsts f JOIN tot t ON t.o_custkey = f.o_custkey
+                    JOIN customer c ON c.c_custkey = f.o_custkey
+      GROUP BY f.first_yr, c.c_mktsegment
+      ORDER BY f.first_yr, c.c_mktsegment"""
+    Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_ds_triple_intersect" -> qDsTripleIntersect,
+    "q_ds_not_in" -> qDsNotIn,
+    "q_ds_moving_compare" -> qDsMovingCompare,
+    "q_ds_pivot_case" -> qDsPivotCase,
+    "q_ds_cohort" -> qDsCohort,
     "q_ds_rollup_join" -> qDsRollupJoin,
     "q_ds_having_subquery" -> qDsHavingSubquery,
     "q_ds_below_avg_filter" -> qDsBelowAvgFilter,
