@@ -232,8 +232,51 @@ object Pipeline3Queries {
                '[0-9]{3,}')) AS INT) AS n_nums
       FROM raw ORDER BY doc_id"""))
 
+  /** Benchmark decontamination — flag training documents sharing ≥20% of
+    * their 3-gram shingles with ANY held-out benchmark document (the
+    * n-gram-overlap decontamination step of real LLM data pipelines;
+    * sources src15-19 act as the benchmark suite). Inverted-index join on
+    * the shingle hash (never corpus×corpus), per-pair overlap counted with
+    * map-side partial agg, argmax benchmark doc by (overlap, min id). */
+  val qPipeDecontaminate: Q = Q(
+    run = (s, dir) => {
+      val d = docs(s, dir)
+      def sh(sub: org.apache.spark.sql.DataFrame) =
+        PipelineQueries.shingledOf(sub).select(col("doc_id"), hashStr(col("sh")).as("shid"))
+      val train = sh(d.filter(!col("source").rlike("^src1[5-9]$")))
+      val bench = sh(d.filter(col("source").rlike("^src1[5-9]$")))
+        .withColumnRenamed("doc_id", "bench_id")
+      val tsz = train.groupBy(col("doc_id")).agg(count(lit(1)).as("tsz"))
+      val overlap = train.join(bench, "shid")
+        .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
+      overlap.join(tsz, "doc_id")
+        .filter(col("inter") * 5 >= col("tsz"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("inter").desc, col("bench_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("bench_id"), col("inter"), col("tsz"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS (${PipelineQueries.oShinglesSql}),
+      t AS (SELECT sh.doc_id, sh.sh FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+            WHERE NOT regexp_matches(d.source, '^src1[5-9]$$')),
+      b AS (SELECT sh.doc_id AS bench_id, sh.sh FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+            WHERE regexp_matches(d.source, '^src1[5-9]$$')),
+      tsz AS (SELECT doc_id, COUNT(*) AS tsz FROM t GROUP BY 1),
+      ov AS (SELECT t.doc_id, b.bench_id, COUNT(*) AS inter
+             FROM t JOIN b ON t.sh = b.sh GROUP BY 1, 2)
+      SELECT doc_id, bench_id, inter, tsz FROM (
+        SELECT ov.doc_id, ov.bench_id, ov.inter, tsz.tsz,
+               row_number() OVER (PARTITION BY ov.doc_id ORDER BY ov.inter DESC, ov.bench_id) AS rn
+        FROM ov JOIN tsz ON tsz.doc_id = ov.doc_id
+        WHERE ov.inter * 5 >= tsz.tsz) x
+      WHERE rn = 1
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_redact" -> qPipeRedact,
+    "q_pipe_decontaminate" -> qPipeDecontaminate,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,
     "q_pipe_repetition" -> qPipeRepetition,

@@ -34,6 +34,9 @@ object PipelineQueries {
     * The split is BOUND to a projected column first: an inline `split(...)`
     * referenced via element_at inside the transform lambda re-evaluates the
     * split per element (~300 splits/doc — measured 7× slower). */
+  private[coverage] def shingledOf(d: DataFrame): DataFrame = shingled(d)
+  private[coverage] def oShinglesSql: String = oShingles
+
   private def shingled(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
