@@ -57,6 +57,19 @@ object FlinkSqlDialect {
     // time attributes
     s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
 
+    // TRUNCATE(x, d) — Flink numeric truncation toward zero
+    // (SqlFunctionUtils.struncate); Spark has no numeric truncate, so emit
+    // the sign-correct floor/ceil form. Simple (paren-free) first argument.
+    s = replaceFn(s, """(?i)TRUNCATE\(\s*([^,()]+?)\s*,\s*(\d+)\s*\)""".r, m => {
+      val (x, p) = (m.group(1), s"1e${m.group(2)}")
+      s"(CASE WHEN ($x) >= 0 THEN floor(($x) * $p) / $p ELSE ceil(($x) * $p) / $p END)"
+    })
+
+    // RAND_INTEGER(n) — Flink integer-bounded random (FlinkSqlOperatorTable
+    // RAND_INTEGER) → floor(rand()*n)
+    s = replaceFn(s, """(?i)RAND_INTEGER\(\s*([^,()]+?)\s*\)""".r,
+      m => s"CAST(floor(rand() * (${m.group(1)})) AS INT)")
+
     // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR,
     // rewrite semantics per SqlLikeUtils.sqlToRegexSimilar): SQL wildcards
     // % / _ become (?s:.*) / . — but ONLY outside [...] character

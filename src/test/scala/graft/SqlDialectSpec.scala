@@ -23,6 +23,18 @@ class SqlDialectSpec extends SparkTestBase {
     assert(FlinkSqlDialect.rewrite("SELECT PROCTIME()").contains("current_timestamp()"))
   }
 
+  test("TRUNCATE truncates toward zero; RAND_INTEGER stays in bounds") {
+    val r = spark.sql(FlinkSqlDialect.rewrite(
+      "SELECT TRUNCATE(3.789, 2) AS a, TRUNCATE(-3.789, 2) AS b, TRUNCATE(41.9, 0) AS c")).head()
+    assert(math.abs(r.getDouble(0) - 3.78) < 1e-9)
+    assert(math.abs(r.getDouble(1) + 3.78) < 1e-9) // toward zero, NOT floor (-3.79)
+    assert(math.abs(r.getDouble(2) - 41.0) < 1e-9)
+    val vals = spark.sql(FlinkSqlDialect.rewrite(
+      "SELECT RAND_INTEGER(10) AS v FROM range(200)"))
+      .collect().map(_.getInt(0))
+    assert(vals.forall(v => v >= 0 && v < 10) && vals.distinct.length > 1)
+  }
+
   test("SIMILAR TO: wildcards stay literal inside [...], % is dotall, ESCAPE honored") {
     // bracket enumeration: % and _ inside [...] are LITERAL members
     // (ref SqlLikeUtils.sqlToRegexSimilar character walk)
