@@ -46,6 +46,34 @@ class ScaleSpec extends SparkTestBase {
     assert(plain == salted && plain > 0)
   }
 
+  test("IVF ANN recall: probed-list top-3 overlaps brute-force top-3") {
+    // retrieval QUALITY gate, not just plumbing. The fixture corpus is
+    // RANDOM 64-dim vectors — no cluster structure, the worst case for a
+    // coarse quantizer — so the honest bar is that nprobe=2 of 8 lists
+    // (25% of the corpus scanned) must beat the 25% recall a random slice
+    // of that size would give. Measured ≈40% on this corpus; a clustered
+    // real-embedding corpus is where IVF recall climbs toward 1.
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactTop3 = (100L to 109L).map { q =>
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (cos(vecs(q), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSet
+    }.toMap
+    val ivf = SparkEntry.queries("q_pipe_ann_ivf")(spark, sfDir)
+      .select(col("qid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exactTop3.toSeq.map { case (q, top) => (top & ivf.getOrElse(q, Set.empty)).size }.sum
+    val total = exactTop3.values.map(_.size).sum
+    assert(hits * 4 > total, s"IVF recall no better than a random 25% slice: $hits/$total")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val s = spark
     import s.implicits._
