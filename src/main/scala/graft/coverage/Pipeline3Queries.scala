@@ -274,8 +274,50 @@ object Pipeline3Queries {
       WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** Unigram LM quality score — the perplexity-filter shape (KenLM scoring
+    * in real pipelines, a corpus unigram model here): per-doc mean of
+    * ln p(word) under the corpus unigram distribution; low scorers are the
+    * filter's casualties. Two shuffles total (vocab counts; per-doc mean) —
+    * the model side is a (word → count) table joined back on the token,
+    * exactly how a sharded LM lookup lands at scale. Each term's log-prob
+    * is floor-quantized to micros BEFORE the mean (integer sum DIV count),
+    * so distributed reduction order cannot move the result. */
+  val qPipeUnigramLm: Q = Q(
+    run = (s, dir) => {
+      val w = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = w.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val total = w.agg(count(lit(1)).as("n_total"))
+      w.join(counts, "w").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          floor(log(col("nw").cast("double") / col("n_total").cast("double")) * 1000000.0)
+            .cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+             // negate-divide-negate: the sum is NEGATIVE and Spark's DIV
+             // truncates toward zero while DuckDB's // floors — on the
+             // positive mirror they agree
+             expr("CAST(-((-sum(lp)) DIV count(1)) AS BIGINT)").as("lm_score_micro"))
+        .withColumn("low_quality", col("lm_score_micro") < -4500000L)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      counts AS (SELECT w, COUNT(*) AS nw FROM w GROUP BY w),
+      tot AS (SELECT COUNT(*) AS n FROM w),
+      scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(ln(CAST(nw AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        FROM w JOIN counts USING (w))
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(-((-SUM(lp)) // COUNT(*)) AS BIGINT) AS lm_score_micro,
+             (CAST(-((-SUM(lp)) // COUNT(*)) AS BIGINT) < -4500000) AS low_quality
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_redact" -> qPipeRedact,
+    "q_pipe_unigram_lm" -> qPipeUnigramLm,
     "q_pipe_decontaminate" -> qPipeDecontaminate,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,
