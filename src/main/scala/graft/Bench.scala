@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs when available (stands in for the
+      // fast local SSD a real executor would mount here)
+      .config("spark.local.dir", graft.streaming.StreamOps.scratchRoot + "/local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/session init + file-listing, so per-query times

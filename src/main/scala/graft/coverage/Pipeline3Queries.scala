@@ -315,9 +315,90 @@ object Pipeline3Queries {
       FROM scored GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Sequence packing — the concat-then-chunk step that turns filtered
+    * documents into fixed-length training sequences (pack docs back-to-back
+    * per shard, cut every `seqLen` tokens; docs may span a cut — that is
+    * the standard GPT-style packing contract). One window per shard
+    * (running token sum ordered by doc_id) — at 100 TB the shard (source)
+    * is the partition key, so no global sort ever happens; each task packs
+    * its own shard stripe. All-integer arithmetic: positions are exact on
+    * both engines. */
+  val qPipePack: Q = Q(
+    run = (s, dir) => {
+      val seqLen = 4096L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_end", sum(col("n_tokens")).over(w))
+        .withColumn("start_pos", col("cum_end") - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_pos"),
+          expr(s"start_pos DIV $seqLen").as("seq_id"),
+          (col("start_pos") % seqLen).as("seq_off"),
+          expr(s"(cum_end - 1) DIV $seqLen - start_pos DIV $seqLen + 1").as("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+        FROM t)
+      SELECT doc_id, source, n_tokens,
+             (cum_end - n_tokens)::BIGINT AS start_pos,
+             ((cum_end - n_tokens) // 4096)::BIGINT AS seq_id,
+             ((cum_end - n_tokens) % 4096)::BIGINT AS seq_off,
+             ((cum_end - 1) // 4096 - (cum_end - n_tokens) // 4096 + 1)::BIGINT AS n_seqs
+      FROM c ORDER BY doc_id"""))
+
+  /** TF-IDF keyword extraction — per-document top-3 terms by tf·idf (the
+    * keyword/topic-tagging pass of a corpus pipeline). Term frequencies and
+    * document frequencies are two hash aggregations (map-side partials);
+    * idf is floor-quantized to micros per TERM before the tf multiply, so
+    * the per-(doc,term) score is an exact integer and the top-3 window is
+    * tie-broken on the term itself — bit-identical on any cluster. */
+  val qPipeTfidf: Q = Q(
+    run = (s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("idf_micro",
+          floor(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000000.0)
+            .cast("long"))
+        .withColumn("score", col("tf") * col("idf_micro"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("w").as("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf,
+               tf.tf * CAST(FLOOR(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score
+        FROM tf JOIN df ON df.w = tf.w)
+      SELECT doc_id, rn, w AS term, tf, score FROM (
+        SELECT doc_id, w, tf, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+        FROM scored) x
+      WHERE rn <= 3 ORDER BY doc_id, rn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_redact" -> qPipeRedact,
     "q_pipe_unigram_lm" -> qPipeUnigramLm,
+    "q_pipe_pack" -> qPipePack,
+    "q_pipe_tfidf" -> qPipeTfidf,
     "q_pipe_decontaminate" -> qPipeDecontaminate,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,

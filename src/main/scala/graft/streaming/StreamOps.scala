@@ -19,6 +19,14 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Scratch root for harness artifacts (staged batches, checkpoints,
+    * symlink dirs). State-store commits fsync once per partition per
+    * micro-batch — on tmpfs that is a no-op, on ext4 it is the dominant
+    * fixed cost of every streaming query — so prefer /dev/shm when present
+    * (production would point this at fast local SSD via spark.local.dir). */
+  val scratchRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft" else "/tmp/graft"
+
   /** Stream the given fixture table. */
   /** The file stream source wants a directory; the fixtures are single
     * files → expose a file through a per-file temp dir via symlink
@@ -28,7 +36,7 @@ object StreamOps {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) return path
     val linkDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${path.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"$scratchRoot/stream/${path.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(linkDir)
     val link = linkDir.resolve(p.getFileName)
     if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, p)
@@ -39,7 +47,7 @@ object StreamOps {
     * fresh dir, so a file stream with maxFilesPerTrigger=1 replays them as
     * deterministic micro-batches (oldest first). Returns the source dir. */
   def stageBatches(s: SparkSession, id: String, batches: Seq[DataFrame]): String = {
-    val base = java.nio.file.Paths.get(s"/tmp/graft_batches/$id")
+    val base = java.nio.file.Paths.get(s"$scratchRoot/batches/$id")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
@@ -77,12 +85,30 @@ object StreamOps {
     // the fixture volume stays far below per-partition limits
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", sys.props.getOrElse("graft.stream.parts", "4"))
+    // per-JVM-unique dir, wiped before AND after the run: a stale checkpoint
+    // from a crashed earlier JVM would otherwise resume at its old offsets
+    // and silently skip this run's staged batches
+    val ckpt = s"$scratchRoot/ckpt/${ProcessHandle.current().pid()}/$name"
+    wipe(ckpt)
     try {
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      wipe(ckpt) // the memory table is already materialized; drop state/commit logs
+    }
     s.table(name)
+  }
+
+  private def wipe(dir: String): Unit = {
+    val base = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   // ------------------------------------------------ custom stateful operators
