@@ -394,11 +394,100 @@ object Pipeline3Queries {
         FROM scored) x
       WHERE rn <= 3 ORDER BY doc_id, rn"""))
 
+  /** Domain-mixture resampling — given a target mixture weight per source,
+    * derive the per-source acceptance rate that realizes it (rate ∝
+    * weight/count, normalized so the scarcest-relative source keeps
+    * everything) and hash-gate each document. The per-source counts are a
+    * tiny aggregate broadcast back onto the corpus — one scan + one
+    * map-side join at any scale; the keep decision replays exactly on any
+    * cluster (md5 gate, no RNG state). All-integer rate arithmetic
+    * (permille floors) so both engines agree bit-for-bit. */
+  val qPipeMix: Q = Q(
+    run = (s, dir) => {
+      val d = docs(s, dir)
+      val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .withColumn("w",
+          when(col("source").isin("src0", "src1", "src2"), lit(50L))
+            .when(col("source").rlike("^src[3-9]$"), lit(30L))
+            .otherwise(lit(10L)))
+        .withColumn("intensity", expr("w * 1000000000 DIV n_src"))
+      val maxInt = rates.agg(max(col("intensity")).as("max_int"))
+      val withRate = rates.crossJoin(broadcast(maxInt))
+        .withColumn("keep_permille", expr("intensity * 1000 DIV max_int"))
+        .select(col("source"), col("n_src"), col("w"), col("keep_permille"))
+      d.select(col("doc_id"), col("source"))
+        .join(broadcast(withRate), "source")
+        .withColumn("hv", hashStr(concat(lit("mix_"), col("doc_id").cast("string"))) % 1000)
+        .withColumn("kept", col("hv") < col("keep_permille"))
+        .select(col("doc_id"), col("source"), col("n_src"), col("w"),
+                col("keep_permille"), col("hv"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH n AS (SELECT source, COUNT(*)::BIGINT AS n_src FROM documents GROUP BY 1),
+      r AS (SELECT source, n_src,
+                   CASE WHEN source IN ('src0', 'src1', 'src2') THEN 50::BIGINT
+                        WHEN regexp_matches(source, '^src[3-9]$$') THEN 30::BIGINT
+                        ELSE 10::BIGINT END AS w
+            FROM n),
+      i AS (SELECT source, n_src, w, w * 1000000000 // n_src AS intensity FROM r),
+      k AS (SELECT source, n_src, w,
+                   intensity * 1000 // (SELECT MAX(intensity) FROM i) AS keep_permille
+            FROM i)
+      SELECT d.doc_id, d.source, k.n_src, k.w, k.keep_permille,
+             ${oHash("'mix_' || d.doc_id")} % 1000 AS hv,
+             ${oHash("'mix_' || d.doc_id")} % 1000 < k.keep_permille AS kept
+      FROM documents d JOIN k ON k.source = d.source
+      ORDER BY d.doc_id"""))
+
+  /** Int8 embedding quantization — the compression step before shipping
+    * embeddings to an ANN index or training shard: symmetric per-vector
+    * scale (maxabs/127), elementwise floor-quantize, plus the integer
+    * summaries (sum, sum-of-squares, min/max) and an md5 fingerprint of the
+    * quantized vector that a downstream consumer would use to verify
+    * shards. Map-side only — no shuffle at any scale. The quantized values
+    * are exact integers from IEEE-identical double math, so both engines
+    * agree bit-for-bit. */
+  val qPipeQuantize: Q = Q(
+    run = (s, dir) => {
+      emb(s, dir)
+        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("qarr", transform(col("embedding"), x =>
+          when(col("maxabs") === 0.0, lit(0L))
+            .otherwise(floor(x.cast("double") / col("maxabs") * 127.0).cast("long"))))
+        .select(col("vec_id"),
+          floor(col("maxabs") / 127.0 * 1000000.0).cast("long").as("scale_micro"),
+          array_min(col("qarr")).as("qmin"),
+          array_max(col("qarr")).as("qmax"),
+          aggregate(col("qarr"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          aggregate(col("qarr"), lit(0L), (acc, x) => acc + x * x).as("qss"),
+          md5(array_join(transform(col("qarr"), _.cast("string")), ",")).as("fp"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT vec_id, MAX(abs(CAST(embedding[d] AS DOUBLE))) AS maxabs
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      q AS (
+        SELECT e.vec_id, d, m.maxabs,
+               CASE WHEN m.maxabs = 0 THEN 0::BIGINT
+                    ELSE CAST(FLOOR(CAST(e.embedding[d] AS DOUBLE) / m.maxabs * 127.0) AS BIGINT)
+               END AS qv
+        FROM embeddings e JOIN m ON m.vec_id = e.vec_id, generate_series(1, 64) g(d))
+      SELECT vec_id,
+             CAST(FLOOR(maxabs / 127.0 * 1000000.0) AS BIGINT) AS scale_micro,
+             MIN(qv) AS qmin, MAX(qv) AS qmax,
+             SUM(qv)::BIGINT AS qsum, SUM(qv * qv)::BIGINT AS qss,
+             md5(string_agg(qv::VARCHAR, ',' ORDER BY d)) AS fp
+      FROM q GROUP BY vec_id, maxabs ORDER BY vec_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_redact" -> qPipeRedact,
     "q_pipe_unigram_lm" -> qPipeUnigramLm,
     "q_pipe_pack" -> qPipePack,
     "q_pipe_tfidf" -> qPipeTfidf,
+    "q_pipe_mix" -> qPipeMix,
+    "q_pipe_quantize" -> qPipeQuantize,
     "q_pipe_decontaminate" -> qPipeDecontaminate,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,

@@ -125,4 +125,18 @@ final class DataStreamEnv(val spark: SparkSession) {
   def fromElements[T: Encoder](elems: T*): DStream[T] =
     new DStream(spark.createDataset(elems))
   def fromDataset[T](ds: Dataset[T]): DStream[T] = new DStream(ds)
+
+  /** Line-oriented debug socket source — ref
+    * StreamExecutionEnvironment.socketTextStream:989 (SocketTextStreamFunction).
+    * Spark's built-in socket source IS this operator: it connects as a
+    * client to host:port and emits each received line as a row. Unbounded
+    * and at-most-once, exactly like the reference's debug-only contract —
+    * not for production (use the file/Kafka sources there). */
+  def socketTextStream(host: String, port: Int): DStream[String] = {
+    import spark.implicits._
+    new DStream(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port)
+        .load().as[String])
+  }
 }

@@ -394,4 +394,42 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(rows.map(_._2).toSeq == Seq(2L)) // finalized first window only
   }
+
+  test("socketTextStream reads lines from a local socket (debug source)") {
+    val s = spark
+    import s.implicits._
+    // the test is the SERVER; Spark's socket source connects as a client
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("to be or")
+      out.println("not to be")
+      out.flush()
+      // leave the socket open; the query is stopped by the main thread
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val env = new graft.datastream.DataStreamEnv(s)
+    val words = env.socketTextStream("localhost", server.getLocalPort)
+      .flatMap(_.split(" ").toSeq).ds
+      .groupBy(col("value")).count()
+    val q = words.writeStream.format("memory").queryName("sock_t").outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var total = 0L
+      while (total < 6 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        total = s.table("sock_t").as[(String, Long)].collect().map(_._2).sum
+        if (total < 6) Thread.sleep(100)
+      }
+      val counts = s.table("sock_t").as[(String, Long)].collect().toMap
+      assert(counts == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
 }
