@@ -405,6 +405,152 @@ object TpcdsShapeQueries {
     Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
   }
 
+  /** TPC-DS q44/q65 shape — LATERAL top-1-per-group: for each nation, the
+    * single biggest-spending customer via a correlated LATERAL subquery
+    * with ORDER BY + LIMIT (the planner must decorrelate the limit, not
+    * re-execute per row). */
+  val qDsLateralTopn: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, x.c_custkey, x.tot
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          WHERE c_nationkey = n_nationkey
+          GROUP BY c_custkey
+          ORDER BY tot DESC, c_custkey LIMIT 1) x
+        ORDER BY n_name""")
+    },
+    oracle = Some("""
+      SELECT n_name, x.c_custkey, x.tot
+      FROM nation JOIN LATERAL (
+        SELECT c_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_nationkey = n_nationkey
+        GROUP BY c_custkey
+        ORDER BY tot DESC, c_custkey LIMIT 1) x ON TRUE
+      ORDER BY n_name"""))
+
+  /** TPC-DS q14/q38 shape — several COUNT(DISTINCT) columns in one
+    * aggregate (planner expands to a grouping-id Expand + two-level agg so
+    * each distinct count shuffles once, never a per-column re-scan). */
+  val qDsMultiDistinct: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name,
+               COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(DISTINCT o_orderpriority) AS n_prio,
+               COUNT(DISTINCT o_orderstatus) AS n_status,
+               COUNT(*) AS n_orders
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name ORDER BY n_name""")
+    },
+    oracle = Some("""
+      SELECT n_name,
+             COUNT(DISTINCT o_custkey) AS n_cust,
+             COUNT(DISTINCT o_orderpriority) AS n_prio,
+             COUNT(DISTINCT o_orderstatus) AS n_status,
+             COUNT(*) AS n_orders
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Month-over-month retention (TPC-DS q54-style repeat-buyer analysis):
+    * distinct customer-months self-joined one month forward — active and
+    * retained counts per month. The distinct frame is built once and
+    * joined to itself on (customer, month+1). */
+  val qDsRetention: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH om AS (SELECT DISTINCT o_custkey, date_format(o_orderdate, 'yyyy-MM') AS m,
+                           date_format(add_months(o_orderdate, 1), 'yyyy-MM') AS m_next
+                    FROM orders),
+        base AS (SELECT DISTINCT o_custkey, m FROM om),
+        nxt AS (SELECT DISTINCT o_custkey, m_next FROM om)
+        SELECT b.m AS month, COUNT(*) AS active,
+               CAST(SUM(CASE WHEN x.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained
+        FROM base b LEFT JOIN nxt x
+          ON x.o_custkey = b.o_custkey AND x.m_next = b.m
+        GROUP BY b.m ORDER BY b.m""")
+    },
+    oracle = Some("""
+      WITH om AS (SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS m,
+                         strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m') AS m_next
+                  FROM orders),
+      base AS (SELECT DISTINCT o_custkey, m FROM om),
+      nxt AS (SELECT DISTINCT o_custkey, m_next FROM om)
+      SELECT b.m AS month, COUNT(*) AS active,
+             CAST(SUM(CASE WHEN x.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained
+      FROM base b LEFT JOIN nxt x
+        ON x.o_custkey = b.o_custkey AND x.m_next = b.m
+      GROUP BY b.m ORDER BY b.m"""))
+
+  /** Customer-spend decile analysis (NTILE over an aggregate, then
+    * re-aggregate per decile — the "segment the customer base" shape).
+    * Unique tiebreak inside NTILE keeps bucket assignment deterministic. */
+  val qDsDecile: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH ct AS (
+          SELECT c_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey),
+        d AS (SELECT c_custkey, tot,
+                     NTILE(10) OVER (ORDER BY tot DESC, c_custkey) AS decile FROM ct)
+        SELECT decile, COUNT(*) AS n, MIN(tot) AS lo, MAX(tot) AS hi,
+               CAST(SUM(tot) AS BIGINT) AS v_cents
+        FROM d GROUP BY decile ORDER BY decile""")
+    },
+    oracle = Some("""
+      WITH ct AS (
+        SELECT c_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey),
+      d AS (SELECT c_custkey, tot,
+                   NTILE(10) OVER (ORDER BY tot DESC, c_custkey) AS decile FROM ct)
+      SELECT decile, COUNT(*) AS n, MIN(tot) AS lo, MAX(tot) AS hi,
+             CAST(SUM(tot) AS BIGINT) AS v_cents
+      FROM d GROUP BY decile ORDER BY decile"""))
+
+  /** Exact discrete median per group (no percentile_disc dependence: the
+    * (cnt+1)/2-th value by row_number with a unique tiebreak — identical
+    * on both engines, unlike interpolating percentile_cont). */
+  val qDsMedian: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH o AS (
+          SELECT n_name, CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v, o_orderkey
+          FROM nation JOIN customer ON c_nationkey = n_nationkey
+                      JOIN orders ON o_custkey = c_custkey),
+        r AS (SELECT n_name, v,
+                     row_number() OVER (PARTITION BY n_name ORDER BY v, o_orderkey) AS rn,
+                     COUNT(*) OVER (PARTITION BY n_name) AS cnt
+              FROM o)
+        SELECT n_name, v AS median_cents FROM r
+        WHERE rn = (cnt + 1) DIV 2 ORDER BY n_name""")
+    },
+    oracle = Some("""
+      WITH o AS (
+        SELECT n_name, CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v, o_orderkey
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey),
+      r AS (SELECT n_name, v,
+                   row_number() OVER (PARTITION BY n_name ORDER BY v, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_name) AS cnt
+            FROM o)
+      SELECT n_name, v AS median_cents FROM r
+      WHERE rn = (cnt + 1) // 2 ORDER BY n_name"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_triple_intersect" -> qDsTripleIntersect,
     "q_ds_not_in" -> qDsNotIn,
@@ -426,5 +572,10 @@ object TpcdsShapeQueries {
     "q_ds_case_counts" -> qDsCaseCounts,
     "q_ds_windowed_share" -> qDsWindowedShare,
     "q_ds_year_over_year" -> qDsYearOverYear,
+    "q_ds_lateral_topn" -> qDsLateralTopn,
+    "q_ds_multi_distinct" -> qDsMultiDistinct,
+    "q_ds_retention" -> qDsRetention,
+    "q_ds_decile" -> qDsDecile,
+    "q_ds_median" -> qDsMedian,
   )
 }
