@@ -106,4 +106,35 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_ds_exists_chain")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("q_pipe_mix: per-source rate table broadcasts back onto the corpus") {
+    val p = plan("q_pipe_mix")
+    assert(p.contains("BroadcastHashJoin"), "the tiny rates frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_pipe_pack and q_pipe_quantize: map-side only — no joins") {
+    // packing = one window per shard stripe; quantization = pure projection
+    assert(!plan("q_pipe_pack").contains("Join"), "packing must not join")
+    assert(!plan("q_pipe_quantize").contains("Join"), "quantization must not join")
+  }
+
+  test("q_pipe_tfidf: doc-count is a 1-row broadcast, never a shuffled cartesian") {
+    val p = plan("q_pipe_tfidf")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_ds_lateral_topn: LATERAL LIMIT decorrelates — no per-row re-execution") {
+    val p = plan("q_ds_lateral_topn")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "expected the decorrelated rank/limit shape")
+  }
+
+  test("q_ds_multi_distinct: multiple COUNT(DISTINCT) plan one Expand, not re-scans") {
+    val p = plan("q_ds_multi_distinct")
+    assert(p.contains("Expand"))
+    assert("Scan parquet|FileScan".r.findAllIn(p).size <= 3, "each table scanned once")
+  }
 }
