@@ -359,6 +359,63 @@ object Streaming2Queries {
          OR (ntsu IS NULL AND (tsu + 1800000000) // 1000 < (SELECT m FROM mx) // 1000)
       ORDER BY user_id, last_event_id"""))
 
+  /** Proc-time trailing-3-rows over-aggregate — ref
+    * ProcTimeRowsBoundedPrecedingFunction: frames follow ARRIVAL order.
+    * The seq column (here event_id — deterministic ingestion order) is the
+    * proc-time stamp, so the arrival-order semantics replay exactly. */
+  val qStreamOverProcRows: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events").withColumn("seq", col("event_id"))
+      StreamOps.runToMemory(
+          s, StreamOps.procTimeOverAgg(s, src, "rows", 3L), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS agg_sum,
+             COUNT(*) OVER w AS agg_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** Proc-time unbounded over-aggregate (running accumulator, O(1) state
+    * per key) — ref ProcTimeUnboundedPrecedingFunction. */
+  val qStreamOverProcUnbounded: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events").withColumn("seq", col("event_id"))
+      StreamOps.runToMemory(
+          s, StreamOps.procTimeOverAgg(s, src, "unbounded", 0L), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS agg_sum,
+             COUNT(*) OVER w AS agg_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** Row-time RANGE UNBOUNDED over-aggregate (ties share a frame;
+    * accumulator + newest tie group only in state) — ref
+    * RowTimeRangeUnboundedPrecedingFunction. */
+  val qStreamOverRangeUnbounded: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.rangeUnboundedOverAgg(s, src), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS agg_sum,
+             COUNT(*) OVER w AS agg_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -366,6 +423,9 @@ object Streaming2Queries {
     "q_stream_retract_topn" -> qStreamRetractTopN,
     "q_stream_over_range_bounded" -> qStreamOverRangeBounded,
     "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
+    "q_stream_over_proc_rows" -> qStreamOverProcRows,
+    "q_stream_over_proc_unbounded" -> qStreamOverProcUnbounded,
+    "q_stream_over_range_unbounded" -> qStreamOverRangeUnbounded,
     "q_stream_late_main" -> qStreamLateMain,
     "q_stream_late_side" -> qStreamLateSide,
     "q_stream_timer" -> qStreamTimer,

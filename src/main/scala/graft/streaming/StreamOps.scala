@@ -413,6 +413,97 @@ object StreamOps {
       .toDF()
   }
 
+  case class POverState(ring: List[(Long, Long)], n: Long, sum: Long) // ring (seqOrStamp, v); accumulator
+  case class POverOut(user_id: Long, event_id: Long, agg_sum: Long, agg_n: Long)
+
+  /** PROCESSING-time over-aggregate family — ref ProcTimeRowsBounded
+    * PrecedingFunction / ProcTimeUnboundedPrecedingFunction /
+    * ProcTimeRangeBoundedPrecedingFunction: frames follow ARRIVAL order,
+    * not event time. The reference stamps proc-time at operator entry; here
+    * the `seq` column IS that stamp (assigned at ingestion — deterministic
+    * in tests, a wall-clock stamp in production), so rows/unbounded modes
+    * replay exactly and are oracle-gated.
+    *
+    *  - mode="unbounded": running (n, sum) accumulator — O(1) state per
+    *    key, the whole point of the proc-time unbounded variant.
+    *  - mode="rows": trailing `bound` rows by seq; state keeps only the
+    *    `bound`−1 newest (seq, v) pairs.
+    *  - mode="range": rows stamped with `nowMs()` AT ARRIVAL (per batch);
+    *    frame/eviction = stamps within [now − bound, now]. Wall-clock
+    *    dependent → spec-gated with an injected clock, never oracle-gated.
+    */
+  def procTimeOverAgg(s: SparkSession, events: DataFrame, mode: String, bound: Long,
+                      nowMs: () => Long = System.currentTimeMillis _): DataFrame = {
+    import s.implicits._
+    require(Set("unbounded", "rows", "range")(mode), s"bad mode $mode")
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              col("seq").cast("long").as("_3"), expr("cast(floor(value * 100.0) as long)").as("_4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[POverState]) => {
+          var st = state.getOption.getOrElse(POverState(Nil, 0L, 0L))
+          val stamp = if (mode == "range") nowMs() else 0L
+          // arrival order == seq order (the proc-time stamp); ties by id
+          val out = it.toIndexedSeq.sortBy(e => (e._3, e._2)).map { case (_, id, seq, v) =>
+            mode match {
+              case "unbounded" =>
+                st = POverState(Nil, st.n + 1, st.sum + v)
+                POverOut(key, id, st.sum, st.n)
+              case "rows" =>
+                val frame = ((seq, v) :: st.ring).take(bound.toInt)
+                st = POverState(frame.take(bound.toInt - 1), 0L, 0L)
+                POverOut(key, id, frame.map(_._2).sum, frame.size.toLong)
+              case "range" =>
+                val frame = ((stamp, v) :: st.ring).filter(_._1 >= stamp - bound)
+                st = POverState(frame, 0L, 0L)
+                POverOut(key, id, frame.map(_._2).sum, frame.size.toLong)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  case class UROverState(n: Long, sum: Long, tieTs: Long, tieBuf: List[Long])
+
+  /** Row-time RANGE UNBOUNDED PRECEDING over-aggregate — ref
+    * RowTimeRangeUnboundedPrecedingFunction: every row aggregates all rows
+    * at or before its timestamp, ties (same ts) SHARING one frame. State is
+    * a running accumulator plus only the newest tie group — O(1 + ties),
+    * never the history (the bounded variants must buffer their frame; the
+    * unbounded one must not). Assumes event-time-ordered watermark-complete
+    * batches like [[boundedOverAgg]]; a tie group split across batches
+    * emits its later rows with the full-group frame (earlier emissions are
+    * superseded in Update mode). */
+  def rangeUnboundedOverAgg(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              expr("unix_micros(ts)").as("_3"), expr("cast(floor(value * 100.0) as long)").as("_4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[UROverState]) => {
+          var st = state.getOption.getOrElse(UROverState(0L, 0L, Long.MinValue, Nil))
+          val out = scala.collection.mutable.ListBuffer[POverOut]()
+          it.toIndexedSeq.sortBy(e => (e._3, e._2)).groupBy(_._3).toSeq.sortBy(_._1)
+            .foreach { case (ts, group) =>
+              if (ts > st.tieTs && st.tieBuf.nonEmpty) // finalize the previous tie group
+                st = UROverState(st.n + st.tieBuf.size, st.sum + st.tieBuf.sum, ts, Nil)
+              val buf = if (ts == st.tieTs) st.tieBuf ++ group.map(_._4) else group.map(_._4).toList
+              st = UROverState(st.n, st.sum, ts, buf)
+              val (fn, fs) = (st.n + buf.size, st.sum + buf.sum)
+              group.foreach { case (_, id, _, _) => out += POverOut(key, id, fs, fn) }
+            }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class RuleOut(event_type: String, event_id: Long, v_cents: Long)
 
   /** Broadcast state / BroadcastProcessFunction — ref flink-streaming-java

@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * the part the bounded DuckDB oracle can't see (it only checks the
   * single-batch materialization). MemoryStream lets us control batch
   * boundaries, like the reference's operator harness tests. */
+/** Deterministic stand-in for the wall clock (singleton survives closure
+  * round-trips in local mode, so the test drives the operator's clock). */
+object FakeClock { @volatile var now: Long = 0L }
+
 class StreamingSpec extends SparkTestBase {
 
   case class Raw(user_id: Long, event_id: Long, event_type: String, tsSec: Long, value: Double)
@@ -393,6 +397,66 @@ class StreamingSpec extends SparkTestBase {
     val rows = s.table("wm_t").as[(java.sql.Timestamp, Long)].collect()
     q.stop()
     assert(rows.map(_._2).toSeq == Seq(2L)) // finalized first window only
+  }
+
+  test("procTimeOverAgg rows: ring state carries the trailing frame across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val src = toEvents(in.toDF()).withColumn("seq", col("event_id"))
+    val q = StreamOps.procTimeOverAgg(s, src, "rows", 3L)
+      .writeStream.format("memory").queryName("procrows_t").outputMode("update").start()
+    in.addData(Raw(1, 1, "c", 0, 1.0), Raw(1, 2, "c", 1, 2.0))
+    q.processAllAvailable()
+    in.addData(Raw(1, 3, "c", 2, 3.0), Raw(1, 4, "c", 3, 4.0))
+    q.processAllAvailable()
+    val rows = s.table("procrows_t").as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    q.stop()
+    // trailing-3 frames across the batch boundary: id3 sees (1,2,3), id4 sees (2,3,4)
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 100L, 1L), (2L, 300L, 2L), (3L, 600L, 3L), (4L, 900L, 3L)))
+  }
+
+  test("procTimeOverAgg range: wall-clock eviction via injected clock") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val src = toEvents(in.toDF()).withColumn("seq", col("event_id"))
+    FakeClock.now = 1000L
+    val q = StreamOps.procTimeOverAgg(s, src, "range", 500L, () => FakeClock.now)
+      .writeStream.format("memory").queryName("procrange_t").outputMode("update").start()
+    in.addData(Raw(1, 1, "c", 0, 1.0))
+    q.processAllAvailable()
+    FakeClock.now = 1400L // first row's stamp (1000) still inside [900, 1400]
+    in.addData(Raw(1, 2, "c", 1, 2.0))
+    q.processAllAvailable()
+    FakeClock.now = 2000L // both prior stamps fall outside [1500, 2000] — evicted
+    in.addData(Raw(1, 3, "c", 2, 3.0))
+    q.processAllAvailable()
+    val rows = s.table("procrange_t").as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 100L, 1L), (2L, 300L, 2L), (3L, 300L, 1L)))
+  }
+
+  test("rangeUnboundedOverAgg: ties share a frame; accumulator folds across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.rangeUnboundedOverAgg(s, toEvents(in.toDF()))
+      .writeStream.format("memory").queryName("rangeunb_t").outputMode("update").start()
+    in.addData(Raw(1, 1, "c", 10, 1.0), Raw(1, 2, "c", 10, 2.0)) // tie at ts=10
+    q.processAllAvailable()
+    in.addData(Raw(1, 3, "c", 20, 3.0)) // tie group must fold into the accumulator
+    q.processAllAvailable()
+    val rows = s.table("rangeunb_t").as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    q.stop()
+    // RANGE semantics: both tie rows see the full tie-group frame (300, n=2)
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 300L, 2L), (2L, 300L, 2L), (3L, 600L, 3L)))
   }
 
   test("socketTextStream reads lines from a local socket (debug source)") {
