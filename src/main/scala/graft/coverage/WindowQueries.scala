@@ -265,6 +265,34 @@ object WindowQueries {
       JOIN ord o ON o.user_id = b.user_id AND o.pos = vp.ppos
       ORDER BY b.user_id, b.start_id"""))
 
+  /** CEP timed-out partial matches — ref TimedOutPartialMatchHandler /
+    * PatternTimeoutFunction: clicks that anchor the click→purchase pattern
+    * (relaxed contiguity) but never complete within 10 minutes surface on
+    * the timeout side output with their expiry deadline. The NFA's window
+    * check is STRICT (delta < within, NFA.java:301), mirrored exactly in
+    * the NOT EXISTS bound. */
+  val qCepTimeout: Q = Q(
+    run = (s, dir) => {
+      val pattern = Cep.Pattern(IndexedSeq(
+        Cep.Step(_.eventType == "click"),
+        Cep.Step(_.eventType == "purchase", strict = false)), withinMicros = 10L * 60 * 1000000)
+      Cep.timedOutPartials(s, ev(s, dir), pattern)
+        .toDF()
+        .select(col("userId").as("user_id"), col("startId").as("click_id"),
+                col("deadlineMicros").as("deadline_micros"))
+        .orderBy(col("user_id"), col("click_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id, c.event_id AS click_id,
+             (epoch_us(c.ts) + 600000000)::BIGINT AS deadline_micros
+      FROM events c
+      WHERE c.event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000)
+      ORDER BY c.user_id, click_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_window_tumble" -> qWindowTumble,
     "q_window_hop" -> qWindowHop,
@@ -276,5 +304,6 @@ object WindowQueries {
     "q_join_asof" -> qJoinAsOf,
     "q_cep_strict" -> qCepStrict,
     "q_cep_funnel" -> qCepFunnel,
+    "q_cep_timeout" -> qCepTimeout,
   )
 }

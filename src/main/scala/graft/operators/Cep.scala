@@ -144,4 +144,35 @@ object Cep {
         matches(sorted, pattern)
       }
   }
+
+  case class TimedOut(userId: Long, startId: Long, startTsMicros: Long, deadlineMicros: Long)
+
+  /** Timed-out partial matches — ref TimedOutPartialMatchHandler /
+    * PatternTimeoutFunction (flink-cep): a row that anchors the pattern
+    * (matches step 0) but whose match never completes inside `within` is
+    * emitted with its expiry deadline instead of being dropped silently.
+    * On bounded input the end of input plays the role of the +∞ watermark,
+    * exactly like the reference's batch/job-end flush. Complete matches
+    * are NOT timeouts, mirroring the main-output/side-output split. */
+  def timedOutPartials(spark: SparkSession, events: DataFrame, pattern: Pattern): Dataset[TimedOut] = {
+    import spark.implicits._
+    val steps = pattern.steps.map(s => StepG.simple[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),
+              expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.eventId))
+        sorted.indices.iterator.flatMap { i =>
+          val anchors = steps.head.pred(sorted(i), new MatchCtx[Ev](sorted, Nil))
+          if (anchors && findAt(sorted, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).isEmpty)
+            Some(TimedOut(sorted(i).userId, sorted(i).eventId, sorted(i).tsMicros,
+              if (pattern.withinMicros == Long.MaxValue) Long.MaxValue
+              else sorted(i).tsMicros + pattern.withinMicros))
+          else None
+        }
+      }
+  }
 }
