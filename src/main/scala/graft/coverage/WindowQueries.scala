@@ -293,6 +293,30 @@ object WindowQueries {
           AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000)
       ORDER BY c.user_id, click_id"""))
 
+  /** CEP followedByAny — ref Pattern.followedByAny / allowCombinations:
+    * every purchase candidate after a click continues its own match, so a
+    * click with 3 in-window purchases emits 3 matches (the deterministic
+    * followedBy commits to the first only). For a two-step pattern this is
+    * exactly the time-bounded pair join, which gates it in SQL. */
+  val qCepFollowedByAny: Q = Q(
+    run = (s, dir) => {
+      val pattern = Cep.Pattern(IndexedSeq(
+        Cep.Step(_.eventType == "click"),
+        Cep.Step(_.eventType == "purchase", strict = false)), withinMicros = 10L * 60 * 1000000)
+      Cep.detectAll(s, ev(s, dir), pattern)
+        .toDF()
+        .select(col("userId").as("user_id"), col("startId").as("click_id"),
+                col("endId").as("purchase_id"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM events c JOIN events p ON p.user_id = c.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_window_tumble" -> qWindowTumble,
     "q_window_hop" -> qWindowHop,
@@ -305,5 +329,6 @@ object WindowQueries {
     "q_cep_strict" -> qCepStrict,
     "q_cep_funnel" -> qCepFunnel,
     "q_cep_timeout" -> qCepTimeout,
+    "q_cep_followed_by_any" -> qCepFollowedByAny,
   )
 }

@@ -44,7 +44,8 @@ object Cep {
     * the PREVIOUS step (strict = next event must match immediately; relaxed
     * = skip non-matching events, Flink `followedBy`). */
   case class StepG[E](pred: (E, MatchCtx[E]) => Boolean,
-                      minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+                      minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
+                      until: Option[(E, MatchCtx[E]) => Boolean] = None)
 
   object StepG {
     /** Context-free predicate step. */
@@ -86,7 +87,11 @@ object Cep {
             // a match spanning exactly WITHIN is rejected. Long.MaxValue (no
             // window) stays safe: real ts deltas never reach it.
             while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
-              if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
+              // until stop-condition (ref Pattern.until / IterativeCondition
+              // stop): once it fires, this quantifier accepts nothing more —
+              // the stopping event itself is NOT consumed
+              if (st.until.exists(u => u(evs(p), new MatchCtx(evs, f.acc)))) p = evs.length
+              else if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
               else if (st.strict) p = evs.length // strict: no skipping
               else p += 1
             }
@@ -104,10 +109,65 @@ object Cep {
     None
   }
 
+  /** ALL matches anchored at `start` — ref Pattern.followedByAny /
+    * allowCombinations (the non-deterministic relaxed contiguity where
+    * EVERY viable candidate continues the partial match, not just the
+    * first). Same explicit-stack DFS as [[findAt]], but stage 0 is
+    * re-entrant: after a candidate's subtree is explored, the scan resumes
+    * past it and tries the next candidate; complete matches are collected
+    * instead of returned. Strict steps still have exactly one candidate
+    * position (the next event). Exponential in the worst case, exactly like
+    * the reference's combinations mode — callers choose patterns
+    * accordingly. */
+  def findAllAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
+                   withinMicros: Long, ts: E => Long): List[List[(Int, Int)]] = {
+    if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return Nil
+    val startTs = ts(evs(start))
+    val results = scala.collection.mutable.ListBuffer[List[(Int, Int)]]()
+    final class Frame(val pos: Int, val si: Int, val cnt: Int,
+                      val acc: List[(Int, Int)], var stage: Int) { var scan: Int = pos }
+    val stack = scala.collection.mutable.Stack(
+      new Frame(start + 1, 0, 1, List((0, start)), 0))
+    while (stack.nonEmpty) {
+      val f = stack.top
+      if (f.si == steps.length) { results += f.acc.reverse; stack.pop() }
+      else f.stage match {
+        case 0 => // try the NEXT consume candidate from f.scan
+          val st = steps(f.si)
+          var pushed = false
+          if (f.cnt < st.maxTimes) {
+            var p = f.scan
+            var found = -1
+            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
+              if (st.until.exists(u => u(evs(p), new MatchCtx(evs, f.acc)))) p = evs.length
+              else if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
+              else if (st.strict) p = evs.length
+              else p += 1
+            }
+            if (found >= 0) {
+              if (st.strict) f.stage = 1 // strict: single candidate position
+              else f.scan = found + 1 // re-entry resumes past this candidate
+              stack.push(new Frame(found + 1, f.si, f.cnt + 1, (f.si, found) :: f.acc, 0))
+              pushed = true
+            }
+          }
+          if (!pushed) f.stage = 1
+        case 1 => // advance to the next step
+          f.stage = 2
+          if (f.cnt >= steps(f.si).minTimes)
+            stack.push(new Frame(f.pos, f.si + 1, 0, f.acc, 0))
+        case _ =>
+          stack.pop()
+      }
+    }
+    results.toList
+  }
+
   // ------------------------------------------------- typed events surface
 
   case class Ev(userId: Long, eventId: Long, eventType: String, tsMicros: Long, valueCents: Long)
-  case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true)
+  case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
+                  until: Option[Ev => Boolean] = None)
   case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
   case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
 
@@ -118,7 +178,8 @@ object Cep {
     *        previous match's last row — no overlapping matches). */
   def matches(evs: IndexedSeq[Ev], pattern: Pattern,
               skipPastLastRow: Boolean = false): Iterator[Match] = {
-    val steps = pattern.steps.map(s => StepG.simple[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
+    val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
+      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
     var resumeAt = 0
     (0 until evs.length).iterator.flatMap { i =>
       if (skipPastLastRow && i < resumeAt) None
@@ -145,6 +206,34 @@ object Cep {
       }
   }
 
+  /** ALL matches per anchor row — ref Pattern.followedByAny /
+    * allowCombinations: every candidate continuation yields its own match
+    * (the deterministic [[matches]] commits to the first). */
+  def matchesAll(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
+    val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e),
+      s.minTimes, s.maxTimes, s.strict, s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
+    (0 until evs.length).iterator.flatMap { i =>
+      findAllAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
+        Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)
+      }
+    }
+  }
+
+  /** Batch driver for [[matchesAll]] — same keyed shuffle as [[detect]]. */
+  def detectAll(spark: SparkSession, events: DataFrame, pattern: Pattern): Dataset[Match] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
+              col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),
+              expr("cast(floor(value * 100.0) as long)").as("valueCents"))
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.eventId))
+        matchesAll(sorted, pattern)
+      }
+  }
+
   case class TimedOut(userId: Long, startId: Long, startTsMicros: Long, deadlineMicros: Long)
 
   /** Timed-out partial matches — ref TimedOutPartialMatchHandler /
@@ -156,7 +245,8 @@ object Cep {
     * are NOT timeouts, mirroring the main-output/side-output split. */
   def timedOutPartials(spark: SparkSession, events: DataFrame, pattern: Pattern): Dataset[TimedOut] = {
     import spark.implicits._
-    val steps = pattern.steps.map(s => StepG.simple[Ev](s.pred, s.minTimes, s.maxTimes, s.strict))
+    val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
+      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
     events
       .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
               col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),

@@ -74,4 +74,42 @@ class CepSpec extends SparkTestBase {
     val p = Pattern(IndexedSeq(click, Step((e: Ev) => e.eventType == "purchase", strict = false)))
     assert(run(evs, p).map(m => (m.startId, m.endId)) == List((1L, 3L), (2L, 3L)))
   }
+
+  test("until stop-condition ends quantifier consumption without consuming the stopper") {
+    // click view view STOP view purchase: the until('stop') caps the view
+    // run at 2; the purchase AFTER the stopper still completes the match
+    // (ref Pattern.until — the stop event is not part of the match)
+    val evs = Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "view", 2),
+      ev(4, "stop", 3), ev(5, "view", 4), ev(6, "purchase", 5))
+    val p = Pattern(IndexedSeq(
+      click,
+      Step((e: Ev) => e.eventType == "view", minTimes = 1, maxTimes = 10, strict = false,
+        until = Some((e: Ev) => e.eventType == "stop")),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    val ms = run(evs, p)
+    assert(ms.head.nEvents == 4) // click + 2 views (run capped by stop) + purchase
+    assert(ms.head.endId == 6L)
+  }
+
+  test("followedByAny emits one match per candidate continuation") {
+    val evs = Seq(ev(1, "click", 0), ev(2, "purchase", 1), ev(3, "view", 2), ev(4, "purchase", 3))
+    val p = Pattern(IndexedSeq(click, Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    // deterministic followedBy: first purchase only
+    assert(run(evs, p).map(m => (m.startId, m.endId)) == List((1L, 2L)))
+    // followedByAny: BOTH purchases continue the click's partial match
+    val all = Cep.matchesAll(evs.toIndexedSeq, p).toList
+    assert(all.map(m => (m.startId, m.endId)).toSet == Set((1L, 2L), (1L, 4L)))
+  }
+
+  test("allowCombinations: a quantified step explores every candidate subset order") {
+    // click view1 view2 purchase with view{1,2}: combinations are
+    // {v1}, {v1,v2}, {v2} — three distinct matches from one anchor
+    val evs = Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "view", 2), ev(4, "purchase", 3))
+    val p = Pattern(IndexedSeq(
+      click,
+      Step((e: Ev) => e.eventType == "view", minTimes = 1, maxTimes = 2, strict = false),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    val all = Cep.matchesAll(evs.toIndexedSeq, p).toList
+    assert(all.map(_.nEvents).sorted == List(3, 3, 4))
+  }
 }
