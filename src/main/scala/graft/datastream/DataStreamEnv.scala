@@ -68,6 +68,34 @@ final class DStream[T](val ds: Dataset[T]) {
   /** Side output — ref ProcessFunction ctx.output(OutputTag) /
     * OutputTag.java:53; SURVEY §2.2 maps it to a predicate split (two
     * filtered sinks over one upstream). */
+  /** Whole-partition transform — ref DataSet.mapPartition (MapPartition
+    * Function): the per-partition iterator contract (open-once costs
+    * amortize across the partition's rows). */
+  def mapPartition[U: Encoder](f: Iterator[T] => Iterator[U]): DStream[U] =
+    new DStream(ds.mapPartitions(f))
+  /** ref DataSet.distinct — hash re-distribution + per-key dedup. */
+  def distinct(): DStream[T] = new DStream(ds.distinct())
+  /** ref DataSet.first(n) — no global sort, just a limit. */
+  def first(n: Int): DStream[T] = new DStream(ds.limit(n))
+  /** ref DataSet.sortPartition — per-partition order WITHOUT a global
+    * shuffle (Spark sortWithinPartitions). */
+  def sortPartition[K](f: T => K)(implicit ord: Ordering[K], ke: Encoder[K],
+                                  enc: Encoder[T]): DStream[T] = {
+    implicit val ct: scala.reflect.ClassTag[T] = enc.clsTag
+    val sess = ds.sparkSession
+    new DStream(sess.createDataset(
+      ds.rdd.mapPartitions(it => it.toIndexedSeq.sortBy(f).iterator, preservesPartitioning = true)))
+  }
+  /** ref DataSetUtils.zipWithIndex — stable global indices in two passes
+    * (count per partition, then offset), no single-task bottleneck. */
+  def zipWithIndex(implicit enc: Encoder[T]): DStream[(T, Long)] = {
+    implicit val ct: scala.reflect.ClassTag[T] = enc.clsTag
+    val sess = ds.sparkSession
+    implicit val tupEnc: Encoder[(T, Long)] =
+      org.apache.spark.sql.Encoders.tuple(enc, org.apache.spark.sql.Encoders.scalaLong)
+    new DStream(sess.createDataset(ds.rdd.zipWithIndex()))
+  }
+
   def sideOutput(isMain: T => Boolean): (DStream[T], DStream[T]) =
     (filter(isMain), filter((t: T) => !isMain(t)))
   /** Connect with a second stream of a different type — ref
@@ -94,6 +122,14 @@ final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {
 
 final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
   /** Rolling reduce — ref KeyedStream.reduce (bounded: one result per key). */
+  /** ref DataSet.minBy / KeyedStream.minBy — the row with the smallest
+    * extracted value per key (ties: first in reduce order). */
+  def minBy[V](f: T => V)(implicit ord: Ordering[V], e: Encoder[(K, T)]): DStream[(K, T)] =
+    reduce((a, b) => if (ord.lteq(f(a), f(b))) a else b)
+  /** ref DataSet.maxBy / KeyedStream.maxBy. */
+  def maxBy[V](f: T => V)(implicit ord: Ordering[V], e: Encoder[(K, T)]): DStream[(K, T)] =
+    reduce((a, b) => if (ord.gteq(f(a), f(b))) a else b)
+
   def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): DStream[(K, T)] =
     new DStream(kv.reduceGroups(f))
   def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): DStream[U] = new DStream(kv.mapGroups(f))
@@ -125,6 +161,13 @@ final class DataStreamEnv(val spark: SparkSession) {
   def fromElements[T: Encoder](elems: T*): DStream[T] =
     new DStream(spark.createDataset(elems))
   def fromDataset[T](ds: Dataset[T]): DStream[T] = new DStream(ds)
+
+  /** ref ExecutionEnvironment.readTextFile / StreamExecutionEnvironment
+    * .readTextFile — one row per line. */
+  def readTextFile(path: String): DStream[String] = {
+    import spark.implicits._
+    new DStream(spark.read.textFile(path))
+  }
 
   /** Line-oriented debug socket source — ref
     * StreamExecutionEnvironment.socketTextStream:989 (SocketTextStreamFunction).

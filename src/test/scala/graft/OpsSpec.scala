@@ -70,6 +70,43 @@ class OpsSpec extends SparkTestBase {
     assert(out == Set(8, 16, 24)) // ×2 applied 3 times
   }
 
+  test("DataSet facade: mapPartition/distinct/first/sortPartition/zipWithIndex") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val d = env.fromDataset(s.createDataset(Seq(3, 1, 2, 3, 1)))
+    assert(d.mapPartition(it => it.map(_ * 10)).collect().sorted == Seq(10, 10, 20, 30, 30))
+    assert(d.distinct().collect().sorted == Seq(1, 2, 3))
+    assert(d.first(2).collect().size == 2)
+    // sortPartition orders within partitions without changing their count
+    val sp = env.fromDataset(s.createDataset(1 to 40).repartition(4)).sortPartition(i => -i)
+    assert(sp.ds.rdd.getNumPartitions == 4)
+    assert(sp.ds.rdd.mapPartitions(it => {
+      val v = it.toSeq; Iterator(v == v.sortBy((i: Int) => -i))
+    }).collect().forall(identity))
+    // zipWithIndex: indices are a permutation of 0..n-1, stable per run
+    val zi = env.fromDataset(s.createDataset(Seq("a", "b", "c", "d"))).zipWithIndex
+    assert(zi.collect().map(_._2).sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("keyed minBy/maxBy pick the extremal row per key") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val d = env.fromElements((1, 30L), (1, 10L), (2, 20L), (2, 40L))
+    assert(d.keyBy(_._1).minBy(_._2).collect().map(_._2).toSet == Set((1, 10L), (2, 20L)))
+    assert(d.keyBy(_._1).maxBy(_._2).collect().map(_._2).toSet == Set((1, 30L), (2, 40L)))
+  }
+
+  test("readTextFile yields one row per line") {
+    val s = spark
+    val f = java.nio.file.Files.createTempFile("graft_text", ".txt")
+    java.nio.file.Files.write(f, "alpha\nbeta\ngamma\n".getBytes)
+    val env = new DataStreamEnv(s)
+    assert(env.readTextFile(f.toString).collect().sorted == Seq("alpha", "beta", "gamma"))
+    java.nio.file.Files.delete(f)
+  }
+
   test("large-star/small-star CC: chain + separate component + isolated self-loop") {
     val s = spark
     import s.implicits._
