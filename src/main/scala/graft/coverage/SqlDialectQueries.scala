@@ -415,6 +415,47 @@ object SqlDialectQueries {
        AND time_bucket(INTERVAL '10 minutes', c.ts) = time_bucket(INTERVAL '10 minutes', p.ts)
       ORDER BY c.user_id, ws, click_id, purchase_id"""))
 
+  /** Event-time temporal (versioned-table) join in Flink SQL — `JOIN dim
+    * FOR SYSTEM_TIME AS OF f.rowtime` (ref TemporalRowTimeJoinOperator
+    * .java:77, SqlSnapshot): each click is enriched with the latest
+    * purchase "version" at or before its timestamp. The dim table is
+    * staged deduped to one version per (user, ts) — the versioned-table
+    * primary-key contract Flink enforces — and its declared WATERMARK
+    * column is the version column the rewrite resolves. */
+  val qSqlTemporalJoin: Q = Q(
+    run = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.load(s, dir, "events")
+      val scratch = graft.streaming.StreamOps.scratchRoot +
+        s"/tjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("version_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/rates")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/clicks")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE rates_t (user_id BIGINT, ts TIMESTAMP(3), version_id BIGINT,
+          WATERMARK FOR ts AS ts - INTERVAL '0' SECOND
+        ) WITH ('connector'='filesystem', 'path'='$scratch/rates', 'format'='parquet')""")
+      e.executeSql(s"""
+        CREATE TABLE clicks_t (user_id BIGINT, click_id BIGINT, ts TIMESTAMP(3)
+        ) WITH ('connector'='filesystem', 'path'='$scratch/clicks', 'format'='parquet')""")
+      e.sqlQuery("""
+        SELECT f.user_id, f.click_id, r.version_id
+        FROM clicks_t f JOIN rates_t FOR SYSTEM_TIME AS OF f.ts AS r ON f.user_id = r.user_id
+        ORDER BY f.user_id, f.click_id""")
+    },
+    oracle = Some("""
+      WITH r AS (SELECT user_id, ts, MAX(event_id) AS version_id
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           c AS (SELECT user_id, event_id AS click_id, ts
+                 FROM events WHERE event_type = 'click')
+      SELECT c.user_id, c.click_id, r.version_id
+      FROM c ASOF JOIN r ON c.user_id = r.user_id AND c.ts >= r.ts
+      ORDER BY c.user_id, c.click_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
@@ -431,5 +472,6 @@ object SqlDialectQueries {
     "q_window_session_dynamic" -> qWindowSessionDynamic,
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,
+    "q_sql_temporal_join" -> qSqlTemporalJoin,
   )
 }

@@ -251,10 +251,38 @@ final class EngineEnv(val spark: SparkSession) {
 
   def currentDatabase: String = currentDb
 
+  private val temporalJoinRe =
+    """(?is)JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
+
+  /** `JOIN dim FOR SYSTEM_TIME AS OF f.ts [AS d] ON f.k = d.k` — Flink's
+    * event-time temporal (versioned-table) join, ref
+    * TemporalRowTimeJoinOperator.java:77 / SqlSnapshot. The dim's declared
+    * WATERMARK column is its version column (Flink derives the version from
+    * the rowtime the same way); the versioned-table contract (primary key +
+    * version unique) makes "the" version row well-defined. Rewritten to a
+    * correlated LATERAL latest-version-at-or-before lookup, which Catalyst
+    * decorrelates into a WindowGroupLimit rank + hash join, with the
+    * non-equi version predicate as a broadcast domain join — the right
+    * plan when the versioned dim is broadcastable, which is the temporal
+    * join's normal use (small, slowly-changing rate/profile tables). */
+  private def rewriteTemporalJoin(sql: String): String =
+    temporalJoinRe.replaceAllIn(sql, m => {
+      val dim = m.group(1); val fAl = m.group(2); val tsCol = m.group(3)
+      val dAl = Option(m.group(4)).getOrElse(dim)
+      val (l, lc, r, rc) = (m.group(5), m.group(6), m.group(7), m.group(8))
+      val vcol = watermarkOf(dim).map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"temporal join: versioned table '$dim' needs a declared WATERMARK (version) column"))
+      // the ON side that names the dim alias carries the dim key
+      val (dk, fSide, fk) = if (l == dAl) (lc, r, rc) else (rc, l, lc)
+      java.util.regex.Matcher.quoteReplacement(
+        s"JOIN LATERAL (SELECT * FROM $dim __v WHERE __v.$dk = $fSide.$fk " +
+        s"AND __v.$vcol <= $fAl.$tsCol ORDER BY __v.$vcol DESC LIMIT 1) AS $dAl ON TRUE")
+    })
+
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
     * front-end; everything else is string-rewritten into Spark SQL. */
   def sqlQuery(flinkSql: String): DataFrame = {
-    val resolved = resolveTables(flinkSql)
+    val resolved = resolveTables(rewriteTemporalJoin(flinkSql))
     if (MatchRecognize.isMatchRecognize(resolved)) MatchRecognize.run(spark, resolved)
     else spark.sql(FlinkSqlDialect.rewrite(resolved))
   }
