@@ -456,6 +456,23 @@ object SqlDialectQueries {
       FROM c ASOF JOIN r ON c.user_id = r.user_id AND c.ts >= r.ts
       ORDER BY c.user_id, c.click_id"""))
 
+  /** Flink TableFunction correlate join — `FROM t, LATERAL TABLE(udtf(x))
+    * AS T(col)` (ref SqlUserDefinedTableFunction / CommonCorrelate),
+    * with the UDTF registered through CREATE FUNCTION. Rewritten to
+    * Spark's LATERAL VIEW explode. */
+  val qSqlLateralTable: Q = Q(
+    run = (s, dir) => {
+      val e = env(s, dir)
+      e.executeSql("CREATE TEMPORARY FUNCTION splitter AS 'split'")
+      e.sqlQuery("""
+        SELECT o_orderkey, word
+        FROM orders_t, LATERAL TABLE(splitter(o_orderpriority, '-')) AS T(word)
+        ORDER BY o_orderkey, word""")
+    },
+    oracle = Some("""
+      SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS word
+      FROM orders ORDER BY o_orderkey, word"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
@@ -473,5 +490,6 @@ object SqlDialectQueries {
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,
     "q_sql_temporal_join" -> qSqlTemporalJoin,
+    "q_sql_lateral_table" -> qSqlLateralTable,
   )
 }

@@ -251,6 +251,24 @@ final class EngineEnv(val spark: SparkSession) {
 
   def currentDatabase: String = currentDb
 
+  private val lateralTableRe =
+    """(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+\s*\([^)]*\))\s*\)\s+AS\s+(\w+)\s*\(\s*([\w,\s]+?)\s*\)""".r
+
+  /** `FROM t, LATERAL TABLE(udtf(args)) AS T(c1[, c2])` — Flink's
+    * TableFunction correlate join (ref SqlUserDefinedTableFunction /
+    * CommonCorrelate): each input row cross-joins its UDTF rows. Spark
+    * spelling: LATERAL VIEW. One output column explodes an array-returning
+    * function directly; two columns take an array-of-structs or map via
+    * `inline`/`explode` — here the array case, which covers the reference's
+    * split-style UDTFs (its most common use). */
+  private def rewriteLateralTable(sql: String): String =
+    lateralTableRe.replaceAllIn(sql, m => {
+      val call = m.group(1); val alias = m.group(2)
+      val cols = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
+      java.util.regex.Matcher.quoteReplacement(
+        s" LATERAL VIEW explode($call) $alias AS ${cols.mkString(", ")}")
+    })
+
   private val temporalJoinRe =
     """(?is)JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
 
@@ -282,7 +300,7 @@ final class EngineEnv(val spark: SparkSession) {
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
     * front-end; everything else is string-rewritten into Spark SQL. */
   def sqlQuery(flinkSql: String): DataFrame = {
-    val resolved = resolveTables(rewriteTemporalJoin(flinkSql))
+    val resolved = resolveTables(rewriteTemporalJoin(rewriteLateralTable(flinkSql)))
     if (MatchRecognize.isMatchRecognize(resolved)) MatchRecognize.run(spark, resolved)
     else spark.sql(FlinkSqlDialect.rewrite(resolved))
   }
