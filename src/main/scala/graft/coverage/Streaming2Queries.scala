@@ -416,6 +416,34 @@ object Streaming2Queries {
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
+  /** Streaming CEP timeout side output — ref PatternStream.select with a
+    * timeout OutputTag (TimedOutPartialMatchHandler): clicks whose match
+    * window closes below the final watermark with no strict-next purchase
+    * surface on the timeout side. The final no-data batch (event-time
+    * timer at the earliest pending deadline) flushes expiries; the oracle
+    * replays the watermark cutoff (max event time, ms-truncated). */
+  val qStreamCepTimeout: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      StreamOps.runToMemory(
+          s, StreamOps.cepClickPurchaseWithTimeouts(s, src, 10), OutputMode.Update())
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("click_id"), col("ref_id").as("deadline_micros"))
+        .orderBy(col("user_id"), col("click_id"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT user_id, event_id, event_type, ts,
+                        lead(event_type) OVER w AS nt, lead(ts) OVER w AS nts
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events)
+      SELECT user_id, event_id AS click_id,
+             (epoch_us(ts) + 600000000)::BIGINT AS deadline_micros
+      FROM s
+      WHERE event_type = 'click'
+        AND NOT COALESCE(nt = 'purchase' AND epoch_us(nts) - epoch_us(ts) < 600000000, FALSE)
+        AND epoch_us(ts) + 600000000 <= (SELECT w FROM wm)
+      ORDER BY user_id, click_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -426,6 +454,7 @@ object Streaming2Queries {
     "q_stream_over_proc_rows" -> qStreamOverProcRows,
     "q_stream_over_proc_unbounded" -> qStreamOverProcUnbounded,
     "q_stream_over_range_unbounded" -> qStreamOverRangeUnbounded,
+    "q_stream_cep_timeout" -> qStreamCepTimeout,
     "q_stream_late_main" -> qStreamLateMain,
     "q_stream_late_side" -> qStreamLateSide,
     "q_stream_timer" -> qStreamTimer,

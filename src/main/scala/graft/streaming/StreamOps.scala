@@ -661,6 +661,65 @@ object StreamOps {
   case class CepState(events: List[Cep.Ev], emitted: Int)
   case class CepOut(user_id: Long, click_id: Long, purchase_id: Long)
 
+  case class CepTOState(events: List[Cep.Ev], emittedMatches: Int)
+  /** side 0 = match (ref_id = purchase id); side 1 = timeout (ref_id =
+    * expiry deadline in µs) — the main-output/side-output pair of the
+    * reference's PatternStream.select(timeoutTag, ...) flattened into one
+    * union-tagged stream. */
+  case class CepTOOut(side: Int, user_id: Long, click_id: Long, ref_id: Long)
+
+  /** Streaming CEP with timed-out partial matches — ref CepOperator +
+    * TimedOutPartialMatchHandler: like [[cepClickPurchase]], but an anchor
+    * (click) whose window [ts, ts+within) closes below the watermark with
+    * no completed match is emitted on the timeout side exactly once — in
+    * the same batch its state is pruned, so no extra bookkeeping exists.
+    * An event-time timer armed at the EARLIEST pending deadline (ceil'd to
+    * ms, always above the current watermark) makes the final no-data batch
+    * flush expiries for keys that receive no further events; every
+    * currently-expired anchor is emitted in that one invocation, so a
+    * single no-data batch suffices (Spark re-runs only on watermark
+    * change). */
+  def cepClickPurchaseWithTimeouts(s: SparkSession, events: DataFrame,
+                                   withinMinutes: Int): DataFrame = {
+    import s.implicits._
+    val withinMicros = withinMinutes * 60L * 1000000
+    val pattern = Cep.Pattern(IndexedSeq(
+      Cep.Step(_.eventType == "click"),
+      Cep.Step(_.eventType == "purchase")), withinMicros = withinMicros)
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              col("event_type").as("_3"), expr("unix_micros(ts)").as("_4"),
+              expr("cast(floor(value * 100.0) as long)").as("_5"),
+              col("ts").cast("timestamp").as("_6"))
+      .withWatermark("_6", "0 seconds")
+      .as[(Long, Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[(Long, Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[CepTOState]) => {
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(CepTOState(Nil, 0))
+          val all = (st.events ++ it.map(e => Cep.Ev(e._1, e._2, e._3, e._4, e._5)))
+            .sortBy(e => (e.tsMicros, e.eventId))
+          val ms = Cep.matches(all.toIndexedSeq, pattern).toList
+          val newMatches = ms.drop(st.emittedMatches)
+          val cutoff = wm - withinMicros
+          val matchedStarts = ms.map(_.startId).toSet
+          // expired anchors: window closed below the watermark, never matched
+          val timeouts = all.filter(e => e.eventType == "click" &&
+              e.tsMicros <= cutoff && !matchedStarts(e.eventId))
+            .map(e => CepTOOut(1, e.userId, e.eventId, e.tsMicros + withinMicros))
+          val kept = all.filter(_.tsMicros > cutoff)
+          state.update(CepTOState(kept, ms.count(_.startTsMicros > cutoff)))
+          // every kept anchor's deadline is > wm, so the ceil'd ms timer is
+          // strictly in the future — Spark rejects timers at/below the wm
+          kept.filter(_.eventType == "click").map(_.tsMicros + withinMicros)
+            .minOption.foreach(dl => state.setTimeoutTimestamp((dl + 999) / 1000))
+          (newMatches.map(m => CepTOOut(0, m.userId, m.startId, m.endId)) ++ timeouts).iterator
+        })
+      .toDF()
+  }
+
   /** Streaming CEP — ref CepOperator.java:83: keyed state buffers the
     * per-key event history; each batch appends, re-sorts by event time and
     * emits only matches beyond the already-emitted count.

@@ -459,6 +459,30 @@ class StreamingSpec extends SparkTestBase {
       Seq((1L, 300L, 2L), (2L, 300L, 2L), (3L, 600L, 3L)))
   }
 
+  test("streaming CEP timeouts fire once, only for unmatched anchors") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.cepClickPurchaseWithTimeouts(s, toEvents(in.toDF()), 10)
+      .writeStream.format("memory").queryName("cepto_t").outputMode("update").start()
+    // two clicks; only the first gets a purchase (strict-next, inside 10 min)
+    // (times start at 10s: a row at ts == the initial 0 watermark is dropped)
+    in.addData(Raw(1, 1, "click", 10, 0.0), Raw(1, 2, "purchase", 70, 0.0),
+               Raw(1, 3, "click", 130, 0.0))
+    q.processAllAvailable()
+    // advance the watermark far past click 3's deadline (130 + 600 = 730)
+    in.addData(Raw(2, 9, "view", 2000, 0.0))
+    q.processAllAvailable()
+    val rows = s.table("cepto_t").as[(Int, Long, Long, Long)].collect().toSeq
+    q.stop()
+    val matches = rows.filter(_._1 == 0)
+    val timeouts = rows.filter(_._1 == 1)
+    assert(matches.map(r => (r._3, r._4)) == Seq((1L, 2L))) // click 1 → purchase 2
+    // click 3 timed out exactly once with its deadline; click 1 did not
+    assert(timeouts.map(r => (r._2, r._3, r._4)) == Seq((1L, 3L, 730L * 1000000)))
+  }
+
   test("socketTextStream reads lines from a local socket (debug source)") {
     val s = spark
     import s.implicits._
