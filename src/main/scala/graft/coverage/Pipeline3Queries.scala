@@ -481,6 +481,39 @@ object Pipeline3Queries {
              md5(string_agg(qv::VARCHAR, ',' ORDER BY d)) AS fp
       FROM q GROUP BY vec_id, maxabs ORDER BY vec_id"""))
 
+  /** Line/paragraph-level dedup signals — the C4/RefinedWeb "drop
+    * boilerplate repeated across the corpus" pass: chunk each document
+    * into 10-word segments, count corpus-wide occurrences of each segment,
+    * report per-document duplicated-segment ratios. One explode + two hash
+    * aggregations + one equi-join on the segment — at 100 TB the segment
+    * counts are the only shuffled state and shrink with a map-side partial
+    * agg; no pairwise comparisons anywhere. */
+  val qPipeLineDedup: Q = Q(
+    run = (s, dir) => {
+      val seg = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), ceil(size(col("w")) / 10.0).cast("int") - 1),
+            i => array_join(slice(col("w"), i * lit(10) + 1, lit(10)), " "))).as("seg"))
+      val counts = seg.groupBy(col("seg")).agg(count(lit(1)).as("occ"))
+      seg.join(counts, "seg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+             sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_segs"))
+        .withColumn("dup_permille", expr("n_dup_segs * 1000 DIV n_segs"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      seg AS (SELECT doc_id, array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+              FROM w, generate_series(0, 9) g(i) WHERE i * 10 < len(w)),
+      c AS (SELECT seg, COUNT(*) AS occ FROM seg GROUP BY 1)
+      SELECT s.doc_id, COUNT(*)::BIGINT AS n_segs,
+             SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segs,
+             (SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*))::BIGINT AS dup_permille
+      FROM seg s JOIN c ON c.seg = s.seg
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_redact" -> qPipeRedact,
     "q_pipe_unigram_lm" -> qPipeUnigramLm,
@@ -488,6 +521,7 @@ object Pipeline3Queries {
     "q_pipe_tfidf" -> qPipeTfidf,
     "q_pipe_mix" -> qPipeMix,
     "q_pipe_quantize" -> qPipeQuantize,
+    "q_pipe_line_dedup" -> qPipeLineDedup,
     "q_pipe_decontaminate" -> qPipeDecontaminate,
     "q_pipe_dedup_cluster" -> qPipeDedupCluster,
     "q_pipe_ann_ivf" -> qPipeAnnIvf,
