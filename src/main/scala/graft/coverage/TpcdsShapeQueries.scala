@@ -551,6 +551,126 @@ object TpcdsShapeQueries {
       SELECT n_name, v AS median_cents FROM r
       WHERE rn = (cnt + 1) // 2 ORDER BY n_name"""))
 
+  /** TPC-DS q34/q73 shape — frequency buckets then detail join-back:
+    * customers with 8-12 orders (the HAVING BETWEEN bucket), re-joined to
+    * the dimension for per-row detail. */
+  val qDsFrequentBuckets: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH freq AS (
+          SELECT o_custkey, COUNT(*) AS cnt
+          FROM orders GROUP BY o_custkey
+          HAVING COUNT(*) BETWEEN 8 AND 12)
+        SELECT c.c_custkey, c.c_mktsegment, f.cnt
+        FROM freq f JOIN customer c ON c.c_custkey = f.o_custkey
+        ORDER BY f.cnt DESC, c.c_custkey""")
+    },
+    oracle = Some("""
+      WITH freq AS (
+        SELECT o_custkey, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) BETWEEN 8 AND 12)
+      SELECT c.c_custkey, c.c_mktsegment, f.cnt
+      FROM freq f JOIN customer c ON c.c_custkey = f.o_custkey
+      ORDER BY f.cnt DESC, c.c_custkey"""))
+
+  /** TPC-DS q49 shape — UNION ALL of two differently-ranked metrics with a
+    * channel tag, re-sorted globally: rank by revenue and rank by order
+    * count over the same base aggregate, top-5 each. */
+  val qDsUnionRanked: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH base AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev,
+                 COUNT(*) AS cnt
+          FROM orders GROUP BY o_custkey)
+        SELECT 'revenue' AS metric, c_custkey, rnk FROM (
+          SELECT o_custkey AS c_custkey,
+                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM base) x
+        WHERE rnk <= 5
+        UNION ALL
+        SELECT 'orders' AS metric, c_custkey, rnk FROM (
+          SELECT o_custkey AS c_custkey,
+                 row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk FROM base) y
+        WHERE rnk <= 5
+        ORDER BY metric, rnk""")
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey)
+      SELECT 'revenue' AS metric, c_custkey, rnk FROM (
+        SELECT o_custkey AS c_custkey,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM base) x
+      WHERE rnk <= 5
+      UNION ALL
+      SELECT 'orders' AS metric, c_custkey, rnk FROM (
+        SELECT o_custkey AS c_custkey,
+               row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk FROM base) y
+      WHERE rnk <= 5
+      ORDER BY metric, rnk"""))
+
+  /** TPC-DS q93 shape — outer-join net-out arithmetic: per-order quantity
+    * net of returns (returnflag 'R' lineitems), COALESCE on the outer side
+    * so orders with no returns net in full. */
+  val qDsReturnsNet: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH sold AS (
+          SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY l_orderkey),
+        ret AS (
+          SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rqty
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+        SELECT s.l_orderkey, s.qty, COALESCE(r.rqty, 0) AS rqty,
+               s.qty - COALESCE(r.rqty, 0) AS net_qty
+        FROM sold s LEFT JOIN ret r ON r.l_orderkey = s.l_orderkey
+        WHERE s.qty - COALESCE(r.rqty, 0) < 30
+        ORDER BY s.l_orderkey""")
+    },
+    oracle = Some("""
+      WITH sold AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_orderkey),
+      ret AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rqty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+      SELECT s.l_orderkey, s.qty, COALESCE(r.rqty, 0) AS rqty,
+             s.qty - COALESCE(r.rqty, 0) AS net_qty
+      FROM sold s LEFT JOIN ret r ON r.l_orderkey = s.l_orderkey
+      WHERE s.qty - COALESCE(r.rqty, 0) < 30
+      ORDER BY s.l_orderkey"""))
+
+  /** TPC-DS q41/q48 shape — nested OR-of-AND predicate: the normalizer
+    * must still push the common conjunct (p_size) to the scan while the
+    * disjunction evaluates post-scan. */
+  val qDsNestedOr: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey, p_brand, p_type, p_size
+        FROM part
+        WHERE p_size <= 12 AND (
+              (p_type LIKE 'SMALL%' AND p_brand < 'Brand#3')
+           OR (p_type LIKE 'LARGE%' AND p_brand >= 'Brand#4')
+           OR (p_size <= 3 AND p_type LIKE 'MEDIUM%'))
+        ORDER BY p_partkey""")
+    },
+    oracle = Some("""
+      SELECT p_partkey, p_brand, p_type, p_size
+      FROM part
+      WHERE p_size <= 12 AND (
+            (p_type LIKE 'SMALL%' AND p_brand < 'Brand#3')
+         OR (p_type LIKE 'LARGE%' AND p_brand >= 'Brand#4')
+         OR (p_size <= 3 AND p_type LIKE 'MEDIUM%'))
+      ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_triple_intersect" -> qDsTripleIntersect,
     "q_ds_not_in" -> qDsNotIn,
@@ -577,5 +697,9 @@ object TpcdsShapeQueries {
     "q_ds_retention" -> qDsRetention,
     "q_ds_decile" -> qDsDecile,
     "q_ds_median" -> qDsMedian,
+    "q_ds_frequent_buckets" -> qDsFrequentBuckets,
+    "q_ds_union_ranked" -> qDsUnionRanked,
+    "q_ds_returns_net" -> qDsReturnsNet,
+    "q_ds_nested_or" -> qDsNestedOr,
   )
 }
