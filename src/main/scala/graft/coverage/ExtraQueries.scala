@@ -159,6 +159,25 @@ object ExtraQueries {
       FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst
       ORDER BY a, b, c"""))
 
+  /** Single-source shortest paths from the smallest edge endpoint over the
+    * co-purchase graph — Gelly SingleSourceShortestPaths via the delta
+    * iteration in [[GraphOps.sssp]]; oracle = bounded recursive-CTE BFS
+    * (UNION-dedup keeps the walk table linear in V, never path-explosive). */
+  val qGraphSssp: Q = Q(
+    run = (s, dir) => {
+      val e = coEdges(s, dir)
+      val src = e.agg(min(col("src"))).collect()(0).getLong(0) // staging-time scalar
+      GraphOps.sssp(e, src).orderBy(col("v"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE e AS ($oEdges),
+      bi AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+      walk(v, dist) AS (
+        SELECT (SELECT MIN(src) FROM e), 0::BIGINT
+        UNION
+        SELECT bi.v, w.dist + 1 FROM walk w JOIN bi ON bi.u = w.v WHERE w.dist < 20)
+      SELECT v, MIN(dist)::BIGINT AS dist FROM walk GROUP BY v ORDER BY v"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_lookup_join" -> qStreamLookupJoin,
     "q_cogroup" -> qCogroup,
@@ -166,5 +185,6 @@ object ExtraQueries {
     "q_window_count_tumble" -> qWindowCountTumble,
     "q_graph_degrees" -> qGraphDegrees,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_sssp" -> qGraphSssp,
   )
 }

@@ -150,6 +150,47 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Single-source shortest paths (hop count) as a Gelly-style DELTA
+    * iteration — ref Gelly SingleSourceShortestPaths / DataSet delta
+    * iterations (workset/solution-set): only the FRONTIER (vertices
+    * improved last round) propagates, not the whole solution set — the
+    * workset shrinks as the computation converges, which is the entire
+    * point of delta over bulk iteration. Each round: frontier (small,
+    * broadcast) ⋈ edges → min-merge → strictly-improved vertices become
+    * the next frontier; terminate when it empties (≤ diameter rounds).
+    * For hop counts the improved set is exactly the newly-discovered
+    * vertices, so the solution-set merge is an anti-join + union. */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val bi = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      var solution = spark.range(1)
+        .select(lit(source).as("pv"), lit(0L).as("dist")).localCheckpoint()
+      var frontier = solution
+      var i = 0
+      var done = false
+      while (!done && i < maxIter) {
+        i += 1
+        val cand = bi.join(broadcast(frontier), col("u") === col("pv"))
+          .select(col("v").as("pv"), (col("dist") + 1L).as("dist"))
+          .groupBy(col("pv")).agg(min(col("dist")).as("dist"))
+        val improved = cand
+          .join(solution.select(col("pv").as("spv")), col("pv") === col("spv"), "left_anti")
+          .localCheckpoint()
+        if (improved.isEmpty) done = true
+        else {
+          solution = solution.unionByName(improved).localCheckpoint()
+          frontier = improved
+        }
+      }
+      solution.select(col("pv").as("v"), col("dist"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

@@ -107,6 +107,15 @@ class OpsSpec extends SparkTestBase {
     java.nio.file.Files.delete(f)
   }
 
+  test("sssp delta iteration: chain distances, unreachable vertices absent") {
+    val s = spark
+    import s.implicits._
+    // 1-2-3-4 chain plus disconnected 8-9: distances from 1; 8/9 unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("src", "dst")
+    val out = GraphOps.sssp(edges, 1L).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("large-star/small-star CC: chain + separate component + isolated self-loop") {
     val s = spark
     import s.implicits._
