@@ -270,31 +270,43 @@ final class EngineEnv(val spark: SparkSession) {
     })
 
   private val temporalJoinRe =
-    """(?is)JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)\s+(?:AS\s+(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
+    ("""(?is)FROM\s+(\w+)\s+(?:AS\s+)?(\w+)\s+JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF""" +
+     """\s+(\w+)\.(\w+)\s+(?:AS\s+(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""").r
 
-  /** `JOIN dim FOR SYSTEM_TIME AS OF f.ts [AS d] ON f.k = d.k` — Flink's
-    * event-time temporal (versioned-table) join, ref
+  /** `FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts [AS d] ON f.k = d.k`
+    * — Flink's event-time temporal (versioned-table) join, ref
     * TemporalRowTimeJoinOperator.java:77 / SqlSnapshot. The dim's declared
     * WATERMARK column is its version column (Flink derives the version from
     * the rowtime the same way); the versioned-table contract (primary key +
-    * version unique) makes "the" version row well-defined. Rewritten to a
-    * correlated LATERAL latest-version-at-or-before lookup, which Catalyst
-    * decorrelates into a WindowGroupLimit rank + hash join, with the
-    * non-equi version predicate as a broadcast domain join — the right
-    * plan when the versioned dim is broadcastable, which is the temporal
-    * join's normal use (small, slowly-changing rate/profile tables). */
+    * version unique) makes "the" version row well-defined.
+    *
+    * Rewritten to a fully KEYED plan: the latest-version lookup is built
+    * over the fact's DISTINCT (key, ts) domain (hash join on the dim key
+    * with the version bound as residual, rank-filtered to top-1 via
+    * WindowGroupLimit) and equi-joined back to the fact on (key, ts).
+    * Correlated-subquery spellings (LATERAL LIMIT 1 / scalar MAX) both
+    * decorrelate into an UNKEYED nested-loop domain join — measured 100×
+    * slower at sf0.1 — so the domain construction is done explicitly. */
   private def rewriteTemporalJoin(sql: String): String =
     temporalJoinRe.replaceAllIn(sql, m => {
-      val dim = m.group(1); val fAl = m.group(2); val tsCol = m.group(3)
-      val dAl = Option(m.group(4)).getOrElse(dim)
-      val (l, lc, r, rc) = (m.group(5), m.group(6), m.group(7), m.group(8))
+      val fact = m.group(1); val fAl = m.group(2)
+      val dim = m.group(3); val tsAl = m.group(4); val tsCol = m.group(5)
+      val dAl = Option(m.group(6)).getOrElse(dim)
+      val (l, lc, r, rc) = (m.group(7), m.group(8), m.group(9), m.group(10))
+      require(tsAl == fAl, s"temporal join: AS OF must reference the fact alias '$fAl'")
       val vcol = watermarkOf(dim).map(_._1).getOrElse(throw new IllegalArgumentException(
         s"temporal join: versioned table '$dim' needs a declared WATERMARK (version) column"))
       // the ON side that names the dim alias carries the dim key
-      val (dk, fSide, fk) = if (l == dAl) (lc, r, rc) else (rc, l, lc)
+      val (dk, fk) = if (l == dAl) (lc, rc) else (rc, lc)
       java.util.regex.Matcher.quoteReplacement(
-        s"JOIN LATERAL (SELECT * FROM $dim __v WHERE __v.$dk = $fSide.$fk " +
-        s"AND __v.$vcol <= $fAl.$tsCol ORDER BY __v.$vcol DESC LIMIT 1) AS $dAl ON TRUE")
+        s"FROM $fact AS $fAl JOIN (" +
+        s"SELECT * FROM (" +
+        s"SELECT __v.*, __f.$tsCol AS __fts, " +
+        s"ROW_NUMBER() OVER (PARTITION BY __v.$dk, __f.$tsCol ORDER BY __v.$vcol DESC) AS __rn " +
+        s"FROM (SELECT DISTINCT $fk, $tsCol FROM $fact) __f " +
+        s"JOIN $dim __v ON __v.$dk = __f.$fk AND __v.$vcol <= __f.$tsCol) " +
+        s"WHERE __rn = 1) AS $dAl " +
+        s"ON $fAl.$fk = $dAl.$dk AND $fAl.$tsCol = $dAl.__fts")
     })
 
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
