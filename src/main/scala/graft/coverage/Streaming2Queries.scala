@@ -444,6 +444,36 @@ object Streaming2Queries {
         AND epoch_us(ts) + 600000000 <= (SELECT w FROM wm)
       ORDER BY user_id, click_id"""))
 
+  /** Streaming dedup with event-time state TTL (ref DeduplicateFunction +
+    * table.exec.state.ttl cleanup timers — [[StreamOps.ttlDedup]]): first
+    * event per (user, type) admitted, repeats dropped unless the last
+    * admitted event is >24h older, which re-admits (state expired). The
+    * oracle replays the same sequential admission walk as a recursive CTE
+    * (one step per chain position — chains are ≤24 events in this
+    * corpus). */
+  val qStreamTtlDedup: Q = Q(
+    run = (s, dir) => {
+      val out = StreamOps.ttlDedup(s, StreamOps.readTable(s, dir, "events"),
+        24L * 3600 * 1000000)
+      StreamOps.runToMemory(s, out, OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"), col("event_id"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events),
+      walk(user_id, event_type, rn, ts, event_id, kept, last_kept) AS (
+        SELECT user_id, event_type, rn, ts, event_id, TRUE, ts FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.ts, e.event_id,
+               e.ts > w.last_kept + INTERVAL '24 hours',
+               CASE WHEN e.ts > w.last_kept + INTERVAL '24 hours' THEN e.ts ELSE w.last_kept END
+        FROM walk w JOIN e ON e.user_id = w.user_id AND e.event_type = w.event_type
+                          AND e.rn = w.rn + 1)
+      SELECT user_id, event_type, event_id FROM walk WHERE kept
+      ORDER BY user_id, event_type, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -461,5 +491,6 @@ object Streaming2Queries {
     "q_stream_time_evictor" -> qStreamTimeEvictor,
     "q_stream_delta_evictor" -> qStreamDeltaEvictor,
     "q_stream_global_window" -> qStreamGlobalWindow,
+    "q_stream_ttl_dedup" -> qStreamTtlDedup,
   )
 }

@@ -569,6 +569,63 @@ object StreamOps {
       .toDF()
   }
 
+  case class TtlDedupOut(user_id: Long, event_type: String, event_id: Long)
+
+  /** Streaming dedup with an event-time state TTL — ref Flink's
+    * DeduplicateFunctionHelper keep-first plus state TTL cleanup
+    * (table.exec.state.ttl / StateTtlConfig on the dedup value state):
+    * the first event per key is admitted; later ones are dropped UNLESS
+    * the last admitted event is more than `ttl` older in EVENT time —
+    * then the key is admitted again (the "state expired" contract).
+    *
+    * State is one long (last admitted event time). An event-time timeout
+    * removes it once the watermark passes last+ttl — the Flink
+    * cleanup-timer behavior, and why state volume tracks only keys active
+    * within the TTL horizon instead of every key ever seen (the thing
+    * that would OOM a 100 TB run). Dropping the state early is
+    * indistinguishable from keeping it: the walk admits on the same
+    * inequality (ts > last + ttl) that the expiry encodes, so timer
+    * granularity cannot change results for in-watermark data. In-batch
+    * rows walk in (ts, event_id) order → deterministic under any shuffle
+    * arrival order. */
+  def ttlDedup(s: SparkSession, events: DataFrame, ttlMicros: Long): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_type").as("_2"),
+              col("event_id").cast("long").as("_3"), col("ts").cast("timestamp").as("_4"))
+      .withWatermark("_4", "0 seconds")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(e => (e._1, e._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, String), it: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } // cleanup timer
+          else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val kept = scala.collection.mutable.ListBuffer[TtlDedupOut]()
+            it.toIndexedSeq
+              .map(e => (e._3, e._4.getTime * 1000 + (e._4.getNanos / 1000) % 1000))
+              .sortBy(t => (t._2, t._1))
+              .foreach { case (eid, tsu) =>
+                if (last == Long.MinValue || tsu > last + ttlMicros) {
+                  last = tsu
+                  kept += TtlDedupOut(key._1, key._2, eid)
+                }
+              }
+            if (last != Long.MinValue) {
+              val deadline = last + ttlMicros
+              if (deadline > state.getCurrentWatermarkMs() * 1000) {
+                state.update(last)
+                // ms timer rounded UP so it never fires before the µs deadline
+                state.setTimeoutTimestamp((deadline + 999) / 1000)
+              } else state.remove() // already expired: next event re-admits
+            }
+            kept.iterator
+          }
+        })
+      .toDF()
+  }
+
   case class TimerState(lastTs: Long, lastId: Long, timerAt: Long)
   case class TimerOut(user_id: Long, last_event_id: Long, last_ts_us: Long, timeout_at_us: Long)
 

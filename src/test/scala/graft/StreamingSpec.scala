@@ -41,6 +41,29 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set(("click", 1, 11L, 900L), ("click", 2, 13L, 700L)))
   }
 
+  test("ttlDedup re-admits a key after the event-time TTL; state survives batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.ttlDedup(s, toEvents(in.toDF()), 3600L * 1000000)
+      .writeStream.format("memory").queryName("ttl_t").outputMode("append").start()
+    // ts=10 not 0: a row AT the 0s-delay watermark (strict >) would be
+    // dropped before the operator (see graft-spark4-pitfalls)
+    in.addData(Raw(1, 1, "click", 10, 0.0), Raw(1, 2, "click", 600, 0.0))
+    q.processAllAvailable()
+    assert(s.table("ttl_t").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "click", 1L)))
+    // batch 2: one more inside the TTL (dropped against the batch-1 state),
+    // one past it (re-admitted), one inside the NEW admission's TTL (dropped)
+    in.addData(Raw(1, 3, "click", 1800, 0.0), Raw(1, 4, "click", 5000, 0.0),
+               Raw(1, 5, "click", 5500, 0.0))
+    q.processAllAvailable()
+    val out = s.table("ttl_t").as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((1L, "click", 1L), (1L, "click", 4L)))
+  }
+
   test("streaming CEP emits only new matches per batch") {
     val s = spark
     import s.implicits._
