@@ -473,6 +473,27 @@ object SqlDialectQueries {
       SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS word
       FROM orders ORDER BY o_orderkey, word"""))
 
+  /** SQL-standard OVERLAPS predicate — ref TemporalOverlaps
+    * (planner expressions/time.scala:119, following Calcite's
+    * convertOverlaps): interval second elements become start+interval,
+    * periods normalize by swap, endpoints inclusive. Orders whose 30-day
+    * active period overlaps June 1996. */
+  val qSqlOverlaps: Q = Q(
+    run = (s, dir) => env(s, dir).sqlQuery("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders_t
+      WHERE (o_orderdate, INTERVAL '30' DAY) OVERLAPS
+            (TIMESTAMP '1996-06-01 00:00:00', TIMESTAMP '1996-06-30 00:00:00')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    oracle = Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'
+        AND o_orderdate + INTERVAL '30 days' >= TIMESTAMP '1996-06-01 00:00:00'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_tumble" -> qSqlTumble,
     "q_sql_hop" -> qSqlHop,
@@ -491,5 +512,6 @@ object SqlDialectQueries {
     "q_window_join" -> qWindowJoin,
     "q_sql_temporal_join" -> qSqlTemporalJoin,
     "q_sql_lateral_table" -> qSqlLateralTable,
+    "q_sql_overlaps" -> qSqlOverlaps,
   )
 }

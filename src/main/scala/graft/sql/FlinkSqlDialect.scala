@@ -70,6 +70,24 @@ object FlinkSqlDialect {
     s = replaceFn(s, """(?i)RAND_INTEGER\(\s*([^,()]+?)\s*\)""".r,
       m => s"CAST(floor(rand() * (${m.group(1)})) AS INT)")
 
+    // (s1, e1) OVERLAPS (s2, e2) — SQL-standard period overlap (ref
+    // TemporalOverlaps in planner expressions/time.scala, following
+    // Calcite's StandardConvertletTable.convertOverlaps): an INTERVAL
+    // second element means end = start + interval; each period is
+    // normalized (swap so start <= end, here LEAST/GREATEST); overlap ⇔
+    // e0 >= s1 AND e1 >= s0 — endpoints INCLUSIVE. Operands are simple
+    // (no nested parens/commas); Spark evaluates the emitted expression.
+    s = replaceFn(s,
+      """(?i)\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)\s+OVERLAPS\s+\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)""".r,
+      m => {
+        val intervalRe = """(?i)^INTERVAL\s+'.*""".r
+        def end(p: String, t: String): String =
+          if (intervalRe.findFirstIn(t).isDefined) s"($p + $t)" else t
+        val (p0, e0) = (m.group(1), end(m.group(1), m.group(2)))
+        val (p1, e1) = (m.group(3), end(m.group(3), m.group(4)))
+        s"((GREATEST($p0, $e0) >= LEAST($p1, $e1)) AND (GREATEST($p1, $e1) >= LEAST($p0, $e0)))"
+      })
+
     // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR,
     // rewrite semantics per SqlLikeUtils.sqlToRegexSimilar): SQL wildcards
     // % / _ become (?s:.*) / . — but ONLY outside [...] character

@@ -137,4 +137,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"))
     assert("Scan parquet|FileScan".r.findAllIn(p).size <= 3, "each table scanned once")
   }
+
+  test("q_ds_multi_supplier_wait: correlated EXISTS chain plans semi+anti joins, no cartesian") {
+    val p = plan("q_ds_multi_supplier_wait")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), "expected decorrelated semi+anti")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ds_ship_lag: date-offset residual keeps a hash/merge equi-join") {
+    val p = plan("q_ds_ship_lag")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_pipe_contain_dedup: containment candidates come from the prefix-bucket equi-join") {
+    val p = plan("q_pipe_contain_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment check must never scan all pairs")
+  }
+
+  test("q_pipe_normalize and q_pipe_url_dedup: map-side except the keep-first window") {
+    assert(!plan("q_pipe_normalize").contains("Join"), "normalization is map-side only")
+    val u = plan("q_pipe_url_dedup")
+    assert(!u.contains("Join") && u.contains("Window"), "url dedup = one window, no joins")
+  }
 }

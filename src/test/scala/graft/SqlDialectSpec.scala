@@ -23,6 +23,21 @@ class SqlDialectSpec extends SparkTestBase {
     assert(FlinkSqlDialect.rewrite("SELECT PROCTIME()").contains("current_timestamp()"))
   }
 
+  test("OVERLAPS follows the reference convertOverlaps: swap-normalized, inclusive, interval ends") {
+    // endpoints touching → TRUE (inclusive, unlike half-open); reversed
+    // period normalized by the swap; interval second element = start+iv
+    val q = (l: String, r: String) =>
+      spark.sql(FlinkSqlDialect.rewrite(s"SELECT ($l) OVERLAPS ($r) AS o")).head().getBoolean(0)
+    assert(q("TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00'",
+             "TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(!q("TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00'",
+              "TIMESTAMP '2024-01-02 00:00:01', TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(q("TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-01 00:00:00'", // reversed
+             "TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-03 00:00:00'"))
+    assert(q("TIMESTAMP '2024-01-01 00:00:00', INTERVAL '1' DAY",
+             "TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-03 00:00:00'"))
+  }
+
   test("TRUNCATE truncates toward zero; RAND_INTEGER stays in bounds") {
     val r = spark.sql(FlinkSqlDialect.rewrite(
       "SELECT TRUNCATE(3.789, 2) AS a, TRUNCATE(-3.789, 2) AS b, TRUNCATE(41.9, 0) AS c")).head()
