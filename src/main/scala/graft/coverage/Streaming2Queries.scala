@@ -474,6 +474,35 @@ object Streaming2Queries {
       SELECT user_id, event_type, event_id FROM walk WHERE kept
       ORDER BY user_id, event_type, event_id"""))
 
+  /** Flink keyed-state trio (ValueState/ListState/MapState) on Spark 4's
+    * NATIVE transformWithState API ([[StreamOps.KeyedStateProcessor]]) —
+    * running count, last-3 ring and per-type counts per user, one output
+    * row per event. RocksDB provider is required by TWS; restored after
+    * the run so the rest of the suite keeps the default store. */
+  val qStreamTwsProcess: Q = Q(
+    run = (s, dir) => {
+      val k = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(k)
+      val out =
+        try StreamOps.runToMemory(s,
+          StreamOps.twsKeyedProcess(s, StreamOps.readTable(s, dir, "events")),
+          OutputMode.Append())
+        finally prev match {
+          case Some(v) => s.conf.set(k, v)
+          case None => s.conf.unset(k)
+        }
+      out.orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_cnt,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS last3_cents,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS type_cnt
+      FROM events
+      ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -492,5 +521,6 @@ object Streaming2Queries {
     "q_stream_delta_evictor" -> qStreamDeltaEvictor,
     "q_stream_global_window" -> qStreamGlobalWindow,
     "q_stream_ttl_dedup" -> qStreamTtlDedup,
+    "q_stream_tws_process" -> qStreamTwsProcess,
   )
 }

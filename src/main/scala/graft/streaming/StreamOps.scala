@@ -569,6 +569,66 @@ object StreamOps {
       .toDF()
   }
 
+  case class TwsOut(user_id: Long, event_id: Long, run_cnt: Long, last3_cents: Long, type_cnt: Long)
+
+  /** The KeyedProcessFunction STATE SURFACE on Spark 4's native state API —
+    * `transformWithState` (SURVEY §2.13: Spark 4 offers ValueState /
+    * ListState / MapState + TTL natively): Flink's keyed-state trio (ref
+    * flink-core api/common/state/{ValueState,ListState,MapState}.java) maps
+    * 1:1 onto named state variables instead of being folded into one
+    * fMGWS case-class blob — per user: ValueState = running count,
+    * ListState = newest-first last-3 cents ring, MapState = per-event-type
+    * counts; one output row per input row. TWS requires the RocksDB state
+    * store (the caller sets the provider conf — see twsKeyedProcess).
+    * In-batch rows walk in (ts, event_id) order → deterministic. */
+  class KeyedStateProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long, String), TwsOut] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, TimeMode, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var recent: ListState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      cnt = getHandle.getValueState[Long]("cnt", enc.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent", enc.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("by_type", enc.STRING, enc.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      rows.toIndexedSeq.sortBy(e => (e._3, e._2)).iterator.map { case (_, eid, _, cents, typ) =>
+        val n = (if (cnt.exists()) cnt.get() else 0L) + 1
+        cnt.update(n)
+        val ring = (cents :: (if (recent.exists()) recent.get().toList else Nil)).take(3)
+        recent.put(ring.toArray)
+        val t = (if (byType.containsKey(typ)) byType.getValue(typ) else 0L) + 1
+        byType.updateValue(typ, t)
+        TwsOut(key, eid, n, ring.sum, t)
+      }
+    }
+  }
+
+  /** Run [[KeyedStateProcessor]] over the events stream. Sets the RocksDB
+    * state-store provider (transformWithState requires it; also the
+    * production-scale choice — incremental snapshots, off-heap state). */
+  def twsKeyedProcess(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"),
+              expr("unix_micros(ts)").as("_3"),
+              expr("cast(floor(value * 100.0) as long)").as("_4"), col("event_type").as("_5"))
+      .as[(Long, Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new KeyedStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[TwsOut]])
+      .toDF()
+  }
+
   case class TtlDedupOut(user_id: Long, event_type: String, event_id: Long)
 
   /** Streaming dedup with an event-time state TTL — ref Flink's

@@ -64,6 +64,31 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Set((1L, "click", 1L), (1L, "click", 4L)))
   }
 
+  test("transformWithState: ValueState/ListState/MapState carry across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.twsKeyedProcess(s, toEvents(in.toDF()))
+      .writeStream.format("memory").queryName("tws_t").outputMode("append").start()
+    in.addData(Raw(1, 1, "click", 10, 1.0), Raw(1, 2, "view", 20, 2.0))
+    q.processAllAvailable()
+    // batch 2: the running count, the last-3 ring and the per-type map all
+    // continue from batch-1 state
+    in.addData(Raw(1, 3, "click", 30, 3.0), Raw(1, 4, "click", 40, 4.0))
+    q.processAllAvailable()
+    val rows = s.table("tws_t").as[(Long, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    // twsKeyedProcess switched the shared session to RocksDB — restore the
+    // default provider for the rest of the suite
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rows == Set(
+      (1L, 1L, 1L, 100L, 1L),        // first click: ring=[100]
+      (1L, 2L, 2L, 300L, 1L),        // first view: ring=[200,100]
+      (1L, 3L, 3L, 600L, 2L),        // second click: ring=[300,200,100]
+      (1L, 4L, 4L, 900L, 3L)))       // third click: ring=[400,300,200]
+  }
+
   test("streaming CEP emits only new matches per batch") {
     val s = spark
     import s.implicits._
