@@ -609,6 +609,45 @@ object StreamOps {
     }
   }
 
+  /** Native state TTL — ref StateTtlConfig.java:51 (SURVEY §2.13): a
+    * ValueState configured with `TTLConfig(ttl)` under processing-time
+    * mode forgets values the store hasn't touched within the TTL — exactly
+    * Flink's OnCreateAndWrite TTL. The processor counts events per key;
+    * a TTL-expired counter restarts at 1 (observable without reading
+    * wall-clock in the operator itself). */
+  class TtlCounterProcessor(ttlMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      rows.toIndexedSeq.sortBy(_._2).iterator.map { case (_, eid) =>
+        val n = (if (cnt.exists()) cnt.get() else 0L) + 1
+        cnt.update(n)
+        (key, eid, n)
+      }
+    }
+  }
+
+  /** Run [[TtlCounterProcessor]] (processing-time mode — TTL requires it). */
+  def twsTtlCounter(s: SparkSession, events: DataFrame, ttlMs: Long): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id").cast("long").as("_1"), col("event_id").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlCounterProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+      .toDF("user_id", "event_id", "n")
+  }
+
   /** Run [[KeyedStateProcessor]] over the events stream. Sets the RocksDB
     * state-store provider (transformWithState requires it; also the
     * production-scale choice — incremental snapshots, off-heap state). */

@@ -89,6 +89,50 @@ class StreamingSpec extends SparkTestBase {
       (1L, 4L, 4L, 900L, 3L)))       // third click: ring=[400,300,200]
   }
 
+  test("transformWithState TTL: an untouched ValueState expires (StateTtlConfig analog)") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val base = s"${StreamOps.scratchRoot}/twsttl"
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("user_id", "event_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    @annotation.nowarn("cat=deprecation")
+    def run(): Unit = {
+      // Trigger.Once two-run harness: processing-time mode always reports
+      // shouldRunAnotherBatch, so AvailableNow / processAllAvailable would
+      // never terminate (same trap as procTimeDebounce)
+      val stream = s.readStream.schema("user_id LONG, event_id LONG").parquet(src)
+      val q = StreamOps.twsTtlCounter(s, stream, ttlMs = 1000)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    addFile("f0", Seq((1L, 1L), (1L, 2L)))
+    run() // counter reaches 2; TTL clock starts at the batch's write
+    Thread.sleep(3000) // let the 1s TTL lapse while stopped (wide margin)
+    addFile("f1", Seq((1L, 3L)))
+    run() // restart: the stored counter has expired — restarts at 1
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val rows = s.read.parquet(out).as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 1L)))
+  }
+
   test("streaming CEP emits only new matches per batch") {
     val s = spark
     import s.implicits._
