@@ -1,6 +1,7 @@
 package graft.coverage
 
 import graft.{Q, Tables}
+import graft.Queries.{hashStr, oHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,10 +184,68 @@ object Pipeline4Queries {
       FROM k LEFT JOIN contained c ON c.a_id = k.doc_id
       ORDER BY k.doc_id"""))
 
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Embedding norm filter — the sanity pass before an ANN index build:
+    * per-vector exact sum-of-squares over TERM-QUANTIZED components
+    * (floor(x·10⁴) — the dsum trick, so the reduction is order-independent
+    * and engine-exact without touching sqrt), zero-component count, and
+    * degenerate/outlier flags on integer thresholds. Map-side only — no
+    * shuffle at any corpus size. */
+  val qPipeNormFilter: Q = Q(
+    run = (s, dir) =>
+      emb(s, dir)
+        .withColumn("q", transform(col("embedding"), x => floor(x.cast("double") * 10000.0).cast("long")))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("sumsq_q"),
+          aggregate(col("q"), lit(0L), (acc, x) =>
+            acc + when(x === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("degenerate", col("sumsq_q") < 1000000L)
+        .withColumn("outlier", col("sumsq_q") > 3200000000L)
+        .orderBy(col("vec_id")),
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+        FROM embeddings, generate_series(1, 64) g(d))
+      SELECT vec_id,
+             SUM(qv * qv)::BIGINT AS sumsq_q,
+             SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+             SUM(qv * qv) < 1000000 AS degenerate,
+             SUM(qv * qv) > 3200000000 AS outlier
+      FROM q GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** Cross-source contamination matrix — which sources share content with
+    * which: distinct (shingle, source) pairs self-joined on the shingle
+    * (inverted index — never doc×doc), aggregated to an ordered
+    * source-pair co-occurrence count. The matrix is |sources|² tiny no
+    * matter the corpus; the shuffled state is shingle-keyed with map-side
+    * partials. The per-pair count weights each shared shingle once. */
+  val qPipeSourceOverlap: Q = Q(
+    run = (s, dir) => {
+      val ss = PipelineQueries.shingledOf(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), hashStr(col("sh")).as("shid"))
+        .distinct()
+      ss.as("a").join(ss.as("b"), col("a.shid") === col("b.shid") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    oracle = Some(s"""
+      WITH sh AS (${PipelineQueries.oShinglesSql}),
+      ss AS (SELECT DISTINCT d.source, ${oHash("sh.sh")} AS shid
+             FROM sh JOIN documents d ON d.doc_id = sh.doc_id)
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM ss a JOIN ss b ON a.shid = b.shid AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY src_a, src_b"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_normalize" -> qPipeNormalize,
     "q_pipe_url_dedup" -> qPipeUrlDedup,
     "q_pipe_host_boilerplate" -> qPipeHostBoilerplate,
     "q_pipe_contain_dedup" -> qPipeContainDedup,
+    "q_pipe_norm_filter" -> qPipeNormFilter,
+    "q_pipe_source_overlap" -> qPipeSourceOverlap,
   )
 }

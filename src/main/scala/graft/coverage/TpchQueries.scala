@@ -189,8 +189,46 @@ object TpchQueries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** Q4 shape — order-priority checking: EXISTS over the fact arm (ship
+    * after order date) planned as a semi join; the classic "count orders
+    * with at least one qualifying line" query. */
+  val qTpchQ4: Q = {
+    val sql = """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    Q(run = (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
+  /** Q15 shape — top supplier: aggregated revenue CTE consumed twice (join
+    * arm + MAX scalar subquery); the planner reuses one aggregate or
+    * re-derives it — either way no correlation remains. Exact quantized
+    * revenue makes the MAX tie-free across engines. */
+  val qTpchQ15: Q = {
+    val sql = """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s_suppkey"""
+    Q(run = (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
+  }
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q4" -> qTpchQ4,
+    "q_tpch_q15" -> qTpchQ15,
     "q_tpch_q5" -> qTpchQ5,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q10" -> qTpchQ10,
