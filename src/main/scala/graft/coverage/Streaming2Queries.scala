@@ -503,6 +503,34 @@ object Streaming2Queries {
       FROM events
       ORDER BY user_id, event_id"""))
 
+  /** Event-time timers on the native transformWithState API
+    * ([[StreamOps.InactivityAlertProcessor]]): registerTimer/deleteTimer +
+    * the handleExpiredTimer onTimer callback — each user alerts 30 min of
+    * event time after their last event, once the watermark passes the
+    * deadline. The global-max user (and any within 30 min of it) never
+    * fires: their deadline stays above the final watermark. */
+  val qStreamTwsTimer: Q = Q(
+    run = (s, dir) => {
+      val k = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(k)
+      val out =
+        try StreamOps.runToMemory(s,
+          StreamOps.twsInactivityAlert(s, StreamOps.readTable(s, dir, "events"), 30 * 60 * 1000),
+          OutputMode.Append())
+        finally prev match {
+          case Some(v) => s.conf.set(k, v)
+          case None => s.conf.unset(k)
+        }
+      out.orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH m AS (SELECT user_id, epoch_ms(MAX(ts)) AS mt FROM events GROUP BY user_id),
+           w AS (SELECT epoch_ms(MAX(ts)) AS wm FROM events)
+      SELECT user_id, CAST(mt + 1800000 AS BIGINT) AS alert_at_ms
+      FROM m, w
+      WHERE mt + 1800000 < wm
+      ORDER BY user_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
@@ -522,5 +550,6 @@ object Streaming2Queries {
     "q_stream_global_window" -> qStreamGlobalWindow,
     "q_stream_ttl_dedup" -> qStreamTtlDedup,
     "q_stream_tws_process" -> qStreamTwsProcess,
+    "q_stream_tws_timer" -> qStreamTwsTimer,
   )
 }

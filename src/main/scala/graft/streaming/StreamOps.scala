@@ -648,6 +648,58 @@ object StreamOps {
       .toDF("user_id", "event_id", "n")
   }
 
+  case class TwsTimerOut(user_id: Long, alert_at_ms: Long)
+
+  /** Flink registerEventTimeTimer/onTimer on the NATIVE transformWithState
+    * timer API: `getHandle.registerTimer` + `handleExpiredTimer` (Spark 4's
+    * literal onTimer callback — unlike fMGWS, whose hasTimedOut reaches the
+    * key with no timer metadata). Each event supersedes the key's pending
+    * inactivity timer (deleteTimer + registerTimer — exactly Flink's
+    * delete/re-register idiom); when the WATERMARK passes a surviving
+    * deadline, the expired-timer callback emits the alert and clears the
+    * key's state. Compare [[inactivityTimeout]]: same operator semantics on
+    * the fMGWS encoding. */
+  class InactivityAlertProcessor(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), TwsTimerOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var lastSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTimerOut] = {
+      val maxMs = rows.map(_._2.getTime).max
+      if (lastSeen.exists()) getHandle.deleteTimer(lastSeen.get() + gapMs)
+      lastSeen.update(maxMs)
+      getHandle.registerTimer(maxMs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TwsTimerOut] = {
+      lastSeen.clear()
+      Iterator.single(TwsTimerOut(key, info.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Run [[InactivityAlertProcessor]] (event-time mode; needs a watermarked
+    * ts column). */
+  def twsInactivityAlert(s: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id").cast("long").as("_1"), col("ts").cast("timestamp").as("_2"))
+      .withWatermark("_2", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityAlertProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[TwsTimerOut]])
+      .toDF()
+  }
+
   /** Run [[KeyedStateProcessor]] over the events stream. Sets the RocksDB
     * state-store provider (transformWithState requires it; also the
     * production-scale choice — incremental snapshots, off-heap state). */

@@ -133,6 +133,30 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 1L)))
   }
 
+  test("transformWithState timers: delete+re-register supersedes; onTimer fires on watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.twsInactivityAlert(s, toEvents(in.toDF()), gapMs = 30000)
+      .writeStream.format("memory").queryName("twstimer_t").outputMode("append").start()
+    // two events for key 1: the second DELETES the 10s+30s timer and
+    // re-registers at 20s+30s (the Flink supersede idiom)
+    in.addData(Raw(1, 1, "click", 10, 0.0), Raw(1, 2, "click", 20, 0.0))
+    q.processAllAvailable()
+    // key 2 at 100s pushes the watermark past key 1's 50s deadline → onTimer
+    in.addData(Raw(2, 3, "click", 100, 0.0))
+    q.processAllAvailable()
+    assert(s.table("twstimer_t").as[(Long, Long)].collect().toSet == Set((1L, 50000L)))
+    // key 2's own 130s deadline fires once the watermark passes it
+    in.addData(Raw(3, 4, "click", 200, 0.0))
+    q.processAllAvailable()
+    val rows = s.table("twstimer_t").as[(Long, Long)].collect().toSet
+    q.stop()
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rows == Set((1L, 50000L), (2L, 130000L)))
+  }
+
   test("streaming CEP emits only new matches per batch") {
     val s = spark
     import s.implicits._
