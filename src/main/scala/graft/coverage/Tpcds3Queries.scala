@@ -180,7 +180,78 @@ object Tpcds3Queries {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name""")
 
+  /** TPC-DS q23 shape — two independent filter CTEs (frequently-bought
+    * parts × best customers) intersected against the fact table via IN
+    * subqueries: the planner turns both into semi joins and the fact scans
+    * once. */
+  val qDsFrequentSpenders: Q = idq("""
+    WITH freq AS (
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 5),
+    best AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) > 400000000)
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM freq)
+      AND o_custkey IN (SELECT o_custkey FROM best)""")
+
+  /** TPC-DS q58 shape — equal-share channels: months where a channel's
+    * revenue is within 10% of the three-channel monthly average
+    * (10·|3v − tot| ≤ tot — exact integer cents, no float thresholds). */
+  val qDsEqualShare: Q = idq("""
+    WITH m AS (
+      SELECT o_orderstatus AS st,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderstatus, EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)),
+    t AS (SELECT yr, mo, CAST(SUM(v) AS BIGINT) AS tot, COUNT(*) AS nch FROM m GROUP BY yr, mo)
+    SELECT m.yr, m.mo, m.st, m.v
+    FROM m JOIN t ON m.yr = t.yr AND m.mo = t.mo
+    WHERE t.nch = 3 AND 10 * ABS(3 * m.v - t.tot) <= t.tot
+    ORDER BY m.yr, m.mo, m.st""")
+
+  /** TPC-DS q90 shape — time-band counts from ONE scan via FILTER
+    * aggregates (morning vs evening activity per event type on the
+    * events stream table). */
+  val qDsTimeBand: Q = idq("""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 11) AS am,
+           COUNT(*) FILTER (WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 23) AS pm
+    FROM events GROUP BY event_type ORDER BY event_type""")
+
+  /** TPC-DS q62/q99 shape — days-to-ship bucket matrix per priority.
+    * datediff argument order differs between engines (Spark datediff(end,
+    * start) vs DuckDB datediff('day', start, end)) so the texts diverge
+    * while the arithmetic is identical. */
+  val qDsShipBuckets: Q = Q(
+    run = (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE datediff(l_shipdate, o_orderdate) <= 30) AS b30,
+               COUNT(*) FILTER (WHERE datediff(l_shipdate, o_orderdate) BETWEEN 31 AND 60) AS b60,
+               COUNT(*) FILTER (WHERE datediff(l_shipdate, o_orderdate) > 60) AS b_late
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    oracle = Some("""
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE datediff('day', o_orderdate, l_shipdate) <= 30) AS b30,
+             COUNT(*) FILTER (WHERE datediff('day', o_orderdate, l_shipdate) BETWEEN 31 AND 60) AS b60,
+             COUNT(*) FILTER (WHERE datediff('day', o_orderdate, l_shipdate) > 60) AS b_late
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_ds_frequent_spenders" -> qDsFrequentSpenders,
+    "q_ds_equal_share" -> qDsEqualShare,
+    "q_ds_time_band" -> qDsTimeBand,
+    "q_ds_ship_buckets" -> qDsShipBuckets,
     "q_ds_moving_dev" -> qDsMovingDev,
     "q_ds_channel_ratio" -> qDsChannelRatio,
     "q_ds_best_worst" -> qDsBestWorst,
