@@ -30,6 +30,12 @@ final class DStream[T](val ds: Dataset[T]) {
   def rebalance(n: Int): DStream[T] = new DStream(ds.repartition(n))
   /** Local scale-down without shuffle — ref DataStream.rescale:557. */
   def rescale(n: Int): DStream[T] = new DStream(ds.coalesce(n))
+  /** Random redistribution — ref DataStream.shuffle:500 (ShufflePartitioner
+    * picks a random channel per record). Spark's round-robin repartition is
+    * the engine analog (uniform spread, no key affinity); true per-record
+    * randomness would break replay determinism, which the reference accepts
+    * but Spark's recomputable-lineage model must not. */
+  def shuffle(n: Int): DStream[T] = new DStream(ds.repartition(n))
   /** Everything to one task — ref DataStream.global:575. */
   def global(): DStream[T] = new DStream(ds.coalesce(1))
   /** Custom partitioner — ref DataStream.partitionCustom:388-431

@@ -65,4 +65,62 @@ object AsyncIO {
         }
       }
     }
+
+  /** UNORDERED mode — ref AsyncWaitOperator's unordered output queue:
+    * results emit as they COMPLETE, not in input order (lower latency when
+    * request times vary; the reference offers both). Same bounded in-flight
+    * window and submit-time deadlines as the ordered variant; the emission
+    * order is whatever completion produces, so callers must not rely on
+    * row order (Spark never guarantees partition-internal order to begin
+    * with unless sorted). */
+  def mapAsyncUnordered[T, U: Encoder](ds: Dataset[T], parallelism: Int,
+                                       timeout: Duration = Duration.Inf)(f: T => U): Dataset[U] =
+    ds.mapPartitions { it =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-async-io-unordered")
+          t.setDaemon(true)
+          t
+        })
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+      val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, U]]()
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      new Iterator[U] {
+        private var emitted = 0L
+        private var submitted = 0L
+        private def pump(): Unit =
+          while (it.hasNext && inFlight.get() < parallelism) {
+            val t = it.next() // materialize on the task thread
+            inFlight.incrementAndGet()
+            submitted += 1
+            pool.execute { () =>
+              val r = try Right(f(t)) catch { case e: Throwable => Left(e) }
+              done.put(r); inFlight.decrementAndGet()
+            }
+          }
+        override def hasNext: Boolean = {
+          val more = emitted < submitted || it.hasNext
+          if (!more) pool.shutdown()
+          more
+        }
+        override def next(): U = {
+          pump()
+          val r =
+            if (!timeout.isFinite) done.take()
+            else Option(done.poll(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+              .getOrElse {
+                pool.shutdownNow()
+                throw new java.util.concurrent.TimeoutException(
+                  s"AsyncIO (unordered) request exceeded $timeout")
+              }
+          emitted += 1
+          r match {
+            case Right(u) => u
+            case Left(e) => pool.shutdownNow(); throw e
+          }
+        }
+      }
+    }
 }

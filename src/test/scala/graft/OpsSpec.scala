@@ -34,6 +34,33 @@ class OpsSpec extends SparkTestBase {
       e.getMessage.contains("TimeoutException"))
   }
 
+  test("mapAsyncUnordered emits every result; a slow head does not block completions") {
+    val s = spark
+    import s.implicits._
+    val ds = s.createDataset(1 to 50)
+    val out = AsyncIO.mapAsyncUnordered(ds.coalesce(1), parallelism = 8) { i =>
+      if (i == 1) Thread.sleep(300) // the head is the SLOWEST request
+      i * 2
+    }.collect()
+    assert(out.toSet == (1 to 50).map(_ * 2).toSet && out.length == 50)
+    // unordered mode emits on completion: with the head request sleeping
+    // 300ms and 7 free slots, something else must have finished first
+    assert(out.head != 2, "completion-order emission expected, got strict input order")
+  }
+
+  test("shuffle redistributes uniformly across n partitions, content preserved") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val st = env.fromElements(1 to 100: _*).shuffle(8)
+    assert(st.collect().toSet == (1 to 100).toSet)
+    // each INPUT partition round-robins independently from a random start,
+    // so per-partition counts can differ by the input-partition count —
+    // near-uniform, never hash-skewed
+    val sizes = st.ds.rdd.glom().map(_.length).collect()
+    assert(sizes.length == 8 && sizes.max - sizes.min <= 8, s"skewed: ${sizes.toSeq}")
+  }
+
   test("sideOutput splits main and side streams") {
     val s = spark
     import s.implicits._
