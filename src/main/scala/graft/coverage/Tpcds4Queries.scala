@@ -1,0 +1,199 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.sql.EngineEnv
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-3 batch 5: TPC-DS planner shapes (reference gate:
+  * flink-tpcds-test, 103 variants), the full DDL lifecycle as an
+  * oracle-gated query, BIN/HEX scalar parity, and the compressed-format
+  * roundtrip (flink-compress module analog). */
+object Tpcds4Queries {
+
+  private def sql(text: String): Q =
+    Q(run = (s: SparkSession, dir: String) => { Tables.registerAll(s, dir); s.sql(text) },
+      oracle = Some(text))
+
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** TPC-DS q88 shape — eight independent single-row aggregates
+    * cross-joined into one wide row. Each COUNT scans with its own
+    * time-band predicate; the planner must keep them parallel independent
+    * subplans (a 1×1 cross join chain, no shuffle beyond each agg). */
+  val qDsTimeBandsCross: Q = sql("""
+    SELECT h0.c AS c_h0_2, h1.c AS c_h3_5, h2.c AS c_h6_8, h3.c AS c_h9_11,
+           h4.c AS c_h12_14, h5.c AS c_h15_17, h6.c AS c_h18_20, h7.c AS c_h21_23
+    FROM (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 0 AND 2) h0,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 3 AND 5) h1,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 8) h2,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 9 AND 11) h3,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 14) h4,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 15 AND 17) h5,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 20) h6,
+         (SELECT COUNT(*) AS c FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 21 AND 23) h7""")
+
+  /** TPC-DS q10/q35 shape — EXISTS conjoined with an OR of two more
+    * EXISTS (three semi joins, one under a disjunction the planner must
+    * not collapse), then demographic aggregate stats. */
+  val qDsExistsOr: Q = sql("""
+    SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+           MIN(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS min_bal_c,
+           MAX(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS max_bal_c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+      AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                     AND o_totalprice > 300000)
+        OR EXISTS (SELECT 1 FROM orders o JOIN lineitem ON l_orderkey = o_orderkey
+                     WHERE o.o_custkey = c_custkey AND l_returnflag = 'R'))
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name""")
+
+  /** TPC-DS q65 shape — below-average-revenue pairs: per-(nation, brand)
+    * revenue compared against 60% of that nation's per-brand average,
+    * exactly by cross-multiplication (rev·10·n ≤ 6·total). */
+  val qDsBelowStoreAvg: Q = sql("""
+    WITH rev AS (SELECT n_name, p_brand,
+                        CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS r
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN part ON l_partkey = p_partkey
+                 GROUP BY n_name, p_brand),
+         tot AS (SELECT n_name, CAST(SUM(r) AS BIGINT) AS t, COUNT(*) AS nb
+                 FROM rev GROUP BY n_name)
+    SELECT rev.n_name, p_brand, r AS revenue_q
+    FROM rev JOIN tot ON rev.n_name = tot.n_name
+    WHERE r * 10 * nb <= t * 6
+    ORDER BY rev.n_name, p_brand""")
+
+  /** TPC-DS q59 shape — week-over-week self-join: per-(nation, week)
+    * revenue for one year matched against the same week of the next year;
+    * the ratio stays exact as the paired quantized sums. Week index =
+    * (dayofyear − 1) / 7 — engine-agnostic, unlike WEEK()'s ISO dialects. */
+  val qDsWeeklyYoy: Q = sql("""
+    WITH wk AS (SELECT n_name,
+                       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+                       CAST(FLOOR((dayofyear(o_orderdate) - 1) / 7.0) AS BIGINT) AS wk,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+                WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+                GROUP BY 1, 2, 3)
+    SELECT a.n_name, a.wk, a.rev_c AS rev_1996_c, b.rev_c AS rev_1997_c
+    FROM wk a JOIN wk b ON a.n_name = b.n_name AND a.wk = b.wk
+    WHERE a.yr = 1996 AND b.yr = 1997
+    ORDER BY a.n_name, a.wk""")
+
+  /** TPC-DS q78 shape — sales with the returned lines removed by a
+    * LEFT JOIN … IS NULL against a derived returns table (the planner
+    * turns it into an anti join), then per-(customer, year) totals. */
+  val qDsNoReturns: Q = sql("""
+    WITH ret AS (SELECT l_orderkey AS rk, l_linenumber AS rl
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE o_orderstatus = 'F' AND l_returnflag = 'R')
+    SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    LEFT JOIN ret ON rk = l_orderkey AND rl = l_linenumber
+    WHERE rk IS NULL AND o_custkey <= 200
+    GROUP BY o_custkey, yr
+    ORDER BY o_custkey, yr""")
+
+  /** TPC-DS q46/q68 shape — mismatch join-back: per-order amount over
+    * lines whose supplier sits in a different nation than the customer,
+    * then the customer detail joined back onto the top rows. */
+  val qDsNationMismatch: Q = sql("""
+    WITH mism AS (SELECT l_orderkey AS ok,
+                         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS amt_c
+                  FROM lineitem
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  WHERE s_nationkey <> c_nationkey
+                  GROUP BY l_orderkey)
+    SELECT c_custkey, c_name, o_orderkey, amt_c
+    FROM mism JOIN orders ON o_orderkey = ok JOIN customer ON o_custkey = c_custkey
+    ORDER BY amt_c DESC, o_orderkey LIMIT 50""")
+
+  /** BIN / HEX — the two §2.11 math-family spellings not yet demonstrated
+    * (ref FlinkSqlOperatorTable BIN/HEX → SqlFunctionUtils.bin/hex);
+    * byte-level hex of both an integer and a string verified against
+    * DuckDB's identical functions. */
+  val qScalarBits: Q = sql("""
+    SELECT p_partkey, bin(p_size) AS b, hex(p_size) AS hx_i, hex(p_brand) AS hx_s
+    FROM part ORDER BY p_partkey""")
+
+  /** Full DDL lifecycle, oracle-gated (ref flink-sql-parser ddl package — 30
+    * statement classes; SqlCreateTableLike / SqlAlterTableRename /
+    * SqlCreateDatabase / SqlUseDatabase): seed a sink, CREATE the base
+    * table, clone it with CREATE TABLE … LIKE into a second database with
+    * a path override, INSERT INTO (append + view refresh), ALTER RENAME,
+    * and read the final table back through the qualified name. */
+  val qSqlDdlLifecycle: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/ddl_${san(dir)}"
+      val orders = Tables.load(s, dir, "orders")
+      // seed: the 'F' subset pre-exists at the sink path (CREATE registers
+      // the view by reading the path, so the dir must be non-empty)
+      orders.filter(col("o_orderstatus") === "F")
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sink")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE base_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      e.executeSql("CREATE DATABASE mart")
+      e.executeSql(s"CREATE TABLE mart.sink_t WITH ('path'='$scratch/sink') LIKE base_t")
+      e.executeSql("INSERT INTO mart.sink_t SELECT * FROM base_t WHERE o_orderstatus = 'O'")
+      e.executeSql("ALTER TABLE mart.sink_t RENAME TO mart.final_t")
+      e.sqlQuery("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM mart.final_t
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  /** Compressed-format roundtrip — the flink-compress module analog:
+    * write gzip'd CSV, read it back (codec from the extension), aggregate;
+    * the oracle recomputes off the source parquet, so the roundtrip
+    * equality IS the codec check. */
+  val qSinkRoundtripGz: Q = Q(
+    run = (s, dir) => {
+      val out = s"/tmp/graft_sink/${san(dir)}/nation_gz"
+      Tables.load(s, dir, "nation")
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+    oracle = Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_ds_time_bands_cross" -> qDsTimeBandsCross,
+    "q_ds_exists_or" -> qDsExistsOr,
+    "q_ds_below_store_avg" -> qDsBelowStoreAvg,
+    "q_ds_weekly_yoy" -> qDsWeeklyYoy,
+    "q_ds_no_returns" -> qDsNoReturns,
+    "q_ds_nation_mismatch" -> qDsNationMismatch,
+    "q_scalar_bits" -> qScalarBits,
+    "q_sql_ddl_lifecycle" -> qSqlDdlLifecycle,
+    "q_sink_roundtrip_gz" -> qSinkRoundtripGz,
+  )
+}

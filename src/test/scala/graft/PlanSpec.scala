@@ -161,4 +161,27 @@ class PlanSpec extends SparkTestBase {
     val u = plan("q_pipe_url_dedup")
     assert(!u.contains("Join") && u.contains("Window"), "url dedup = one window, no joins")
   }
+
+  test("q_tpch_q19: OR-of-ANDs keeps the partkey equi-join — no cartesian") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS chain plans semi + anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("q_tpch_q17: correlated-average filter decorrelates to one grouped join, no per-row subquery") {
+    val p = plan("q_tpch_q17")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_ds_time_bands_cross: eight 1-row aggregates — cross joins only on single-row sides") {
+    val p = plan("q_ds_time_bands_cross")
+    // every band aggregates to one row; the 1x1 combination is nested-loop by
+    // construction and that is the CORRECT plan (never a row-level cartesian)
+    assert("HashAggregate".r.findAllIn(p).size >= 8)
+  }
 }
