@@ -1,0 +1,112 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Round-3 batch 6: four more TPC-DS planner mechanics (reference gate:
+  * flink-tpcds-test) — INTERSECT-derived dimension subset feeding a
+  * scalar-subquery HAVING (q14), a variance-based group filter with a
+  * period self-join (q39), CASE branches made of scalar subqueries (q9),
+  * and a full-outer join of channel aggregates re-aggregated under ROLLUP
+  * (q77). All exact-integer; identical SQL runs on both engines. */
+object Tpcds5Queries {
+
+  private def sql(text: String): Q =
+    Q(run = (s: SparkSession, dir: String) => { Tables.registerAll(s, dir); s.sql(text) },
+      oracle = Some(text))
+
+  /** TPC-DS q14 shape — cross-channel item intersection (parts bought by
+    * all three customer segments) restricts the fact scan via IN, and the
+    * HAVING threshold is a scalar subquery over the whole fact, compared
+    * exactly by cross-multiplication (group > total/500). */
+  val qDsIntersectHaving: Q = sql("""
+    WITH seg_parts AS (
+      SELECT l_partkey AS pk FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT l_partkey FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey WHERE c_mktsegment = 'AUTOMOBILE'
+      INTERSECT
+      SELECT l_partkey FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey WHERE c_mktsegment = 'MACHINERY')
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_partkey IN (SELECT pk FROM seg_parts)
+    GROUP BY p_brand
+    HAVING SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) * 500
+           > (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) FROM lineitem)
+    ORDER BY p_brand""")
+
+  /** TPC-DS q39 shape — coefficient-of-variation filter then period
+    * self-join: per (part, month) quantity mean/variance kept when
+    * cov ≥ 0.55, consecutive months paired. cov ≥ c ⟺
+    * n·Σx² − (Σx)² ≥ c²·(Σx)², so for c² = 121/400:
+    * 400·n·Σx² ≥ 521·(Σx)² (population variance, cross-multiplied —
+    * no floats anywhere). */
+  val qDsCovPairs: Q = sql("""
+    WITH m AS (SELECT l_partkey AS pk,
+                      CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mon,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sx,
+                      CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)
+                               * CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sxx
+               FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+               GROUP BY 1, 2),
+         hv AS (SELECT * FROM m WHERE n >= 2 AND 400 * n * sxx >= 521 * sx * sx)
+    SELECT a.pk, a.mon AS mon1, a.n AS n1, a.sx AS sx1, b.mon AS mon2, b.n AS n2, b.sx AS sx2
+    FROM hv a JOIN hv b ON a.pk = b.pk AND b.mon = a.mon + 1
+    ORDER BY a.pk, a.mon""")
+
+  /** TPC-DS q9 shape — CASE branches whose arms are scalar subqueries
+    * (five independent single-row aggregates the planner must evaluate
+    * once, not per outer row), projected over a small dimension table. */
+  val qDsCaseScalars: Q = sql("""
+    SELECT r_name,
+           CASE WHEN (SELECT COUNT(*) FROM orders WHERE o_totalprice < 100000) > 3000
+                THEN (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                      FROM orders WHERE o_totalprice < 100000)
+                ELSE (SELECT COUNT(*) FROM orders WHERE o_totalprice < 100000) END AS b_low,
+           CASE WHEN (SELECT COUNT(*) FROM orders
+                      WHERE o_totalprice BETWEEN 100000 AND 200000) > 3000
+                THEN (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                      FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000)
+                ELSE (SELECT COUNT(*) FROM orders
+                      WHERE o_totalprice BETWEEN 100000 AND 200000) END AS b_mid,
+           CASE WHEN (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000) > 3000
+                THEN (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                      FROM orders WHERE o_totalprice > 200000)
+                ELSE (SELECT COUNT(*) FROM orders WHERE o_totalprice > 200000) END AS b_high
+    FROM region
+    ORDER BY r_name""")
+
+  /** TPC-DS q77 shape — per-channel sales and returns aggregated
+    * separately, FULL OUTER joined on the channel key (either side may
+    * miss a channel), then re-aggregated under ROLLUP for the grand-total
+    * row. */
+  val qDsProfitRollup: Q = sql("""
+    WITH s AS (SELECT c_mktsegment AS seg,
+                      CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sales_c
+               FROM orders JOIN customer ON c_custkey = o_custkey
+               WHERE o_orderstatus = 'O' GROUP BY 1),
+         r AS (SELECT c_mktsegment AS seg,
+                      CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS ret_c
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                             JOIN customer ON c_custkey = o_custkey
+               WHERE o_orderstatus = 'F' AND l_returnflag = 'R' GROUP BY 1)
+    SELECT COALESCE(s.seg, r.seg) AS seg_total, CAST(SUM(sales_c) AS BIGINT) AS sales_c,
+           CAST(SUM(ret_c) AS BIGINT) AS ret_c
+    FROM s FULL OUTER JOIN r ON s.seg = r.seg
+    GROUP BY ROLLUP(COALESCE(s.seg, r.seg))
+    ORDER BY seg_total NULLS FIRST""")
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_ds_intersect_having" -> qDsIntersectHaving,
+    "q_ds_cov_pairs" -> qDsCovPairs,
+    "q_ds_case_scalars" -> qDsCaseScalars,
+    "q_ds_profit_rollup" -> qDsProfitRollup,
+  )
+}
