@@ -190,16 +190,23 @@ object Streaming2Queries {
     * (measured: filterWm(N) = max event time over batches ≤ N−2, minus
     * delay) — with b2 in between, b3's filter watermark is exactly
     * max(even ts) − 30 min, which the oracle can replay. */
+  /** The main and side lateness queries replay IDENTICAL batches (evens,
+    * fresh odds, expired odds) — staged once per (JVM, fixture dir) and
+    * shared, like [[stagedJoinStream]]. */
+  private val lateStagedDirs = scala.collection.concurrent.TrieMap[String, (String, org.apache.spark.sql.types.StructType)]()
   private def lateStagedStream(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
-    val tmax = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // staging-time scalar
-    val cut = new java.sql.Timestamp(tmax.getTime - 30L * 60 * 1000)
-    val odds = ev.filter(col("event_id") % 2 === 1)
-    val srcDir = StreamOps.stageBatches(s, s"late_${tag}_${san(dir)}", Seq(
-      ev.filter(col("event_id") % 2 === 0),
-      odds.filter(col("ts") > lit(cut)),
-      odds.filter(col("ts") <= lit(cut))))
-    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val (srcDir, schema) = lateStagedDirs.getOrElseUpdate(dir, {
+      val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+      val tmax = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // staging-time scalar
+      val cut = new java.sql.Timestamp(tmax.getTime - 30L * 60 * 1000)
+      val odds = ev.filter(col("event_id") % 2 === 1)
+      (StreamOps.stageBatches(s, s"late_shared_${san(dir)}", Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        odds.filter(col("ts") > lit(cut)),
+        odds.filter(col("ts") <= lit(cut)))),
+       ev.schema)
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
   }
 
   /** allowedLateness MAIN branch — ref WindowedStream.java:108: tumbling

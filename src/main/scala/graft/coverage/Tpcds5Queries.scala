@@ -103,10 +103,40 @@ object Tpcds5Queries {
     GROUP BY ROLLUP(COALESCE(s.seg, r.seg))
     ORDER BY seg_total NULLS FIRST""")
 
+  /** TPC-DS q1/q30/q81 shape — a grouped CTE filtered by a CORRELATED
+    * aggregate over ITSELF (customers whose total exceeds 1.2× their
+    * nation's average), referenced twice; Catalyst decorrelates the
+    * per-partition average into a grouped join. Exact by
+    * cross-multiplication: total·n·10 > nation_sum·12. */
+  val qDsCtrOutliers: Q = sql("""
+    WITH ctr AS (SELECT o_custkey AS ck, c_nationkey AS nk,
+                        CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+                 FROM orders JOIN customer ON c_custkey = o_custkey
+                 GROUP BY o_custkey, c_nationkey)
+    SELECT ck, nk, total_c
+    FROM ctr c1
+    WHERE total_c * (SELECT COUNT(*) FROM ctr c2 WHERE c2.nk = c1.nk) * 10
+          > (SELECT CAST(SUM(total_c) AS BIGINT) FROM ctr c3 WHERE c3.nk = c1.nk) * 12
+    ORDER BY nk, ck""")
+
+  /** TPC-DS q6 shape — the fact filter anchored on a scalar-subquery
+    * date (the month three months before the newest order): scalar date
+    * arithmetic must fold to one value, not re-evaluate per row. */
+  val qDsMonthAnchor: Q = sql("""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE date_trunc('month', o_orderdate) =
+          (SELECT date_trunc('month', max(o_orderdate) - INTERVAL 3 MONTH) FROM orders)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment""")
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_intersect_having" -> qDsIntersectHaving,
     "q_ds_cov_pairs" -> qDsCovPairs,
     "q_ds_case_scalars" -> qDsCaseScalars,
     "q_ds_profit_rollup" -> qDsProfitRollup,
+    "q_ds_ctr_outliers" -> qDsCtrOutliers,
+    "q_ds_month_anchor" -> qDsMonthAnchor,
   )
 }

@@ -83,6 +83,18 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("q_pipe_split is partitioning-invariant: same manifest at 2 and 32 shuffle partitions") {
+    // the replayability contract: a hash-gated split never depends on
+    // cluster size / task layout — the exact property RNG sampling lacks
+    val run = (parts: String) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries("q_pipe_split")(spark, sfDir).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("2") == run("32"))
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val s = spark
     import s.implicits._
