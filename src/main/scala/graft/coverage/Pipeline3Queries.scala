@@ -65,10 +65,7 @@ object Pipeline3Queries {
       val e = emb(s, dir).withColumn("nq", PipelineQueries.normQ)
       val cent = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nq").as("cn")))
-      val cdot = aggregate(
-        zip_with(col("embedding"), col("ce"),
-          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val cdot = graft.plans.DotProductQExpr.dotQ(col("embedding"), col("ce"), 1000000.0)
       val sim = e.crossJoin(cent)
         .withColumn("sim", PipelineQueries.cosQ(cdot, col("nq"), col("cn")))
         .withColumn("crn", row_number().over(
@@ -77,10 +74,7 @@ object Pipeline3Queries {
         .select(col("vec_id"), col("cid"), col("embedding"), col("nq"))
       val probes = sim.filter(col("crn") <= 2 && col("vec_id").between(100, 109))
         .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"), col("nq").as("qn"))
-      val qdot = aggregate(
-        zip_with(col("qe"), col("embedding"),
-          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val qdot = graft.plans.DotProductQExpr.dotQ(col("qe"), col("embedding"), 1000000.0)
       probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid"))
         .withColumn("cosv", PipelineQueries.cosQ(qdot, col("qn"), col("nq")))
         .withColumn("rn", row_number().over(

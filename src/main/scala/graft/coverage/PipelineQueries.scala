@@ -286,18 +286,16 @@ object PipelineQueries {
   private def planeBucket(planes: Int): Column =
     (0 until planes).map { p =>
       val coefs = (1 to 64).map(d => hashStrLocal(s"pl${p}_$d") % 2001 - 1000)
-      val dot = aggregate(
-        zip_with(col("embedding"), array(coefs.map(lit): _*),
-          (x, c) => floor(x.cast("double") * c.cast("double") * 1000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val dot = graft.plans.DotProductQExpr.dotQ(
+        col("embedding"), array(coefs.map(lit): _*), 1000.0)
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Quantized-term L2-norm (long): order-independent, cross-engine exact. */
+  /** Quantized-term L2-norm (long): order-independent, cross-engine exact —
+    * the self-dot through the codegen'd [[graft.plans.DotProductQExpr]]
+    * kernel (identical per-term floor quantization). */
   private[coverage] val normQ: Column =
-    aggregate(
-      transform(col("embedding"), x => floor(x.cast("double") * x.cast("double") * 1000000.0).cast("long")),
-      lit(0L), (a, x) => a + x)
+    graft.plans.DotProductQExpr.dotQ(col("embedding"), col("embedding"), 1000000.0)
 
   private[coverage] def cosQ(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
@@ -312,10 +310,7 @@ object PipelineQueries {
       val e = emb(s, dir).withColumn("nq", normQ)
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nq").as("qn")))
-      val dot = aggregate(
-        zip_with(col("qe"), col("embedding"),
-          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val dot = graft.plans.DotProductQExpr.dotQ(col("qe"), col("embedding"), 1000000.0)
       val scored = q.join(e, col("vec_id") =!= col("qid"))
         .withColumn("cosv", cosQ(dot, col("qn"), col("nq")))
         .select(col("qid"), col("vec_id").as("cid"), col("cosv"))
@@ -353,10 +348,7 @@ object PipelineQueries {
       val withBucket = e.withColumn("bucket", planeBucket(planes))
       val q = broadcast(withBucket.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nq").as("qn"), col("bucket")))
-      val dot = aggregate(
-        zip_with(col("qe"), col("embedding"),
-          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val dot = graft.plans.DotProductQExpr.dotQ(col("qe"), col("embedding"), 1000000.0)
       q.join(withBucket, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
         .withColumn("cosv", cosQ(dot, col("qn"), col("nq")))
         .withColumn("rn", row_number().over(
@@ -408,10 +400,7 @@ object PipelineQueries {
       val e = emb(s, dir).withColumn("nq", normQ)
       val withBucket = e.withColumn("bucket", planeBucket(planes))
         .select(col("vec_id"), col("embedding"), col("nq"), col("bucket"))
-      val dot = aggregate(
-        zip_with(col("e1"), col("e2"),
-          (a, b) => floor(a.cast("double") * b.cast("double") * 1000000.0).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val dot = graft.plans.DotProductQExpr.dotQ(col("e1"), col("e2"), 1000000.0)
       withBucket.as("a").join(withBucket.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),

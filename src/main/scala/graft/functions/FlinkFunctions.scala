@@ -70,6 +70,11 @@ object FlinkFunctions {
         "SPLIT_INDEX",
         exprs => graft.plans.SplitIndexExpr(exprs(0), exprs(1), exprs(2)),
         "built-in")
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "DOT_PRODUCT_Q",
+        exprs => graft.plans.DotProductQExpr(exprs(0), exprs(1), exprs(2)),
+        "built-in")
     spark.udf.register("IS_DIGIT", isDigit _)
     spark.udf.register("IS_ALPHA", isAlpha _)
     spark.udf.register("IS_DECIMAL", isDecimal _)

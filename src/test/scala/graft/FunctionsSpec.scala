@@ -79,6 +79,47 @@ class FunctionsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("SINGLE_VALUE")))
   }
 
+  test("dot_product_q matches the zip_with/aggregate composition bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(s, sfDir, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding").as("a"),
+              reverse(col("embedding")).as("b"))
+    val old = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => floor(x.cast("double") * y.cast("double") * 1000000.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val neu = graft.plans.DotProductQExpr.dotQ(col("a"), col("b"), 1000000.0)
+    val diffs = df.select(old.as("o"), neu.as("n")).filter(col("o") =!= col("n")).count()
+    assert(diffs == 0L)
+  }
+
+  test("dot_product_q: null element nulls the result; shorter prefix used on length mismatch") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0)))
+    ).toDF("a", "b")
+    val out = df.select(graft.plans.DotProductQExpr.dotQ(col("a"), col("b"), 1.0).as("d"))
+      .as[Option[Long]].collect().toSeq
+    assert(out == Seq(Some(11L), None, Some(6L)))
+  }
+
+  test("dot_product_q participates in whole-stage codegen (no interpreted fallback)") {
+    val df = Tables.load(spark, sfDir, "embeddings")
+      .select(graft.plans.DotProductQExpr.dotQ(col("embedding"), col("embedding"), 1000000.0).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in the collapsed
+    // plan string — the Project evaluating the expression must carry it
+    assert(plan.linesIterator.exists(l => l.contains("dot_product_q") && l.trim.startsWith("*(")),
+      plan.take(500))
+    // and the expression itself evaluates: trigger one partition
+    assert(df.limit(1).collect().head.getLong(0) > 0)
+  }
+
   test("SINGLE_VALUE over a single NULL row returns NULL, not 0.0") {
     val s = spark
     import s.implicits._
