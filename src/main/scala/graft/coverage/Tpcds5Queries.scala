@@ -131,6 +131,56 @@ object Tpcds5Queries {
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment""")
 
+  /** COUNT(DISTINCT) OVER — unsupported as a window function in both
+    * engines' window frames (and in the reference's planner it splits into
+    * a distinct-agg + join); the standard rewrite is
+    * max(dense_rank) per partition: distinct customers per order-month,
+    * carried onto every row of the month. */
+  val qDsDistinctOver: Q = sql("""
+    SELECT o_orderkey, mon,
+           MAX(dr) OVER (PARTITION BY mon) AS distinct_custs
+    FROM (SELECT o_orderkey,
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+                 dense_rank() OVER (PARTITION BY EXTRACT(MONTH FROM o_orderdate)
+                                    ORDER BY o_custkey) AS dr
+          FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997) x
+    ORDER BY mon, o_orderkey""")
+
+  /** TPC-DS q85 shape — equi-join plus an OR of three band conjunctions
+    * (the residual must stay on the hash join, evaluated post-probe;
+    * none of the three bands alone may become the join condition). */
+  val qDsBandJoin: Q = sql("""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE (l_quantity BETWEEN 1 AND 10 AND o_totalprice BETWEEN 0 AND 100000)
+       OR (l_quantity BETWEEN 20 AND 30 AND o_totalprice BETWEEN 100000 AND 300000)
+       OR (l_quantity BETWEEN 40 AND 50 AND o_totalprice BETWEEN 300000 AND 600000)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority""")
+
+  /** Spark's native PIVOT clause (the declarative spelling of the q66-style
+    * manual CASE pivot) — the oracle is the equivalent FILTER aggregate,
+    * proving the clause produces exactly the hand-written expansion. */
+  val qDsPivotNative: Q = Q(
+    run = (s: SparkSession, dir: String) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (SELECT c_mktsegment, o_orderstatus,
+                              CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS tp_c
+                       FROM orders JOIN customer ON c_custkey = o_custkey)
+        PIVOT (CAST(SUM(tp_c) AS BIGINT) FOR o_orderstatus IN ('F' AS f_c, 'O' AS o_c, 'P' AS p_c))
+        ORDER BY c_mktsegment""")
+    },
+    oracle = Some("""
+      SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END) AS BIGINT) AS f_c,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END) AS BIGINT) AS o_c,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END) AS BIGINT) AS p_c
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_intersect_having" -> qDsIntersectHaving,
     "q_ds_cov_pairs" -> qDsCovPairs,
@@ -138,5 +188,8 @@ object Tpcds5Queries {
     "q_ds_profit_rollup" -> qDsProfitRollup,
     "q_ds_ctr_outliers" -> qDsCtrOutliers,
     "q_ds_month_anchor" -> qDsMonthAnchor,
+    "q_ds_distinct_over" -> qDsDistinctOver,
+    "q_ds_band_join" -> qDsBandJoin,
+    "q_ds_pivot_native" -> qDsPivotNative,
   )
 }
