@@ -77,7 +77,19 @@ object StreamOps {
 
   /** Run a streaming DataFrame to completion into a memory sink; return the
     * materialized result. */
+  /** Memory-sink tables of FINISHED queries, dropped lazily at the next
+    * call: each query's own result must stay readable until its caller
+    * consumes it, but across a 200-query Verify/Bench JVM the collected
+    * rows would otherwise accumulate in the driver for the whole run. */
+  private val liveMemTables = scala.collection.mutable.Queue[String]()
+
   def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    liveMemTables.synchronized {
+      // keep a few recent tables (a caller — or a multi-run spec harness —
+      // may still hold their DataFrames); older ones have been consumed,
+      // so drop view + sink rows
+      while (liveMemTables.size > 4) s.catalog.dropTempView(liveMemTables.dequeue())
+    }
     val name = s"graft_mem_${counter.incrementAndGet()}"
     // stateful streaming cost scales with state-store instances (one per
     // shuffle partition, committed every batch): 4 partitions halves the
@@ -99,6 +111,7 @@ object StreamOps {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       wipe(ckpt) // the memory table is already materialized; drop state/commit logs
     }
+    liveMemTables.synchronized { liveMemTables.enqueue(name) }
     s.table(name)
   }
 
