@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: print the join/exchange/scan/aggregate skeleton of named
   * queries' physical plans — the quick `.explain` audit loop behind the
   * PlanSpec assertions. Usage:
-  * `java -cp classes:/opt/spark/jars/* graft.ExplainCheck q_tpch_q9 ...` */
+  * `java -cp "classes:<spark jars>" graft.ExplainCheck q_tpch_q9 ...` */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
