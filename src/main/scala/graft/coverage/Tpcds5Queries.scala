@@ -181,6 +181,54 @@ object Tpcds5Queries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** UNNEST WITH OUTER semantics (ref LogicalUnnestRule / Calcite's outer
+    * correlate): rows whose collection is EMPTY survive with a null
+    * element instead of disappearing — Spark's explode_outer; the oracle
+    * spells it LEFT JOIN LATERAL unnest. 'P'-status orders get the empty
+    * array. */
+  val qUnnestOuter: Q = Q(
+    run = (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "orders")
+        .withColumn("words",
+          when(col("o_orderstatus") === "P", array().cast("array<string>"))
+            .otherwise(split(col("o_orderpriority"), "-")))
+        .select(col("o_orderkey"), explode_outer(col("words")).as("w"))
+        .orderBy(col("o_orderkey"), col("w"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, u.w
+      FROM orders LEFT JOIN LATERAL (
+        SELECT unnest(CASE WHEN o_orderstatus = 'P' THEN []::VARCHAR[]
+                           ELSE string_split(o_orderpriority, '-') END) AS w) u ON TRUE
+      ORDER BY o_orderkey, w"""))
+
+  /** Spark's native UNPIVOT clause (columns → rows, the inverse of the
+    * PIVOT above); the oracle is the manual UNION ALL expansion it must
+    * equal. NULL cells are dropped by UNPIVOT semantics — none arise
+    * (both aggregates are non-null per segment). */
+  val qDsUnpivotNative: Q = Q(
+    run = (s: SparkSession, dir: String) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_mktsegment, metric, v
+        FROM (SELECT c_mktsegment, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              GROUP BY c_mktsegment)
+        UNPIVOT (v FOR metric IN (n_orders, total_c))
+        ORDER BY c_mktsegment, metric""")
+    },
+    oracle = Some("""
+      WITH agg AS (SELECT c_mktsegment, COUNT(*) AS n_orders,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   GROUP BY c_mktsegment)
+      SELECT c_mktsegment, 'n_orders' AS metric, n_orders AS v FROM agg
+      UNION ALL
+      SELECT c_mktsegment, 'total_c', total_c FROM agg
+      ORDER BY c_mktsegment, metric"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_intersect_having" -> qDsIntersectHaving,
     "q_ds_cov_pairs" -> qDsCovPairs,
@@ -191,5 +239,7 @@ object Tpcds5Queries {
     "q_ds_distinct_over" -> qDsDistinctOver,
     "q_ds_band_join" -> qDsBandJoin,
     "q_ds_pivot_native" -> qDsPivotNative,
+    "q_unnest_outer" -> qUnnestOuter,
+    "q_ds_unpivot_native" -> qDsUnpivotNative,
   )
 }
