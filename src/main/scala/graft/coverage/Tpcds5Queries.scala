@@ -201,7 +201,7 @@ object Tpcds5Queries {
       FROM orders LEFT JOIN LATERAL (
         SELECT unnest(CASE WHEN o_orderstatus = 'P' THEN []::VARCHAR[]
                            ELSE string_split(o_orderpriority, '-') END) AS w) u ON TRUE
-      ORDER BY o_orderkey, w"""))
+      ORDER BY o_orderkey, w NULLS FIRST"""))
 
   /** Spark's native UNPIVOT clause (columns → rows, the inverse of the
     * PIVOT above); the oracle is the manual UNION ALL expansion it must
