@@ -545,7 +545,45 @@ object Streaming2Queries {
       WHERE mt + 1800000 < wm
       ORDER BY user_id"""))
 
+  /** Streaming filesystem sink with partition-time commit — ref
+    * FileSystemTableSink `sink.partition-commit.trigger='partition-time'`
+    * + success-file policy (PartitionTimeCommitTigger.java /
+    * PartitionCommitter.java): 10-min partitions commit (gain their
+    * `_SUCCESS` marker) once the watermark (max ts − 30 min) passes their
+    * end; the query reads back ONLY committed partitions — exactly what a
+    * downstream batch consumer of the feature sees. Two time-split
+    * replayed batches: the first commits the early partitions, the final
+    * watermark commits the rest. */
+  val qStreamPartitionCommit: Q = Q(
+    run = (s, dir) => {
+      val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+      val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0) match {
+        case r => Array(r.getTimestamp(0), r.getTimestamp(1))
+      }
+      val mid = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+      val srcDir = StreamOps.stageBatches(s, s"pcommit_${san(dir)}", Seq(
+        ev.filter(col("ts") <= lit(mid)), ev.filter(col("ts") > lit(mid))))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val out = graft.streaming.StreamOps.scratchRoot + s"/pcommit_out_${san(dir)}"
+      StreamOps.partitionCommitRun(s, stream, out, bucketSec = 600, delaySec = 1800)
+        .groupBy(col("p_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+             max(col("event_id")).as("max_id"))
+        .orderBy(col("p_bucket"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT CAST(FLOOR(EXTRACT(EPOCH FROM max(ts))) AS BIGINT) - 1800 AS wm
+                 FROM events)
+      SELECT CAST(FLOOR(FLOOR(EXTRACT(EPOCH FROM ts)) / 600) * 600 AS BIGINT) AS p_bucket,
+             COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      FROM events, w
+      GROUP BY p_bucket, wm
+      HAVING p_bucket + 600 <= wm
+      ORDER BY p_bucket"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_stream_partition_commit" -> qStreamPartitionCommit,
     "q_stream_changelog_join" -> qStreamChangelogJoin,
     "q_stream_semi_join" -> qStreamSemiJoin,
     "q_stream_anti_join" -> qStreamAntiJoin,

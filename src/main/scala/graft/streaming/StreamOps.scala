@@ -985,4 +985,65 @@ object StreamOps {
         })
       .toDF()
   }
+
+  /** Streaming partitioned filesystem sink with PARTITION-TIME COMMIT —
+    * ref FileSystemTableSink's `sink.partition-commit.trigger =
+    * 'partition-time'` + the success-file commit policy
+    * (flink-table-runtime-blink/.../filesystem/stream/
+    * PartitionTimeCommitTigger.java, PartitionCommitter.java): each
+    * micro-batch appends into `p_bucket=<epoch-sec>/` partition dirs, the
+    * sink tracks the watermark (max event time − delay), and a partition
+    * is COMMITTED — its `_SUCCESS` marker written — once the watermark
+    * passes the partition's end time. Downstream batch readers (the whole
+    * point of the feature) consume only committed partitions.
+    *
+    * Spark spelling: `foreachBatch` + `write.partitionBy` (dynamic
+    * partition append) with the commit ledger maintained across batches in
+    * the closure — the same driver-side role Flink's PartitionCommitter
+    * plays on the JobManager. Late rows arriving after a partition
+    * committed still land in the partition's files (Flink behaves the
+    * same; the marker is not retracted).
+    *
+    * Returns the committed partition read-back (only dirs bearing
+    * `_SUCCESS`), which at 100 TB is a selective-path read, never a full
+    * dir scan. */
+  def partitionCommitRun(s: SparkSession, src: DataFrame, outDir: String,
+                         bucketSec: Long, delaySec: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wipe(outDir)
+    var wmSec = Long.MinValue
+    val committed = scala.collection.mutable.Set[Long]()
+    val q = src.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val withP = df.withColumn("p_bucket",
+          (floor(unix_timestamp(col("ts").cast("timestamp")) / bucketSec) * bucketSec).cast("long"))
+        withP.write.mode("append").partitionBy("p_bucket").parquet(outDir)
+        // advance the watermark from this batch's max event time (driver
+        // scalar — one tiny agg per micro-batch, like the JM's wm tracking)
+        val mx = withP.agg(max(unix_timestamp(col("ts").cast("timestamp")))).collect()(0)
+        if (!mx.isNullAt(0)) wmSec = math.max(wmSec, mx.getLong(0) - delaySec)
+        // commit every partition whose END the watermark has passed
+        val base = java.nio.file.Paths.get(outDir)
+        if (java.nio.file.Files.exists(base)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(base).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("p_bucket="))
+            .foreach { dir =>
+              val bucket = dir.getFileName.toString.stripPrefix("p_bucket=").toLong
+              if (bucket + bucketSec <= wmSec && !committed(bucket)) {
+                java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+                committed += bucket
+              }
+            }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$scratchRoot/ckpt/${ProcessHandle.current().pid()}/pcommit_${counter.incrementAndGet()}")
+      .start()
+    q.awaitTermination()
+    val dirs = committed.toSeq.sorted.map(b => s"$outDir/p_bucket=$b")
+    if (dirs.isEmpty) s.emptyDataFrame
+    else s.read.option("basePath", outDir).parquet(dirs: _*)
+  }
 }

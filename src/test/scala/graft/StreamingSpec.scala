@@ -636,4 +636,23 @@ class StreamingSpec extends SparkTestBase {
       server.close()
     }
   }
+
+  test("partition-time commit: _SUCCESS written exactly for watermark-passed partitions") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // 3 buckets of 600s at t=0,600,1200; max ts = 1230 → wm = 1230-600 = 630:
+    // bucket 0 (ends 600 ≤ 630) commits; buckets 600 and 1200 do not
+    val rows = Seq(10L, 20L, 610L, 620L, 1210L, 1230L).zipWithIndex
+      .map { case (sec, i) => (i.toLong, sec) }
+    val df = s.createDataFrame(rows).toDF("event_id", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+    val srcDir = graft.streaming.StreamOps.stageBatches(s, "pcommit_spec", Seq(df))
+    val stream = s.readStream.schema(df.schema).parquet(srcDir)
+    val out = graft.streaming.StreamOps.scratchRoot + "/pcommit_spec_out"
+    val back = graft.streaming.StreamOps.partitionCommitRun(s, stream, out, 600, 600)
+    assert(back.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    def marked(b: Long) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/p_bucket=$b/_SUCCESS"))
+    assert(marked(0L) && !marked(600L) && !marked(1200L))
+  }
 }
