@@ -1039,7 +1039,10 @@ object StreamOps {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", s"$scratchRoot/ckpt/${ProcessHandle.current().pid()}/pcommit_${counter.incrementAndGet()}")
+      .option("checkpointLocation", {
+        val c = s"$scratchRoot/ckpt/${ProcessHandle.current().pid()}/pcommit_${counter.incrementAndGet()}"
+        wipe(c); c
+      })
       .start()
     q.awaitTermination()
     val dirs = committed.toSeq.sorted.map(b => s"$outDir/p_bucket=$b")

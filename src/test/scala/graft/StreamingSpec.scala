@@ -637,6 +637,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("Flink metric groups map to df.observe: named metrics surface in the streaming progress") {
+    // ref AbstractMetricGroup / OperatorMetricGroup counters+gauges: the
+    // Spark spelling is Dataset.observe — metrics computed inside the
+    // plan (no extra pass), reported per micro-batch on the progress/
+    // listener bus exactly like Flink's metric reporters
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val observed = in.toDF().toDF("id", "v")
+      .observe("op_metrics", count(lit(1)).as("numRecordsIn"),
+               sum(when(col("v") < 0, 1).otherwise(0)).as("numNegative"))
+      .filter(col("v") >= 0)
+    val q = observed.writeStream.format("memory").queryName("obs_t").outputMode("append").start()
+    in.addData((1L, 1.5), (2L, -2.0), (3L, 0.5))
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("op_metrics")
+    q.stop()
+    assert(m != null && m.getAs[Long]("numRecordsIn") == 3L && m.getAs[Long]("numNegative") == 1L)
+  }
+
+  test("rolling policy: maxRecordsPerFile bounds file size like StreamingFileSink rollover") {
+    // ref StreamingFileSink RollingPolicy (roll on size/interval): the
+    // batch-writer spelling is maxRecordsPerFile — the sink rolls to a new
+    // part file every N records
+    val s = spark
+    val out = graft.streaming.StreamOps.scratchRoot + "/rolling_spec_out"
+    s.range(100).coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 30).parquet(out)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(out)).iterator()
+    val n = Iterator.continually(parts).takeWhile(_.hasNext).map(_.next())
+      .count(_.toString.endsWith(".parquet"))
+    assert(n == 4, s"100 rows / 30 per file should roll into 4 part files, got $n") // 30+30+30+10
+    assert(s.read.parquet(out).count() == 100)
+  }
+
   test("partition-time commit: _SUCCESS written exactly for watermark-passed partitions") {
     val s = spark
     import org.apache.spark.sql.functions._
