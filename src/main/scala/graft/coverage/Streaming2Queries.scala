@@ -553,7 +553,9 @@ object Streaming2Queries {
     * end; the query reads back ONLY committed partitions — exactly what a
     * downstream batch consumer of the feature sees. Two time-split
     * replayed batches: the first commits the early partitions, the final
-    * watermark commits the rest. */
+    * watermark commits the rest. DAY partitions (the realistic filesystem
+    * layout — 10-min dirs over months of data would be a small-files
+    * explosion at any scale). */
   val qStreamPartitionCommit: Q = Q(
     run = (s, dir) => {
       val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
@@ -566,7 +568,7 @@ object Streaming2Queries {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val out = graft.streaming.StreamOps.scratchRoot + s"/pcommit_out_${san(dir)}"
-      StreamOps.partitionCommitRun(s, stream, out, bucketSec = 600, delaySec = 1800)
+      StreamOps.partitionCommitRun(s, stream, out, bucketSec = 86400, delaySec = 1800)
         .groupBy(col("p_bucket"))
         .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
              max(col("event_id")).as("max_id"))
@@ -575,11 +577,11 @@ object Streaming2Queries {
     oracle = Some("""
       WITH w AS (SELECT CAST(FLOOR(EXTRACT(EPOCH FROM max(ts))) AS BIGINT) - 1800 AS wm
                  FROM events)
-      SELECT CAST(FLOOR(FLOOR(EXTRACT(EPOCH FROM ts)) / 600) * 600 AS BIGINT) AS p_bucket,
+      SELECT CAST(FLOOR(FLOOR(EXTRACT(EPOCH FROM ts)) / 86400) * 86400 AS BIGINT) AS p_bucket,
              COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
       FROM events, w
       GROUP BY p_bucket, wm
-      HAVING p_bucket + 600 <= wm
+      HAVING p_bucket + 86400 <= wm
       ORDER BY p_bucket"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(

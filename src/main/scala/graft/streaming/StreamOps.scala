@@ -1017,7 +1017,11 @@ object StreamOps {
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val withP = df.withColumn("p_bucket",
           (floor(unix_timestamp(col("ts").cast("timestamp")) / bucketSec) * bucketSec).cast("long"))
-        withP.write.mode("append").partitionBy("p_bucket").parquet(outDir)
+        // cluster by the partition key before the dynamic-partition write —
+        // otherwise every task writes a sliver into every partition dir
+        // (tasks × partitions small files, the classic 100 TB sink mistake)
+        withP.repartition(col("p_bucket"))
+          .write.mode("append").partitionBy("p_bucket").parquet(outDir)
         // advance the watermark from this batch's max event time (driver
         // scalar — one tiny agg per micro-batch, like the JM's wm tracking)
         val mx = withP.agg(max(unix_timestamp(col("ts").cast("timestamp")))).collect()(0)
