@@ -178,6 +178,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sql_temporal_join: FOR SYSTEM_TIME AS OF rewrite keeps the keyed top-1 + broadcast shape") {
+    // the rewrite's documented contract (EngineEnv.rewriteTemporalJoin):
+    // latest-version lookup = rank-filtered (WindowGroupLimit) domain join,
+    // equi-joined back — never a decorrelated nested-loop domain join
+    val p = plan("q_sql_temporal_join")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), "rank-filtered version lookup missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "temporal join must stay keyed — nested-loop domain join is the 100x-slower shape")
+  }
+
   test("q_ds_time_bands_cross: eight 1-row aggregates — cross joins only on single-row sides") {
     val p = plan("q_ds_time_bands_cross")
     // every band aggregates to one row; the 1x1 combination is nested-loop by
