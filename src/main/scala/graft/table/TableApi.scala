@@ -1,0 +1,166 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, session_window, window}
+
+/** Flink Table-API DSL facade — the PROGRAMMATIC third of the reference's
+  * API surface (§1.1 Table, alongside SQL and DataStream):
+  * `flink-table-api-java/.../api/Table.java` (select/filter/groupBy/
+  * window/join/union/orderBy/fetch/addColumns/renameColumns/dropColumns)
+  * and the window builders `Tumble.java`/`Slide.java`/`Session.java`
+  * (`Tumble over 10.minutes on 'ts as 'w`).
+  *
+  * Spark-first: every method is sugar over the equivalent DataFrame
+  * call — the facade adds ZERO runtime surface; Catalyst plans the result
+  * exactly as if the user had written DataFrame code (asserted in
+  * TableApiSpec). Expressions are Spark `Column`s (the analog of Flink's
+  * Scala-implicit Expression DSL). Window aliases resolve to the Spark
+  * window struct, so `$"w.start"` / `$"w.end"` work in the post-window
+  * select exactly like Flink's `'w.start` / `'w.end`.
+  */
+final class GTable(val df: DataFrame) {
+
+  def select(cols: Column*): GTable = new GTable(df.select(cols: _*))
+  def filter(cond: Column): GTable = new GTable(df.filter(cond))
+  def where(cond: Column): GTable = filter(cond)
+  def as(aliases: String*): GTable = new GTable(df.toDF(aliases: _*))
+  def distinct(): GTable = new GTable(df.distinct())
+
+  def groupBy(keys: Column*): GroupedGTable = new GroupedGTable(df, keys)
+  def window(w: GroupWindow): WindowedGTable = new WindowedGTable(df, w)
+
+  // Table.addColumns / renameColumns / dropColumns (1.12 API additions)
+  def addColumns(cols: (String, Column)*): GTable =
+    new GTable(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+  def renameColumns(renames: (String, String)*): GTable =
+    new GTable(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  def dropColumns(names: String*): GTable = new GTable(df.drop(names: _*))
+
+  def join(other: GTable, cond: Column): GTable = new GTable(df.join(other.df, cond))
+  def join(other: GTable, cond: Column, joinType: String): GTable =
+    new GTable(df.join(other.df, cond, joinType))
+  def leftOuterJoin(other: GTable, cond: Column): GTable = join(other, cond, "left_outer")
+  def fullOuterJoin(other: GTable, cond: Column): GTable = join(other, cond, "full_outer")
+
+  def unionAll(other: GTable): GTable = new GTable(df.unionByName(other.df))
+  def union(other: GTable): GTable = new GTable(df.unionByName(other.df).distinct())
+  def minus(other: GTable): GTable = new GTable(df.except(other.df))
+  def minusAll(other: GTable): GTable = new GTable(df.exceptAll(other.df))
+  def intersect(other: GTable): GTable = new GTable(df.intersect(other.df))
+  def intersectAll(other: GTable): GTable = new GTable(df.intersectAll(other.df))
+
+  def orderBy(cols: Column*): GTable = new GTable(df.orderBy(cols: _*))
+  def fetch(n: Int): GTable = new GTable(df.limit(n))
+  def offset(n: Int): GTable = new GTable(df.offset(n))
+
+  def toDataFrame: DataFrame = df
+}
+
+object GTable {
+  def apply(df: DataFrame): GTable = new GTable(df)
+}
+
+private[table] object GroupedSelect {
+  import org.apache.spark.sql.functions.col
+
+  /** The output name Spark would give `c`: the explicit alias if present,
+    * else the last identifier segment (struct-field / qualified-column
+    * access names itself by the leaf). */
+  def outName(c: Column): String = {
+    val s = c.toString
+    val i = s.lastIndexOf(" AS ")
+    val base = if (i >= 0) s.substring(i + 4) else s
+    val clean = base.stripPrefix("`").stripSuffix("`")
+    if (clean.matches("[\\w.]+") && clean.contains('.')) clean.substring(clean.lastIndexOf('.') + 1)
+    else clean
+  }
+
+  /** Flink's grouped `select` lists keys and aggregates together; Spark's
+    * `agg` auto-prepends the grouping columns, so each select item is
+    * tagged with a positional alias, projected back in user order, and
+    * renamed to its natural name. */
+  def lower(df: DataFrame, keys: Seq[Column], cols: Seq[Column]): DataFrame = {
+    val tagged = cols.zipWithIndex.map { case (c, i) => c.as(s"__gsel_$i") }
+    df.groupBy(keys: _*).agg(tagged.head, tagged.tail: _*)
+      .select(cols.indices.map(i => col(s"__gsel_$i")): _*)
+      .toDF(cols.map(outName): _*)
+  }
+}
+
+/** `groupBy('a).select('a, 'b.sum as "total")`. */
+final class GroupedGTable(df: DataFrame, keys: Seq[Column]) {
+  def select(cols: Column*): GTable = new GTable(GroupedSelect.lower(df, keys, cols))
+}
+
+/** Group-window builders — ref Tumble/Slide/Session builder classes
+  * (`Tumble.over(lit(10).minutes).on($("ts")).as("w")`). Durations are
+  * Spark interval strings ("10 minutes"), the same spelling the SQL
+  * dialect layer produces. */
+sealed trait GroupWindow {
+  def alias: String
+  /** The Spark grouping expression this window lowers to. */
+  def groupingCol: Column
+}
+final case class TumbleWindow(on: String, size: String, alias: String) extends GroupWindow {
+  def groupingCol: Column = window(col(on), size).as(alias)
+}
+final case class SlideWindow(on: String, size: String, slide: String, alias: String) extends GroupWindow {
+  def groupingCol: Column = window(col(on), size, slide).as(alias)
+}
+final case class SessionWindow(on: String, gap: String, alias: String) extends GroupWindow {
+  def groupingCol: Column = session_window(col(on), gap).as(alias)
+}
+
+object Tumble {
+  def over(size: String): TumbleOver = TumbleOver(size)
+  final case class TumbleOver(size: String) { def on(c: String): TumbleOn = TumbleOn(size, c) }
+  final case class TumbleOn(size: String, on: String) { def as(a: String): TumbleWindow = TumbleWindow(on, size, a) }
+}
+object Slide {
+  def over(size: String): SlideOver = SlideOver(size)
+  final case class SlideOver(size: String) { def every(slide: String): SlideEvery = SlideEvery(size, slide) }
+  final case class SlideEvery(size: String, slide: String) { def on(c: String): SlideOn = SlideOn(size, slide, c) }
+  final case class SlideOn(size: String, slide: String, on: String) { def as(a: String): SlideWindow = SlideWindow(on, size, slide, a) }
+}
+object Session {
+  def withGap(gap: String): SessionGap = SessionGap(gap)
+  final case class SessionGap(gap: String) { def on(c: String): SessionOn = SessionOn(gap, c) }
+  final case class SessionOn(gap: String, on: String) { def as(a: String): SessionWindow = SessionWindow(on, gap, a) }
+}
+
+/** `table.window(Tumble over ... as 'w).groupBy('w, 'a).select(...)` —
+  * the window alias among the groupBy keys is replaced by the lowered
+  * window expression; `w.start`/`w.end` are the struct fields of the
+  * grouping column, projected AFTER the aggregate (where the aliased
+  * grouping struct is in scope), exactly Flink's `'w.start` semantics. */
+final class WindowedGTable(df: DataFrame, w: GroupWindow) {
+  def groupBy(keys: Column*): WindowedGroupedGTable = {
+    val lowered = keys.map { k =>
+      // the alias column stands for the window assigner itself
+      if (k.toString == w.alias || k.toString == s"`${w.alias}`") w.groupingCol else k
+    }
+    new WindowedGroupedGTable(df, lowered, w.alias)
+  }
+}
+
+final class WindowedGroupedGTable(df: DataFrame, keys: Seq[Column], alias: String) {
+  def select(cols: Column*): GTable = {
+    import org.apache.spark.sql.functions.col
+    def isWinRef(c: Column): Boolean = c.toString.startsWith(alias + ".")
+    // aggregate the non-window-field items (positionally tagged); the
+    // grouping struct `alias` survives in the agg output, so the window
+    // fields project afterwards
+    val tagged = cols.zipWithIndex.collect {
+      case (c, i) if !isWinRef(c) => c.as(s"__gsel_$i")
+    }
+    val agged = df.groupBy(keys: _*).agg(tagged.head, tagged.tail: _*)
+    val ordered = cols.zipWithIndex.map { case (c, i) =>
+      if (isWinRef(c)) {
+        val s = c.toString
+        val ref = { val j = s.lastIndexOf(" AS "); if (j >= 0) s.substring(0, j) else s }
+        col(ref).as(GroupedSelect.outName(c))
+      } else col(s"__gsel_$i").as(GroupedSelect.outName(c))
+    }
+    new GTable(agged.select(ordered: _*))
+  }
+}
