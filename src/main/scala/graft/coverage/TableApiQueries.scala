@@ -79,9 +79,31 @@ object TableApiQueries {
       SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
       FROM grp GROUP BY user_id, g ORDER BY user_id, ws"""))
 
+  /** Over-window through the DSL (`Over partitionBy 'user orderBy 'ts
+    * precedingRows 2 ... 'v.sum over 'w`) — trailing 3-row sum per user,
+    * the Table-API spelling of the §2.7 analytic frame. */
+  val qTableApiOver: Q = Q(
+    run = (s, dir) => {
+      import graft.table.Over
+      val w = Over.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .precedingRows(2)
+      GTable(ev(s, dir))
+        .select(col("user_id"), col("event_id"),
+                w(sum(cents(col("value")))).as("trail3_c"))
+        .orderBy(col("user_id"), col("event_id"))
+        .toDataFrame
+    },
+    oracle = Some(s"""
+      SELECT user_id, event_id,
+             SUM(${oCents("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS trail3_c
+      FROM events ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_table_api_tumble" -> qTableApiTumble,
     "q_table_api_relops" -> qTableApiRelops,
     "q_table_api_session" -> qTableApiSession,
+    "q_table_api_over" -> qTableApiOver,
   )
 }

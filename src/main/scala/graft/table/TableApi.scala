@@ -128,6 +128,44 @@ object Session {
   final case class SessionOn(gap: String, on: String) { def as(a: String): SessionWindow = SessionWindow(on, gap, a) }
 }
 
+/** Over (analytic) window builder — ref `Over.java` / `OverWindow.java`:
+  * `Over partitionBy 'a orderBy 'ts preceding 10.rows as 'w` then
+  * `'b.sum over 'w` in select. Lowers to Spark's `WindowSpec`; the
+  * `over(w)` spelling is `expr.over(w.spec)` (exposed via [[OverWindow
+  * .apply]] so `w(sum(col))` reads close to Flink's postfix form).
+  * UNBOUNDED_ROW / UNBOUNDED_RANGE / CURRENT_ROW follow the reference's
+  * frame constants. */
+object Over {
+  val UNBOUNDED: Long = Long.MinValue
+  def partitionBy(cols: Column*): OverPartitioned = OverPartitioned(cols)
+  final case class OverPartitioned(parts: Seq[Column]) {
+    def orderBy(cols: Column*): OverOrdered = OverOrdered(parts, cols)
+  }
+  final case class OverOrdered(parts: Seq[Column], order: Seq[Column]) {
+    private def base = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts: _*).orderBy(order: _*)
+    /** ROWS frame: trailing n rows (UNBOUNDED for the full history). */
+    def precedingRows(n: Long): OverWindow =
+      OverWindow(base.rowsBetween(
+        if (n == UNBOUNDED) org.apache.spark.sql.expressions.Window.unboundedPreceding else -n,
+        org.apache.spark.sql.expressions.Window.currentRow))
+    /** RANGE frame over the (numeric) order value. */
+    def precedingRange(n: Long): OverWindow =
+      OverWindow(base.rangeBetween(
+        if (n == UNBOUNDED) org.apache.spark.sql.expressions.Window.unboundedPreceding else -n,
+        org.apache.spark.sql.expressions.Window.currentRow))
+    /** Default frame (RANGE UNBOUNDED PRECEDING — the reference's default). */
+    def as(unused: String): OverWindow = OverWindow(base.rangeBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow))
+  }
+}
+final case class OverWindow(spec: org.apache.spark.sql.expressions.WindowSpec) {
+  /** `w(sum('b))` ≈ Flink's `'b.sum over 'w`. */
+  def apply(agg: Column): Column = agg.over(spec)
+  def as(unused: String): OverWindow = this
+}
+
 /** `table.window(Tumble over ... as 'w).groupBy('w, 'a).select(...)` —
   * the window alias among the groupBy keys is replaced by the lowered
   * window expression; `w.start`/`w.end` are the struct fields of the
