@@ -317,7 +317,44 @@ object WindowQueries {
         AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  /** Negative pattern at the OPERATOR level — ref Pattern.notFollowedBy
+    * (the NFA's IGNORE-transition guard): click followed by its first
+    * purchase within 30 min, but only when NO error occurs between them —
+    * an error among the skipped events kills the candidate. (The SQL-level
+    * encoding is q_sql_mr_not_followed; this exercises the CEP API
+    * itself.) */
+  val qCepNotFollowed: Q = Q(
+    run = (s, dir) => {
+      val pattern = Cep.Pattern(IndexedSeq(
+        Cep.Step(_.eventType == "click"),
+        Cep.Step(_.eventType == "purchase", strict = false,
+                 notBefore = Some(_.eventType == "error"))),
+        withinMicros = 30L * 60 * 1000000)
+      Cep.detect(s, ev(s, dir), pattern)
+        .toDF()
+        .select(col("userId").as("user_id"), col("startId").as("click_id"),
+                col("endId").as("purchase_id"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, c.cid AS click_id, fp.pid AS purchase_id
+      FROM c JOIN LATERAL (
+        SELECT pid, pts FROM p
+        WHERE p.user_id = c.user_id
+          AND (p.pts > c.cts OR (p.pts = c.cts AND p.pid > c.cid))
+          AND epoch_us(p.pts) - epoch_us(c.cts) < 1800000000
+        ORDER BY p.pts, p.pid LIMIT 1) fp ON TRUE
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.user_id = c.user_id AND x.event_type = 'error'
+          AND (x.ts > c.cts OR (x.ts = c.cts AND x.event_id > c.cid))
+          AND (x.ts < fp.pts OR (x.ts = fp.pts AND x.event_id < fp.pid)))
+      ORDER BY user_id, click_id, purchase_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_cep_not_followed" -> qCepNotFollowed,
     "q_window_tumble" -> qWindowTumble,
     "q_window_hop" -> qWindowHop,
     "q_window_session" -> qWindowSession,

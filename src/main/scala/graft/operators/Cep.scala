@@ -42,10 +42,21 @@ object Cep {
 
   /** One pattern step: context-aware predicate + quantifier + contiguity to
     * the PREVIOUS step (strict = next event must match immediately; relaxed
-    * = skip non-matching events, Flink `followedBy`). */
+    * = skip non-matching events, Flink `followedBy`).
+    *
+    * Negative patterns (ref Pattern.notNext / notFollowedBy — the NFA's
+    * IGNORE-transition guards) are encoded on the FOLLOWING step, which
+    * also enforces the reference's "notFollowedBy cannot be last" rule
+    * structurally: `notBefore` fails the candidate if any SKIPPED event
+    * between the previous step and this step's first match satisfies it;
+    * `notNext` fails the candidate if the event IMMEDIATELY after the
+    * previous step satisfies it. Both apply only to the step's first
+    * occurrence (between-variable gaps, not intra-quantifier gaps). */
   case class StepG[E](pred: (E, MatchCtx[E]) => Boolean,
                       minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
-                      until: Option[(E, MatchCtx[E]) => Boolean] = None)
+                      until: Option[(E, MatchCtx[E]) => Boolean] = None,
+                      notBefore: Option[(E, MatchCtx[E]) => Boolean] = None,
+                      notNext: Option[(E, MatchCtx[E]) => Boolean] = None)
 
   object StepG {
     /** Context-free predicate step. */
@@ -79,7 +90,13 @@ object Cep {
         case 0 => // child 1: consume one more event for this step
           f.stage = 1
           val st = steps(f.si)
-          if (f.cnt < st.maxTimes) {
+          // negative lookahead (notNext on the between-variable gap): the
+          // event right after the previous step must not match — ref
+          // Pattern.notNext; gated to the step's FIRST occurrence
+          val vetoed = f.cnt == 0 && st.notNext.exists(n =>
+            f.pos < evs.length && ts(evs(f.pos)) - startTs < withinMicros &&
+              n(evs(f.pos), new MatchCtx(evs, f.acc)))
+          if (!vetoed && f.cnt < st.maxTimes) {
             var p = f.pos
             var found = -1
             // strict boundary: the reference NFA times out a partial match
@@ -92,6 +109,12 @@ object Cep {
               // the stopping event itself is NOT consumed
               if (st.until.exists(u => u(evs(p), new MatchCtx(evs, f.acc)))) p = evs.length
               else if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
+              // notFollowedBy: a skipped event matching the negative guard
+              // kills the candidate (checked AFTER pred — an event matching
+              // the step itself is consumed, mirroring the NFA's TAKE-over-
+              // IGNORE priority)
+              else if (f.cnt == 0 && st.notBefore.exists(n => n(evs(p), new MatchCtx(evs, f.acc))))
+                p = evs.length
               else if (st.strict) p = evs.length // strict: no skipping
               else p += 1
             }
@@ -135,12 +158,17 @@ object Cep {
         case 0 => // try the NEXT consume candidate from f.scan
           val st = steps(f.si)
           var pushed = false
-          if (f.cnt < st.maxTimes) {
+          val vetoed = f.cnt == 0 && st.notNext.exists(n =>
+            f.pos < evs.length && ts(evs(f.pos)) - startTs < withinMicros &&
+              n(evs(f.pos), new MatchCtx(evs, f.acc)))
+          if (!vetoed && f.cnt < st.maxTimes) {
             var p = f.scan
             var found = -1
             while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
               if (st.until.exists(u => u(evs(p), new MatchCtx(evs, f.acc)))) p = evs.length
               else if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
+              else if (f.cnt == 0 && st.notBefore.exists(n => n(evs(p), new MatchCtx(evs, f.acc))))
+                p = evs.length
               else if (st.strict) p = evs.length
               else p += 1
             }
@@ -167,7 +195,9 @@ object Cep {
 
   case class Ev(userId: Long, eventId: Long, eventType: String, tsMicros: Long, valueCents: Long)
   case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
-                  until: Option[Ev => Boolean] = None)
+                  until: Option[Ev => Boolean] = None,
+                  notBefore: Option[Ev => Boolean] = None,
+                  notNext: Option[Ev => Boolean] = None)
   case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
   case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
 
@@ -179,7 +209,9 @@ object Cep {
   def matches(evs: IndexedSeq[Ev], pattern: Pattern,
               skipPastLastRow: Boolean = false): Iterator[Match] = {
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
-      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
+      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
+      s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
     var resumeAt = 0
     (0 until evs.length).iterator.flatMap { i =>
       if (skipPastLastRow && i < resumeAt) None
@@ -211,7 +243,9 @@ object Cep {
     * (the deterministic [[matches]] commits to the first). */
   def matchesAll(evs: IndexedSeq[Ev], pattern: Pattern): Iterator[Match] = {
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e),
-      s.minTimes, s.maxTimes, s.strict, s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
+      s.minTimes, s.maxTimes, s.strict, s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
+      s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
     (0 until evs.length).iterator.flatMap { i =>
       findAllAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
         Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)
@@ -246,7 +280,9 @@ object Cep {
   def timedOutPartials(spark: SparkSession, events: DataFrame, pattern: Pattern): Dataset[TimedOut] = {
     import spark.implicits._
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
-      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e))))
+      s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
+      s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
     events
       .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
               col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),

@@ -101,6 +101,31 @@ class CepSpec extends SparkTestBase {
     assert(all.map(m => (m.startId, m.endId)).toSet == Set((1L, 2L), (1L, 4L)))
   }
 
+  test("notFollowedBy: an error among the skipped events kills the candidate") {
+    val buy = Step((e: Ev) => e.eventType == "purchase", strict = false,
+      notBefore = Some((e: Ev) => e.eventType == "error"))
+    val p = Pattern(IndexedSeq(click, buy))
+    // clean gap → match
+    assert(run(Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "purchase", 2)), p)
+      .map(m => (m.startId, m.endId)) == List((1L, 3L)))
+    // error between → no match, even though a purchase follows
+    assert(run(Seq(ev(1, "click", 0), ev(2, "error", 1), ev(3, "purchase", 2)), p).isEmpty)
+    // error AFTER the first purchase is irrelevant
+    assert(run(Seq(ev(1, "click", 0), ev(3, "purchase", 1), ev(4, "error", 2)), p)
+      .map(m => (m.startId, m.endId)) == List((1L, 3L)))
+  }
+
+  test("notNext: only the IMMEDIATELY following event is vetoed") {
+    val buy = Step((e: Ev) => e.eventType == "purchase", strict = false,
+      notNext = Some((e: Ev) => e.eventType == "error"))
+    val p = Pattern(IndexedSeq(click, buy))
+    // error right after the click → vetoed
+    assert(run(Seq(ev(1, "click", 0), ev(2, "error", 1), ev(3, "purchase", 2)), p).isEmpty)
+    // error later (not adjacent) → allowed, unlike notFollowedBy
+    assert(run(Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "error", 2), ev(4, "purchase", 3)), p)
+      .map(m => (m.startId, m.endId)) == List((1L, 4L)))
+  }
+
   test("allowCombinations: a quantified step explores every candidate subset order") {
     // click view1 view2 purchase with view{1,2}: combinations are
     // {v1}, {v1,v2}, {v2} — three distinct matches from one anchor
