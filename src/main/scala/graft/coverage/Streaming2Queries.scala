@@ -30,7 +30,9 @@ object Streaming2Queries {
     * still runs its own streaming query/checkpoint over it. */
   private val stagedDirs = scala.collection.concurrent.TrieMap[String, (String, org.apache.spark.sql.types.StructType)]()
   private def stagedJoinStream(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val (srcDir, schema) = stagedDirs.getOrElseUpdate(dir, {
+    // getOrElseUpdate on TrieMap is not atomic — serialize staging so two
+    // concurrent first uses cannot both write the shared dir
+    val (srcDir, schema) = stagedDirs.synchronized { stagedDirs.getOrElseUpdate(dir, {
       val ev = Tables.load(s, dir, "events")
       val left = ev.filter(col("event_type") === "purchase" && col("value") > 9.0)
         .select(col("user_id").as("key"), lit(0).as("side"), lit("+I").as("kind"),
@@ -42,7 +44,7 @@ object Streaming2Queries {
       (StreamOps.stageBatches(s, s"chjoin_shared_${san(dir)}", Seq(
         tagged.filter(col("id") % 2 === 0), tagged.filter(col("id") % 2 === 1))),
        tagged.schema)
-    })
+    }) }
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
   }
 
@@ -195,7 +197,7 @@ object Streaming2Queries {
     * shared, like [[stagedJoinStream]]. */
   private val lateStagedDirs = scala.collection.concurrent.TrieMap[String, (String, org.apache.spark.sql.types.StructType)]()
   private def lateStagedStream(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val (srcDir, schema) = lateStagedDirs.getOrElseUpdate(dir, {
+    val (srcDir, schema) = lateStagedDirs.synchronized { lateStagedDirs.getOrElseUpdate(dir, {
       val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
       val tmax = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // staging-time scalar
       val cut = new java.sql.Timestamp(tmax.getTime - 30L * 60 * 1000)
@@ -205,7 +207,7 @@ object Streaming2Queries {
         odds.filter(col("ts") > lit(cut)),
         odds.filter(col("ts") <= lit(cut)))),
        ev.schema)
-    })
+    }) }
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
   }
 

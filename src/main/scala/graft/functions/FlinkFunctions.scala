@@ -73,7 +73,13 @@ object FlinkFunctions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "DOT_PRODUCT_Q",
-        exprs => graft.plans.DotProductQExpr(exprs(0), exprs(1), exprs(2)),
+        // the SQL parser types a `1000000.0` scale literal as DECIMAL and
+        // the expression requires DOUBLE — coerce at the registration
+        // boundary so the SQL spelling works, not just the Scala dotQ path
+        // (unconditional Cast: double→double is elided by SimplifyCasts)
+        exprs => graft.plans.DotProductQExpr(exprs(0), exprs(1),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs(2), org.apache.spark.sql.types.DoubleType)),
         "built-in")
     spark.udf.register("IS_DIGIT", isDigit _)
     spark.udf.register("IS_ALPHA", isAlpha _)

@@ -50,15 +50,18 @@ object StreamOps {
     val base = java.nio.file.Paths.get(s"$scratchRoot/batches/$id")
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+      val w = java.nio.file.Files.walk(base)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
     }
     val srcDir = base.resolve("src")
     java.nio.file.Files.createDirectories(srcDir)
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = base.resolve(s"stage_$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get finally ls.close()
       val dst = srcDir.resolve(s"b$i.parquet")
       java.nio.file.Files.copy(part, dst)
       dst.toFile.setLastModified(1000000L * (i + 1))
@@ -76,11 +79,14 @@ object StreamOps {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink; return the
-    * materialized result. */
-  /** Memory-sink tables of FINISHED queries, dropped lazily at the next
-    * call: each query's own result must stay readable until its caller
-    * consumes it, but across a 200-query Verify/Bench JVM the collected
-    * rows would otherwise accumulate in the driver for the whole run. */
+    * materialized result.
+    *
+    * CONTRACT: the returned DataFrame is eagerly analyzed and stays valid,
+    * but the backing temp view is dropped after `graft.memtable.keep`
+    * (default 4) further runToMemory calls — callers must NOT re-resolve a
+    * result by name (`spark.table(...)`) later; hold the returned
+    * DataFrame instead. A multi-run spec harness that needs more live
+    * results raises the sys-prop. */
   private val liveMemTables = scala.collection.mutable.Queue[String]()
 
   def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
@@ -88,7 +94,8 @@ object StreamOps {
       // keep a few recent tables (a caller — or a multi-run spec harness —
       // may still hold their DataFrames); older ones have been consumed,
       // so drop view + sink rows
-      while (liveMemTables.size > 4) s.catalog.dropTempView(liveMemTables.dequeue())
+      val keep = sys.props.getOrElse("graft.memtable.keep", "4").toInt
+      while (liveMemTables.size > keep) s.catalog.dropTempView(liveMemTables.dequeue())
     }
     val name = s"graft_mem_${counter.incrementAndGet()}"
     // stateful streaming cost scales with state-store instances (one per
@@ -119,8 +126,10 @@ object StreamOps {
     val base = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+      val w = java.nio.file.Files.walk(base)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
     }
   }
 
@@ -1030,15 +1039,20 @@ object StreamOps {
         val base = java.nio.file.Paths.get(outDir)
         if (java.nio.file.Files.exists(base)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(base).iterator().asScala
-            .filter(_.getFileName.toString.startsWith("p_bucket="))
-            .foreach { dir =>
-              val bucket = dir.getFileName.toString.stripPrefix("p_bucket=").toLong
-              if (bucket + bucketSec <= wmSec && !committed(bucket)) {
-                java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
-                committed += bucket
+          // close the directory stream — one leaked fd per micro-batch
+          // adds up across a long-lived verify/bench JVM
+          val ls = java.nio.file.Files.list(base)
+          try {
+            ls.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("p_bucket="))
+              .foreach { dir =>
+                val bucket = dir.getFileName.toString.stripPrefix("p_bucket=").toLong
+                if (bucket + bucketSec <= wmSec && !committed(bucket)) {
+                  java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+                  committed += bucket
+                }
               }
-            }
+          } finally ls.close()
         }
         ()
       }

@@ -62,17 +62,20 @@ object GTable {
 
 private[table] object GroupedSelect {
   import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** The output name Spark would give `c`: the explicit alias if present,
-    * else the last identifier segment (struct-field / qualified-column
-    * access names itself by the leaf). */
-  def outName(c: Column): String = {
-    val s = c.toString
-    val i = s.lastIndexOf(" AS ")
-    val base = if (i >= 0) s.substring(i + 4) else s
-    val clean = base.stripPrefix("`").stripSuffix("`")
-    if (clean.matches("[\\w.]+") && clean.contains('.')) clean.substring(clean.lastIndexOf('.') + 1)
-    else clean
+  /** The output name Spark would give `c`, derived from the EXPRESSION
+    * TREE (an Alias node, the leaf of a qualified/struct reference), never
+    * from the rendered string — an expression whose printout contains a
+    * literal " AS " must not misfire. */
+  def outName(c: Column): String = ColumnBridge.convertedExpression(c) match {
+    case a: Alias => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case UnresolvedExtractValue(_, Literal(f, _)) => String.valueOf(f)
+    case ne: NamedExpression => ne.name
+    case other => other.sql
   }
 
   /** Flink's grouped `select` lists keys and aggregates together; Spark's
@@ -80,6 +83,7 @@ private[table] object GroupedSelect {
     * tagged with a positional alias, projected back in user order, and
     * renamed to its natural name. */
   def lower(df: DataFrame, keys: Seq[Column], cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "grouped select needs at least one select item")
     val tagged = cols.zipWithIndex.map { case (c, i) => c.as(s"__gsel_$i") }
     df.groupBy(keys: _*).agg(tagged.head, tagged.tail: _*)
       .select(cols.indices.map(i => col(s"__gsel_$i")): _*)
@@ -183,14 +187,18 @@ final class WindowedGTable(df: DataFrame, w: GroupWindow) {
 
 final class WindowedGroupedGTable(df: DataFrame, keys: Seq[Column], alias: String) {
   def select(cols: Column*): GTable = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(cols.nonEmpty, "windowed select needs at least one select item")
     def isWinRef(c: Column): Boolean = c.toString.startsWith(alias + ".")
     // aggregate the non-window-field items (positionally tagged); the
     // grouping struct `alias` survives in the agg output, so the window
-    // fields project afterwards
-    val tagged = cols.zipWithIndex.collect {
+    // fields project afterwards. A select list of ONLY window-field refs
+    // (`select('w.start, 'w.end)`) still needs one aggregate for Spark's
+    // agg() call — synthesize a discarded count placeholder.
+    val tagged0 = cols.zipWithIndex.collect {
       case (c, i) if !isWinRef(c) => c.as(s"__gsel_$i")
     }
+    val tagged = if (tagged0.nonEmpty) tagged0 else Seq(count(lit(1)).as("__gsel_placeholder"))
     val agged = df.groupBy(keys: _*).agg(tagged.head, tagged.tail: _*)
     val ordered = cols.zipWithIndex.map { case (c, i) =>
       if (isWinRef(c)) {

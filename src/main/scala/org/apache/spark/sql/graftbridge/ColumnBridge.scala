@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully CONVERT the column's node tree to a catalyst Expression
+    * (`ExpressionUtils.expression` merely wraps foreign nodes in an opaque
+    * `ColumnNodeExpression`); needed when the caller wants to inspect the
+    * tree — e.g. derive output names from Alias/UnresolvedAttribute. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

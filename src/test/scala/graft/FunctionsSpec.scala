@@ -108,6 +108,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(out == Seq(Some(11L), None, Some(6L)))
   }
 
+  test("DOT_PRODUCT_Q is callable from SQL with a numeric (DECIMAL-parsed) scale literal") {
+    val s = spark
+    import s.implicits._
+    graft.functions.FlinkFunctions.registerAll(s)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("dpq_t")
+    // the parser types 2.0 as DECIMAL(2,1); the registration casts to double
+    val viaSql = s.sql("SELECT DOT_PRODUCT_Q(a, b, 2.0) AS d FROM dpq_t").as[Long].head()
+    assert(viaSql == 22L) // floor(1*3*2) + floor(2*4*2)
+    s.catalog.dropTempView("dpq_t")
+  }
+
   test("dot_product_q participates in whole-stage codegen (no interpreted fallback)") {
     val df = Tables.load(spark, sfDir, "embeddings")
       .select(graft.plans.DotProductQExpr.dotQ(col("embedding"), col("embedding"), 1000000.0).as("n"))
