@@ -32,21 +32,40 @@ object RetractableTopN {
   case class TopNState(vals: Map[String, Long], epoch: Long)
   case class TopNOut(pkey: String, epoch: Long, rn: Int, id: String, value: Long)
 
-  /** Top-N ids per pkey by descending value (id tiebreak). */
-  def retractableTopN(s: SparkSession, changelog: DataFrame, n: Int): DataFrame = {
+  /** Top-N ids per pkey by descending value (id tiebreak).
+    *
+    * @param ttlMicros idle-state retention in EVENT-time µs (the
+    *        `table.exec.state.ttl` analog — ref RetractableTopNFunction's
+    *        StateTtlConfig via AbstractTopNFunction). 0 = retain forever.
+    *        When set, the input must carry an event-time `ts` TIMESTAMP
+    *        column; a partition untouched for ttl has its ranking state
+    *        dropped, so later rows rebuild it from empty (Flink's
+    *        documented idle-state approximation). */
+  def retractableTopN(s: SparkSession, changelog: DataFrame, n: Int,
+                      ttlMicros: Long = 0L): DataFrame = {
     import s.implicits._
-    changelog
+    val withTs = changelog
       .select(col("kind").cast("string").as("_1"), col("pkey").cast("string").as("_2"),
               col("id").cast("string").as("_3"), col("value").cast("long").as("_4"),
-              col("seq").cast("long").as("_5"))
-      .as[(String, String, String, Long, Long)]
+              col("seq").cast("long").as("_5"),
+              (if (ttlMicros > 0) col("ts").cast("timestamp")
+               else lit(null).cast("timestamp")).as("_6"))
+    val src = if (ttlMicros > 0) withTs.withWatermark("_6", "0 seconds") else withTs
+    val timeoutConf =
+      if (ttlMicros > 0) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
+      .as[(String, String, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (pkey: String, it: Iterator[(String, String, String, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        (pkey: String, it: Iterator[(String, String, String, Long, Long, java.sql.Timestamp)],
          state: GroupState[TopNState]) => {
+          if (ttlMicros > 0 && state.hasTimedOut) { // idle-state cleanup timer
+            state.remove(); Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(TopNState(Map.empty, 0L))
           var vals = st.vals
-          it.toIndexedSeq.sortBy(e => (e._5, e._3)).foreach { case (kind, _, id, value, _) =>
+          val batch = it.toIndexedSeq
+          batch.sortBy(e => (e._5, e._3)).foreach { case (kind, _, id, value, _, _) =>
             kind match {
               case "+I" | "+U" => vals = vals.updated(id, value)
               case "-U" | "-D" => vals = vals.removed(id)
@@ -55,9 +74,18 @@ object RetractableTopN {
           }
           val epoch = st.epoch + 1
           state.update(TopNState(vals, epoch))
+          if (ttlMicros > 0) {
+            val lastTouched = batch.iterator
+              .map(e => e._6.getTime * 1000 + (e._6.getNanos / 1000) % 1000).max
+            val deadline = lastTouched + ttlMicros
+            if (deadline > state.getCurrentWatermarkMs() * 1000)
+              state.setTimeoutTimestamp((deadline + 999) / 1000) // ceil to ms
+            else state.remove()
+          }
           vals.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
             .iterator.zipWithIndex
             .map { case ((id, v), i) => TopNOut(pkey, epoch, i + 1, id, v) }
+          }
         })
       .toDF()
   }

@@ -28,8 +28,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * single `flatMapGroupsWithState` — one hash shuffle on the join key, the
   * same physical placement as the reference's keyed two-input operator.
   * State per key = the two row buffers, exactly the reference's
-  * JoinRecordStateView; like the reference, unbounded-history keys need a
-  * state TTL in production (the reference's `table.exec.state.ttl`).
+  * JoinRecordStateView; the `ttlMicros` parameter is the reference's
+  * idle-state retention knob (`table.exec.state.ttl`) for unbounded-key
+  * production workloads.
   *
   * Input columns: key (long), side (0=left/1=right), kind ("+I"/"-D"),
   * id (long row payload), seq (long, deterministic in-batch processing
@@ -45,23 +46,44 @@ object StreamJoin {
     if (i < 0) xs else xs.patch(i, Nil, 1)
   }
 
-  def changelogJoin(s: SparkSession, tagged: DataFrame, joinType: String): DataFrame = {
+  /** @param ttlMicros idle-state retention in EVENT-time µs (the
+    *        `table.exec.state.ttl` analog — ref
+    *        AbstractStreamingJoinOperator.java ctor `stateRetentionTime` /
+    *        ExecutionConfigOptions IDLE_STATE_RETENTION). 0 = retain
+    *        forever (the reference's default). When set, the input must
+    *        carry an event-time `ts` TIMESTAMP column; a key untouched for
+    *        ttl (by the watermark clock) has its buffers dropped via a
+    *        cleanup timer — exactly Flink's behavior, including the
+    *        documented approximation: rows arriving after expiry see an
+    *        empty key, so long-idle keys re-join as fresh. */
+  def changelogJoin(s: SparkSession, tagged: DataFrame, joinType: String,
+                    ttlMicros: Long = 0L): DataFrame = {
     import s.implicits._
     require(Set("inner", "left_outer", "semi", "anti")(joinType), s"bad joinType $joinType")
-    tagged
+    val withTs = tagged
       .select(col("key").cast("long").as("_1"), col("side").cast("int").as("_2"),
               col("kind").cast("string").as("_3"), col("id").cast("long").as("_4"),
-              col("seq").cast("long").as("_5"))
-      .as[(Long, Int, String, Long, Long)]
+              col("seq").cast("long").as("_5"),
+              (if (ttlMicros > 0) col("ts").cast("timestamp")
+               else lit(null).cast("timestamp")).as("_6"))
+    val src = if (ttlMicros > 0) withTs.withWatermark("_6", "0 seconds") else withTs
+    val timeoutConf =
+      if (ttlMicros > 0) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
+      .as[(Long, Int, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Int, String, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        (key: Long, it: Iterator[(Long, Int, String, Long, Long, java.sql.Timestamp)],
          state: GroupState[JoinState]) => {
+          if (ttlMicros > 0 && state.hasTimedOut) { // idle-state cleanup timer
+            state.remove(); Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(JoinState(Nil, Nil))
           val out = scala.collection.mutable.ListBuffer[JoinOut]()
           def emit(k: String, l: Option[Long], r: Option[Long]): Unit =
             out += JoinOut(k, key, l, r)
-          it.toIndexedSeq.sortBy(_._5).foreach { case (_, side, kind, id, _) =>
+          val batch = it.toIndexedSeq
+          batch.sortBy(_._5).foreach { case (_, side, kind, id, _, _) =>
             (kind, side) match {
               case ("+I", 0) =>
                 joinType match {
@@ -111,7 +133,19 @@ object StreamJoin {
             }
           }
           state.update(st)
+          if (ttlMicros > 0) {
+            // (re)register the cleanup timer at last-touched + ttl; if the
+            // watermark already passed it, the key is idle beyond the TTL
+            // right now — drop the state immediately
+            val lastTouched = batch.iterator
+              .map(e => e._6.getTime * 1000 + (e._6.getNanos / 1000) % 1000).max
+            val deadline = lastTouched + ttlMicros
+            if (deadline > state.getCurrentWatermarkMs() * 1000)
+              state.setTimeoutTimestamp((deadline + 999) / 1000) // ceil to ms
+            else state.remove()
+          }
           out.iterator
+          }
         })
       .toDF()
   }

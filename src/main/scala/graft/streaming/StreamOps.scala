@@ -321,10 +321,22 @@ object StreamOps {
     * .java:77: both inputs keyed and unioned into one stateful operator
     * (side 0 = versioned right, side 1 = left); lefts are held until the
     * watermark guarantees no earlier right version can still arrive, then
-    * matched to the latest right with rightTs <= leftTs. Right versions
-    * below the watermark could be pruned to the latest (state TTL —
-    * SURVEY §7 M5 risk note). Inputs: (key, side, tsMicros, id). */
-  def streamingAsOf(s: SparkSession, tagged: DataFrame): DataFrame = {
+    * matched to the latest right with rightTs <= leftTs.
+    *
+    * State is BOUNDED: right versions below the watermark are pruned to
+    * the single latest one after each batch (the reference registers
+    * cleanup timers and drops superseded versions the same way). Safe
+    * because every still-pending left has ts > watermark, and the as-of
+    * match picks the LATEST right ≤ its ts — which is either the kept
+    * survivor or a version above the watermark. State per key is then
+    * O(pending lefts + above-watermark rights), not all history.
+    *
+    * Inputs: (key, side, tsMicros, id).
+    * @param stateGauge optional per-batch state-size metric (rights +
+    *        pending lefts kept, summed over keys/batches) — used by
+    *        StreamingSpec to pin boundedness, like [[cepClickPurchase]]. */
+  def streamingAsOf(s: SparkSession, tagged: DataFrame,
+                    stateGauge: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import s.implicits._
     tagged
       .select(col("key").cast("long").as("_1"), col("side").cast("int").as("_2"),
@@ -341,7 +353,13 @@ object StreamOps {
           val rights = (st.rights ++ batch.filter(_._2 == 0).map(e => (e._3, e._4))).sortBy(_._1)
           val lefts = st.pendingLefts ++ batch.filter(_._2 == 1).map(e => (e._3, e._4))
           val (ripe, pending) = lefts.partition(_._1 <= wm)
-          state.update(AsOfState(rights, pending))
+          // prune: keep only the newest right at/below the watermark plus
+          // everything above it (matching uses the full list THIS batch —
+          // ripe lefts may reach below)
+          val (below, above) = rights.partition(_._1 <= wm)
+          val keptRights = below.lastOption.toList ++ above
+          stateGauge.foreach(_.add((keptRights.size + pending.size).toLong))
+          state.update(AsOfState(keptRights, pending))
           ripe.sortBy(l => (l._1, l._2)).iterator.flatMap { case (lts, lid) =>
             rights.takeWhile(_._1 <= lts).lastOption.map { case (_, rid) => AsOfOut(key, lid, rid) }
           }

@@ -458,6 +458,101 @@ class StreamingSpec extends SparkTestBase {
     assert(r2 == Set((1L, 500L, 100L), (1L, 501L, 101L)))
   }
 
+  test("streaming as-of prunes right versions below the watermark; output unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Int, Long, Long)] // key, side, sec, id
+    val tagged = in.toDF().toDF("key", "side", "sec", "id")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .withColumn("tsMicros", expr("sec * 1000000"))
+    val gauge = s.sparkContext.longAccumulator("asof_state")
+    val q = StreamOps.streamingAsOf(s, tagged, Some(gauge))
+      .writeStream.format("memory").queryName("asof_prune").outputMode("update").start()
+    // batch 1: TEN right versions (t=1..10) + a held left at t=5; wm=0 → nothing prunes yet
+    in.addData(((1L to 10L).map(i => (1L, 0, i, 100L + i)) :+ ((1L, 1, 5L, 500L))): _*)
+    q.processAllAvailable()
+    // batch 2: wm=10 → left(5) ripens against version t=5; versions 1..9 are
+    // now superseded below the watermark and must be pruned to just t=10
+    in.addData((1L, 1, 30L, 501L))
+    q.processAllAvailable()
+    // batch 3: wm=30 → left(30) must still match the KEPT survivor (t=10)
+    in.addData((1L, 0, 100L, 200L))
+    q.processAllAvailable()
+    val rows = s.table("asof_prune").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 500L, 105L), (1L, 501L, 110L)))
+    // state kept per batch: 11 (nothing prunable) + 2 (survivor + pending
+    // left) + 2 (survivor + new above-wm right); unpruned history would
+    // re-store all 10 versions every batch (≥ 11 + 11 + 12)
+    assert(gauge.value <= 15, s"right-version state not pruned: ${gauge.value}")
+  }
+
+  test("changelog join idle-state TTL evicts idle keys; active keys unaffected") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def run(ttlMicros: Long): Set[(String, Long, Option[Long], Option[Long])] = {
+      val in = MemoryStream[(Long, Int, String, Long, Long, Long)] // key side kind id seq sec
+      val tagged = in.toDF().toDF("key", "side", "kind", "id", "seq", "sec")
+        .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      val q = graft.streaming.StreamJoin.changelogJoin(s, tagged, "inner", ttlMicros)
+        .writeStream.format("memory").queryName(s"clj_ttl_$ttlMicros")
+        .outputMode("update").start()
+      // b1: a LEFT buffered for key 1 (goes idle) and key 2 (stays active)
+      in.addData((1L, 0, "+I", 100L, 1L, 10L), (2L, 0, "+I", 200L, 2L, 10L))
+      q.processAllAvailable()
+      // b2+b3: only key 2 active; the watermark sweeps past key 1's
+      // deadline (10s + 120s TTL) during b3 → its buffers evicted
+      in.addData((2L, 0, "+I", 201L, 3L, 200L)); q.processAllAvailable()
+      in.addData((2L, 0, "+I", 202L, 4L, 400L)); q.processAllAvailable()
+      // b4: a RIGHT lands on both keys
+      in.addData((1L, 1, "+I", 900L, 5L, 500L), (2L, 1, "+I", 901L, 6L, 500L))
+      q.processAllAvailable()
+      val out = s.table(s"clj_ttl_$ttlMicros")
+        .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+      q.stop(); out
+    }
+    val active = Set[(String, Long, Option[Long], Option[Long])](
+      ("+I", 2L, Some(200L), Some(901L)), ("+I", 2L, Some(201L), Some(901L)),
+      ("+I", 2L, Some(202L), Some(901L)))
+    // TTL on: key 1's idle left was dropped → its right joins nothing;
+    // key 2's output identical to the no-TTL run
+    assert(run(120L * 1000000) == active)
+    // TTL off: the idle key's left is retained forever and still joins
+    assert(run(0L) == active + (("+I", 1L, Some(100L), Some(900L))))
+  }
+
+  test("retractable topN idle-state TTL drops an idle partition's ranking; re-admits fresh") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def run(ttlMicros: Long): (Int, Seq[(Int, Long)]) = {
+      val in = MemoryStream[(String, String, String, Long, Long, Long)] // kind,pkey,id,value,seq,sec
+      val tagged = in.toDF().toDF("kind", "pkey", "id", "value", "seq", "sec")
+        .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      val q = graft.streaming.RetractableTopN.retractableTopN(s, tagged, 2, ttlMicros)
+        .writeStream.format("memory").queryName(s"rtopn_ttl_$ttlMicros")
+        .outputMode("update").start()
+      in.addData(("+I", "p1", "a", 10L, 0L, 10L), ("+I", "p2", "x", 7L, 0L, 10L))
+      q.processAllAvailable()
+      in.addData(("+I", "p2", "y", 3L, 1L, 200L)); q.processAllAvailable()
+      in.addData(("+I", "p2", "z", 1L, 2L, 400L)); q.processAllAvailable() // p1 evicts here
+      in.addData(("+I", "p1", "b", 5L, 3L, 500L)); q.processAllAvailable()
+      val all = s.table(s"rtopn_ttl_$ttlMicros")
+        .as[(String, Long, Int, String, Long)].collect().toSeq.filter(_._1 == "p1")
+      q.stop()
+      // the rank b lands at discriminates eviction (the evicted partition
+      // restarts its epoch, so max-epoch can't): rank 1 iff a was dropped
+      (all.size, all.filter(_._4 == "b").map(r => (r._3, r._5)))
+    }
+    // TTL on: the idle p1 ranking was dropped — b rebuilds it from empty
+    // at rank 1 (2 total p1 emissions: [a] then [b])
+    assert(run(120L * 1000000) == ((2, Seq((1, 5L)))))
+    // TTL off: a survives and outranks b (3 total: [a] then [a, b])
+    assert(run(0L) == ((3, Seq((2, 5L)))))
+  }
+
   test("keyed tumbling window aggregate via the DataStream facade") {
     val s = spark
     import s.implicits._
