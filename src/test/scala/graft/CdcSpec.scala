@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.CdcFormats
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** CDC wire-format semantics: exact row_kind sequences per op (ref
+  * DebeziumJsonDeserializationSchema.java:63 deserialize switch), canal's
+  * batched `data` arrays with per-element `old` patching, maxwell's
+  * pre-image reconstruction, and a parsed CDC stream driving the
+  * retractable Top-N — the end-to-end changelog consumer path. */
+class CdcSpec extends SparkTestBase {
+
+  private val payload = new StructType().add("k", LongType).add("v", LongType)
+
+  test("debezium u->d->c chain emits the reference row_kind sequence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"before":{"k":1,"v":10},"after":{"k":1,"v":20},"op":"u"}"""),
+      (2L, """{"before":{"k":1,"v":20},"op":"d"}"""),
+      (3L, """{"after":{"k":1,"v":30},"op":"c"}"""),
+      (4L, """{"after":{"k":2,"v":5},"op":"r"}"""), // snapshot read = insert
+      (5L, """{"after":{"k":9,"v":9},"op":"x"}""")  // unknown op: no rows
+    ).toDF("seq", "json")
+    val out = CdcFormats.debezium(df, "json", payload)
+      .orderBy(col("seq"), col("v"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("-U", 1L, 10L, 1L), ("+U", 1L, 20L, 1L), // u: retract old, insert new
+      ("-D", 1L, 20L, 2L),                      // d: retract before-image
+      ("+I", 1L, 30L, 3L),                      // c: insert after-image
+      ("+I", 2L, 5L, 4L)))                      // r: snapshot insert
+  }
+
+  test("canal batches rows in one message; UPDATE patches old fields into the -U pre-image") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"data":[{"k":1,"v":10},{"k":2,"v":20}],"type":"INSERT"}"""),
+      // old[i] carries ONLY the changed field (v); k reconstructs from data
+      (2L, """{"data":[{"k":1,"v":11},{"k":2,"v":22}],"old":[{"v":10},{"v":20}],"type":"UPDATE"}"""),
+      (3L, """{"data":[{"k":1,"v":11}],"type":"DELETE"}""")
+    ).toDF("seq", "json")
+    val out = CdcFormats.canal(df, "json", payload)
+      .orderBy(col("seq"), col("k"), col("v"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("+I", 1L, 10L, 1L), ("+I", 2L, 20L, 1L),
+      ("-U", 1L, 10L, 2L), ("+U", 1L, 11L, 2L),  // pre-image = (k=1 from data, v=10 from old)
+      ("-U", 2L, 20L, 2L), ("+U", 2L, 22L, 2L),
+      ("-D", 1L, 11L, 3L)))
+  }
+
+  test("maxwell reconstructs the -U pre-image from old; delete retracts data") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"data":{"k":1,"v":10},"type":"insert"}"""),
+      (2L, """{"data":{"k":1,"v":15},"old":{"v":10},"type":"update"}"""),
+      (3L, """{"data":{"k":1,"v":15},"type":"delete"}""")
+    ).toDF("seq", "json")
+    val out = CdcFormats.maxwell(df, "json", payload)
+      .orderBy(col("seq"), col("v"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("+I", 1L, 10L, 1L),
+      ("-U", 1L, 10L, 2L), ("+U", 1L, 15L, 2L),
+      ("-D", 1L, 15L, 3L)))
+  }
+
+  test("parsed maxwell CDC stream drives retractable Top-N across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, String)] // seq, json
+    val parsed = CdcFormats.maxwell(in.toDF().toDF("seq", "json"), "json", payload)
+      .select(col("row_kind").as("kind"), lit("all").as("pkey"),
+        col("k").cast("string").as("id"), col("v").as("value"),
+        // retract half-step before the insert of the same message
+        (col("seq") * 2 + when(col("row_kind").isin("+I", "+U"), 1).otherwise(0)).as("seq"))
+    val q = graft.streaming.RetractableTopN.retractableTopN(s, parsed, 2)
+      .writeStream.format("memory").queryName("cdc_topn").outputMode("update").start()
+    def last(k: Int) = s.table("cdc_topn").as[(String, Long, Int, String, Long)]
+      .collect().toSeq.sortBy(r => (r._2, r._3)).takeRight(k).map(r => (r._3, r._4, r._5))
+
+    in.addData((1L, """{"data":{"k":1,"v":10},"type":"insert"}"""),
+               (2L, """{"data":{"k":2,"v":8},"type":"insert"}"""))
+    q.processAllAvailable()
+    assert(last(2) == Seq((1, "1", 10L), (2, "2", 8L)))
+    // an update flips the ranking; a delete drops the old leader
+    in.addData((3L, """{"data":{"k":2,"v":20},"old":{"v":8},"type":"update"}"""),
+               (4L, """{"data":{"k":1,"v":10},"type":"delete"}"""))
+    q.processAllAvailable()
+    val fin = last(1)
+    q.stop()
+    assert(fin == Seq((1, "2", 20L)))
+  }
+}
