@@ -303,6 +303,104 @@ object SqlDialectQueries {
       FROM m JOIN ord o ON o.user_id = m.user_id AND o.pos BETWEEN m.a AND m.b
       ORDER BY user_id, a_id, ts"""))
 
+  /** RELUCTANT quantifier `B*?` — ref Quantifier.java lazy /
+    * MatchRecognizeITCase reluctant shapes: the skip variable consumes as
+    * FEW rows as possible, so each click pairs with its FIRST later
+    * purchase. The greedy twin (q_sql_mr_greedy) runs the same pattern
+    * without `?` and provably differs (last vs first purchase) — the
+    * ITCase's greedy/reluctant contrast, oracle-gated on both sides. */
+  val qSqlMrReluctant: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, C.event_id AS c_id
+          PATTERN (A B*? C)
+          DEFINE A AS A.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )""").orderBy(col("user_id"), col("a_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      nxt AS (SELECT user_id, pos, event_id, event_type,
+                     min(CASE WHEN event_type = 'purchase' THEN pos END) OVER
+                       (PARTITION BY user_id ORDER BY pos
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+              FROM ord)
+      SELECT n.user_id, n.event_id AS a_id, o.event_id AS c_id
+      FROM nxt n JOIN ord o ON o.user_id = n.user_id AND o.pos = n.np
+      WHERE n.event_type = 'click'
+      ORDER BY n.user_id, a_id"""))
+
+  /** GREEDY quantifier `B*` — the contrast to q_sql_mr_reluctant: the skip
+    * variable consumes as MANY rows as possible before backtracking, so
+    * each click pairs with its LAST later purchase. */
+  val qSqlMrGreedy: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS a_id, C.event_id AS c_id
+          PATTERN (A B* C)
+          DEFINE A AS A.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )""").orderBy(col("user_id"), col("a_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      nxt AS (SELECT user_id, pos, event_id, event_type,
+                     max(CASE WHEN event_type = 'purchase' THEN pos END) OVER
+                       (PARTITION BY user_id ORDER BY pos
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+              FROM ord)
+      SELECT n.user_id, n.event_id AS a_id, o.event_id AS c_id
+      FROM nxt n JOIN ord o ON o.user_id = n.user_id AND o.pos = n.np
+      WHERE n.event_type = 'click'
+      ORDER BY n.user_id, a_id"""))
+
+  /** Pattern GROUP `(A B)+` — ref GroupPattern.java (nested
+    * Pattern.begin(subPattern).oneOrMore()): the two-variable sub-sequence
+    * is quantified as a unit; greedy + SKIP PAST LAST ROW tiles each
+    * user's stream into maximal low/high alternation chains. The oracle
+    * finds pair-starts (low row immediately followed by high row), groups
+    * consecutive same-parity pair positions into islands (chains advance
+    * by 2), and emits each island's first A / last B. */
+  val qSqlMrGroup: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ((A B)+)
+          DEFINE A AS A.value <= 50.0,
+                 B AS B.value > 50.0
+        )""").orderBy(col("user_id"), col("a_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, (value <= 50.0) AS lo,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                   FROM events),
+      pairs AS (SELECT a.user_id, a.pos, a.event_id AS a_id, b.event_id AS b_id
+                FROM ord a JOIN ord b ON b.user_id = a.user_id AND b.pos = a.pos + 1
+                WHERE a.lo AND NOT b.lo),
+      isl AS (SELECT user_id, pos, a_id, b_id, pos % 2 AS par,
+                     pos - 2 * row_number() OVER (PARTITION BY user_id, pos % 2 ORDER BY pos) AS grp
+              FROM pairs)
+      SELECT user_id, arg_min(a_id, pos) AS a_id, arg_max(b_id, pos) AS b_id
+      FROM isl GROUP BY user_id, par, grp
+      ORDER BY user_id, a_id"""))
+
   /** Absence pattern — Flink CEP notFollowedBy(purchase).followedBy(error)
     * (ref flink-cep Pattern.notFollowedBy): a click, then the FIRST error
     * with NO purchase in between, via a skip variable excluding both (the
@@ -507,6 +605,9 @@ object SqlDialectQueries {
     "q_sql_mr_prev" -> qSqlMrPrev,
     "q_sql_mr_final_running" -> qSqlMrFinalRunning,
     "q_sql_mr_not_followed" -> qSqlMrNotFollowed,
+    "q_sql_mr_reluctant" -> qSqlMrReluctant,
+    "q_sql_mr_greedy" -> qSqlMrGreedy,
+    "q_sql_mr_group" -> qSqlMrGroup,
     "q_window_session_dynamic" -> qWindowSessionDynamic,
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,

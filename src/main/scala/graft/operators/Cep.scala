@@ -51,52 +51,104 @@ object Cep {
     * between the previous step and this step's first match satisfies it;
     * `notNext` fails the candidate if the event IMMEDIATELY after the
     * previous step satisfies it. Both apply only to the step's first
-    * occurrence (between-variable gaps, not intra-quantifier gaps). */
+    * occurrence (between-variable gaps, not intra-quantifier gaps).
+    *
+    * `greedy` (ref Quantifier.java greedy/lazy, SQL `B+` vs `B+?`): a
+    * greedy quantifier consumes as many occurrences as possible before
+    * letting the next step match (backtracking down on failure); a
+    * RELUCTANT one tries the next step first and consumes another
+    * occurrence only when the remainder cannot match. Note the reference's
+    * Pattern-API looping states default to lazy and opt INTO greedy();
+    * SQL quantifiers default greedy and opt into reluctant with `?` — this
+    * engine defaults greedy (the SQL spelling), callers map accordingly.
+    *
+    * `group` (ref GroupPattern.java — `Pattern.begin(subPattern)`): when
+    * set, this step matches the SUB-SEQUENCE (one nesting level), with
+    * min/max/greedy quantifying whole-group occurrences; `pred` is unused.
+    *
+    * `varId`: the pattern-variable id recorded in the match's (varId,
+    * evIdx) pairs; -1 = use the step's position in its sequence (the
+    * pre-group behavior). Group sub-steps must set it explicitly so
+    * MEASURES/DEFINE navigation sees global variable ids. */
   case class StepG[E](pred: (E, MatchCtx[E]) => Boolean,
                       minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
                       until: Option[(E, MatchCtx[E]) => Boolean] = None,
                       notBefore: Option[(E, MatchCtx[E]) => Boolean] = None,
-                      notNext: Option[(E, MatchCtx[E]) => Boolean] = None)
+                      notNext: Option[(E, MatchCtx[E]) => Boolean] = None,
+                      greedy: Boolean = true, varId: Int = -1,
+                      group: Option[IndexedSeq[StepG[E]]] = None)
 
   object StepG {
     /** Context-free predicate step. */
     def simple[E](p: E => Boolean, minTimes: Int = 1, maxTimes: Int = 1,
                   strict: Boolean = true): StepG[E] =
       StepG((e: E, _: MatchCtx[E]) => p(e), minTimes, maxTimes, strict)
+
+    /** Group step `(sub){min,max}` — ref GroupPattern.java. Sub-steps
+      * should carry explicit varIds. */
+    def groupOf[E](sub: IndexedSeq[StepG[E]], minTimes: Int, maxTimes: Int,
+                   greedy: Boolean = true): StepG[E] =
+      StepG((_: E, _: MatchCtx[E]) => true, minTimes, maxTimes,
+        strict = true, greedy = greedy, group = Some(sub))
   }
 
-  /** Greedy match attempt anchored at `start`. Returns (stepIdx, evIdx)
-    * pairs in match order, or None.
+  private def effVarId[E](st: StepG[E], si: Int): Int = if (st.varId >= 0) st.varId else si
+
+  /** First leaf predicate of a step sequence (descends one group level) —
+    * the anchor test. */
+  private def headLeaf[E](steps: IndexedSeq[StepG[E]]): StepG[E] =
+    steps.head.group.map(_.head).getOrElse(steps.head)
+
+  /** Match attempt anchored at `start`. Returns (varId, evIdx) pairs in
+    * match order, or None. */
+  def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
+                withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
+    if (!headLeaf(steps).pred(evs(start), new MatchCtx(evs, Nil))) return None
+    // anchored: the committed match must consume `start` as its first event
+    findFrom(evs, start, steps, ts(evs(start)), withinMicros, ts)
+      .filter(_.headOption.exists(_._2 == start))
+  }
+
+  /** Sequential match of `steps` beginning at `pos0` (first occurrence of
+    * the first step scans from there per its contiguity). Returns the
+    * (varId, evIdx) pairs in match order.
     *
     * The search is an EXPLICIT-stack DFS (heap frames, not JVM recursion):
     * search depth equals the match length, so a quantified step consuming a
     * million-event run must not ride the call stack. Each frame tries its
-    * two ordered children — consume one more event for the current step
+    * two children in quantifier order — greedy: consume one more event
     * (first-candidate commit: a failing descent is not retried with later
-    * candidates), then advance to the next step if the quantifier minimum
-    * is met — exactly the recursion it replaces. */
-  def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
-                withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
-    if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return None
-    val startTs = ts(evs(start))
+    * scan candidates) then advance to the next step once the minimum is
+    * met; reluctant: advance first, consume only if the remainder fails.
+    * Group steps recurse into the same engine (one call-stack level per
+    * NESTING level, never per event). */
+  private def findFrom[E](evs: IndexedSeq[E], pos0: Int, steps: IndexedSeq[StepG[E]],
+                          startTs: Long, withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
     final class Frame(val pos: Int, val si: Int, val cnt: Int,
                       val acc: List[(Int, Int)], var stage: Int)
-    val stack = scala.collection.mutable.Stack(
-      new Frame(start + 1, 0, 1, List((0, start)), 0))
+    val stack = scala.collection.mutable.Stack(new Frame(pos0, 0, 0, Nil, 0))
     while (stack.nonEmpty) {
       val f = stack.top
       if (f.si == steps.length) return Some(f.acc.reverse)
-      f.stage match {
-        case 0 => // child 1: consume one more event for this step
-          f.stage = 1
-          val st = steps(f.si)
-          // negative lookahead (notNext on the between-variable gap): the
-          // event right after the previous step must not match — ref
-          // Pattern.notNext; gated to the step's FIRST occurrence
-          val vetoed = f.cnt == 0 && st.notNext.exists(n =>
-            f.pos < evs.length && ts(evs(f.pos)) - startTs < withinMicros &&
-              n(evs(f.pos), new MatchCtx(evs, f.acc)))
-          if (!vetoed && f.cnt < st.maxTimes) {
+      val st = steps(f.si)
+      def tryConsume(): Unit = {
+        // negative lookahead (notNext on the between-variable gap): the
+        // event right after the previous step must not match — ref
+        // Pattern.notNext; gated to the step's FIRST occurrence
+        val vetoed = f.cnt == 0 && st.notNext.exists(n =>
+          f.pos < evs.length && ts(evs(f.pos)) - startTs < withinMicros &&
+            n(evs(f.pos), new MatchCtx(evs, f.acc)))
+        if (!vetoed && f.cnt < st.maxTimes) st.group match {
+          case Some(sub) =>
+            // one more GROUP occurrence = the whole sub-sequence matched
+            // from f.pos (first-candidate commit inside, like leaf scans)
+            findFrom(evs, f.pos, sub, startTs, withinMicros, ts) match {
+              case Some(accSub) if accSub.nonEmpty =>
+                stack.push(new Frame(accSub.last._2 + 1, f.si, f.cnt + 1,
+                  accSub.reverse ::: f.acc, 0))
+              case _ => ()
+            }
+          case None =>
             var p = f.pos
             var found = -1
             // strict boundary: the reference NFA times out a partial match
@@ -119,14 +171,17 @@ object Cep {
               else p += 1
             }
             if (found >= 0)
-              stack.push(new Frame(found + 1, f.si, f.cnt + 1, (f.si, found) :: f.acc, 0))
-          }
-        case 1 => // child 2: advance to the next step
-          f.stage = 2
-          if (f.cnt >= steps(f.si).minTimes)
-            stack.push(new Frame(f.pos, f.si + 1, 0, f.acc, 0))
-        case _ => // both children exhausted → backtrack
-          stack.pop()
+              stack.push(new Frame(found + 1, f.si, f.cnt + 1,
+                (effVarId(st, f.si), found) :: f.acc, 0))
+        }
+      }
+      def tryAdvance(): Unit =
+        if (f.cnt >= st.minTimes)
+          stack.push(new Frame(f.pos, f.si + 1, 0, f.acc, 0))
+      f.stage match {
+        case 0 => f.stage = 1; if (st.greedy) tryConsume() else tryAdvance()
+        case 1 => f.stage = 2; if (st.greedy) tryAdvance() else tryConsume()
+        case _ => stack.pop() // both children exhausted → backtrack
       }
     }
     None
@@ -144,6 +199,11 @@ object Cep {
     * accordingly. */
   def findAllAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
                    withinMicros: Long, ts: E => Long): List[List[(Int, Int)]] = {
+    // all-matches mode enumerates every branch anyway, so greedy/reluctant
+    // ordering cannot change the result SET; groups are out of scope here
+    // (the reference's combinations mode composes with groups only in the
+    // full SharedBuffer NFA)
+    require(steps.forall(_.group.isEmpty), "followedByAny mode does not support group patterns")
     if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return Nil
     val startTs = ts(evs(start))
     val results = scala.collection.mutable.ListBuffer[List[(Int, Int)]]()
@@ -175,7 +235,8 @@ object Cep {
             if (found >= 0) {
               if (st.strict) f.stage = 1 // strict: single candidate position
               else f.scan = found + 1 // re-entry resumes past this candidate
-              stack.push(new Frame(found + 1, f.si, f.cnt + 1, (f.si, found) :: f.acc, 0))
+              stack.push(new Frame(found + 1, f.si, f.cnt + 1,
+                (effVarId(st, f.si), found) :: f.acc, 0))
               pushed = true
             }
           }
@@ -197,7 +258,8 @@ object Cep {
   case class Step(pred: Ev => Boolean, minTimes: Int = 1, maxTimes: Int = 1, strict: Boolean = true,
                   until: Option[Ev => Boolean] = None,
                   notBefore: Option[Ev => Boolean] = None,
-                  notNext: Option[Ev => Boolean] = None)
+                  notNext: Option[Ev => Boolean] = None,
+                  greedy: Boolean = true)
   case class Pattern(steps: IndexedSeq[Step], withinMicros: Long = Long.MaxValue)
   case class Match(userId: Long, startId: Long, endId: Long, nEvents: Int, startTsMicros: Long)
 
@@ -211,7 +273,7 @@ object Cep {
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
       s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
       s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
-      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)), greedy = s.greedy))
     var resumeAt = 0
     (0 until evs.length).iterator.flatMap { i =>
       if (skipPastLastRow && i < resumeAt) None
@@ -245,7 +307,7 @@ object Cep {
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e),
       s.minTimes, s.maxTimes, s.strict, s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
       s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
-      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)), greedy = s.greedy))
     (0 until evs.length).iterator.flatMap { i =>
       findAllAt(evs, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).map { idx =>
         Match(evs(i).userId, evs(i).eventId, evs(idx.last._2).eventId, idx.length, evs(i).tsMicros)
@@ -282,7 +344,7 @@ object Cep {
     val steps = pattern.steps.map(s => StepG((e: Ev, _: MatchCtx[Ev]) => s.pred(e), s.minTimes, s.maxTimes, s.strict,
       s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => u(e)),
       s.notBefore.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)),
-      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e))))
+      s.notNext.map(n => (e: Ev, _: MatchCtx[Ev]) => n(e)), greedy = s.greedy))
     events
       .select(col("user_id").cast("long").as("userId"), col("event_id").cast("long").as("eventId"),
               col("event_type").as("eventType"), expr("unix_micros(ts)").as("tsMicros"),

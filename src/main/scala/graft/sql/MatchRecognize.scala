@@ -47,7 +47,11 @@ object MatchRecognize {
     * logical navigation offset for FIRST/LAST (`LAST(B.col, 1)`). */
   case class Measure(fn: String, variable: String, col: String, as: String,
                      mode: String = "", offset: Int = 0)
-  case class PatVar(name: String, min: Int, max: Int)
+  /** Pattern element: a variable or ONE level of group nesting (ref
+    * GroupPattern.java); `greedy = false` = reluctant (`B+?`, `(A B)*?`). */
+  sealed trait PatElem
+  case class PatVar(name: String, min: Int, max: Int, greedy: Boolean = true) extends PatElem
+  case class PatGroup(vars: Seq[PatVar], min: Int, max: Int, greedy: Boolean = true) extends PatElem
   case class Define(variable: String, col: String, op: String, value: String,
                     rhsVar: Option[(String, String)] = None, // (variable, col) for cross-var predicates
                     rhsPrev: Option[(String, Int)] = None)   // (col, n) for PREV(X.col, n) physical navigation
@@ -58,9 +62,15 @@ object MatchRecognize {
   case class SkipToLast(v: String) extends Skip
   case class Spec(table: String, partitionBy: Seq[String], orderBy: String,
                   orderTiebreak: Option[String],
-                  measures: Seq[Measure], pattern: Seq[PatVar],
+                  measures: Seq[Measure], pattern: Seq[PatElem],
                   withinMicros: Long, defines: Map[String, Seq[Define]],
-                  skip: Skip, allRows: Boolean)
+                  skip: Skip, allRows: Boolean) {
+    /** Pattern variables in global-id order (group members flattened). */
+    def flatVars: Seq[PatVar] = pattern.flatMap {
+      case v: PatVar => Seq(v)
+      case g: PatGroup => g.vars
+    }
+  }
 
   private val outerRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
@@ -70,8 +80,10 @@ object MatchRecognize {
   private val measureRe =
     """(?i)\s*(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)?\s+AS\s+(\w+)\s*""".r
   private val measureFnRe = """(?i)\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
-  private val patternRe = """(?is)PATTERN\s*\(\s*([^)]*?)\s*\)""".r
-  private val patVarRe = """(\w+)(\+|\*|\{(\d+),(\d+)\}|\{(\d+)\})?""".r
+  // one nesting level: the body may contain (...) groups
+  private val patternRe = """(?is)PATTERN\s*\(\s*((?:[^()]|\([^()]*\))*?)\s*\)""".r
+  private val patQuantRe = """(\+\??|\*\??|\?\??|\{(\d+)(?:,(\d+))?\}(\?)?)?""".r
+  private val patTokenRe = ("""\(\s*([^()]+?)\s*\)""" + patQuantRe + """|(\w+)""" + patQuantRe).r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val rowsPerRe = """(?is)(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH""".r
@@ -86,6 +98,52 @@ object MatchRecognize {
     """(?i)\s*(\w+)\s+AS\s+(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*PREV\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)\s*""".r
 
   def isMatchRecognize(sql: String): Boolean = outerRe.matches(sql)
+
+  /** `(min, max, greedy)` from a quantifier suffix: null, `+[?]`, `*[?]`,
+    * `?[?]`, `{m[,n]}[?]` — trailing `?` = reluctant (SQL-standard lazy
+    * quantifier, ref Quantifier.java greedy/lazy). */
+  private def parseQuant(q: String, m: String, n: String, lzy: String): (Int, Int, Boolean) =
+    q match {
+      case null => (1, 1, true)
+      case "+" => (1, Int.MaxValue, true)
+      case "+?" => (1, Int.MaxValue, false)
+      case "*" => (0, Int.MaxValue, true)
+      case "*?" => (0, Int.MaxValue, false)
+      case "?" => (0, 1, true)
+      case "??" => (0, 1, false)
+      case _ => // {m[,n]}[?]
+        val lo = m.toInt
+        (lo, Option(n).map(_.toInt).getOrElse(lo), lzy == null)
+    }
+
+  /** Cursor tokenizer over the PATTERN body: variables and one level of
+    * `( ... )` groups, each with an optional quantifier. */
+  private def parsePattern(s: String): Seq[PatElem] = {
+    val elems = scala.collection.mutable.ListBuffer[PatElem]()
+    var cur = 0
+    while (cur < s.length) {
+      if (s.charAt(cur).isWhitespace) cur += 1
+      else patTokenRe.findPrefixMatchOf(s.subSequence(cur, s.length)) match {
+        case Some(mm) =>
+          if (mm.group(1) != null) {
+            val (lo, hi, g) = parseQuant(mm.group(2), mm.group(3), mm.group(4), mm.group(5))
+            val inner = parsePattern(mm.group(1)).map {
+              case v: PatVar => v
+              case _: PatGroup => throw new IllegalArgumentException(
+                "only one level of pattern-group nesting is supported")
+            }
+            elems += PatGroup(inner, lo, hi, g)
+          } else {
+            val (lo, hi, g) = parseQuant(mm.group(7), mm.group(8), mm.group(9), mm.group(10))
+            elems += PatVar(mm.group(6), lo, hi, g)
+          }
+          cur += mm.end
+        case None => throw new IllegalArgumentException(
+          s"unsupported pattern token at '${s.substring(cur)}'")
+      }
+    }
+    elems.toSeq
+  }
 
   def parse(sql: String): Spec = {
     val outerRe(table, body) = sql: @unchecked
@@ -117,15 +175,8 @@ object MatchRecognize {
             offset = Option(off).map(_.toInt).getOrElse(0))
         case other => throw new IllegalArgumentException(s"unsupported measure '$other'")
       }
-    val pattern = patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-      .split("\\s+").filter(_.nonEmpty).toSeq.map {
-        case patVarRe(name, null, _, _, _) => PatVar(name, 1, 1)
-        case patVarRe(name, "+", _, _, _) => PatVar(name, 1, Int.MaxValue)
-        case patVarRe(name, "*", _, _, _) => PatVar(name, 0, Int.MaxValue)
-        case patVarRe(name, _, mn, mx, null) if mn != null => PatVar(name, mn.toInt, mx.toInt)
-        case patVarRe(name, _, _, _, k) if k != null => PatVar(name, k.toInt, k.toInt)
-        case other => throw new IllegalArgumentException(s"unsupported pattern token '$other'")
-      }
+    val pattern = parsePattern(
+      patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(""))
     val within = withinRe.findFirstMatchIn(body).map { m =>
       val n = m.group(1).toLong
       m.group(2).toUpperCase match {
@@ -179,8 +230,10 @@ object MatchRecognize {
     val keyIdx = spec.partitionBy.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(spec.orderBy)
 
-    val varIdxOf = spec.pattern.map(_.name.toUpperCase).zipWithIndex.toMap
-    val varNames = spec.pattern.map(_.name.toUpperCase).toIndexedSeq
+    // global variable ids = flattened pattern order (group members inline)
+    val flat = spec.flatVars
+    val varIdxOf = flat.map(_.name.toUpperCase).zipWithIndex.toMap
+    val varNames = flat.map(_.name.toUpperCase).toIndexedSeq
     // exact numeric compare: BigDecimal(toString) is lossless for BIGINT
     // above 2^53 and DECIMAL — routing through Double is not
     def toBig(v: Any): java.math.BigDecimal = v match {
@@ -244,7 +297,18 @@ object MatchRecognize {
                 else cmpStr(r.get(ci).toString, d.op, d.value))
         }
     }
-    val steps = spec.pattern.toIndexedSeq.map(v => Cep.StepG[Row](predOf(v), v.min, v.max, strict = true))
+    // leaf steps carry their GLOBAL variable id; a group step wraps its
+    // members as a sub-sequence (ref GroupPattern.java), quantified whole
+    var gi = -1
+    def leafStep(v: PatVar): Cep.StepG[Row] = {
+      gi += 1
+      Cep.StepG[Row](predOf(v), v.min, v.max, strict = true, greedy = v.greedy, varId = gi)
+    }
+    val steps = spec.pattern.toIndexedSeq.map {
+      case v: PatVar => leafStep(v)
+      case g: PatGroup =>
+        Cep.StepG.groupOf[Row](g.vars.toIndexedSeq.map(leafStep), g.min, g.max, g.greedy)
+    }
 
     def measureType(m: Measure): DataType = m.fn match {
       case "MATCH_NUMBER" => LongType

@@ -23,10 +23,82 @@ class MatchRecognizeSpec extends SparkTestBase {
         WITHIN INTERVAL '30' MINUTE
         DEFINE A AS A.t = 'x', B AS B.v > 5, C AS C.t <> 'z')""")
     assert(spec.partitionBy == Seq("k") && spec.orderBy == "ts")
-    assert(spec.pattern.map(p => (p.name, p.min, p.max)) == Seq(("A", 1, 1), ("B", 2, 4), ("C", 1, 1)))
+    assert(spec.flatVars.map(p => (p.name, p.min, p.max)) == Seq(("A", 1, 1), ("B", 2, 4), ("C", 1, 1)))
     assert(spec.withinMicros == 30L * 60 * 1000000)
     assert(spec.defines("B").head.op == ">" && spec.defines("B").head.value == "5")
     assert(spec.measures.map(_.as) == Seq("ax", "fy"))
+  }
+
+  test("parser: reluctant quantifiers and group tokens") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES A.x AS ax
+        PATTERN (A B+? (C D){1,3}? E??)
+        DEFINE A AS A.t = 'x')""")
+    import MatchRecognize.{PatGroup, PatVar}
+    assert(spec.pattern == Seq(
+      PatVar("A", 1, 1), PatVar("B", 1, Int.MaxValue, greedy = false),
+      PatGroup(Seq(PatVar("C", 1, 1), PatVar("D", 1, 1)), 1, 3, greedy = false),
+      PatVar("E", 0, 1, greedy = false)))
+  }
+
+  test("greedy B* runs to the LAST purchase; reluctant B*? stops at the FIRST") {
+    val s = spark
+    import s.implicits._
+    // click, then two purchases: greedy consumes past the first purchase
+    mkEvents(Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "view", 10L), (1L, 3L, "purchase", 20L),
+      (1L, 4L, "view", 30L), (1L, 5L, "purchase", 40L)))
+    def run(q: String) = new EngineEnv(s).sqlQuery(s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, C.event_id AS c_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B$q C)
+        DEFINE A AS A.event_type = 'click', C AS C.event_type = 'purchase')""")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run("*") == Set((1L, 1L, 5L)))  // greedy: last purchase
+    assert(run("*?") == Set((1L, 1L, 3L))) // reluctant: first purchase
+  }
+
+  test("group pattern (A B)+ is quantified as a unit with per-member variables") {
+    val s = spark
+    import s.implicits._
+    // lo hi lo hi lo  → (A B)+ anchored at row 1 consumes two full pairs;
+    // the trailing lo cannot complete a third pair
+    mkEvents(Seq(
+      (1L, 1L, "lo", 0L), (1L, 2L, "hi", 10L), (1L, 3L, "lo", 20L),
+      (1L, 4L, "hi", 30L), (1L, 5L, "lo", 40L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_first, LAST(A.event_id) AS a_last,
+                 LAST(B.event_id) AS b_last, MATCH_NUMBER() AS mn
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A B)+)
+        DEFINE A AS A.event_type = 'lo', B AS B.event_type = 'hi')""")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // one greedy match: pairs (1,2)(3,4); rows consumed through event 4
+    assert(out == Set((1L, 1L, 3L, 4L, 1L)))
+  }
+
+  test("group quantifier {n} repeats the sub-sequence exactly n times") {
+    val s = spark
+    import s.implicits._
+    mkEvents(Seq(
+      (1L, 1L, "lo", 0L), (1L, 2L, "hi", 10L), (1L, 3L, "lo", 20L),
+      (1L, 4L, "hi", 30L), (1L, 5L, "lo", 40L), (1L, 6L, "hi", 50L)))
+    val out = new EngineEnv(s).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_first, LAST(B.event_id) AS b_last
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A B){2})
+        DEFINE A AS A.event_type = 'lo', B AS B.event_type = 'hi')""")
+      .as[(Long, Long, Long)].collect().toSet
+    // exactly two pairs per match → matches (1..4); (5,6) alone can't form {2}
+    assert(out == Set((1L, 1L, 4L)))
   }
 
   test("A B+ C with FIRST/LAST measures over a known sequence") {
