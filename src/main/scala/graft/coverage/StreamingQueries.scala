@@ -34,6 +34,40 @@ object StreamingQueries {
              event_type, COUNT(*) AS n, SUM(${oCents("value")})::BIGINT AS v_cents
       FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
 
+  /** Streaming windowed coGroup — ref CoGroupedStreams.java:134 (see
+    * [[StreamOps.windowCoGroup]]): clicks and purchases cogrouped per
+    * (user, 10-min window); the "CoGroupFunction" summarizes both side
+    * buffers — and windows where one side is EMPTY still emit (n=0, null
+    * min), which the window join (q_window_join) by construction cannot
+    * produce. Oracle = the per-window FULL OUTER of the two sides. */
+  val qStreamWindowCogroup: Q = Q(
+    run = (s, dir) => {
+      val src = StreamOps.readTable(s, dir, "events")
+      val tagged = src.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("key"),
+                when(col("event_type") === "click", 0).otherwise(1).as("side"),
+                col("event_id").as("id"), col("ts"))
+      val cg = StreamOps.windowCoGroup(s, tagged, "10 minutes")
+        .select(col("key"), col("ws"),
+                size(col("lefts")).cast("long").as("n_click"),
+                size(col("rights")).cast("long").as("n_purchase"),
+                array_min(col("lefts")).as("min_click"),
+                array_min(col("rights")).as("min_purchase"))
+      StreamOps.runToMemory(s, cg, OutputMode.Complete()).orderBy(col("key"), col("ws"))
+    },
+    oracle = Some("""
+      WITH l AS (SELECT user_id AS key, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+                        COUNT(*) AS n_click, MIN(event_id) AS min_click
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           r AS (SELECT user_id AS key, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+                        COUNT(*) AS n_purchase, MIN(event_id) AS min_purchase
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT COALESCE(l.key, r.key) AS key, COALESCE(l.ws, r.ws) AS ws,
+             COALESCE(n_click, 0) AS n_click, COALESCE(n_purchase, 0) AS n_purchase,
+             min_click, min_purchase
+      FROM l FULL JOIN r ON l.key = r.key AND l.ws = r.ws
+      ORDER BY key, ws"""))
+
   /** Streaming dedup (keep-first per key) — ref deduplicate/
     * RowTimeDeduplicateFunction.java:31; Spark `dropDuplicates` on a stream
     * = state-backed keep-first. Output = just the keys, so intra-batch
@@ -255,6 +289,7 @@ object StreamingQueries {
     "q_stream_window_topn" -> qStreamWindowTopn,
     "q_stream_count_window" -> qStreamCountWindow,
     "q_stream_tumble" -> qStreamTumble,
+    "q_stream_window_cogroup" -> qStreamWindowCogroup,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_dedup_last" -> qStreamDedupLast,
     "q_stream_interval_join" -> qStreamIntervalJoin,

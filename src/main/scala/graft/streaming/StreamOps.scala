@@ -314,6 +314,27 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming windowed coGroup — ref flink-streaming-java
+    * CoGroupedStreams.java:134: two keyed streams share a window; per
+    * (key, window) BOTH side buffers are handed onward, INCLUDING windows
+    * where one side is empty (the semantic a window join cannot express —
+    * JoinedStreams is implemented on top of this with an inner-join
+    * apply). Input = the union-tagged stream (the reference's TaggedUnion
+    * layout): columns key, side (0/1), id, ts.
+    *
+    * Spark-first: ONE hash shuffle on (key, window) and a per-side
+    * collect_list — the window agg operator maintains the buffers in the
+    * state store exactly like the reference's window contents, and the
+    * "CoGroupFunction" is whatever expressions the caller applies to the
+    * two arrays. Buffers are sorted for deterministic output. */
+  def windowCoGroup(s: SparkSession, tagged: DataFrame, windowDur: String): DataFrame =
+    tagged
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("key"), window(col("ts"), windowDur))
+      .agg(sort_array(collect_list(when(col("side") === 0, col("id")))).as("lefts"),
+           sort_array(collect_list(when(col("side") === 1, col("id")))).as("rights"))
+      .select(col("key"), col("window.start").as("ws"), col("lefts"), col("rights"))
+
   case class AsOfState(rights: List[(Long, Long)], pendingLefts: List[(Long, Long)])
   case class AsOfOut(key: Long, left_id: Long, right_id: Long)
 

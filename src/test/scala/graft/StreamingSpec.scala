@@ -488,6 +488,29 @@ class StreamingSpec extends SparkTestBase {
     assert(gauge.value <= 15, s"right-version state not pruned: ${gauge.value}")
   }
 
+  test("windowed coGroup merges both side buffers across batches; empty sides emit") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Int, Long, Long)] // key, side, id, sec
+    val tagged = in.toDF().toDF("key", "side", "id", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+    val q = StreamOps.windowCoGroup(s, tagged, "10 seconds")
+      .writeStream.format("memory").queryName("wcg").outputMode("complete").start()
+    // batch 1: window [0,10) gets one left; window [10,20) gets one right
+    in.addData((1L, 0, 100L, 2L), (1L, 1, 900L, 12L))
+    q.processAllAvailable()
+    // batch 2: both windows gain rows — buffers must MERGE, not reset
+    in.addData((1L, 0, 101L, 3L), (1L, 1, 901L, 4L), (1L, 0, 102L, 13L))
+    q.processAllAvailable()
+    val rows = s.table("wcg").as[(Long, java.sql.Timestamp, Seq[Long], Seq[Long])]
+      .collect().map(r => (r._2.getTime / 1000, r._3, r._4)).toSet
+    q.stop()
+    assert(rows == Set(
+      (0L, Seq(100L, 101L), Seq(901L)),   // both sides
+      (10L, Seq(102L), Seq(900L))))       // cross-batch sides
+  }
+
   test("changelog join idle-state TTL evicts idle keys; active keys unaffected") {
     val s = spark
     import s.implicits._
