@@ -586,6 +586,56 @@ object Streaming2Queries {
       HAVING p_bucket + 86400 <= wm
       ORDER BY p_bucket"""))
 
+  /** Upsert-source materialization — upsert-kafka semantics via
+    * [[StreamOps.upsertChangelog]]: events replayed as keyed upsert
+    * messages in event_id (arrival) order, error events as NULL-value
+    * tombstones, split into two batches so update/delete chains cross the
+    * batch boundary. Gated on BOTH the materialized final state (net-sum
+    * of the changelog ≡ DuckDB keep-last with the tombstone filter — a
+    * key whose last message is a tombstone is GONE) and the total
+    * changelog row count per key (insert=1, overwrite=2, live-delete=1,
+    * absent-delete=0), which pins the -U/+U/-D sequence, not just the
+    * endpoint. */
+  val qUpsertMaterialize: Q = Q(
+    run = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("key"),
+                when(col("event_type") === "error", lit(null))
+                  .otherwise(col("event_id")).cast("long").as("value"),
+                col("event_id").cast("long").as("seq"))
+      val mid = ev.agg(max(col("seq"))).collect()(0).getLong(0) / 2 // staging-time scalar
+      val srcDir = StreamOps.stageBatches(s, s"upsert_${san(dir)}", Seq(
+        ev.filter(col("seq") <= mid), ev.filter(col("seq") > mid)))
+      val stream = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val changelog = StreamOps.runToMemory(
+        s, StreamOps.upsertChangelog(s, stream), OutputMode.Update())
+      val state = changelog.groupBy(col("key"), col("value"))
+        .agg(sum(when(col("row_kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+        .filter(col("net") > 0).select(col("key"), col("value"))
+      changelog.groupBy(col("key").as("k2")).agg(count(lit(1)).as("n_changes"))
+        .join(state, col("k2") === col("key"), "left")
+        .select(col("k2").as("key"), col("value"), col("n_changes"))
+        .orderBy(col("k2"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                   FROM events),
+      chg AS (SELECT user_id,
+                     SUM(CASE WHEN event_type = 'error'
+                              THEN CASE WHEN prev IS NOT NULL AND prev <> 'error' THEN 1 ELSE 0 END
+                              ELSE CASE WHEN prev IS NOT NULL AND prev <> 'error' THEN 2 ELSE 1 END
+                         END) AS n_changes
+              FROM ord GROUP BY user_id),
+      last AS (SELECT user_id, arg_max(event_type, event_id) AS lt, max(event_id) AS lid
+               FROM events GROUP BY user_id)
+      SELECT c.user_id AS key,
+             CASE WHEN l.lt <> 'error' THEN l.lid END AS value,
+             CAST(c.n_changes AS BIGINT) AS n_changes
+      FROM chg c JOIN last l ON l.user_id = c.user_id
+      WHERE c.n_changes > 0
+      ORDER BY key"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_stream_partition_commit" -> qStreamPartitionCommit,
     "q_stream_changelog_join" -> qStreamChangelogJoin,
@@ -607,5 +657,6 @@ object Streaming2Queries {
     "q_stream_ttl_dedup" -> qStreamTtlDedup,
     "q_stream_tws_process" -> qStreamTwsProcess,
     "q_stream_tws_timer" -> qStreamTwsTimer,
+    "q_upsert_materialize" -> qUpsertMaterialize,
   )
 }

@@ -335,6 +335,53 @@ object StreamOps {
            sort_array(collect_list(when(col("side") === 1, col("id")))).as("rights"))
       .select(col("key"), col("window.start").as("ws"), col("lefts"), col("rights"))
 
+  case class UpsertOut(row_kind: String, key: Long, value: Long)
+
+  /** Upsert-source materialization — the upsert-kafka ingestion contract
+    * (ref flink-connectors/flink-connector-kafka/.../table/
+    * UpsertKafkaDynamicTableFactory.java semantics, minus Kafka) backed by
+    * the planner's ChangelogNormalize operator (ref
+    * StreamExecChangelogNormalize / ProcTimeMiniBatchDeduplicateKeepLastRowFunction
+    * with generateUpdateBefore): a keyed message stream where each message
+    * is (key, value, seq) and a NULL value is a tombstone. Emits the full
+    * +I/-U/+U/-D changelog — new key → +I; overwrite → -U(old), +U(new);
+    * tombstone of a live key → -D(old); tombstone of an absent key is a
+    * no-op (the reference tolerates it).
+    *
+    * State = ONE value per live key (bounded by keyspace, the minimum any
+    * upsert materialization needs). Messages apply in `seq` order — the
+    * Kafka-partition arrival order stand-in; at 100 TB this is one hash
+    * shuffle on the key, the same placement as the reference's keyed
+    * normalize operator. Downstream consumers ([[StreamJoin.changelogJoin]],
+    * [[RetractableTopN]], [[ChangelogAgg]]) take the output directly. */
+  def upsertChangelog(s: SparkSession, msgs: DataFrame): DataFrame = {
+    import s.implicits._
+    msgs
+      .select(col("key").cast("long").as("_1"), col("value").cast("long").as("_2"),
+              col("seq").cast("long").as("_3"))
+      .as[(Long, Option[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Option[Long], Long)], state: GroupState[Long]) => {
+          var cur: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ListBuffer[UpsertOut]()
+          it.toIndexedSeq.sortBy(_._3).foreach { case (_, v, _) =>
+            (cur, v) match {
+              case (None, Some(nv)) =>
+                out += UpsertOut("+I", key, nv); cur = Some(nv)
+              case (Some(ov), Some(nv)) =>
+                out += UpsertOut("-U", key, ov); out += UpsertOut("+U", key, nv); cur = Some(nv)
+              case (Some(ov), None) =>
+                out += UpsertOut("-D", key, ov); cur = None
+              case (None, None) => () // tombstone of an absent key
+            }
+          }
+          cur match { case Some(v) => state.update(v); case None => state.remove() }
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class AsOfState(rights: List[(Long, Long)], pendingLefts: List[(Long, Long)])
   case class AsOfOut(key: Long, left_id: Long, right_id: Long)
 

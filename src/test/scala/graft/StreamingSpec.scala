@@ -511,6 +511,30 @@ class StreamingSpec extends SparkTestBase {
       (10L, Seq(102L), Seq(900L))))       // cross-batch sides
   }
 
+  test("upsert source normalizes to +I/-U/+U/-D; null payload deletes; re-insert after delete") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Option[Long], Long)] // key, value (None = tombstone), seq
+    val q = StreamOps.upsertChangelog(s, in.toDF().toDF("key", "value", "seq"))
+      .writeStream.format("memory").queryName("upsert_t").outputMode("update").start()
+    def rows() = s.table("upsert_t").as[(String, Long, Long)].collect().toSeq
+
+    in.addData((1L, Some(10L), 1L)) // new key
+    q.processAllAvailable()
+    assert(rows() == Seq(("+I", 1L, 10L)))
+
+    in.addData((1L, Some(20L), 2L), (1L, None, 3L)) // overwrite, then tombstone
+    q.processAllAvailable()
+    assert(rows().drop(1) == Seq(("-U", 1L, 10L), ("+U", 1L, 20L), ("-D", 1L, 20L)))
+
+    in.addData((1L, None, 4L), (1L, Some(30L), 5L)) // absent-tombstone no-op; re-insert
+    q.processAllAvailable()
+    val fin = rows().drop(4)
+    q.stop()
+    assert(fin == Seq(("+I", 1L, 30L)))
+  }
+
   test("changelog join idle-state TTL evicts idle keys; active keys unaffected") {
     val s = spark
     import s.implicits._
