@@ -151,20 +151,49 @@ object Tpcds4Queries {
       e.executeSql(s"CREATE TABLE mart.sink_t WITH ('path'='$scratch/sink') LIKE base_t")
       e.executeSql("INSERT INTO mart.sink_t SELECT * FROM base_t WHERE o_orderstatus = 'O'")
       e.executeSql("ALTER TABLE mart.sink_t RENAME TO mart.final_t")
+      // leg 2: computed (virtual) column + PARTITIONED BY + NOT ENFORCED
+      // constraint (ref SqlCreateTable.java:70 computed columns /
+      // partitioned CREATE) — seed the F subset as a partitioned layout,
+      // INSERT appends the O partition, the computed total_c derives on
+      // every read (never persisted)
+      orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(s"$scratch/part")
+      e.executeSql(s"""
+        CREATE TABLE part_t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+          o_orderstatus STRING,
+          total_c AS CAST(FLOOR(o_totalprice * 100.0) AS BIGINT),
+          PRIMARY KEY (o_orderkey) NOT ENFORCED
+        ) PARTITIONED BY (o_orderstatus)
+        WITH ('connector'='filesystem', 'path'='$scratch/part', 'format'='parquet')""")
+      e.executeSql("""
+        INSERT INTO part_t
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM base_t WHERE o_orderstatus = 'O'""")
       e.sqlQuery("""
-        SELECT o_orderstatus, COUNT(*) AS n,
+        SELECT 'plain' AS leg, o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
         FROM mart.final_t
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus""")
+        UNION ALL
+        SELECT 'part' AS leg, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(total_c) AS BIGINT) AS total_c
+        FROM part_t
+        GROUP BY o_orderstatus
+        ORDER BY leg, o_orderstatus""")
     },
     oracle = Some("""
-      SELECT o_orderstatus, COUNT(*) AS n,
-             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
-      FROM orders
-      WHERE o_orderstatus IN ('F', 'O')
-      GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      WITH agg AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus)
+      SELECT 'plain' AS leg, o_orderstatus, n, total_c FROM agg
+      UNION ALL
+      SELECT 'part' AS leg, o_orderstatus, n, total_c FROM agg
+      ORDER BY leg, o_orderstatus"""))
 
   /** Compressed-format roundtrip — the flink-compress module analog:
     * write gzip'd CSV, read it back (codec from the extension), aggregate;

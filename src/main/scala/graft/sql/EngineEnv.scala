@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   */
 final class EngineEnv(val spark: SparkSession) {
 
-  case class TableSpec(path: String, format: String, watermarkCol: Option[String], watermarkDelay: Option[String])
+  case class TableSpec(path: String, format: String, watermarkCol: Option[String],
+                       watermarkDelay: Option[String],
+                       computedCols: Seq[(String, String)] = Nil,
+                       partitions: Seq[String] = Nil)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
   private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
   private var currentDb = "default_database"
@@ -76,23 +79,76 @@ final class EngineEnv(val spark: SparkSession) {
     throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
   }
 
-  /** `[ (cols) ] [ WITH (opts) ] [ LIKE base ]` tail of CREATE TABLE. */
-  private def parseCreateTail(tail0: String): (Option[String], Map[String, String], Option[String]) = {
+  /** Parsed CREATE TABLE body — ref SqlCreateTable.java:70: physical
+    * columns (schema comes from the files; names recorded for DESCRIBE
+    * fidelity), computed columns (`c AS expr` — virtual, derived on every
+    * read), the WATERMARK clause, and PRIMARY KEY/constraints (accepted,
+    * NOT ENFORCED — exactly the reference's constraint contract). */
+  private case class CreateBody(watermark: Option[(String, String)],
+                                computed: Seq[(String, String)])
+
+  /** Top-level comma split of a column list, balanced-paren + quote aware
+    * (a DECIMAL(10,2) type or a ',' inside a computed expression never
+    * mis-splits). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var last = 0; var inQ = false
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+    }
+    (parts += s.substring(last)).map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val computedColRe = """(?is)^(\w+)\s+AS\s+(.+?)\s*$""".r
+  private val constraintRe = """(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*""".r
+
+  /** Classify each top-level item of the CREATE TABLE column body. */
+  private def parseCreateBody(cols: String): CreateBody = {
+    var wm: Option[(String, String)] = None
+    val computed = scala.collection.mutable.ListBuffer[(String, String)]()
+    splitTopLevel(cols).foreach {
+      case item if item.toUpperCase.startsWith("WATERMARK") =>
+        wm = watermarkRe.findFirstMatchIn(item)
+          .map(m => (m.group(1), s"${m.group(2)} ${unitName(m.group(3))}"))
+          .orElse(throw new IllegalArgumentException(s"unsupported WATERMARK clause '$item'"))
+      case constraintRe(_) => // PRIMARY KEY (...) NOT ENFORCED — accepted, not enforced
+      case computedColRe(name, expr0) => computed += ((name, expr0))
+      case _ => // physical column `name TYPE [...]` — schema comes from the files
+    }
+    CreateBody(wm, computed.toSeq)
+  }
+
+  /** `[ (cols) ] [ PARTITIONED BY (cols) ] [ WITH (opts) ] [ LIKE base ]`
+    * tail of CREATE TABLE, tokenized clause by clause on the balanced
+    * scanner (no whole-tail regex). */
+  private def parseCreateTail(tail0: String)
+      : (Option[String], Seq[String], Map[String, String], Option[String]) = {
     var tail = tail0.trim
     var cols: Option[String] = None
     if (tail.startsWith("(")) {
       val (c, next) = balanced(tail, 0)
       cols = Some(c); tail = tail.substring(next).trim
     }
+    var partitions = Seq[String]()
+    """(?is)^PARTITIONED\s+BY\s*""".r.findFirstMatchIn(tail).foreach { m =>
+      val (p, next) = balanced(tail, m.end)
+      partitions = splitTopLevel(p); tail = tail.substring(next).trim
+    }
     var opts = Map[String, String]()
-    val withM = """(?is)^WITH\s*""".r.findFirstMatchIn(tail)
-    withM.foreach { m =>
+    """(?is)^WITH\s*""".r.findFirstMatchIn(tail).foreach { m =>
       val (o, next) = balanced(tail, m.end)
       opts = parseOptions(o); tail = tail.substring(next).trim
     }
     val like = """(?is)^LIKE\s+(\w+)""".r.findFirstMatchIn(tail).map(_.group(1))
     // LIKE may also precede WITH in Flink syntax: CREATE TABLE t LIKE b
-    (cols, opts, like)
+    (cols, partitions, opts, like)
   }
 
   /** Database qualification (ref SqlCreateDatabase/CatalogManager name
@@ -141,8 +197,15 @@ final class EngineEnv(val spark: SparkSession) {
     s
   }
 
+  /** Computed columns are VIRTUAL (ref SqlCreateTable computed-column
+    * contract): derived on every read, never persisted. */
+  private def applyComputed(df: DataFrame, spec: TableSpec): DataFrame =
+    spec.computedCols.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, expr(FlinkSqlDialect.rewrite(e)))
+    }
+
   private def register(name: String, spec: TableSpec): Unit = {
-    read(spec.path, spec.format).createOrReplaceTempView(viewOf(name))
+    applyComputed(read(spec.path, spec.format), spec).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
   }
 
@@ -156,9 +219,9 @@ final class EngineEnv(val spark: SparkSession) {
       // IF NOT EXISTS on an existing registration is a NO-OP (SqlCreateTable
       // semantics — ADVICE r2), not a silent replace
       if (ifNotExists != null && catalog.contains(keyOf(name))) return spark.emptyDataFrame
-      val (cols, opts, like) = parseCreateTail(tail)
-      val wm = cols.flatMap(c => watermarkRe.findFirstMatchIn(c))
-        .map(m => (m.group(1), s"${m.group(2)} ${unitName(m.group(3))}"))
+      val (cols, partitions, opts, like) = parseCreateTail(tail)
+      val body = cols.map(parseCreateBody).getOrElse(CreateBody(None, Nil))
+      val wm = body.watermark
       (like, opts.get("connector")) match {
         // CREATE TABLE t [WITH (overrides)] LIKE base — SqlCreateTableLike:
         // clone the base spec, apply option overrides, keep/override watermark
@@ -167,11 +230,13 @@ final class EngineEnv(val spark: SparkSession) {
             throw new IllegalArgumentException(s"LIKE references unknown table '$base'"))
           val spec = TableSpec(
             opts.getOrElse("path", b.path), opts.getOrElse("format", b.format),
-            wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay))
+            wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay),
+            if (body.computed.nonEmpty) body.computed else b.computedCols,
+            if (partitions.nonEmpty) partitions else b.partitions)
           register(name, spec)
         case (None, Some("filesystem")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
-            wm.map(_._1), wm.map(_._2)))
+            wm.map(_._1), wm.map(_._2), body.computed, partitions))
         case (None, Some("datagen")) =>
           // ref DataGenTableSourceFactory: deterministic generator (md5-based,
           // not RNG) so results are reproducible and oracle-checkable
@@ -191,10 +256,20 @@ final class EngineEnv(val spark: SparkSession) {
     case insertRe(mode, name, query) =>
       val spec = catalog.getOrElse(keyOf(name),
         throw new IllegalArgumentException(s"unknown sink table '$name'"))
-      val df = sqlQuery(query)
-      df.write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+      // computed columns are virtual — never persisted (drop if selected)
+      val df = spec.computedCols.foldLeft(sqlQuery(query)) { case (d, (n, _)) =>
+        if (d.columns.contains(n)) d.drop(n) else d
+      }
+      // PARTITIONED BY → dynamic-partition layout; cluster on the partition
+      // key first, else tasks × partitions small-files (ref
+      // FileSystemTableSink's grouped dynamic partition writer)
+      val writer =
+        if (spec.partitions.nonEmpty)
+          df.repartition(spec.partitions.map(col): _*).write.partitionBy(spec.partitions: _*)
+        else df.write
+      writer.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
         .format(spec.format).save(spec.path)
-      read(spec.path, spec.format).createOrReplaceTempView(viewOf(name))
+      register(name, spec) // refresh the view (re-derives computed columns)
       spark.emptyDataFrame
     case createViewRe(name, query) =>
       sqlQuery(query).createOrReplaceTempView(viewOf(name))
@@ -322,8 +397,9 @@ final class EngineEnv(val spark: SparkSession) {
   def fromStream(name: String): DataFrame = {
     val spec = catalog(keyOf(name))
     val schema = read(spec.path, spec.format).schema
-    val base = spark.readStream.schema(schema).format(spec.format)
-      .load(graft.streaming.StreamOps.fileAsDir(spec.path))
+    val base = applyComputed(
+      spark.readStream.schema(schema).format(spec.format)
+        .load(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
     (spec.watermarkCol, spec.watermarkDelay) match {
       // Spark watermarks require TIMESTAMP (session-tz instant); parquet
       // naive timestamps arrive as TIMESTAMP_NTZ → cast (session is UTC,

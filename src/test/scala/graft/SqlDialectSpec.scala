@@ -187,6 +187,48 @@ class SqlDialectSpec extends SparkTestBase {
     assert(e.watermarkOf("ddl_paren").contains(("ts", "5 seconds")))
   }
 
+  test("computed columns derive on read (commas in the expr parse); constraints accepted") {
+    val s = spark
+    import s.implicits._
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE ddl_computed (
+        o_orderkey BIGINT,
+        o_totalprice DOUBLE,
+        price_band AS SUBSTR(CAST(o_totalprice AS STRING), 1, 2),
+        cents AS CAST(FLOOR(o_totalprice * 100.0) AS BIGINT),
+        PRIMARY KEY (o_orderkey) NOT ENFORCED
+      ) WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    val row = e.sqlQuery(
+      "SELECT o_totalprice, price_band, cents FROM ddl_computed ORDER BY o_orderkey LIMIT 1")
+      .as[(Double, String, Long)].head()
+    assert(row._2 == row._1.toString.take(2) && row._3 == math.floor(row._1 * 100).toLong)
+  }
+
+  test("PARTITIONED BY: INSERT writes k=v partition dirs; read-back sees all partitions") {
+    val s = spark
+    import s.implicits._
+    val e = new EngineEnv(s)
+    val out = graft.streaming.StreamOps.scratchRoot + "/ddl_part_spec"
+    // seed one partition so CREATE can read the path
+    graft.Tables.load(s, sfDir, "orders").filter(col("o_orderstatus") === "F").limit(10)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    e.executeSql(s"""CREATE TABLE ddl_part (o_orderkey BIGINT, o_orderstatus STRING)
+      PARTITIONED BY (o_orderstatus)
+      WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""")
+    e.executeSql(s"""CREATE TABLE ddl_part_src (o_orderkey BIGINT, o_custkey BIGINT,
+        o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING)
+      WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    e.executeSql("""INSERT INTO ddl_part
+      SELECT o_orderkey, o_orderstatus FROM ddl_part_src WHERE o_orderstatus = 'O'""")
+    // physical layout: k=v dirs (the partition-commit/filesystem contract)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("o_orderstatus=F") && dirs.contains("o_orderstatus=O"))
+    val n = e.sqlQuery("SELECT COUNT(*) AS n FROM ddl_part WHERE o_orderstatus = 'O'")
+      .as[Long].head()
+    assert(n > 0)
+  }
+
   test("CREATE TABLE LIKE clones the spec; ALTER TABLE renames and re-points") {
     val s = spark
     val e = new EngineEnv(s)
