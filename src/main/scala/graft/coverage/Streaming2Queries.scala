@@ -413,6 +413,38 @@ object Streaming2Queries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
+  /** Proc-time RANGE over-aggregate — ref
+    * ProcTimeRangeBoundedPrecedingFunction: the frame is the trailing
+    * `bound` of PROC-TIME, per-row stamps. The arrival stamp is staged as
+    * a deterministic per-user dense sequence (the seq-as-proctime
+    * contract), split into two batches preserving per-key stamp order, so
+    * the wall-clock mode is oracle-gatable: stamps are unique per key, so
+    * SQL RANGE over the stamp equals arrival semantics exactly. */
+  val qStreamOverProcRange: Q = Q(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .cast("long").as("seq"))
+      val srcDir = StreamOps.stageBatches(s, s"procrange_${san(dir)}", Seq(
+        ev.filter(col("seq") <= 10), ev.filter(col("seq") > 10)))
+      val stream = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamOps.runToMemory(
+          s, StreamOps.procTimeOverAgg(s, stream, "range", 3L), OutputMode.Update())
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT user_id, event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS vc,
+                          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+                   FROM events)
+      SELECT user_id, event_id,
+             CAST(SUM(vc) OVER w AS BIGINT) AS agg_sum, COUNT(*) OVER w AS agg_n
+      FROM ord
+      WINDOW w AS (PARTITION BY user_id ORDER BY seq
+                   RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   /** Row-time RANGE UNBOUNDED over-aggregate (ties share a frame;
     * accumulator + newest tie group only in state) — ref
     * RowTimeRangeUnboundedPrecedingFunction. */
@@ -646,6 +678,7 @@ object Streaming2Queries {
     "q_stream_over_rows_bounded" -> qStreamOverRowsBounded,
     "q_stream_over_proc_rows" -> qStreamOverProcRows,
     "q_stream_over_proc_unbounded" -> qStreamOverProcUnbounded,
+    "q_stream_over_proc_range" -> qStreamOverProcRange,
     "q_stream_over_range_unbounded" -> qStreamOverRangeUnbounded,
     "q_stream_cep_timeout" -> qStreamCepTimeout,
     "q_stream_late_main" -> qStreamLateMain,

@@ -527,21 +527,22 @@ object StreamOps {
   /** PROCESSING-time over-aggregate family — ref ProcTimeRowsBounded
     * PrecedingFunction / ProcTimeUnboundedPrecedingFunction /
     * ProcTimeRangeBoundedPrecedingFunction: frames follow ARRIVAL order,
-    * not event time. The reference stamps proc-time at operator entry; here
-    * the `seq` column IS that stamp (assigned at ingestion — deterministic
-    * in tests, a wall-clock stamp in production), so rows/unbounded modes
-    * replay exactly and are oracle-gated.
+    * not event time. The reference stamps proc-time per row at operator
+    * entry; here the `seq` column IS that stamp (assigned at ingestion —
+    * a wall-clock ms stamp in production, a deterministic staged column in
+    * tests/oracles), so ALL THREE modes replay exactly and are
+    * oracle-gated.
     *
     *  - mode="unbounded": running (n, sum) accumulator — O(1) state per
     *    key, the whole point of the proc-time unbounded variant.
     *  - mode="rows": trailing `bound` rows by seq; state keeps only the
     *    `bound`−1 newest (seq, v) pairs.
-    *  - mode="range": rows stamped with `nowMs()` AT ARRIVAL (per batch);
-    *    frame/eviction = stamps within [now − bound, now]. Wall-clock
-    *    dependent → spec-gated with an injected clock, never oracle-gated.
+    *  - mode="range": frame/eviction = rows whose stamp lies within
+    *    [seq − bound, seq] of the CURRENT row's stamp — per-row stamps,
+    *    exactly the reference's registered proc-time; a later row never
+    *    joins an earlier frame (arrival semantics).
     */
-  def procTimeOverAgg(s: SparkSession, events: DataFrame, mode: String, bound: Long,
-                      nowMs: () => Long = System.currentTimeMillis _): DataFrame = {
+  def procTimeOverAgg(s: SparkSession, events: DataFrame, mode: String, bound: Long): DataFrame = {
     import s.implicits._
     require(Set("unbounded", "rows", "range")(mode), s"bad mode $mode")
     events
@@ -552,7 +553,6 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[POverState]) => {
           var st = state.getOption.getOrElse(POverState(Nil, 0L, 0L))
-          val stamp = if (mode == "range") nowMs() else 0L
           // arrival order == seq order (the proc-time stamp); ties by id
           val out = it.toIndexedSeq.sortBy(e => (e._3, e._2)).map { case (_, id, seq, v) =>
             mode match {
@@ -564,7 +564,7 @@ object StreamOps {
                 st = POverState(frame.take(bound.toInt - 1), 0L, 0L)
                 POverOut(key, id, frame.map(_._2).sum, frame.size.toLong)
               case "range" =>
-                val frame = ((stamp, v) :: st.ring).filter(_._1 >= stamp - bound)
+                val frame = ((seq, v) :: st.ring).filter(_._1 >= seq - bound)
                 st = POverState(frame, 0L, 0L)
                 POverOut(key, id, frame.map(_._2).sum, frame.size.toLong)
             }

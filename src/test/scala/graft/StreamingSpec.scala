@@ -676,22 +676,19 @@ class StreamingSpec extends SparkTestBase {
       Seq((1L, 100L, 1L), (2L, 300L, 2L), (3L, 600L, 3L), (4L, 900L, 3L)))
   }
 
-  test("procTimeOverAgg range: wall-clock eviction via injected clock") {
+  test("procTimeOverAgg range: per-row proc-time stamps evict across batches") {
     val s = spark
     import s.implicits._
     implicit val sc = s.sqlContext
-    val in = MemoryStream[Raw]
-    val src = toEvents(in.toDF()).withColumn("seq", col("event_id"))
-    FakeClock.now = 1000L
-    val q = StreamOps.procTimeOverAgg(s, src, "range", 500L, () => FakeClock.now)
+    val in = MemoryStream[(Long, Long, Double, Long)] // user, id, value, arrival stamp (ms)
+    val src = in.toDF().toDF("user_id", "event_id", "value", "seq")
+    val q = StreamOps.procTimeOverAgg(s, src, "range", 500L)
       .writeStream.format("memory").queryName("procrange_t").outputMode("update").start()
-    in.addData(Raw(1, 1, "c", 0, 1.0))
+    in.addData((1L, 1L, 1.0, 1000L))
     q.processAllAvailable()
-    FakeClock.now = 1400L // first row's stamp (1000) still inside [900, 1400]
-    in.addData(Raw(1, 2, "c", 1, 2.0))
+    in.addData((1L, 2L, 2.0, 1400L)) // first row's stamp (1000) inside [900, 1400]
     q.processAllAvailable()
-    FakeClock.now = 2000L // both prior stamps fall outside [1500, 2000] — evicted
-    in.addData(Raw(1, 3, "c", 2, 3.0))
+    in.addData((1L, 3L, 3.0, 2000L)) // both prior stamps outside [1500, 2000] — evicted
     q.processAllAvailable()
     val rows = s.table("procrange_t").as[(Long, Long, Long, Long)].collect().sortBy(_._2)
     q.stop()
