@@ -38,13 +38,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamJoin {
 
-  case class JoinState(lefts: List[Long], rights: List[Long])
+  /** Buffers are COUNT-MAPS (id → multiplicity), the reference's
+    * JoinRecordStateView#withCount layout: retraction is O(1) instead of
+    * an O(n) list scan, and state stores each duplicate row once. */
+  case class JoinState(lefts: Map[Long, Int], rights: Map[Long, Int])
   case class JoinOut(row_kind: String, key: Long, l_id: Option[Long], r_id: Option[Long])
 
-  private def removeOne(xs: List[Long], x: Long): List[Long] = {
-    val i = xs.indexOf(x)
-    if (i < 0) xs else xs.patch(i, Nil, 1)
+  private def addOne(m: Map[Long, Int], x: Long): Map[Long, Int] =
+    m.updated(x, m.getOrElse(x, 0) + 1)
+  private def removeOne(m: Map[Long, Int], x: Long): Map[Long, Int] = m.get(x) match {
+    case Some(1) => m.removed(x)
+    case Some(n) => m.updated(x, n - 1)
+    case None => m // retraction of an unbuffered row: no-op (ref tolerates)
   }
+  /** Deterministic emission order: ascending id, expanded by multiplicity. */
+  private def each(m: Map[Long, Int])(f: Long => Unit): Unit =
+    m.toSeq.sortBy(_._1).foreach { case (id, n) => (0 until n).foreach(_ => f(id)) }
 
   /** @param ttlMicros idle-state retention in EVENT-time µs (the
     *        `table.exec.state.ttl` analog — ref
@@ -78,7 +87,7 @@ object StreamJoin {
           if (ttlMicros > 0 && state.hasTimedOut) { // idle-state cleanup timer
             state.remove(); Iterator.empty
           } else {
-          var st = state.getOption.getOrElse(JoinState(Nil, Nil))
+          var st = state.getOption.getOrElse(JoinState(Map.empty, Map.empty))
           val out = scala.collection.mutable.ListBuffer[JoinOut]()
           def emit(k: String, l: Option[Long], r: Option[Long]): Unit =
             out += JoinOut(k, key, l, r)
@@ -87,47 +96,47 @@ object StreamJoin {
             (kind, side) match {
               case ("+I", 0) =>
                 joinType match {
-                  case "inner" => st.rights.foreach(r => emit("+I", Some(id), Some(r)))
+                  case "inner" => each(st.rights)(r => emit("+I", Some(id), Some(r)))
                   case "left_outer" =>
                     if (st.rights.isEmpty) emit("+I", Some(id), None)
-                    else st.rights.foreach(r => emit("+I", Some(id), Some(r)))
+                    else each(st.rights)(r => emit("+I", Some(id), Some(r)))
                   case "semi" => if (st.rights.nonEmpty) emit("+I", Some(id), None)
                   case "anti" => if (st.rights.isEmpty) emit("+I", Some(id), None)
                 }
-                st = st.copy(lefts = st.lefts :+ id)
+                st = st.copy(lefts = addOne(st.lefts, id))
               case ("+I", 1) =>
                 joinType match {
-                  case "inner" => st.lefts.foreach(l => emit("+I", Some(l), Some(id)))
+                  case "inner" => each(st.lefts)(l => emit("+I", Some(l), Some(id)))
                   case "left_outer" =>
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
-                    st.lefts.foreach(l => emit("+I", Some(l), Some(id)))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("-D", Some(l), None))
+                    each(st.lefts)(l => emit("+I", Some(l), Some(id)))
                   case "semi" =>
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("+I", Some(l), None))
                   case "anti" =>
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("-D", Some(l), None))
                 }
-                st = st.copy(rights = st.rights :+ id)
+                st = st.copy(rights = addOne(st.rights, id))
               case ("-D", 0) =>
                 st = st.copy(lefts = removeOne(st.lefts, id))
                 joinType match {
-                  case "inner" => st.rights.foreach(r => emit("-D", Some(id), Some(r)))
+                  case "inner" => each(st.rights)(r => emit("-D", Some(id), Some(r)))
                   case "left_outer" =>
                     if (st.rights.isEmpty) emit("-D", Some(id), None)
-                    else st.rights.foreach(r => emit("-D", Some(id), Some(r)))
+                    else each(st.rights)(r => emit("-D", Some(id), Some(r)))
                   case "semi" => if (st.rights.nonEmpty) emit("-D", Some(id), None)
                   case "anti" => if (st.rights.isEmpty) emit("-D", Some(id), None)
                 }
               case ("-D", 1) =>
                 st = st.copy(rights = removeOne(st.rights, id))
                 joinType match {
-                  case "inner" => st.lefts.foreach(l => emit("-D", Some(l), Some(id)))
+                  case "inner" => each(st.lefts)(l => emit("-D", Some(l), Some(id)))
                   case "left_outer" =>
-                    st.lefts.foreach(l => emit("-D", Some(l), Some(id)))
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                    each(st.lefts)(l => emit("-D", Some(l), Some(id)))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("+I", Some(l), None))
                   case "semi" =>
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("-D", Some(l), None))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("-D", Some(l), None))
                   case "anti" =>
-                    if (st.rights.isEmpty) st.lefts.foreach(l => emit("+I", Some(l), None))
+                    if (st.rights.isEmpty) each(st.lefts)(l => emit("+I", Some(l), None))
                 }
               case other => throw new IllegalArgumentException(s"bad changelog row $other")
             }

@@ -194,4 +194,20 @@ class PlanSpec extends SparkTestBase {
     // construction and that is the CORRECT plan (never a row-level cartesian)
     assert("HashAggregate".r.findAllIn(p).size >= 8)
   }
+
+  test("inventory family: dims broadcast onto the derived stock relation, no cartesian") {
+    Seq("q_ds_inv_before_after", "q_ds_inv_daterange_in", "q_ds_inv_date_offset").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: part/supplier dims must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the date-band/offset residual must ride the keyed equi-join")
+    }
+  }
+
+  test("CDC parsing is one generator over a map-only stage — no join, no shuffle before it") {
+    val p = plan("q_cdc_debezium")
+    assert(p.contains("Generate"), "explode of the variant array must be a Generate")
+    assert(!p.contains("CartesianProduct") && !"SortMergeJoin".r.findFirstIn(p).isDefined,
+      "wire-format parsing must stay map-side")
+  }
 }
