@@ -172,10 +172,43 @@ object InventoryQueries {
         AND i.inv_qty < CAST(FLOOR(l.l_quantity) AS BIGINT)
       GROUP BY p.p_brand ORDER BY p.p_brand"""))
 
+  /** TPC-DS q83 native shape: three per-part RETURN counts over three
+    * date windows all anchored on one SHARED scalar date subquery (the
+    * d_week_seq-sharing mechanic), inner-joined three ways — parts
+    * returned in all three windows, with the combined total. Returns are
+    * the fixture's l_returnflag = 'R' rows. */
+  val qDsReturnsSharedDates: Q = Q(
+    run = (s, dir) => {
+      val rets = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("p"), col("l_shipdate").cast("date").as("d"))
+      // the shared scalar anchor (one-row broadcast, never a re-scan per leg)
+      val anchor = broadcast(rets.agg(date_sub(max(col("d")), 400).as("a")))
+      def win(lo: Int, hi: Int, cnt: String) = rets.crossJoin(anchor)
+        .filter(col("d").between(date_add(col("a"), lo), date_add(col("a"), hi)))
+        .groupBy(col("p")).agg(count(lit(1)).as(cnt))
+      win(0, 60, "n1")
+        .join(win(61, 120, "n2").withColumnRenamed("p", "p2"), col("p") === col("p2"))
+        .join(win(121, 180, "n3").withColumnRenamed("p", "p3"), col("p") === col("p3"))
+        .select(col("p").as("partkey"), col("n1"), col("n2"), col("n3"),
+                (col("n1") + col("n2") + col("n3")).cast("long").as("total"))
+        .orderBy(col("partkey"))
+    },
+    oracle = Some("""
+      WITH rets AS (SELECT l.l_partkey AS p, CAST(l.l_shipdate AS DATE) AS d
+                    FROM lineitem l WHERE l.l_returnflag = 'R'),
+      anchor AS (SELECT max(d) - 400 AS a FROM rets),
+      w1 AS (SELECT p, COUNT(*) AS n1 FROM rets, anchor WHERE d BETWEEN a AND a + 60 GROUP BY p),
+      w2 AS (SELECT p, COUNT(*) AS n2 FROM rets, anchor WHERE d BETWEEN a + 61 AND a + 120 GROUP BY p),
+      w3 AS (SELECT p, COUNT(*) AS n3 FROM rets, anchor WHERE d BETWEEN a + 121 AND a + 180 GROUP BY p)
+      SELECT w1.p AS partkey, n1, n2, n3, CAST(n1 + n2 + n3 AS BIGINT) AS total
+      FROM w1 JOIN w2 ON w2.p = w1.p JOIN w3 ON w3.p = w1.p
+      ORDER BY partkey"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_inv_before_after" -> qDsInvBeforeAfter,
     "q_ds_inv_rollup" -> qDsInvRollup,
     "q_ds_inv_daterange_in" -> qDsInvDaterangeIn,
     "q_ds_inv_date_offset" -> qDsInvDateOffset,
+    "q_ds_returns_shared_dates" -> qDsReturnsSharedDates,
   )
 }
