@@ -65,8 +65,35 @@ object Pipeline5Queries {
              CAST(SUM(${oHash("text")} % 1000003) AS BIGINT) AS content_fp
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** Adjacent token-pair statistics — the counting kernel of BPE-style
+    * vocabulary induction (merge candidates = most frequent adjacent
+    * pairs): per document, zip the token sequence with its own tail, then
+    * one global hash-agg; top-100 by (count, pair). Map-side explode +
+    * partial agg — the same one-shuffle shape at 100 TB, where this runs
+    * per merge round over the whole corpus. Tokenization contract shared
+    * with q_pipe_tokens (split on single space). */
+  val qPipeBigramStats: Q = Q(
+    run = (s, dir) => {
+      docs(s, dir)
+        .select(explode(zip_with(
+          expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+          expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(100)
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      pairs AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i + 1])) AS pair
+                FROM toks)
+      SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 100"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_split" -> qPipeSplit,
     "q_pipe_shards" -> qPipeShards,
+    "q_pipe_bigram_stats" -> qPipeBigramStats,
   )
 }

@@ -137,4 +137,32 @@ class CepSpec extends SparkTestBase {
     val all = Cep.matchesAll(evs.toIndexedSeq, p).toList
     assert(all.map(_.nEvents).sorted == List(3, 3, 4))
   }
+
+  test("reluctant quantifier stops at the first viable continuation (greedy at the last)") {
+    // click view purchase view purchase — B*? C ends at the FIRST purchase,
+    // B* C at the LAST (ref Quantifier.java greedy/lazy)
+    val evs = Seq(ev(1, "click", 0), ev(2, "view", 1), ev(3, "purchase", 2),
+                  ev(4, "view", 3), ev(5, "purchase", 4))
+    def p(greedy: Boolean) = Pattern(IndexedSeq(
+      click,
+      Step((_: Ev) => true, minTimes = 0, maxTimes = Int.MaxValue, greedy = greedy),
+      purchase))
+    assert(run(evs, p(greedy = false)).map(_.endId).headOption.contains(3L))
+    assert(run(evs, p(greedy = true)).map(_.endId).headOption.contains(5L))
+  }
+
+  test("group step (GroupPattern): the sub-sequence is quantified as a unit at the engine level") {
+    import graft.operators.Cep.StepG
+    // lo hi lo hi lo: (A B)+ anchored at 0 consumes two pairs; varIds are global
+    val evs = IndexedSeq(ev(1, "lo", 0), ev(2, "hi", 1), ev(3, "lo", 2), ev(4, "hi", 3), ev(5, "lo", 4))
+    val sub = IndexedSeq(
+      StepG[Ev]((e, _) => e.eventType == "lo", varId = 0),
+      StepG[Ev]((e, _) => e.eventType == "hi", varId = 1))
+    val steps = IndexedSeq(StepG.groupOf(sub, minTimes = 1, maxTimes = Int.MaxValue))
+    val m = Cep.findAt(evs, 0, steps, Long.MaxValue, (e: Ev) => e.tsMicros)
+    // (varId, evIdx) pairs: two full (A B) iterations, event 5 unconsumed
+    assert(m.contains(List((0, 0), (1, 1), (0, 2), (1, 3))))
+    // anchored at the trailing lo: no hi follows → no match (min 1 group)
+    assert(Cep.findAt(evs, 4, steps, Long.MaxValue, (e: Ev) => e.tsMicros).isEmpty)
+  }
 }
