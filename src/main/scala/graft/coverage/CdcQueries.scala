@@ -170,10 +170,42 @@ object CdcQueries {
       SELECT l.key, l.l_id, r.r_id FROM l JOIN r ON l.key = r.key
       ORDER BY l.key, l_id, r_id"""))
 
+  /** CDC as a SQL-surface FORMAT — the reference's actual exposure:
+    * `CREATE TABLE t (payload cols) WITH ('format'='debezium-json')`
+    * (ref DebeziumJsonFormatFactory registered under flink-json). The
+    * declared physical columns ARE the wire payload schema; the table
+    * reads the line-delimited wire file and presents tagged changelog
+    * rows to plain SQL. Same wire synthesis and oracle as
+    * q_cdc_debezium — the added leg is the DDL surface. */
+  val qCdcSqlSource: Q = Q(
+    run = (s, dir) => {
+      val base = ordersBase(s, dir)
+      val m = col("o_orderkey") % 10
+      val before = struct(col("o_orderkey"), col("o_custkey"), col("cents"))
+      val after = struct(col("o_orderkey"), col("o_custkey"),
+        when(m.isin(6, 7), col("cents") + 100).otherwise(col("cents")).as("cents"))
+      val op = when(m <= 5, "c").when(m.isin(6, 7), "u").when(m === 8, "d").otherwise("r")
+      val wire = graft.streaming.StreamOps.scratchRoot + s"/cdc_wire_${san(dir)}"
+      base.select(to_json(struct(
+          when(op.isin("u", "d"), before).as("before"),
+          when(op.isin("c", "r", "u"), after).as("after"),
+          op.as("op"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(wire)
+      val e = new graft.sql.EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE orders_cdc (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+        WITH ('connector'='filesystem', 'path'='$wire', 'format'='debezium-json')""")
+      e.sqlQuery("""
+        SELECT row_kind, o_orderkey, o_custkey, cents FROM orders_cdc
+        ORDER BY o_orderkey, row_kind""")
+    },
+    oracle = qCdcDebezium.oracle)
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_cdc_debezium" -> qCdcDebezium,
     "q_cdc_canal" -> qCdcCanal,
     "q_cdc_maxwell" -> qCdcMaxwell,
+    "q_cdc_sql_source" -> qCdcSqlSource,
     "q_stream_cdc_join" -> qStreamCdcJoin,
   )
 }

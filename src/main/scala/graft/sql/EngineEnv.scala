@@ -28,7 +28,8 @@ final class EngineEnv(val spark: SparkSession) {
   case class TableSpec(path: String, format: String, watermarkCol: Option[String],
                        watermarkDelay: Option[String],
                        computedCols: Seq[(String, String)] = Nil,
-                       partitions: Seq[String] = Nil)
+                       partitions: Seq[String] = Nil,
+                       physicalCols: Seq[(String, String)] = Nil)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
   private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
   private var currentDb = "default_database"
@@ -85,7 +86,8 @@ final class EngineEnv(val spark: SparkSession) {
     * read), the WATERMARK clause, and PRIMARY KEY/constraints (accepted,
     * NOT ENFORCED — exactly the reference's constraint contract). */
   private case class CreateBody(watermark: Option[(String, String)],
-                                computed: Seq[(String, String)])
+                                computed: Seq[(String, String)],
+                                physical: Seq[(String, String)])
 
   /** Top-level comma split of a column list, balanced-paren + quote aware
     * (a DECIMAL(10,2) type or a ',' inside a computed expression never
@@ -108,11 +110,13 @@ final class EngineEnv(val spark: SparkSession) {
 
   private val computedColRe = """(?is)^(\w+)\s+AS\s+(.+?)\s*$""".r
   private val constraintRe = """(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*""".r
+  private val physColRe = """(?is)^(\w+)\s+([A-Za-z]+(?:\s*\([^)]*\))?).*$""".r
 
   /** Classify each top-level item of the CREATE TABLE column body. */
   private def parseCreateBody(cols: String): CreateBody = {
     var wm: Option[(String, String)] = None
     val computed = scala.collection.mutable.ListBuffer[(String, String)]()
+    val physical = scala.collection.mutable.ListBuffer[(String, String)]()
     splitTopLevel(cols).foreach {
       case item if item.toUpperCase.startsWith("WATERMARK") =>
         wm = watermarkRe.findFirstMatchIn(item)
@@ -120,9 +124,37 @@ final class EngineEnv(val spark: SparkSession) {
           .orElse(throw new IllegalArgumentException(s"unsupported WATERMARK clause '$item'"))
       case constraintRe(_) => // PRIMARY KEY (...) NOT ENFORCED — accepted, not enforced
       case computedColRe(name, expr0) => computed += ((name, expr0))
-      case _ => // physical column `name TYPE [...]` — schema comes from the files
+      // physical column `name TYPE [...]` — file formats take schema from
+      // the files; WIRE formats (CDC) need the declared payload schema
+      case physColRe(name, tpe) => physical += ((name, tpe))
+      case _ =>
     }
-    CreateBody(wm, computed.toSeq)
+    CreateBody(wm, computed.toSeq, physical.toSeq)
+  }
+
+  /** Declared physical schema → Spark StructType (Flink DDL types
+    * normalized: TIMESTAMP(n) → TIMESTAMP). */
+  private def declaredStruct(spec: TableSpec): org.apache.spark.sql.types.StructType = {
+    require(spec.physicalCols.nonEmpty,
+      s"format '${spec.format}' needs declared physical columns (the wire payload schema)")
+    val ddl = spec.physicalCols.map { case (n, t) =>
+      s"$n ${t.trim.replaceAll("(?i)TIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")}"
+    }.mkString(", ")
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+  }
+
+  private val cdcFormats = Set("debezium-json", "canal-json", "maxwell-json")
+
+  /** CDC wire formats read line-delimited JSON and parse to the tagged
+    * changelog (ref flink-formats/flink-json debezium/canal/maxwell
+    * deserialization schemas — see [[graft.sources.CdcFormats]]). */
+  private def readCdc(df: DataFrame, spec: TableSpec): DataFrame = {
+    val json = df.withColumnRenamed("value", "_cdc_json")
+    spec.format match {
+      case "debezium-json" => graft.sources.CdcFormats.debezium(json, "_cdc_json", declaredStruct(spec))
+      case "canal-json" => graft.sources.CdcFormats.canal(json, "_cdc_json", declaredStruct(spec))
+      case "maxwell-json" => graft.sources.CdcFormats.maxwell(json, "_cdc_json", declaredStruct(spec))
+    }
   }
 
   /** `[ (cols) ] [ PARTITIONED BY (cols) ] [ WITH (opts) ] [ LIKE base ]`
@@ -205,7 +237,10 @@ final class EngineEnv(val spark: SparkSession) {
     }
 
   private def register(name: String, spec: TableSpec): Unit = {
-    applyComputed(read(spec.path, spec.format), spec).createOrReplaceTempView(viewOf(name))
+    val base =
+      if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec)
+      else read(spec.path, spec.format)
+    applyComputed(base, spec).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
   }
 
@@ -220,7 +255,7 @@ final class EngineEnv(val spark: SparkSession) {
       // semantics — ADVICE r2), not a silent replace
       if (ifNotExists != null && catalog.contains(keyOf(name))) return spark.emptyDataFrame
       val (cols, partitions, opts, like) = parseCreateTail(tail)
-      val body = cols.map(parseCreateBody).getOrElse(CreateBody(None, Nil))
+      val body = cols.map(parseCreateBody).getOrElse(CreateBody(None, Nil, Nil))
       val wm = body.watermark
       (like, opts.get("connector")) match {
         // CREATE TABLE t [WITH (overrides)] LIKE base — SqlCreateTableLike:
@@ -232,11 +267,12 @@ final class EngineEnv(val spark: SparkSession) {
             opts.getOrElse("path", b.path), opts.getOrElse("format", b.format),
             wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay),
             if (body.computed.nonEmpty) body.computed else b.computedCols,
-            if (partitions.nonEmpty) partitions else b.partitions)
+            if (partitions.nonEmpty) partitions else b.partitions,
+            if (body.physical.nonEmpty) body.physical else b.physicalCols)
           register(name, spec)
         case (None, Some("filesystem")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
-            wm.map(_._1), wm.map(_._2), body.computed, partitions))
+            wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical))
         case (None, Some("datagen")) =>
           // ref DataGenTableSourceFactory: deterministic generator (md5-based,
           // not RNG) so results are reproducible and oracle-checkable
@@ -396,10 +432,15 @@ final class EngineEnv(val spark: SparkSession) {
     * watermark applied. */
   def fromStream(name: String): DataFrame = {
     val spec = catalog(keyOf(name))
-    val schema = read(spec.path, spec.format).schema
-    val base = applyComputed(
-      spark.readStream.schema(schema).format(spec.format)
-        .load(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
+    val base0 =
+      if (cdcFormats(spec.format))
+        readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
+      else {
+        val schema = read(spec.path, spec.format).schema
+        spark.readStream.schema(schema).format(spec.format)
+          .load(graft.streaming.StreamOps.fileAsDir(spec.path))
+      }
+    val base = applyComputed(base0, spec)
     (spec.watermarkCol, spec.watermarkDelay) match {
       // Spark watermarks require TIMESTAMP (session-tz instant); parquet
       // naive timestamps arrive as TIMESTAMP_NTZ → cast (session is UTC,

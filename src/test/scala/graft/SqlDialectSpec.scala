@@ -229,6 +229,31 @@ class SqlDialectSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("debezium-json as a DDL format: declared payload schema parses the wire file, batch + stream") {
+    val s = spark
+    import s.implicits._
+    val e = new EngineEnv(s)
+    val wire = graft.streaming.StreamOps.scratchRoot + "/cdc_ddl_spec"
+    Seq(
+      """{"after":{"k":1,"v":10},"op":"c"}""",
+      """{"before":{"k":1,"v":10},"after":{"k":1,"v":20},"op":"u"}""",
+      """{"before":{"k":1,"v":20},"op":"d"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(wire)
+    e.executeSql(s"""CREATE TABLE cdc_ddl (k BIGINT, v BIGINT)
+      WITH ('connector'='filesystem', 'path'='$wire', 'format'='debezium-json')""")
+    val batch = e.sqlQuery("SELECT row_kind, k, v FROM cdc_ddl ORDER BY v, row_kind")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch == Seq(("+I", 1L, 10L), ("-U", 1L, 10L), ("+U", 1L, 20L), ("-D", 1L, 20L)))
+    // the same table as a STREAM presents the identical changelog
+    val q = e.fromStream("cdc_ddl")
+      .writeStream.format("memory").queryName("cdc_ddl_t").outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = s.table("cdc_ddl_t").select(col("row_kind"), col("k"), col("v"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(r => (r._3, r._1))
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("CREATE TABLE LIKE clones the spec; ALTER TABLE renames and re-points") {
     val s = spark
     val e = new EngineEnv(s)
