@@ -86,6 +86,21 @@ object CdcFormats {
     finish(withEnv, jsonCol, payload, variants)
   }
 
+  /** The SERIALIZATION side — ref DebeziumJsonSerializationSchema
+    * .java: each changelog row encodes independently with the reference's
+    * documented lossy mapping (+I/+U → op "c" with `after`; -U/-D → op
+    * "d" with `before`), so a -U/+U update pair becomes a delete+create
+    * message pair whose net effect is identical. Input: `row_kind` +
+    * payload columns; output: one `value` JSON-string column (the wire
+    * file a filesystem/Kafka sink would write). */
+  def toDebezium(df: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    df.select(to_json(struct(
+      when(col("row_kind").isin("-U", "-D"), payload).as("before"),
+      when(col("row_kind").isin("+I", "+U"), payload).as("after"),
+      when(col("row_kind").isin("+I", "+U"), "c").otherwise("d").as("op"))).as("value"))
+  }
+
   /** maxwell-json: `{"data":{...},"old":{...}|null,"type":"insert|update|delete"}`
     * — single-row messages; `old` holds the changed fields' previous
     * values (ref MaxwellJsonDeserializationSchema). */
