@@ -39,7 +39,12 @@ object StreamingQueries {
     * (user, 10-min window); the "CoGroupFunction" summarizes both side
     * buffers — and windows where one side is EMPTY still emit (n=0, null
     * min), which the window join (q_window_join) by construction cannot
-    * produce. Oracle = the per-window FULL OUTER of the two sides. */
+    * produce. APPEND mode: windows emit once finalized under the
+    * watermark and their buffers are EVICTED from state (the reference
+    * fires-and-purges the same way — state stays bounded by the open
+    * window horizon, never all history). Oracle = the per-window FULL
+    * OUTER of the two sides, restricted to watermark-finalized windows
+    * (window end ≤ max event time − the 0 s delay). */
   val qStreamWindowCogroup: Q = Q(
     run = (s, dir) => {
       val src = StreamOps.readTable(s, dir, "events")
@@ -53,19 +58,22 @@ object StreamingQueries {
                 size(col("rights")).cast("long").as("n_purchase"),
                 array_min(col("lefts")).as("min_click"),
                 array_min(col("rights")).as("min_purchase"))
-      StreamOps.runToMemory(s, cg, OutputMode.Complete()).orderBy(col("key"), col("ws"))
+      StreamOps.runToMemory(s, cg, OutputMode.Append()).orderBy(col("key"), col("ws"))
     },
     oracle = Some("""
-      WITH l AS (SELECT user_id AS key, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+      WITH src AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+           wm AS (SELECT max(ts) AS w FROM src),
+           l AS (SELECT user_id AS key, time_bucket(INTERVAL '10 minutes', ts) AS ws,
                         COUNT(*) AS n_click, MIN(event_id) AS min_click
-                 FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+                 FROM src WHERE event_type = 'click' GROUP BY 1, 2),
            r AS (SELECT user_id AS key, time_bucket(INTERVAL '10 minutes', ts) AS ws,
                         COUNT(*) AS n_purchase, MIN(event_id) AS min_purchase
-                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+                 FROM src WHERE event_type = 'purchase' GROUP BY 1, 2)
       SELECT COALESCE(l.key, r.key) AS key, COALESCE(l.ws, r.ws) AS ws,
              COALESCE(n_click, 0) AS n_click, COALESCE(n_purchase, 0) AS n_purchase,
              min_click, min_purchase
       FROM l FULL JOIN r ON l.key = r.key AND l.ws = r.ws
+      WHERE COALESCE(l.ws, r.ws) + INTERVAL '10 minutes' <= (SELECT w FROM wm)
       ORDER BY key, ws"""))
 
   /** Streaming dedup (keep-first per key) — ref deduplicate/
