@@ -124,6 +124,24 @@ final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {
     val g2 = s2.ds.groupByKey(k2)
     new DStream(g1.cogroup(g2)((k: K, it1: Iterator[T1], it2: Iterator[T2]) => f(k, it1, it2).iterator))
   }
+
+  /** WINDOWED coGroup — ref CoGroupedStreams.java:134, the
+    * `a.coGroup(b).where(k1).equalTo(k2).window(Tumbling…).apply(fn)`
+    * chain: both sides bucket into epoch-aligned tumbling windows and the
+    * CoGroupFunction receives BOTH buffers per (key, window) — including
+    * windows where one side is empty, which the window JOIN cannot
+    * express. One shuffle per side on (key, window); the SQL-layer
+    * equivalent is [[graft.streaming.StreamOps.windowCoGroup]]. */
+  def coGroupWindowed[K, U: Encoder](k1: T1 => K, k2: T2 => K)(
+      ts1: T1 => Long, ts2: T2 => Long, sizeMillis: Long)(
+      f: (K, Long, Iterator[T1], Iterator[T2]) => IterableOnce[U])(
+      implicit ke: Encoder[(K, Long)]): DStream[U] = {
+    def align(ts: Long): Long = ts - math.floorMod(ts, sizeMillis)
+    val g1 = s1.ds.groupByKey(t => (k1(t), align(ts1(t))))
+    val g2 = s2.ds.groupByKey(t => (k2(t), align(ts2(t))))
+    new DStream(g1.cogroup(g2)((kw: (K, Long), it1: Iterator[T1], it2: Iterator[T2]) =>
+      f(kw._1, kw._2, it1, it2).iterator))
+  }
 }
 
 final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {

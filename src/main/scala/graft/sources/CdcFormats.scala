@@ -101,6 +101,25 @@ object CdcFormats {
       when(col("row_kind").isin("+I", "+U"), "c").otherwise("d").as("op"))).as("value"))
   }
 
+  /** canal-json serialization — ref CanalJsonSerializationSchema: each
+    * row encodes as a one-element `data` batch; +I/+U → INSERT,
+    * -U/-D → DELETE (the reference's lossy update-pair mapping). */
+  def toCanal(df: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    df.select(to_json(struct(
+      array(payload).as("data"),
+      when(col("row_kind").isin("+I", "+U"), "INSERT").otherwise("DELETE").as("type"))).as("value"))
+  }
+
+  /** maxwell-json serialization — ref MaxwellJsonSerializationSchema:
+    * single-row `data`; +I/+U → insert, -U/-D → delete. */
+  def toMaxwell(df: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    df.select(to_json(struct(
+      payload.as("data"),
+      when(col("row_kind").isin("+I", "+U"), "insert").otherwise("delete").as("type"))).as("value"))
+  }
+
   /** maxwell-json: `{"data":{...},"old":{...}|null,"type":"insert|update|delete"}`
     * — single-row messages; `old` holds the changed fields' previous
     * values (ref MaxwellJsonDeserializationSchema). */

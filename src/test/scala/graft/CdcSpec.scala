@@ -70,24 +70,28 @@ class CdcSpec extends SparkTestBase {
       ("-D", 1L, 15L, 3L)))
   }
 
-  test("debezium serialize -> parse roundtrip preserves the net changelog state") {
+  test("serialize -> parse roundtrips preserve the net changelog state (all three formats)") {
     val s = spark
     import s.implicits._
     // a full lifecycle: insert, update (as -U/+U), delete, re-insert
     val changelog = Seq(
       ("+I", 1L, 10L), ("-U", 1L, 10L), ("+U", 1L, 20L), ("-D", 1L, 20L),
       ("+I", 2L, 7L)).toDF("row_kind", "k", "v")
-    val wire = CdcFormats.toDebezium(changelog, Seq("k", "v"))
-    // the reference's lossy mapping: -U/+U become d+c — the PARSED stream
-    // differs row-kind-wise but the accumulate/retract NET must match
-    val parsed = CdcFormats.debezium(wire, "value", payload)
     def net(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("k"), col("v"))
       .agg(sum(when(col("row_kind").isin("+I", "+U"), 1).otherwise(-1)).as("n"))
       .filter(col("n") =!= 0)
       .as[(Long, Long, Long)].collect().toSet
-    assert(net(parsed) == net(changelog))
-    assert(net(parsed) == Set((2L, 7L, 1L))) // key 1 fully retracted; key 2 live
+    val expected = net(changelog)
+    assert(expected == Set((2L, 7L, 1L))) // key 1 fully retracted; key 2 live
+    // the reference's lossy mappings turn -U/+U into delete+create pairs —
+    // the PARSED streams differ row-kind-wise but the NET must match
+    assert(net(CdcFormats.debezium(
+      CdcFormats.toDebezium(changelog, Seq("k", "v")), "value", payload)) == expected)
+    assert(net(CdcFormats.canal(
+      CdcFormats.toCanal(changelog, Seq("k", "v")), "value", payload)) == expected)
+    assert(net(CdcFormats.maxwell(
+      CdcFormats.toMaxwell(changelog, Seq("k", "v")), "value", payload)) == expected)
   }
 
   test("parsed maxwell CDC stream drives retractable Top-N across batches") {

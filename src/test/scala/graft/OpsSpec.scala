@@ -168,4 +168,25 @@ class OpsSpec extends SparkTestBase {
     val deg = GraphOps.degrees(edges).as[(Long, Long)].collect().toMap
     assert(deg == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
+
+  test("windowed coGroup on the DataStream facade: both buffers per (key, window), empty sides emit") {
+    val s = spark
+    import s.implicits._
+    val env = new graft.datastream.DataStreamEnv(s)
+    val clicks = env.fromDataset(s.createDataset(Seq( // (key, id, tsMillis)
+      (1L, 100L, 2000L), (1L, 101L, 3000L), (1L, 102L, 13000L))))
+    val buys = env.fromDataset(s.createDataset(Seq(
+      (1L, 900L, 4000L), (1L, 901L, 22000L))))
+    val out = clicks.connect(buys)
+      .coGroupWindowed((c: (Long, Long, Long)) => c._1, (b: (Long, Long, Long)) => b._1)(
+        _._3, _._3, sizeMillis = 10000L) {
+        (k, ws, cs, bs) =>
+          Iterator.single((k, ws, cs.map(_._2).toSeq.sorted, bs.map(_._2).toSeq.sorted))
+      }
+      .collect().toSet
+    assert(out == Set(
+      (1L, 0L, Seq(100L, 101L), Seq(900L)),  // both sides in window [0, 10s)
+      (1L, 10000L, Seq(102L), Seq()),        // right side empty
+      (1L, 20000L, Seq(), Seq(901L))))       // left side empty
+  }
 }
