@@ -201,11 +201,33 @@ object CdcQueries {
     },
     oracle = qCdcDebezium.oracle)
 
+  /** Avro format round-trip — ref flink-formats/flink-avro: write the
+    * nation dim as Avro container files via the Hadoop output format
+    * (distributed, one file per partition — [[graft.sources.AvroFormat]]),
+    * read back with header-discovered schema, aggregate; the oracle
+    * recomputes off the source parquet, so roundtrip equality IS the
+    * codec check (the q_sink_roundtrip_orc/gz pattern). */
+  val qSinkRoundtripAvro: Q = Q(
+    run = (s, dir) => {
+      val out = graft.streaming.StreamOps.scratchRoot + s"/avro_rt_${san(dir)}"
+      graft.sources.AvroFormat.write(
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")), out)
+      graft.sources.AvroFormat.read(s, out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+    oracle = Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_cdc_debezium" -> qCdcDebezium,
     "q_cdc_canal" -> qCdcCanal,
     "q_cdc_maxwell" -> qCdcMaxwell,
     "q_cdc_sql_source" -> qCdcSqlSource,
     "q_stream_cdc_join" -> qStreamCdcJoin,
+    "q_sink_roundtrip_avro" -> qSinkRoundtripAvro,
   )
 }

@@ -299,12 +299,20 @@ final class EngineEnv(val spark: SparkSession) {
       // PARTITIONED BY → dynamic-partition layout; cluster on the partition
       // key first, else tasks × partitions small-files (ref
       // FileSystemTableSink's grouped dynamic partition writer)
-      val writer =
-        if (spec.partitions.nonEmpty)
-          df.repartition(spec.partitions.map(col): _*).write.partitionBy(spec.partitions: _*)
-        else df.write
-      writer.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
-        .format(spec.format).save(spec.path)
+      if (spec.format == "avro") {
+        // the Hadoop output format cannot append in place — INSERT
+        // OVERWRITE only (AvroFormat.write clears the target itself)
+        require(mode.equalsIgnoreCase("OVERWRITE"),
+          "avro tables support INSERT OVERWRITE only (Hadoop output format)")
+        graft.sources.AvroFormat.write(df, spec.path)
+      } else {
+        val writer =
+          if (spec.partitions.nonEmpty)
+            df.repartition(spec.partitions.map(col): _*).write.partitionBy(spec.partitions: _*)
+          else df.write
+        writer.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+          .format(spec.format).save(spec.path)
+      }
       register(name, spec) // refresh the view (re-derives computed columns)
       spark.emptyDataFrame
     case createViewRe(name, query) =>
@@ -458,6 +466,9 @@ final class EngineEnv(val spark: SparkSession) {
     fmt match {
       case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" => spark.read.json(path)
+      // no spark-avro DataSource in the container — the Hadoop-format
+      // implementation covers batch reads (ref flink-formats/flink-avro)
+      case "avro" => graft.sources.AvroFormat.read(spark, path)
       case _ => spark.read.format(fmt).load(path)
     }
   }

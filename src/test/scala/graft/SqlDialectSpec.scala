@@ -254,6 +254,24 @@ class SqlDialectSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("avro as a DDL format: INSERT OVERWRITE writes container files, SELECT reads them back") {
+    val s = spark
+    import s.implicits._
+    val e = new EngineEnv(s)
+    val out = graft.streaming.StreamOps.scratchRoot + "/avro_ddl_spec"
+    // seed the path so CREATE can discover the schema (write clears it)
+    graft.sources.AvroFormat.write(Seq((1L, "seed")).toDF("k", "name"), out)
+    e.executeSql(s"""CREATE TABLE av_t (k BIGINT, name STRING)
+      WITH ('connector'='filesystem', 'path'='$out', 'format'='avro')""")
+    e.executeSql(s"""CREATE TABLE nation_src (n_nationkey BIGINT, n_name STRING)
+      WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    e.executeSql("""INSERT OVERWRITE av_t
+      SELECT n_nationkey AS k, n_name AS name FROM nation_src WHERE n_nationkey < 5""")
+    val back = e.sqlQuery("SELECT k, name FROM av_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(back.size == 5 && back.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("CREATE TABLE LIKE clones the spec; ALTER TABLE renames and re-points") {
     val s = spark
     val e = new EngineEnv(s)
