@@ -204,11 +204,52 @@ object InventoryQueries {
       FROM w1 JOIN w2 ON w2.p = w1.p JOIN w3 ON w3.p = w1.p
       ORDER BY partkey"""))
 
+  /** TPC-DS q75 native shape: per-channel sales NET OF RETURNS unioned
+    * (channels = the two linestatus pipelines, returns as negative
+    * movements), rolled to (brand, year), self-joined year-over-year and
+    * filtered to >10% declines — integer cross-multiplied, no float
+    * ratio. */
+  val qDsChannelDecline: Q = Q(
+    run = (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def channel(status: String, name: String) = li.filter(col("l_linestatus") === status)
+        .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"), lit(name).as("channel"),
+          (expr("cast(floor(l_quantity) as bigint)") *
+           when(col("l_returnflag") === "R", -1).otherwise(1)).as("q"))
+      val chan = channel("O", "open").unionByName(channel("F", "filled"))
+      val p = broadcast(Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      val tot = chan.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr"))
+        .agg(sum(col("q")).cast("long").as("net"))
+      val prev = tot.select(col("p_brand").as("pb"), col("yr").as("pyr"), col("net").as("prev_net"))
+      tot.join(prev, col("p_brand") === col("pb") && col("pyr") === col("yr") - 1)
+        .filter(col("net") * 10 < col("prev_net") * 9)
+        .select(col("p_brand"), col("pyr").as("prev_yr"), col("yr").as("cur_yr"),
+                col("prev_net"), col("net").as("cur_net"))
+        .orderBy(col("p_brand"), col("cur_yr"))
+    },
+    oracle = Some("""
+      WITH chan AS (
+        SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr, 'open' AS channel,
+               CAST(FLOOR(l_quantity) AS BIGINT) * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS q
+        FROM lineitem WHERE l_linestatus = 'O'
+        UNION ALL
+        SELECT l_partkey, EXTRACT(year FROM l_shipdate), 'filled',
+               CAST(FLOOR(l_quantity) AS BIGINT) * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END)
+        FROM lineitem WHERE l_linestatus = 'F'),
+      tot AS (SELECT p.p_brand, c.yr, CAST(SUM(c.q) AS BIGINT) AS net
+              FROM chan c JOIN part p ON p.p_partkey = c.l_partkey GROUP BY 1, 2)
+      SELECT c.p_brand, prev.yr AS prev_yr, c.yr AS cur_yr, prev.net AS prev_net, c.net AS cur_net
+      FROM tot c JOIN tot prev ON prev.p_brand = c.p_brand AND prev.yr = c.yr - 1
+      WHERE c.net * 10 < prev.net * 9
+      ORDER BY c.p_brand, cur_yr"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_ds_inv_before_after" -> qDsInvBeforeAfter,
     "q_ds_inv_rollup" -> qDsInvRollup,
     "q_ds_inv_daterange_in" -> qDsInvDaterangeIn,
     "q_ds_inv_date_offset" -> qDsInvDateOffset,
     "q_ds_returns_shared_dates" -> qDsReturnsSharedDates,
+    "q_ds_channel_decline" -> qDsChannelDecline,
   )
 }
