@@ -94,18 +94,34 @@ object Cep {
 
   private def effVarId[E](st: StepG[E], si: Int): Int = if (st.varId >= 0) st.varId else si
 
-  /** First leaf predicate of a step sequence (descends one group level) —
-    * the anchor test. */
-  private def headLeaf[E](steps: IndexedSeq[StepG[E]]): StepG[E] =
-    steps.head.group.map(_.head).getOrElse(steps.head)
+  /** The leaf predicate the anchor event MUST satisfy, when statically
+    * known: descend through group heads recursively while every head on the
+    * way is mandatory (minTimes > 0). A min-0 head anywhere makes the
+    * anchoring leaf ambiguous — e.g. PATTERN ((A B)* C) anchors on A *or*
+    * C — so no sound prefilter exists and the anchored-result check in
+    * [[findAt]] is the only gate (the reference NFA has no prefilter at
+    * all; ours is purely a fast-path). */
+  private def anchorLeaf[E](steps: IndexedSeq[StepG[E]]): Option[StepG[E]] = {
+    val h = steps.head
+    if (h.minTimes == 0) None
+    else h.group match {
+      case Some(sub) => anchorLeaf(sub)
+      case None => Some(h)
+    }
+  }
 
   /** Match attempt anchored at `start`. Returns (varId, evIdx) pairs in
     * match order, or None. */
   def findAt[E](evs: IndexedSeq[E], start: Int, steps: IndexedSeq[StepG[E]],
                 withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
-    if (!headLeaf(steps).pred(evs(start), new MatchCtx(evs, Nil))) return None
+    // prefilter only when the anchoring leaf is statically mandatory; a
+    // min-0 head (B*? C / (A B)* C) may legally match zero occurrences
+    // with a LATER step consuming the anchor
+    if (anchorLeaf(steps).exists(l => !l.pred(evs(start), new MatchCtx(evs, Nil)))) return None
     // anchored: the committed match must consume `start` as its first event
-    findFrom(evs, start, steps, ts(evs(start)), withinMicros, ts)
+    // (enforced inside the search — a post-filter alone would let the DFS
+    // commit to a non-anchored first candidate and wrongly report None)
+    findFrom(evs, start, steps, ts(evs(start)), withinMicros, ts, anchorAt = start)
       .filter(_.headOption.exists(_._2 == start))
   }
 
@@ -123,7 +139,8 @@ object Cep {
     * Group steps recurse into the same engine (one call-stack level per
     * NESTING level, never per event). */
   private def findFrom[E](evs: IndexedSeq[E], pos0: Int, steps: IndexedSeq[StepG[E]],
-                          startTs: Long, withinMicros: Long, ts: E => Long): Option[List[(Int, Int)]] = {
+                          startTs: Long, withinMicros: Long, ts: E => Long,
+                          anchorAt: Int = -1): Option[List[(Int, Int)]] = {
     final class Frame(val pos: Int, val si: Int, val cnt: Int,
                       val acc: List[(Int, Int)], var stage: Int)
     val stack = scala.collection.mutable.Stack(new Frame(pos0, 0, 0, Nil, 0))
@@ -131,6 +148,9 @@ object Cep {
       val f = stack.top
       if (f.si == steps.length) return Some(f.acc.reverse)
       val st = steps(f.si)
+      // anchoring: while NOTHING is consumed yet, the first consumed event
+      // must be exactly `anchorAt` — whichever step ends up consuming it
+      val mustAnchor = anchorAt >= 0 && f.acc.isEmpty
       def tryConsume(): Unit = {
         // negative lookahead (notNext on the between-variable gap): the
         // event right after the previous step must not match — ref
@@ -142,7 +162,8 @@ object Cep {
           case Some(sub) =>
             // one more GROUP occurrence = the whole sub-sequence matched
             // from f.pos (first-candidate commit inside, like leaf scans)
-            findFrom(evs, f.pos, sub, startTs, withinMicros, ts) match {
+            findFrom(evs, f.pos, sub, startTs, withinMicros, ts,
+                     if (mustAnchor) anchorAt else -1) match {
               case Some(accSub) if accSub.nonEmpty =>
                 stack.push(new Frame(accSub.last._2 + 1, f.si, f.cnt + 1,
                   accSub.reverse ::: f.acc, 0))
@@ -155,7 +176,8 @@ object Cep {
             // when timestamp - startTimestamp >= windowTime (NFA.java:301) —
             // a match spanning exactly WITHIN is rejected. Long.MaxValue (no
             // window) stays safe: real ts deltas never reach it.
-            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
+            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros &&
+                   !(mustAnchor && p > anchorAt)) {
               // until stop-condition (ref Pattern.until / IterativeCondition
               // stop): once it fires, this quantifier accepts nothing more —
               // the stopping event itself is NOT consumed
@@ -204,13 +226,20 @@ object Cep {
     // (the reference's combinations mode composes with groups only in the
     // full SharedBuffer NFA)
     require(steps.forall(_.group.isEmpty), "followedByAny mode does not support group patterns")
-    if (!steps.head.pred(evs(start), new MatchCtx(evs, Nil))) return Nil
+    val headOk = steps.head.pred(evs(start), new MatchCtx(evs, Nil))
+    if (!headOk && steps.head.minTimes > 0) return Nil
     val startTs = ts(evs(start))
     val results = scala.collection.mutable.ListBuffer[List[(Int, Int)]]()
     final class Frame(val pos: Int, val si: Int, val cnt: Int,
                       val acc: List[(Int, Int)], var stage: Int) { var scan: Int = pos }
+    // mandatory head: seed with `start` consumed as its first occurrence
+    // (the only anchored shape). Min-0 head: a later step may consume the
+    // anchor instead — seed the general search at (step 0, nothing
+    // consumed) and keep only anchored results below.
     val stack = scala.collection.mutable.Stack(
-      new Frame(start + 1, 0, 1, List((0, start)), 0))
+      if (steps.head.minTimes > 0)
+        new Frame(start + 1, 0, 1, List((effVarId(steps.head, 0), start)), 0)
+      else new Frame(start, 0, 0, Nil, 0))
     while (stack.nonEmpty) {
       val f = stack.top
       if (f.si == steps.length) { results += f.acc.reverse; stack.pop() }
@@ -224,7 +253,10 @@ object Cep {
           if (!vetoed && f.cnt < st.maxTimes) {
             var p = f.scan
             var found = -1
-            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros) {
+            // general (min-0 head) seed: while nothing is consumed, only
+            // `start` itself may be the first consumed event
+            while (found < 0 && p < evs.length && ts(evs(p)) - startTs < withinMicros &&
+                   !(f.acc.isEmpty && p > start)) {
               if (st.until.exists(u => u(evs(p), new MatchCtx(evs, f.acc)))) p = evs.length
               else if (st.pred(evs(p), new MatchCtx(evs, f.acc))) found = p
               else if (f.cnt == 0 && st.notBefore.exists(n => n(evs(p), new MatchCtx(evs, f.acc))))
@@ -249,7 +281,9 @@ object Cep {
           stack.pop()
       }
     }
-    results.toList
+    // anchored results only (drops the all-steps-empty Nil match a fully
+    // optional pattern could produce under the general seed)
+    results.toList.filter(_.headOption.exists(_._2 == start))
   }
 
   // ------------------------------------------------- typed events surface
@@ -354,7 +388,7 @@ object Cep {
       .flatMapGroups { (_, it) =>
         val sorted = it.toIndexedSeq.sortBy(e => (e.tsMicros, e.eventId))
         sorted.indices.iterator.flatMap { i =>
-          val anchors = steps.head.pred(sorted(i), new MatchCtx[Ev](sorted, Nil))
+          val anchors = anchorLeaf(steps).forall(_.pred(sorted(i), new MatchCtx[Ev](sorted, Nil)))
           if (anchors && findAt(sorted, i, steps, pattern.withinMicros, (e: Ev) => e.tsMicros).isEmpty)
             Some(TimedOut(sorted(i).userId, sorted(i).eventId, sorted(i).tsMicros,
               if (pattern.withinMicros == Long.MaxValue) Long.MaxValue

@@ -299,7 +299,24 @@ final class EngineEnv(val spark: SparkSession) {
       // PARTITIONED BY → dynamic-partition layout; cluster on the partition
       // key first, else tasks × partitions small-files (ref
       // FileSystemTableSink's grouped dynamic partition writer)
-      if (spec.format == "avro") {
+      if (cdcFormats(spec.format)) {
+        // CDC wire-format sink — ref Debezium/Canal/MaxwellJsonSerialization
+        // Schema via [[graft.sources.CdcFormats.toDebezium]]/toCanal/
+        // toMaxwell: payload = the table's declared columns; a plain
+        // (non-changelog) SELECT is an all-insert changelog (+I per row)
+        val payloadCols = spec.physicalCols.map(_._1)
+        require(payloadCols.nonEmpty,
+          s"CDC-format sink '$name' needs declared physical columns (the wire payload schema)")
+        val tagged =
+          if (df.columns.contains("row_kind")) df else df.withColumn("row_kind", lit("+I"))
+        val wire = spec.format match {
+          case "debezium-json" => graft.sources.CdcFormats.toDebezium(tagged, payloadCols)
+          case "canal-json" => graft.sources.CdcFormats.toCanal(tagged, payloadCols)
+          case "maxwell-json" => graft.sources.CdcFormats.toMaxwell(tagged, payloadCols)
+        }
+        wire.write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+          .text(spec.path)
+      } else if (spec.format == "avro") {
         // the Hadoop output format cannot append in place — INSERT
         // OVERWRITE only (AvroFormat.write clears the target itself)
         require(mode.equalsIgnoreCase("OVERWRITE"),
@@ -443,7 +460,16 @@ final class EngineEnv(val spark: SparkSession) {
     val base0 =
       if (cdcFormats(spec.format))
         readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
-      else {
+      else if (spec.format == "avro") {
+        // no spark-avro streaming DataSource in the container (batch reads
+        // are special-cased to AvroFormat) — stage a one-shot parquet
+        // snapshot and stream that, like the CDC staged-text path
+        val snap = graft.sources.AvroFormat.read(spark, spec.path)
+        val dir = s"${graft.streaming.StreamOps.scratchRoot}/avro_stream/" +
+          spec.path.replaceAll("[^A-Za-z0-9]", "_")
+        snap.write.mode("overwrite").parquet(dir)
+        spark.readStream.schema(snap.schema).parquet(dir)
+      } else {
         val schema = read(spec.path, spec.format).schema
         spark.readStream.schema(schema).format(spec.format)
           .load(graft.streaming.StreamOps.fileAsDir(spec.path))

@@ -75,8 +75,13 @@ object RetractableTopN {
           val epoch = st.epoch + 1
           state.update(TopNState(vals, epoch))
           if (ttlMicros > 0) {
-            val lastTouched = batch.iterator
-              .map(e => e._6.getTime * 1000 + (e._6.getNanos / 1000) % 1000).max
+            // null ts rows don't advance the idle clock; all-null has no
+            // clock at all → actionable error instead of an executor NPE
+            val stamps = batch.iterator.filter(_._6 != null)
+              .map(e => e._6.getTime * 1000 + (e._6.getNanos / 1000) % 1000)
+            require(stamps.hasNext, s"retractableTopN(ttlMicros=$ttlMicros) needs a non-null " +
+              s"event-time 'ts' on each batch; partition '$pkey' received only null ts rows")
+            val lastTouched = stamps.max
             val deadline = lastTouched + ttlMicros
             if (deadline > state.getCurrentWatermarkMs() * 1000)
               state.setTimeoutTimestamp((deadline + 999) / 1000) // ceil to ms

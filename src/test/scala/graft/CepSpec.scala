@@ -165,4 +165,34 @@ class CepSpec extends SparkTestBase {
     // anchored at the trailing lo: no hi follows → no match (min 1 group)
     assert(Cep.findAt(evs, 4, steps, Long.MaxValue, (e: Ev) => e.tsMicros).isEmpty)
   }
+
+  test("min-0 head (B* C): a later step may consume the anchor (ADVICE r4)") {
+    // view view purchase — every row anchors SOME match: the two views via
+    // B* prefixes, the purchase via zero B occurrences (the old head-leaf
+    // prefilter wrongly rejected the lone-purchase anchor)
+    val evs = Seq(ev(1, "view", 0), ev(2, "view", 1), ev(3, "purchase", 2))
+    val p = Pattern(IndexedSeq(
+      Step((e: Ev) => e.eventType == "view", minTimes = 0, maxTimes = 5, strict = false),
+      Step((e: Ev) => e.eventType == "purchase", strict = false)))
+    assert(run(evs, p).map(m => (m.startId, m.endId, m.nEvents)) ==
+      List((1L, 3L, 3), (2L, 3L, 2), (3L, 3L, 1)))
+  }
+
+  test("min-0 GROUP head: ((A B)* C) anchors on C with zero group iterations") {
+    import graft.operators.Cep.StepG
+    val a = StepG[Ev]((e, _) => e.eventType == "a", varId = 0)
+    val b = StepG[Ev]((e, _) => e.eventType == "b", varId = 1)
+    val c = StepG[Ev]((e, _) => e.eventType == "c", varId = 2)
+    val steps = IndexedSeq(StepG.groupOf(IndexedSeq(a, b), minTimes = 0, maxTimes = 3), c)
+    // lone c: zero group occurrences, c consumes the anchor
+    val lone = IndexedSeq(ev(1, "c", 0))
+    assert(Cep.findAt(lone, 0, steps, Long.MaxValue, (e: Ev) => e.tsMicros)
+      .contains(List((2, 0))))
+    // a b a b c anchored at 0: both pairs consumed, then c
+    val full = IndexedSeq(ev(1, "a", 0), ev(2, "b", 1), ev(3, "a", 2), ev(4, "b", 3), ev(5, "c", 4))
+    assert(Cep.findAt(full, 0, steps, Long.MaxValue, (e: Ev) => e.tsMicros)
+      .contains(List((0, 0), (1, 1), (0, 2), (1, 3), (2, 4))))
+    // anchored at a 'b' row: neither the group head nor c matches it → None
+    assert(Cep.findAt(full, 1, steps, Long.MaxValue, (e: Ev) => e.tsMicros).isEmpty)
+  }
 }
