@@ -222,11 +222,89 @@ object CdcQueries {
       SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** FLIP-107 METADATA columns on the CDC SQL source — ref
+    * SqlTableColumn.java:177 (`col TYPE METADATA [FROM 'key'] [VIRTUAL]`)
+    * + DebeziumJsonDecodingFormat.listReadableMetadata (ingestion-
+    * timestamp, source.timestamp, source.database, source.table). The wire
+    * synthesis carries deterministic ts_ms/source envelope fields keyed by
+    * orderkey, so the metadata values are oracle-computable; timestamps
+    * compared as unix millis (the TIMESTAMP(3) declared type is exercised
+    * by the cast inside the source). */
+  val qCdcMetadata: Q = Q(
+    run = (s, dir) => {
+      val base = ordersBase(s, dir)
+      val m = col("o_orderkey") % 10
+      val before = struct(col("o_orderkey"), col("o_custkey"), col("cents"))
+      val after = struct(col("o_orderkey"), col("o_custkey"),
+        when(m.isin(6, 7), col("cents") + 100).otherwise(col("cents")).as("cents"))
+      val op = when(m <= 5, "c").when(m.isin(6, 7), "u").when(m === 8, "d").otherwise("r")
+      val wire = graft.streaming.StreamOps.scratchRoot + s"/cdc_meta_wire_${san(dir)}"
+      base.select(to_json(struct(
+          when(op.isin("u", "d"), before).as("before"),
+          when(op.isin("c", "r", "u"), after).as("after"),
+          op.as("op"),
+          (col("o_orderkey") * 1000 + 500).as("ts_ms"),
+          struct(lit("tpch").as("db"), lit("orders").as("table"),
+                 (col("o_orderkey") * 1000).as("ts_ms")).as("source"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(wire)
+      val e = new graft.sql.EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE orders_cdc_meta (
+          o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+          ing_ts TIMESTAMP(3) METADATA FROM 'ingestion-timestamp' VIRTUAL,
+          src_ts TIMESTAMP(3) METADATA FROM 'source.timestamp',
+          src_db STRING METADATA FROM 'source.database',
+          src_tbl STRING METADATA FROM 'source.table')
+        WITH ('connector'='filesystem', 'path'='$wire', 'format'='debezium-json')""")
+      e.sqlQuery("""
+        SELECT row_kind, o_orderkey, cents,
+               unix_millis(ing_ts) AS ing_ms, unix_millis(src_ts) AS src_ms,
+               src_db, src_tbl
+        FROM orders_cdc_meta ORDER BY o_orderkey, row_kind""")
+    },
+    oracle = Some("""
+      WITH base AS (SELECT o_orderkey AS k,
+                           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+                           o_orderkey % 10 AS m
+                    FROM orders),
+      tagged AS (
+        SELECT '+I' AS row_kind, k, cents FROM base WHERE m <= 5 OR m = 9
+        UNION ALL SELECT '-U', k, cents FROM base WHERE m IN (6, 7)
+        UNION ALL SELECT '+U', k, cents + 100 FROM base WHERE m IN (6, 7)
+        UNION ALL SELECT '-D', k, cents FROM base WHERE m = 8)
+      SELECT row_kind, k AS o_orderkey, cents,
+             CAST(k * 1000 + 500 AS BIGINT) AS ing_ms,
+             CAST(k * 1000 AS BIGINT) AS src_ms,
+             'tpch' AS src_db, 'orders' AS src_tbl
+      FROM tagged ORDER BY o_orderkey, row_kind"""))
+
+  /** Filesystem METADATA columns — FLIP-107's `file.name`/`file.size` keys
+    * over a parquet table (Spark's hidden `_metadata` struct underneath).
+    * The fixture tables are single files, so `file.name` is a deterministic
+    * oracle value; `file.size` is declared (exercising the cast path) but
+    * not compared. */
+  val qMetaFileName: Q = Q(
+    run = (s, dir) => {
+      val e = new graft.sql.EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE nation_meta (
+          fname STRING METADATA FROM 'file.name' VIRTUAL,
+          fsize BIGINT METADATA FROM 'file.size')
+        WITH ('connector'='filesystem', 'path'='$dir/nation.parquet', 'format'='parquet')""")
+      e.sqlQuery(
+        "SELECT fname, COUNT(*) AS n, SUM(n_nationkey) AS key_sum FROM nation_meta GROUP BY fname")
+    },
+    oracle = Some("""
+      SELECT 'nation.parquet' AS fname, COUNT(*) AS n,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_cdc_debezium" -> qCdcDebezium,
     "q_cdc_canal" -> qCdcCanal,
     "q_cdc_maxwell" -> qCdcMaxwell,
     "q_cdc_sql_source" -> qCdcSqlSource,
+    "q_cdc_metadata" -> qCdcMetadata,
+    "q_meta_file_name" -> qMetaFileName,
     "q_stream_cdc_join" -> qStreamCdcJoin,
     "q_sink_roundtrip_avro" -> qSinkRoundtripAvro,
   )

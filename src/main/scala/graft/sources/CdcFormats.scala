@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
 
 /** CDC changelog wire formats — debezium-json / canal-json / maxwell-json
   * ingestion, the formats that feed real changelog pipelines in the
@@ -35,44 +35,81 @@ object CdcFormats {
   private def tagged(kind: String, payload: Column): Column =
     struct(lit(kind).as("row_kind"), payload.as("payload"))
 
+  /** FLIP-107 readable METADATA — ref DebeziumJsonDecodingFormat
+    * .listReadableMetadata / CanalJsonDecodingFormat / MaxwellJson
+    * DecodingFormat: per-format key → expression over the parsed envelope.
+    * Requested as (outputCol, key) pairs on the deserializers; unknown
+    * keys fail fast with the supported set. */
+  private def metaExprs(format: String, e: Column): Map[String, Column] = format match {
+    case "debezium" => Map(
+      "ingestion-timestamp" -> timestamp_millis(e("ts_ms")),
+      "source.timestamp" -> timestamp_millis(e("source")("ts_ms")),
+      "source.database" -> e("source")("db"),
+      "source.table" -> e("source")("table"))
+    case "canal" => Map(
+      "ingestion-timestamp" -> timestamp_millis(e("ts")),
+      "database" -> e("database"),
+      "table" -> e("table"))
+    case "maxwell" => Map( // maxwell's ts is SECONDS on the wire
+      "ingestion-timestamp" -> timestamp_seconds(e("ts")),
+      "database" -> e("database"),
+      "table" -> e("table"))
+  }
+
+  private def resolveMeta(format: String, meta: Seq[(String, String)]): Seq[(String, Column)] = {
+    val avail = metaExprs(format, col("_cdc_env"))
+    meta.map { case (name, key) =>
+      name -> avail.getOrElse(key, throw new IllegalArgumentException(
+        s"$format-json has no metadata key '$key' (supported: ${avail.keys.toSeq.sorted.mkString(", ")})"))
+    }
+  }
+
   /** Pre-image reconstruction: non-null `over` fields win over `base`. */
   private def patch(payload: StructType, base: Column, over: Column): Column =
     struct(payload.fields.toSeq.map(f => coalesce(over(f.name), base(f.name)).as(f.name)): _*)
 
   /** Shared tail: explode the per-message variant array, flatten payload,
-    * pass every non-JSON input column through. */
+    * append requested METADATA columns (computed from the envelope BEFORE
+    * the explode drops it), pass every non-JSON input column through. */
   private def finish(withEnv: DataFrame, jsonCol: String, payload: StructType,
-                     variants: Column): DataFrame = {
+                     variants: Column, meta: Seq[(String, Column)] = Nil): DataFrame = {
     val keep = withEnv.columns.filterNot(c => c == jsonCol || c == "_cdc_env").toSeq
     withEnv
-      .select(keep.map(col) :+ explode(variants).as("_cdc_t"): _*)
+      .select(keep.map(col) ++ meta.map { case (n, c) => c.as(n) }
+              :+ explode(variants).as("_cdc_t"): _*)
       .select(Seq(col("_cdc_t.row_kind").as("row_kind")) ++
               payload.fieldNames.toSeq.map(n => col(s"_cdc_t.payload.$n").as(n)) ++
-              keep.map(col): _*)
+              meta.map(m => col(m._1)) ++ keep.map(col): _*)
   }
 
   /** debezium-json: `{"before":{...}|null,"after":{...}|null,"op":"c|r|u|d"}`
     * → c/r = +I(after); u = -U(before), +U(after); d = -D(before). */
-  def debezium(df: DataFrame, jsonCol: String, payload: StructType): DataFrame = {
+  def debezium(df: DataFrame, jsonCol: String, payload: StructType,
+               meta: Seq[(String, String)] = Nil): DataFrame = {
     val env = new StructType()
       .add("before", payload).add("after", payload).add("op", StringType)
+      .add("ts_ms", LongType)
+      .add("source", new StructType()
+        .add("db", StringType).add("table", StringType).add("ts_ms", LongType))
     val withEnv = df.withColumn("_cdc_env", from_json(col(jsonCol), env))
     val e = col("_cdc_env")
     val variants =
       when(e("op").isin("c", "r"), array(tagged("+I", e("after"))))
         .when(e("op") === "u", array(tagged("-U", e("before")), tagged("+U", e("after"))))
         .when(e("op") === "d", array(tagged("-D", e("before"))))
-    finish(withEnv, jsonCol, payload, variants)
+    finish(withEnv, jsonCol, payload, variants, resolveMeta("debezium", meta))
   }
 
   /** canal-json: `{"data":[{...}],"old":[{...}]|null,"type":"INSERT|UPDATE|DELETE"}`
     * — `data` is a BATCH of rows; for UPDATE, `old[i]` holds the changed
     * fields' previous values, so the retraction row is data[i] patched
     * with old[i] (ref CanalJsonDeserializationSchema row assembly). */
-  def canal(df: DataFrame, jsonCol: String, payload: StructType): DataFrame = {
+  def canal(df: DataFrame, jsonCol: String, payload: StructType,
+            meta: Seq[(String, String)] = Nil): DataFrame = {
     val env = new StructType()
       .add("data", ArrayType(payload)).add("old", ArrayType(payload))
       .add("type", StringType)
+      .add("database", StringType).add("table", StringType).add("ts", LongType)
     val withEnv = df.withColumn("_cdc_env", from_json(col(jsonCol), env))
     val data = col("_cdc_env.data")
     val typ = upper(col("_cdc_env.type"))
@@ -83,7 +120,7 @@ object CdcFormats {
         .when(typ === "UPDATE", flatten(zip_with(data, oldPadded,
           (d, o) => array(tagged("-U", patch(payload, d, o)), tagged("+U", d)))))
         .when(typ === "DELETE", flatten(transform(data, d => array(tagged("-D", d)))))
-    finish(withEnv, jsonCol, payload, variants)
+    finish(withEnv, jsonCol, payload, variants, resolveMeta("canal", meta))
   }
 
   /** The SERIALIZATION side — ref DebeziumJsonSerializationSchema
@@ -123,9 +160,11 @@ object CdcFormats {
   /** maxwell-json: `{"data":{...},"old":{...}|null,"type":"insert|update|delete"}`
     * — single-row messages; `old` holds the changed fields' previous
     * values (ref MaxwellJsonDeserializationSchema). */
-  def maxwell(df: DataFrame, jsonCol: String, payload: StructType): DataFrame = {
+  def maxwell(df: DataFrame, jsonCol: String, payload: StructType,
+              meta: Seq[(String, String)] = Nil): DataFrame = {
     val env = new StructType()
       .add("data", payload).add("old", payload).add("type", StringType)
+      .add("database", StringType).add("table", StringType).add("ts", LongType)
     val withEnv = df.withColumn("_cdc_env", from_json(col(jsonCol), env))
     val data = col("_cdc_env.data")
     val typ = lower(col("_cdc_env.type"))
@@ -134,6 +173,6 @@ object CdcFormats {
         .when(typ === "update",
           array(tagged("-U", patch(payload, data, col("_cdc_env.old"))), tagged("+U", data)))
         .when(typ === "delete", array(tagged("-D", data)))
-    finish(withEnv, jsonCol, payload, variants)
+    finish(withEnv, jsonCol, payload, variants, resolveMeta("maxwell", meta))
   }
 }

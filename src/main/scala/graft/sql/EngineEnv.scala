@@ -29,7 +29,8 @@ final class EngineEnv(val spark: SparkSession) {
                        watermarkDelay: Option[String],
                        computedCols: Seq[(String, String)] = Nil,
                        partitions: Seq[String] = Nil,
-                       physicalCols: Seq[(String, String)] = Nil)
+                       physicalCols: Seq[(String, String)] = Nil,
+                       metaCols: Seq[(String, String, String)] = Nil)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
   private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
   private var currentDb = "default_database"
@@ -87,7 +88,8 @@ final class EngineEnv(val spark: SparkSession) {
     * NOT ENFORCED — exactly the reference's constraint contract). */
   private case class CreateBody(watermark: Option[(String, String)],
                                 computed: Seq[(String, String)],
-                                physical: Seq[(String, String)])
+                                physical: Seq[(String, String)],
+                                meta: Seq[(String, String, String)] = Nil)
 
   /** Top-level comma split of a column list, balanced-paren + quote aware
     * (a DECIMAL(10,2) type or a ',' inside a computed expression never
@@ -110,6 +112,11 @@ final class EngineEnv(val spark: SparkSession) {
 
   private val computedColRe = """(?is)^(\w+)\s+AS\s+(.+?)\s*$""".r
   private val constraintRe = """(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*""".r
+  // FLIP-107: `col TYPE METADATA [FROM 'key'] [VIRTUAL]` — ref
+  // SqlTableColumn.java:177 (the METADATA column variant). Tried BEFORE
+  // physColRe, whose open tail would swallow the METADATA suffix.
+  private val metadataColRe =
+    """(?is)^(\w+)\s+([A-Za-z]+(?:\s*\([^)]*\))?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?\s*$""".r
   private val physColRe = """(?is)^(\w+)\s+([A-Za-z]+(?:\s*\([^)]*\))?).*$""".r
 
   /** Classify each top-level item of the CREATE TABLE column body. */
@@ -117,6 +124,7 @@ final class EngineEnv(val spark: SparkSession) {
     var wm: Option[(String, String)] = None
     val computed = scala.collection.mutable.ListBuffer[(String, String)]()
     val physical = scala.collection.mutable.ListBuffer[(String, String)]()
+    val meta = scala.collection.mutable.ListBuffer[(String, String, String)]()
     splitTopLevel(cols).foreach {
       case item if item.toUpperCase.startsWith("WATERMARK") =>
         wm = watermarkRe.findFirstMatchIn(item)
@@ -124,22 +132,26 @@ final class EngineEnv(val spark: SparkSession) {
           .orElse(throw new IllegalArgumentException(s"unsupported WATERMARK clause '$item'"))
       case constraintRe(_) => // PRIMARY KEY (...) NOT ENFORCED — accepted, not enforced
       case computedColRe(name, expr0) => computed += ((name, expr0))
+      // metadata column: key defaults to the column name (ref FLIP-107)
+      case metadataColRe(name, tpe, key) =>
+        meta += ((name, tpe, Option(key).getOrElse(name)))
       // physical column `name TYPE [...]` — file formats take schema from
       // the files; WIRE formats (CDC) need the declared payload schema
       case physColRe(name, tpe) => physical += ((name, tpe))
       case _ =>
     }
-    CreateBody(wm, computed.toSeq, physical.toSeq)
+    CreateBody(wm, computed.toSeq, physical.toSeq, meta.toSeq)
   }
+
+  private def normType(t: String): String =
+    t.trim.replaceAll("(?i)TIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")
 
   /** Declared physical schema → Spark StructType (Flink DDL types
     * normalized: TIMESTAMP(n) → TIMESTAMP). */
   private def declaredStruct(spec: TableSpec): org.apache.spark.sql.types.StructType = {
     require(spec.physicalCols.nonEmpty,
       s"format '${spec.format}' needs declared physical columns (the wire payload schema)")
-    val ddl = spec.physicalCols.map { case (n, t) =>
-      s"$n ${t.trim.replaceAll("(?i)TIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")}"
-    }.mkString(", ")
+    val ddl = spec.physicalCols.map { case (n, t) => s"$n ${normType(t)}" }.mkString(", ")
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
   }
 
@@ -150,12 +162,38 @@ final class EngineEnv(val spark: SparkSession) {
     * deserialization schemas — see [[graft.sources.CdcFormats]]). */
   private def readCdc(df: DataFrame, spec: TableSpec): DataFrame = {
     val json = df.withColumnRenamed("value", "_cdc_json")
-    spec.format match {
-      case "debezium-json" => graft.sources.CdcFormats.debezium(json, "_cdc_json", declaredStruct(spec))
-      case "canal-json" => graft.sources.CdcFormats.canal(json, "_cdc_json", declaredStruct(spec))
-      case "maxwell-json" => graft.sources.CdcFormats.maxwell(json, "_cdc_json", declaredStruct(spec))
+    val meta = spec.metaCols.map { case (n, _, key) => (n, key) }
+    val parsed = spec.format match {
+      case "debezium-json" =>
+        graft.sources.CdcFormats.debezium(json, "_cdc_json", declaredStruct(spec), meta)
+      case "canal-json" =>
+        graft.sources.CdcFormats.canal(json, "_cdc_json", declaredStruct(spec), meta)
+      case "maxwell-json" =>
+        graft.sources.CdcFormats.maxwell(json, "_cdc_json", declaredStruct(spec), meta)
+    }
+    // the declared metadata column TYPE wins (e.g. BIGINT over a key whose
+    // natural type is TIMESTAMP) — the reference casts the same way
+    spec.metaCols.foldLeft(parsed) { case (d, (n, t, _)) =>
+      d.withColumn(n, col(n).cast(normType(t)))
     }
   }
+
+  /** Filesystem readable metadata (the FLIP-107 keys a file connector can
+    * honor): `file.path` / `file.name` via Spark's hidden `_metadata`
+    * struct on file-source scans. */
+  private def applyFileMeta(df: DataFrame, spec: TableSpec): DataFrame =
+    spec.metaCols.foldLeft(df) { case (d, (n, t, key)) =>
+      val src = key match {
+        case "file.path" => col("_metadata.file_path")
+        case "file.name" => col("_metadata.file_name")
+        case "file.size" => col("_metadata.file_size")
+        case "file.modification-time" => col("_metadata.file_modification_time")
+        case other => throw new IllegalArgumentException(
+          s"filesystem connector has no metadata key '$other' " +
+          "(supported: file.path, file.name, file.size, file.modification-time)")
+      }
+      d.withColumn(n, src.cast(normType(t)))
+    }
 
   /** `[ (cols) ] [ PARTITIONED BY (cols) ] [ WITH (opts) ] [ LIKE base ]`
     * tail of CREATE TABLE, tokenized clause by clause on the balanced
@@ -239,7 +277,7 @@ final class EngineEnv(val spark: SparkSession) {
   private def register(name: String, spec: TableSpec): Unit = {
     val base =
       if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec)
-      else read(spec.path, spec.format)
+      else applyFileMeta(read(spec.path, spec.format), spec)
     applyComputed(base, spec).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
   }
@@ -268,11 +306,12 @@ final class EngineEnv(val spark: SparkSession) {
             wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay),
             if (body.computed.nonEmpty) body.computed else b.computedCols,
             if (partitions.nonEmpty) partitions else b.partitions,
-            if (body.physical.nonEmpty) body.physical else b.physicalCols)
+            if (body.physical.nonEmpty) body.physical else b.physicalCols,
+            if (body.meta.nonEmpty) body.meta else b.metaCols)
           register(name, spec)
         case (None, Some("filesystem")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
-            wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical))
+            wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical, body.meta))
         case (None, Some("datagen")) =>
           // ref DataGenTableSourceFactory: deterministic generator (md5-based,
           // not RNG) so results are reproducible and oracle-checkable
@@ -292,10 +331,9 @@ final class EngineEnv(val spark: SparkSession) {
     case insertRe(mode, name, query) =>
       val spec = catalog.getOrElse(keyOf(name),
         throw new IllegalArgumentException(s"unknown sink table '$name'"))
-      // computed columns are virtual — never persisted (drop if selected)
-      val df = spec.computedCols.foldLeft(sqlQuery(query)) { case (d, (n, _)) =>
-        if (d.columns.contains(n)) d.drop(n) else d
-      }
+      // computed + metadata columns are virtual — never persisted
+      val df = (spec.computedCols.map(_._1) ++ spec.metaCols.map(_._1))
+        .foldLeft(sqlQuery(query)) { (d, n) => if (d.columns.contains(n)) d.drop(n) else d }
       // PARTITIONED BY → dynamic-partition layout; cluster on the partition
       // key first, else tasks × partitions small-files (ref
       // FileSystemTableSink's grouped dynamic partition writer)
@@ -471,8 +509,9 @@ final class EngineEnv(val spark: SparkSession) {
         spark.readStream.schema(snap.schema).parquet(dir)
       } else {
         val schema = read(spec.path, spec.format).schema
-        spark.readStream.schema(schema).format(spec.format)
-          .load(graft.streaming.StreamOps.fileAsDir(spec.path))
+        applyFileMeta(
+          spark.readStream.schema(schema).format(spec.format)
+            .load(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
       }
     val base = applyComputed(base0, spec)
     (spec.watermarkCol, spec.watermarkDelay) match {
