@@ -195,6 +195,52 @@ object Tpcds4Queries {
       SELECT 'part' AS leg, o_orderstatus, n, total_c FROM agg
       ORDER BY leg, o_orderstatus"""))
 
+  /** Catalog statements — ref ddl/SqlCreateCatalog.java, SqlUseCatalog
+    * .java, dql/SqlShowCatalogs.java, SqlShowCurrentCatalog.java: two
+    * catalogs created (one WITH options), a database inside one, tables
+    * registered under each while USE CATALOG/USE switch the resolution
+    * context, then a single query joins both through FULLY-QUALIFIED
+    * three-part names from a third (default) catalog. SHOW CURRENT
+    * CATALOG/DATABASE are asserted at each switch (metadata reads, not
+    * part of the oracle row set). */
+  val qSqlCatalogs: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      def cur(stmt: String): String = e.executeSql(stmt).first().getString(0)
+      e.executeSql("CREATE CATALOG hub WITH ('type'='generic_in_memory')")
+      e.executeSql("CREATE CATALOG ods")
+      e.executeSql("CREATE DATABASE ods.raw")
+      e.executeSql("USE CATALOG ods")
+      require(cur("SHOW CURRENT CATALOG") == "ods", "USE CATALOG did not switch")
+      e.executeSql("USE raw")
+      require(cur("SHOW CURRENT DATABASE") == "raw", "USE did not switch the database")
+      e.executeSql(s"""
+        CREATE TABLE ords (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      e.executeSql("USE CATALOG hub")
+      require(cur("SHOW CURRENT DATABASE") == "default_database",
+        "USE CATALOG must reset to the catalog's default database")
+      e.executeSql(s"""
+        CREATE TABLE cust (c_custkey BIGINT, c_mktsegment STRING)
+        WITH ('connector'='filesystem', 'path'='$dir/customer.parquet', 'format'='parquet')""")
+      require(e.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSet ==
+        Set("default_catalog", "hub", "ods"), "SHOW CATALOGS must list all three")
+      e.executeSql("USE CATALOG default_catalog")
+      e.sqlQuery("""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM ods.raw.ords AS o
+        JOIN hub.default_database.cust AS c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY seg""")
+    },
+    oracle = Some("""
+      SELECT c_mktsegment AS seg, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY seg"""))
+
   /** Compressed-format roundtrip — the flink-compress module analog:
     * write gzip'd CSV, read it back (codec from the extension), aggregate;
     * the oracle recomputes off the source parquet, so the roundtrip
@@ -223,6 +269,7 @@ object Tpcds4Queries {
     "q_ds_nation_mismatch" -> qDsNationMismatch,
     "q_scalar_bits" -> qScalarBits,
     "q_sql_ddl_lifecycle" -> qSqlDdlLifecycle,
+    "q_sql_catalogs" -> qSqlCatalogs,
     "q_sink_roundtrip_gz" -> qSinkRoundtripGz,
   )
 }

@@ -32,7 +32,13 @@ final class EngineEnv(val spark: SparkSession) {
                        physicalCols: Seq[(String, String)] = Nil,
                        metaCols: Seq[(String, String, String)] = Nil)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
-  private val databases = scala.collection.mutable.LinkedHashSet[String]("default_database")
+  // catalog → its databases (ref CatalogManager: the identifier space is
+  // three-part catalog.database.table; a fresh catalog starts with its
+  // default database, like the reference's GenericInMemoryCatalog)
+  private val catalogs =
+    scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashSet[String]](
+      "default_catalog" -> scala.collection.mutable.LinkedHashSet("default_database"))
+  private var currentCat = "default_catalog"
   private var currentDb = "default_database"
 
   private val createHeadRe = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)""".r
@@ -53,10 +59,19 @@ final class EngineEnv(val spark: SparkSession) {
   private val describeRe = """(?is)DESC(?:RIBE)?\s+([\w.]+)\s*""".r
   private val explainRe = """(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)""".r
   private val showFnRe = """(?is)SHOW\s+(?:USER\s+)?FUNCTIONS\s*""".r
-  private val createDbRe = """(?is)CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
-  private val dropDbRe = """(?is)DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
-  private val useRe = """(?is)USE\s+(\w+)\s*""".r
+  private val createDbRe = """(?is)CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""".r
+  private val dropDbRe = """(?is)DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+  private val useRe = """(?is)USE\s+([\w.]+)\s*""".r
   private val showDbRe = """(?is)SHOW\s+DATABASES\s*""".r
+  // catalog statements — ref ddl/SqlCreateCatalog.java, SqlUseCatalog.java,
+  // dql/SqlShowCatalogs.java, SqlShowCurrentCatalog.java/Database
+  private val createCatRe =
+    """(?is)CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:WITH\s*\(.*\))?\s*""".r
+  private val dropCatRe = """(?is)DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val useCatRe = """(?is)USE\s+CATALOG\s+(\w+)\s*""".r
+  private val showCatRe = """(?is)SHOW\s+CATALOGS\s*""".r
+  private val showCurrentCatRe = """(?is)SHOW\s+CURRENT\s+CATALOG\s*""".r
+  private val showCurrentDbRe = """(?is)SHOW\s+CURRENT\s+DATABASE\s*""".r
 
   /** The balanced `(...)` starting at `open`, honoring '…' string literals
     * (so a DECIMAL(10,2) column or a ')' inside an option value never
@@ -221,25 +236,33 @@ final class EngineEnv(val spark: SparkSession) {
     (cols, partitions, opts, like)
   }
 
-  /** Database qualification (ref SqlCreateDatabase/CatalogManager name
-    * resolution): an unqualified name lives in the CURRENT database; a
-    * `db.table` reference is explicit. The catalog key is always the
-    * qualified `db.table`; the backing Spark temp view is the bare name in
-    * the default database (back-compat) and `db__table` elsewhere (Spark
-    * temp views are a flat namespace). */
-  private def qualify(name: String): (String, String) = {
-    val i = name.indexOf('.')
-    if (i < 0) (currentDb, name)
-    else {
-      val db = name.substring(0, i)
-      if (!databases(db)) throw new IllegalArgumentException(s"unknown database '$db'")
-      (db, name.substring(i + 1))
-    }
+  /** Identifier resolution (ref CatalogManager.qualifyIdentifier): a bare
+    * name lives in the CURRENT catalog + database; `db.table` is explicit
+    * in the current catalog; `cat.db.table` is fully qualified. The
+    * catalog key is always the full `cat.db.table`; the backing Spark temp
+    * view is the bare name in the default catalog+database (back-compat)
+    * and `cat__db__table` elsewhere (Spark temp views are a flat
+    * namespace). */
+  private def qualify(name: String): (String, String, String) = name.split("\\.") match {
+    case Array(t) => (currentCat, currentDb, t)
+    case Array(db, t) =>
+      if (!catalogs(currentCat)(db))
+        throw new IllegalArgumentException(s"unknown database '$db' in catalog '$currentCat'")
+      (currentCat, db, t)
+    case Array(cat, db, t) =>
+      val dbs = catalogs.getOrElse(cat,
+        throw new IllegalArgumentException(s"unknown catalog '$cat'"))
+      if (!dbs(db))
+        throw new IllegalArgumentException(s"unknown database '$db' in catalog '$cat'")
+      (cat, db, t)
+    case _ => throw new IllegalArgumentException(s"bad table identifier '$name'")
   }
-  private def keyOf(name: String): String = { val (d, t) = qualify(name); s"$d.$t" }
+  private def keyOf(name: String): String = { val (c, d, t) = qualify(name); s"$c.$d.$t" }
+  private def viewNameFor(cat: String, db: String, t: String): String =
+    if (cat == "default_catalog" && db == "default_database") t else s"${cat}__${db}__$t"
   private def viewOf(name: String): String = {
-    val (d, t) = qualify(name)
-    if (d == "default_database") t else s"${d}__$t"
+    val (c, d, t) = qualify(name)
+    viewNameFor(c, d, t)
   }
 
   /** Rewrite known table references (qualified `db.t` anywhere; bare `t` of
@@ -248,21 +271,26 @@ final class EngineEnv(val spark: SparkSession) {
     * [[FlinkSqlDialect]]. */
   private def resolveTables(sql: String): String = {
     var s = sql
+    def q(x: String) = java.util.regex.Pattern.quote(x)
     val split = catalog.keys.toSeq.map { k =>
-      val Array(db, t) = k.split("\\.", 2)
-      (db, t, if (db == "default_database") t else s"${db}__$t")
+      val Array(cat, db, t) = k.split("\\.", 3)
+      (cat, db, t, viewNameFor(cat, db, t))
     }
-    // ALL qualified references first — a bare-name pass running earlier
-    // would capture the table part of another database's qualified ref
-    split.foreach { case (db, t, view) =>
-      s = s.replaceAll(
-        s"""\\b${java.util.regex.Pattern.quote(db)}\\.${java.util.regex.Pattern.quote(t)}\\b""", view)
+    // MOST-qualified references first — a shorter-form pass running
+    // earlier would capture the tail of a longer qualified ref
+    split.foreach { case (cat, db, t, view) =>
+      s = s.replaceAll(s"""\\b${q(cat)}\\.${q(db)}\\.${q(t)}\\b""", view)
     }
-    // then bare names of the CURRENT database (never after a '.', which
-    // would be a column/alias qualification)
-    split.foreach { case (db, t, view) =>
-      if (db == currentDb && view != t)
-        s = s.replaceAll(s"""(?<!\\.)\\b${java.util.regex.Pattern.quote(t)}\\b""", view)
+    // db.table of the CURRENT catalog (never after a '.', which would be
+    // the already-rewritten three-part form's tail)
+    split.foreach { case (cat, db, t, view) =>
+      if (cat == currentCat)
+        s = s.replaceAll(s"""(?<!\\.)\\b${q(db)}\\.${q(t)}\\b""", view)
+    }
+    // then bare names of the CURRENT catalog + database
+    split.foreach { case (cat, db, t, view) =>
+      if (cat == currentCat && db == currentDb && view != t)
+        s = s.replaceAll(s"""(?<!\\.)\\b${q(t)}\\b""", view)
     }
     s
   }
@@ -411,19 +439,62 @@ final class EngineEnv(val spark: SparkSession) {
     case showFnRe() => spark.sql("SHOW FUNCTIONS")
     case describeRe(name) => spark.sql(s"DESCRIBE ${viewOf(name)}")
     case explainRe(query) => spark.sql("EXPLAIN " + FlinkSqlDialect.rewrite(query))
-    case createDbRe(db) => databases += db; spark.emptyDataFrame
-    case dropDbRe(db) =>
-      if (db == currentDb) throw new IllegalArgumentException(s"cannot drop current database '$db'")
-      databases -= db; spark.emptyDataFrame
-    case useRe(db) if databases(db) => currentDb = db; spark.emptyDataFrame
-    case useRe(db) => throw new IllegalArgumentException(s"unknown database '$db'")
+    // catalog statements BEFORE the database forms (USE CATALOG vs USE)
+    case createCatRe(cat) => // options (`'type'=...`) accepted and ignored
+      catalogs.getOrElseUpdate(cat, scala.collection.mutable.LinkedHashSet("default_database"))
+      spark.emptyDataFrame
+    case dropCatRe(cat) =>
+      if (cat == currentCat)
+        throw new IllegalArgumentException(s"cannot drop current catalog '$cat'")
+      if (cat == "default_catalog")
+        throw new IllegalArgumentException("cannot drop default_catalog")
+      catalogs.remove(cat); spark.emptyDataFrame
+    case useCatRe(cat) => // ref SqlUseCatalog: db resets to the catalog's default
+      if (!catalogs.contains(cat))
+        throw new IllegalArgumentException(s"unknown catalog '$cat'")
+      currentCat = cat; currentDb = catalogs(cat).head
+      spark.emptyDataFrame
+    case showCatRe() =>
+      import spark.implicits._
+      catalogs.keys.toSeq.toDF("catalog_name")
+    case showCurrentCatRe() =>
+      import spark.implicits._
+      Seq(currentCat).toDF("current_catalog_name")
+    case showCurrentDbRe() =>
+      import spark.implicits._
+      Seq(currentDb).toDF("current_database_name")
+    case createDbRe(n) =>
+      val (cat, db) = splitDb(n)
+      catalogs.getOrElse(cat,
+        throw new IllegalArgumentException(s"unknown catalog '$cat'")) += db
+      spark.emptyDataFrame
+    case dropDbRe(n) =>
+      val (cat, db) = splitDb(n)
+      if (cat == currentCat && db == currentDb)
+        throw new IllegalArgumentException(s"cannot drop current database '$db'")
+      catalogs.getOrElse(cat,
+        throw new IllegalArgumentException(s"unknown catalog '$cat'")) -= db
+      spark.emptyDataFrame
+    case useRe(n) => // USE [catalog.]database
+      val (cat, db) = splitDb(n)
+      if (!catalogs.get(cat).exists(_(db)))
+        throw new IllegalArgumentException(s"unknown database '$n'")
+      currentCat = cat; currentDb = db
+      spark.emptyDataFrame
     case showDbRe() =>
       import spark.implicits._
-      databases.toSeq.toDF("database_name")
+      catalogs(currentCat).toSeq.toDF("database_name")
     case q => sqlQuery(q)
   }
 
+  private def splitDb(n: String): (String, String) = n.split("\\.") match {
+    case Array(db) => (currentCat, db)
+    case Array(cat, db) => (cat, db)
+    case _ => throw new IllegalArgumentException(s"bad database identifier '$n'")
+  }
+
   def currentDatabase: String = currentDb
+  def currentCatalog: String = currentCat
 
   private val lateralTableRe =
     """(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+\s*\([^)]*\))\s*\)\s+AS\s+(\w+)\s*\(\s*([\w,\s]+?)\s*\)""".r
