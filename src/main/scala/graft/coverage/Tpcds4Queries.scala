@@ -241,6 +241,48 @@ object Tpcds4Queries {
       GROUP BY c_mktsegment
       ORDER BY seg"""))
 
+  /** Partition-admin DDL — ref ddl/SqlAddPartitions.java,
+    * SqlDropPartitions.java, dql/SqlShowPartitions.java over a
+    * PARTITIONED BY filesystem table: ADD creates an (empty, SHOW-visible)
+    * partition directory, DROP removes one so its rows disappear from
+    * read-back, SHOW PARTITIONS tracks the directory layout at every step
+    * (asserted; the final aggregate is the oracle row set). */
+  val qSqlPartitionAdmin: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/partadmin_${san(dir)}"
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(scratch)
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE padm (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+          o_orderstatus STRING
+        ) PARTITIONED BY (o_orderstatus)
+        WITH ('connector'='filesystem', 'path'='$scratch', 'format'='parquet')""")
+      def parts(sql: String = "SHOW PARTITIONS padm"): Seq[String] =
+        e.executeSql(sql).collect().map(_.getString(0)).toSeq
+      require(parts() == Seq("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"),
+        s"unexpected initial layout: ${parts()}")
+      e.executeSql("ALTER TABLE padm ADD PARTITION (o_orderstatus='X')")
+      require(parts().contains("o_orderstatus=X"), "ADD PARTITION must appear in SHOW")
+      require(parts("SHOW PARTITIONS padm PARTITION (o_orderstatus='X')") ==
+        Seq("o_orderstatus=X"), "SHOW PARTITIONS filter must select the spec")
+      e.executeSql("ALTER TABLE padm ADD IF NOT EXISTS PARTITION (o_orderstatus='X')") // no-op
+      e.executeSql("ALTER TABLE padm DROP PARTITION (o_orderstatus='P')")
+      require(parts() == Seq("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=X"),
+        s"unexpected layout after DROP: ${parts()}")
+      e.sqlQuery("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM padm GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderstatus <> 'P'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Compressed-format roundtrip — the flink-compress module analog:
     * write gzip'd CSV, read it back (codec from the extension), aggregate;
     * the oracle recomputes off the source parquet, so the roundtrip
@@ -270,6 +312,7 @@ object Tpcds4Queries {
     "q_scalar_bits" -> qScalarBits,
     "q_sql_ddl_lifecycle" -> qSqlDdlLifecycle,
     "q_sql_catalogs" -> qSqlCatalogs,
+    "q_sql_partition_admin" -> qSqlPartitionAdmin,
     "q_sink_roundtrip_gz" -> qSinkRoundtripGz,
   )
 }

@@ -52,6 +52,14 @@ final class EngineEnv(val spark: SparkSession) {
     """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val showRe = """(?is)SHOW\s+TABLES\s*""".r
   private val alterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  // partition-admin DDL — ref ddl/SqlAddPartitions.java, SqlDropPartitions
+  // .java, dql/SqlShowPartitions.java
+  private val addPartRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?((?:PARTITION\s*\([^)]*\)\s*)+)""".r
+  private val dropPartRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(IF\s+EXISTS\s+)?((?:PARTITION\s*\([^)]*\)\s*,?\s*)+)""".r
+  private val showPartRe =
+    """(?is)SHOW\s+PARTITIONS\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*""".r
   private val alterSetRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
   private val createFnRe =
     """(?is)CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*""".r
@@ -401,6 +409,41 @@ final class EngineEnv(val spark: SparkSession) {
     case createViewRe(name, query) =>
       sqlQuery(query).createOrReplaceTempView(viewOf(name))
       spark.emptyDataFrame
+    // partition admin over the `k=v/` filesystem layout (ref
+    // SqlAddPartitions / SqlDropPartitions on the Hive-style filesystem
+    // connector): ADD creates the partition directory (empty partitions
+    // are legal and visible to SHOW PARTITIONS), DROP removes it
+    // recursively and refreshes the view so read-back loses the rows.
+    case addPartRe(name, ifNotExists, specs) =>
+      val spec = partitionedSpec(name)
+      val fs = fileSystemOf(spec.path)
+      partSpecsOf(specs).foreach { kv =>
+        val dir = new org.apache.hadoop.fs.Path(spec.path, partPath(spec, kv))
+        if (fs.exists(dir)) {
+          if (ifNotExists == null)
+            throw new IllegalArgumentException(s"partition already exists: ${partPath(spec, kv)}")
+        } else fs.mkdirs(dir)
+      }
+      spark.emptyDataFrame
+    case dropPartRe(name, ifExists, specs) =>
+      val spec = partitionedSpec(name)
+      val fs = fileSystemOf(spec.path)
+      partSpecsOf(specs).foreach { kv =>
+        val dir = new org.apache.hadoop.fs.Path(spec.path, partPath(spec, kv))
+        if (!fs.exists(dir)) {
+          if (ifExists == null)
+            throw new IllegalArgumentException(s"no such partition: ${partPath(spec, kv)}")
+        } else fs.delete(dir, true)
+      }
+      register(name, spec) // refresh: dropped rows disappear from read-back
+      spark.emptyDataFrame
+    case showPartRe(name, filter) =>
+      import spark.implicits._
+      val spec = partitionedSpec(name)
+      val kvFilter = if (filter == null) Map.empty[String, String] else parsePartKv(filter)
+      listPartitions(spec)
+        .filter(p => kvFilter.forall { case (k, v) => p.split("/").contains(s"$k=$v") })
+        .toDF("partition_name")
     case alterRenameRe(from, to) => // SqlAlterTableRename
       val spec = catalog.getOrElse(keyOf(from),
         throw new IllegalArgumentException(s"unknown table '$from'"))
@@ -485,6 +528,50 @@ final class EngineEnv(val spark: SparkSession) {
       import spark.implicits._
       catalogs(currentCat).toSeq.toDF("database_name")
     case q => sqlQuery(q)
+  }
+
+  private def partitionedSpec(name: String): TableSpec = {
+    val spec = catalog.getOrElse(keyOf(name),
+      throw new IllegalArgumentException(s"unknown table '$name'"))
+    require(spec.partitions.nonEmpty, s"table '$name' is not partitioned")
+    spec
+  }
+
+  private def fileSystemOf(path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def parsePartKv(s: String): Map[String, String] =
+    """(\w+)\s*=\s*'([^']*)'""".r.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Every `PARTITION (k='v', ...)` group of a multi-partition statement. */
+  private def partSpecsOf(specs: String): Seq[Map[String, String]] =
+    """(?is)PARTITION\s*\(([^)]*)\)""".r.findAllMatchIn(specs)
+      .map(m => parsePartKv(m.group(1))).toSeq
+
+  /** The `k1=v1/k2=v2` subpath for a full partition spec, in the table's
+    * declared partition-column order. */
+  private def partPath(spec: TableSpec, kv: Map[String, String]): String =
+    spec.partitions.map(p => s"$p=${kv.getOrElse(p, throw new IllegalArgumentException(
+      s"partition spec must set '$p' (declared partition columns: ${spec.partitions.mkString(", ")})"))}")
+      .mkString("/")
+
+  /** Directory-layout listing (what SqlShowPartitions reports): each leaf
+    * `k=v` chain at the declared nesting depth, INCLUDING empty partitions
+    * just added. */
+  private def listPartitions(spec: TableSpec): Seq[String] = {
+    val fs = fileSystemOf(spec.path)
+    def walk(dir: org.apache.hadoop.fs.Path, cols: Seq[String]): Seq[String] = cols match {
+      case Nil => Seq("")
+      case c +: rest =>
+        fs.listStatus(dir).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(c + "=")).sorted.toSeq
+          .flatMap { d =>
+            walk(new org.apache.hadoop.fs.Path(dir, d), rest)
+              .map(t => if (t.isEmpty) d else s"$d/$t")
+          }
+    }
+    walk(new org.apache.hadoop.fs.Path(spec.path), spec.partitions)
   }
 
   private def splitDb(n: String): (String, String) = n.split("\\.") match {
