@@ -278,6 +278,39 @@ object CdcQueries {
              'tpch' AS src_db, 'orders' AS src_tbl
       FROM tagged ORDER BY o_orderkey, row_kind"""))
 
+  /** Debezium `schema-include` envelope — ref DebeziumJsonOptions.java:33
+    * (SCHEMA_INCLUDE): converter-schema deployments wrap the changelog
+    * envelope as `{"schema": {...}, "payload": {...}}`; with
+    * `'debezium-json.schema-include'='true'` the source unwraps `payload`.
+    * Same op mapping and oracle as q_cdc_debezium — the added leg is the
+    * wrapped wire shape through the SQL surface. */
+  val qCdcDebeziumSchema: Q = Q(
+    run = (s, dir) => {
+      val base = ordersBase(s, dir)
+      val m = col("o_orderkey") % 10
+      val before = struct(col("o_orderkey"), col("o_custkey"), col("cents"))
+      val after = struct(col("o_orderkey"), col("o_custkey"),
+        when(m.isin(6, 7), col("cents") + 100).otherwise(col("cents")).as("cents"))
+      val op = when(m <= 5, "c").when(m.isin(6, 7), "u").when(m === 8, "d").otherwise("r")
+      val wire = graft.streaming.StreamOps.scratchRoot + s"/cdc_schema_wire_${san(dir)}"
+      base.select(to_json(struct(
+          struct(lit("struct").as("type"), lit(true).as("optional")).as("schema"),
+          struct(
+            when(op.isin("u", "d"), before).as("before"),
+            when(op.isin("c", "r", "u"), after).as("after"),
+            op.as("op")).as("payload"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(wire)
+      val e = new graft.sql.EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE orders_cdc_schema (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+        WITH ('connector'='filesystem', 'path'='$wire', 'format'='debezium-json',
+              'debezium-json.schema-include'='true')""")
+      e.sqlQuery("""
+        SELECT row_kind, o_orderkey, o_custkey, cents FROM orders_cdc_schema
+        ORDER BY o_orderkey, row_kind""")
+    },
+    oracle = qCdcDebezium.oracle)
+
   /** Filesystem METADATA columns — FLIP-107's `file.name`/`file.size` keys
     * over a parquet table (Spark's hidden `_metadata` struct underneath).
     * The fixture tables are single files, so `file.name` is a deterministic
@@ -304,6 +337,7 @@ object CdcQueries {
     "q_cdc_maxwell" -> qCdcMaxwell,
     "q_cdc_sql_source" -> qCdcSqlSource,
     "q_cdc_metadata" -> qCdcMetadata,
+    "q_cdc_debezium_schema" -> qCdcDebeziumSchema,
     "q_meta_file_name" -> qMetaFileName,
     "q_stream_cdc_join" -> qStreamCdcJoin,
     "q_sink_roundtrip_avro" -> qSinkRoundtripAvro,

@@ -30,7 +30,8 @@ final class EngineEnv(val spark: SparkSession) {
                        computedCols: Seq[(String, String)] = Nil,
                        partitions: Seq[String] = Nil,
                        physicalCols: Seq[(String, String)] = Nil,
-                       metaCols: Seq[(String, String, String)] = Nil)
+                       metaCols: Seq[(String, String, String)] = Nil,
+                       options: Map[String, String] = Map.empty)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
   // catalog → its databases (ref CatalogManager: the identifier space is
   // three-part catalog.database.table; a fresh catalog starts with its
@@ -183,16 +184,34 @@ final class EngineEnv(val spark: SparkSession) {
   /** CDC wire formats read line-delimited JSON and parse to the tagged
     * changelog (ref flink-formats/flink-json debezium/canal/maxwell
     * deserialization schemas — see [[graft.sources.CdcFormats]]). */
-  private def readCdc(df: DataFrame, spec: TableSpec): DataFrame = {
+  private def readCdc(df: DataFrame, spec: TableSpec, tableKey: String): DataFrame = {
     val json = df.withColumnRenamed("value", "_cdc_json")
     val meta = spec.metaCols.map { case (n, _, key) => (n, key) }
+    // format-prefixed options, the reference's spelling on the table DDL:
+    // 'debezium-json.schema-include'='true',
+    // '<format>.ignore-parse-errors'='false' (strict = reference default)
+    val strict = spec.options.get(s"${spec.format}.ignore-parse-errors").contains("false")
+    val schemaInclude = spec.options.get("debezium-json.schema-include").contains("true")
+    // dropped-malformed accounting (batch only — Observation does not
+    // support streaming Datasets); read back via [[cdcSourceMetrics]]
+    val obs =
+      if (df.isStreaming || strict) None
+      else {
+        val o = org.apache.spark.sql.Observation(
+          s"cdc_${tableKey.replace('.', '_')}_${observationSeq.incrementAndGet()}")
+        observations(tableKey) = o
+        Some(o)
+      }
     val parsed = spec.format match {
       case "debezium-json" =>
-        graft.sources.CdcFormats.debezium(json, "_cdc_json", declaredStruct(spec), meta)
+        graft.sources.CdcFormats.debezium(json, "_cdc_json", declaredStruct(spec), meta,
+          schemaInclude = schemaInclude, strict = strict, malformedObs = obs)
       case "canal-json" =>
-        graft.sources.CdcFormats.canal(json, "_cdc_json", declaredStruct(spec), meta)
+        graft.sources.CdcFormats.canal(json, "_cdc_json", declaredStruct(spec), meta,
+          strict = strict, malformedObs = obs)
       case "maxwell-json" =>
-        graft.sources.CdcFormats.maxwell(json, "_cdc_json", declaredStruct(spec), meta)
+        graft.sources.CdcFormats.maxwell(json, "_cdc_json", declaredStruct(spec), meta,
+          strict = strict, malformedObs = obs)
     }
     // the declared metadata column TYPE wins (e.g. BIGINT over a key whose
     // natural type is TIMESTAMP) — the reference casts the same way
@@ -310,9 +329,25 @@ final class EngineEnv(val spark: SparkSession) {
       d.withColumn(n, expr(FlinkSqlDialect.rewrite(e)))
     }
 
+  private val observations =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.Observation]()
+  private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Malformed-message accounting of a permissive CDC table: (malformed,
+    * total messages) observed by the LAST completed action that scanned
+    * it. The reference's non-ignore mode fails the job instead (declare
+    * `'<format>.ignore-parse-errors'='false'` for that); this is the
+    * visibility knob for the permissive default. */
+  def cdcSourceMetrics(name: String): (Long, Long) = {
+    val o = observations.getOrElse(keyOf(name), throw new IllegalStateException(
+      s"no CDC observation for '$name' (strict tables and streaming reads have none)"))
+    val m = o.get
+    (m("malformed").asInstanceOf[Long], m("messages").asInstanceOf[Long])
+  }
+
   private def register(name: String, spec: TableSpec): Unit = {
     val base =
-      if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec)
+      if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, keyOf(name))
       else applyFileMeta(read(spec.path, spec.format), spec)
     applyComputed(base, spec).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
@@ -343,11 +378,13 @@ final class EngineEnv(val spark: SparkSession) {
             if (body.computed.nonEmpty) body.computed else b.computedCols,
             if (partitions.nonEmpty) partitions else b.partitions,
             if (body.physical.nonEmpty) body.physical else b.physicalCols,
-            if (body.meta.nonEmpty) body.meta else b.metaCols)
+            if (body.meta.nonEmpty) body.meta else b.metaCols,
+            b.options ++ opts)
           register(name, spec)
         case (None, Some("filesystem")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
-            wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical, body.meta))
+            wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical, body.meta,
+            opts))
         case (None, Some("datagen")) =>
           // ref DataGenTableSourceFactory: deterministic generator (md5-based,
           // not RNG) so results are reproducible and oracle-checkable
@@ -456,7 +493,8 @@ final class EngineEnv(val spark: SparkSession) {
       val opts = parseOptions(withClause)
       register(name, spec.copy(
         path = opts.getOrElse("path", spec.path),
-        format = opts.getOrElse("format", spec.format)))
+        format = opts.getOrElse("format", spec.format),
+        options = spec.options ++ opts))
       spark.emptyDataFrame
     // CREATE FUNCTION alias AS 'target' — SqlCreateFunction; the target is
     // any resolvable function name (built-in or graft-registered): the
@@ -655,7 +693,8 @@ final class EngineEnv(val spark: SparkSession) {
     val spec = catalog(keyOf(name))
     val base0 =
       if (cdcFormats(spec.format))
-        readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
+        readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec,
+                keyOf(name))
       else if (spec.format == "avro") {
         // no spark-avro streaming DataSource in the container (batch reads
         // are special-cased to AvroFormat) — stage a one-shot parquet

@@ -121,4 +121,47 @@ class CdcSpec extends SparkTestBase {
     q.stop()
     assert(fin == Seq((1, "2", 20L)))
   }
+
+  test("permissive mode counts dropped malformed messages; strict mode throws (ADVICE r4)") {
+    val s = spark
+    import s.implicits._
+    val wire = Seq(
+      """{"data":{"k":1,"v":10},"type":"insert"}""",
+      """this is not json at all""",
+      """{"data":{"k":2,"v":20},"type":"insert"}""",
+      """{"data":{"k":3,"v":30},"type":"upsert-nonsense"}""", // unknown op
+      """{"data":{"k":4,"v":40},"type":"delete"}""").toDF("json")
+    val obs = org.apache.spark.sql.Observation("cdc_malformed_spec")
+    val parsed = CdcFormats.maxwell(wire, "json", payload, malformedObs = Some(obs))
+    assert(parsed.count() == 3) // 2 inserts + 1 delete survive
+    assert(obs.get("malformed") == 2L && obs.get("messages") == 5L)
+    // strict = the reference's ignore-parse-errors=false default: fail the
+    // job on the first bad message instead of dropping it
+    val ex = intercept[Exception] {
+      CdcFormats.maxwell(wire, "json", payload, strict = true).count()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // job failed, not silent
+  }
+
+  test("EngineEnv surfaces the malformed counter and the strict option on CDC tables") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_strict").toString
+    Seq(
+      """{"before":null,"after":{"k":1,"v":5},"op":"c"}""",
+      """garbage-line""",
+      """{"before":{"k":1,"v":5},"after":null,"op":"d"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val e = new graft.sql.EngineEnv(s)
+    e.executeSql(s"""
+      CREATE TABLE lax (k BIGINT, v BIGINT)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='debezium-json')""")
+    assert(e.sqlQuery("SELECT * FROM lax").count() == 2)
+    assert(e.cdcSourceMetrics("lax") == (1L, 3L))
+    e.executeSql(s"""
+      CREATE TABLE strict_t (k BIGINT, v BIGINT)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='debezium-json',
+            'debezium-json.ignore-parse-errors'='false')""")
+    intercept[Exception] { e.sqlQuery("SELECT * FROM strict_t").count() }
+  }
 }
