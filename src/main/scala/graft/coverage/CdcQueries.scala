@@ -210,16 +210,26 @@ object CdcQueries {
   val qSinkRoundtripAvro: Q = Q(
     run = (s, dir) => {
       val out = graft.streaming.StreamOps.scratchRoot + s"/avro_rt_${san(dir)}"
+      // logical-type columns (ref flink-avro AvroSchemaConverter): a
+      // timestamp-micros and a decimal(12,2), derived deterministically so
+      // the round-trip values are oracle-computable
       graft.sources.AvroFormat.write(
         Tables.load(s, dir, "nation")
-          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")), out)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            timestamp_seconds(col("n_nationkey") * 86400).as("asof_ts"),
+            (col("n_nationkey").cast("decimal(10,0)") + lit(0.25))
+              .cast("decimal(12,2)").as("bal")), out)
       graft.sources.AvroFormat.read(s, out)
         .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          expr("unix_micros(max(asof_ts))").as("max_ts_us"),
+          (sum(col("bal")) * 100).cast("long").as("bal_c"))
         .orderBy(col("n_regionkey"))
     },
     oracle = Some("""
-      SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+      SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
+             CAST(MAX(n_nationkey) * 86400000000 AS BIGINT) AS max_ts_us,
+             CAST(SUM(n_nationkey * 100 + 25) AS BIGINT) AS bal_c
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
   /** FLIP-107 METADATA columns on the CDC SQL source — ref

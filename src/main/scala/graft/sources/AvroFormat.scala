@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   * driver touches).
   *
   * Type subset: the fixture-relevant primitives (long/int/double/float/
-  * string/boolean), nullable via Avro unions. Timestamps/decimals would
-  * add logical types — out of scope until a query needs them. */
+  * string/boolean) plus the LOGICAL types real Avro data carries — ref
+  * flink-avro AvroSchemaConverter: TIMESTAMP → long+timestamp-micros,
+  * DECIMAL(p,s) → bytes+decimal(p,s), DATE → int+date. Nullable via Avro
+  * unions. */
 object AvroFormat {
+
+  import org.apache.avro.LogicalTypes
 
   private def avroType(dt: DataType): Schema = dt match {
     case LongType => Schema.create(Schema.Type.LONG)
@@ -30,7 +34,64 @@ object AvroFormat {
     case FloatType => Schema.create(Schema.Type.FLOAT)
     case StringType => Schema.create(Schema.Type.STRING)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case TimestampType | TimestampNTZType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
+    case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case other => throw new IllegalArgumentException(s"unsupported Avro mapping for $other")
+  }
+
+  /** Spark value → Avro generic value for one field (identity for
+    * primitives; logical types encode per the Avro spec: timestamp-micros
+    * as epoch-µs long, decimal as unscaled big-endian bytes, date as
+    * epoch-day int). */
+  private def toAvro(dt: DataType): Any => Any = dt match {
+    case TimestampType | TimestampNTZType => {
+      case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: java.time.LocalDateTime =>
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+      case v => v
+    }
+    case d: DecimalType => {
+      case b: java.math.BigDecimal =>
+        java.nio.ByteBuffer.wrap(b.setScale(d.scale).unscaledValue().toByteArray)
+      case b: scala.math.BigDecimal =>
+        java.nio.ByteBuffer.wrap(b.setScale(d.scale).underlying().unscaledValue().toByteArray)
+      case v => v
+    }
+    case DateType => {
+      case dd: java.sql.Date => dd.toLocalDate.toEpochDay.toInt
+      case ld: java.time.LocalDate => ld.toEpochDay.toInt
+      case v => v
+    }
+    case _ => identity
+  }
+
+  /** Avro generic value → Spark row value for one field. */
+  private def fromAvro(dt: DataType): Any => Any = dt match {
+    case TimestampType | TimestampNTZType => {
+      case us: java.lang.Long =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case v => v
+    }
+    case d: DecimalType => {
+      case bb: java.nio.ByteBuffer =>
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+      case v => v
+    }
+    case DateType => {
+      case days: java.lang.Integer => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      case v => v
+    }
+    case _ => {
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case v => v
+    }
   }
 
   /** DataFrame schema → Avro record schema (nullable fields as unions). */
@@ -62,13 +123,14 @@ object AvroFormat {
       spark.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
     val fieldNames = st.fieldNames
+    val convs = st.fields.map(f => toAvro(f.dataType))
     df.rdd.mapPartitions { it =>
       val schema = new Schema.Parser().parse(schemaJson) // parse once per task
       it.map { row =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < fieldNames.length) {
-          rec.put(fieldNames(i), if (row.isNullAt(i)) null else row.get(i))
+          rec.put(fieldNames(i), if (row.isNullAt(i)) null else convs(i)(row.get(i)))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -98,14 +160,19 @@ object AvroFormat {
     val eff = if (s.getType == Schema.Type.UNION)
       s.getTypes.stream().filter(_.getType != Schema.Type.NULL).findFirst().get()
     else s
-    eff.getType match {
-      case Schema.Type.LONG => LongType
-      case Schema.Type.INT => IntegerType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.FLOAT => FloatType
-      case Schema.Type.STRING => StringType
-      case Schema.Type.BOOLEAN => BooleanType
-      case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+    eff.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => TimestampType
+      case dec: LogicalTypes.Decimal => DecimalType(dec.getPrecision, dec.getScale)
+      case _: LogicalTypes.Date => DateType
+      case _ => eff.getType match {
+        case Schema.Type.LONG => LongType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.STRING => StringType
+        case Schema.Type.BOOLEAN => BooleanType
+        case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+      }
     }
   }
 
@@ -116,17 +183,17 @@ object AvroFormat {
       StructField(f.name, sparkType(f.schema), nullable = true))
       .collect(java.util.stream.Collectors.toList[StructField]).toArray(Array[StructField]()))
     val fieldNames = st.fieldNames
+    val convs = st.fields.map(f => fromAvro(f.dataType))
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable])
       .map { case (k, _) =>
         // the RecordReader REUSES the key object — copy fields out now
         val rec = k.datum()
-        Row.fromSeq(fieldNames.toSeq.map { n =>
-          rec.get(n) match {
+        Row.fromSeq(fieldNames.indices.map { i =>
+          rec.get(fieldNames(i)) match {
             case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case v => v
+            case v => convs(i)(v)
           }
         })
       }
