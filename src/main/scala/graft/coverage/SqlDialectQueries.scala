@@ -401,6 +401,45 @@ object SqlDialectQueries {
       FROM isl GROUP BY user_id, par, grp
       ORDER BY user_id, a_id"""))
 
+  /** NESTED pattern groups `((A B)+ C){2}` — ref GroupPattern.java
+    * (`Pattern.begin(Pattern.begin(...))`, arbitrary nesting). The staged
+    * letter stream cycles `a b a b c a b c` per user, so each match's two
+    * outer iterations contain DIFFERENT inner (A B)+ counts (2 pairs,
+    * then 1) — a shape no flat pattern with unique variables can express;
+    * matches tile each user's stream in complete 8-row blocks (proved in
+    * the oracle by the HAVING COUNT(*) = 8 block filter). */
+  val qSqlMrNestedGroup: Q = Q(
+    run = (s, dir) => {
+      graft.Tables.load(s, dir, "orders")
+        .selectExpr("CAST(o_custkey % 20 AS BIGINT) AS user_id",
+                    "CAST(o_orderkey AS BIGINT) AS event_id")
+        .selectExpr("user_id", "event_id",
+          "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS ts")
+        .selectExpr("user_id", "event_id", "ts",
+          "element_at(array('a','b','a','b','c','a','b','c'), CAST(ts % 8 + 1 AS INT)) AS letter")
+        .createOrReplaceTempView("mr_nested_events")
+      new EngineEnv(s).sqlQuery("""
+        SELECT * FROM mr_nested_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id, LAST(C.event_id) AS c_id
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (((A B)+ C){2})
+          DEFINE A AS A.letter = 'a',
+                 B AS B.letter = 'b',
+                 C AS C.letter = 'c'
+        )""").orderBy(col("user_id"), col("a_id"))
+    },
+    oracle = Some("""
+      WITH ord AS (SELECT o_custkey % 20 AS user_id, o_orderkey AS event_id,
+                          row_number() OVER (PARTITION BY o_custkey % 20
+                                             ORDER BY o_orderkey) - 1 AS pos
+                   FROM orders)
+      SELECT user_id, MIN(event_id) AS a_id, MAX(event_id) AS c_id
+      FROM ord GROUP BY user_id, pos // 8
+      HAVING COUNT(*) = 8
+      ORDER BY user_id, a_id"""))
+
   /** Absence pattern — Flink CEP notFollowedBy(purchase).followedBy(error)
     * (ref flink-cep Pattern.notFollowedBy): a click, then the FIRST error
     * with NO purchase in between, via a skip variable excluding both (the
@@ -608,6 +647,7 @@ object SqlDialectQueries {
     "q_sql_mr_reluctant" -> qSqlMrReluctant,
     "q_sql_mr_greedy" -> qSqlMrGreedy,
     "q_sql_mr_group" -> qSqlMrGroup,
+    "q_sql_mr_nested_group" -> qSqlMrNestedGroup,
     "q_window_session_dynamic" -> qWindowSessionDynamic,
     "q_similar_to" -> qSimilarTo,
     "q_window_join" -> qWindowJoin,

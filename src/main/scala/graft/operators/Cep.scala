@@ -63,8 +63,11 @@ object Cep {
     * engine defaults greedy (the SQL spelling), callers map accordingly.
     *
     * `group` (ref GroupPattern.java — `Pattern.begin(subPattern)`): when
-    * set, this step matches the SUB-SEQUENCE (one nesting level), with
-    * min/max/greedy quantifying whole-group occurrences; `pred` is unused.
+    * set, this step matches the SUB-SEQUENCE, with min/max/greedy
+    * quantifying whole-group occurrences; `pred` is unused. Sub-steps may
+    * themselves be groups — the search recurses one call-stack level per
+    * NESTING level (arbitrary nesting, like the reference's
+    * `Pattern.begin(Pattern.begin(...))`).
     *
     * `varId`: the pattern-variable id recorded in the match's (varId,
     * evIdx) pairs; -1 = use the step's position in its sequence (the

@@ -47,11 +47,13 @@ object MatchRecognize {
     * logical navigation offset for FIRST/LAST (`LAST(B.col, 1)`). */
   case class Measure(fn: String, variable: String, col: String, as: String,
                      mode: String = "", offset: Int = 0)
-  /** Pattern element: a variable or ONE level of group nesting (ref
-    * GroupPattern.java); `greedy = false` = reluctant (`B+?`, `(A B)*?`). */
+  /** Pattern element: a variable or a group (ref GroupPattern.java —
+    * groups nest ARBITRARILY, `((A B)+ C){2}`, mirroring
+    * `Pattern.begin(Pattern.begin(...))`); `greedy = false` = reluctant
+    * (`B+?`, `(A B)*?`). */
   sealed trait PatElem
   case class PatVar(name: String, min: Int, max: Int, greedy: Boolean = true) extends PatElem
-  case class PatGroup(vars: Seq[PatVar], min: Int, max: Int, greedy: Boolean = true) extends PatElem
+  case class PatGroup(elems: Seq[PatElem], min: Int, max: Int, greedy: Boolean = true) extends PatElem
   case class Define(variable: String, col: String, op: String, value: String,
                     rhsVar: Option[(String, String)] = None, // (variable, col) for cross-var predicates
                     rhsPrev: Option[(String, Int)] = None)   // (col, n) for PREV(X.col, n) physical navigation
@@ -65,10 +67,14 @@ object MatchRecognize {
                   measures: Seq[Measure], pattern: Seq[PatElem],
                   withinMicros: Long, defines: Map[String, Seq[Define]],
                   skip: Skip, allRows: Boolean) {
-    /** Pattern variables in global-id order (group members flattened). */
-    def flatVars: Seq[PatVar] = pattern.flatMap {
-      case v: PatVar => Seq(v)
-      case g: PatGroup => g.vars
+    /** Pattern variables in global-id order (groups flattened recursively,
+      * left to right — matches the leaf-creation order in [[run]]). */
+    def flatVars: Seq[PatVar] = {
+      def fl(es: Seq[PatElem]): Seq[PatVar] = es.flatMap {
+        case v: PatVar => Seq(v)
+        case g: PatGroup => fl(g.elems)
+      }
+      fl(pattern)
     }
   }
 
@@ -80,10 +86,9 @@ object MatchRecognize {
   private val measureRe =
     """(?i)\s*(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)?\s+AS\s+(\w+)\s*""".r
   private val measureFnRe = """(?i)\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
-  // one nesting level: the body may contain (...) groups
-  private val patternRe = """(?is)PATTERN\s*\(\s*((?:[^()]|\([^()]*\))*?)\s*\)""".r
+  private val patternHeadRe = """(?is)PATTERN\s*\(""".r
   private val patQuantRe = """(\+\??|\*\??|\?\??|\{(\d+)(?:,(\d+))?\}(\?)?)?""".r
-  private val patTokenRe = ("""\(\s*([^()]+?)\s*\)""" + patQuantRe + """|(\w+)""" + patQuantRe).r
+  private val patVarTokenRe = ("""(\w+)""" + patQuantRe).r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val rowsPerRe = """(?is)(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH""".r
@@ -116,27 +121,45 @@ object MatchRecognize {
         (lo, Option(n).map(_.toInt).getOrElse(lo), lzy == null)
     }
 
-  /** Cursor tokenizer over the PATTERN body: variables and one level of
-    * `( ... )` groups, each with an optional quantifier. */
+  /** The balanced body of the `PATTERN ( ... )` clause — a regex cannot
+    * bound arbitrarily nested groups, so the close paren is found by
+    * depth counting. */
+  private def patternBody(body: String): String =
+    patternHeadRe.findFirstMatchIn(body).map { m =>
+      var depth = 1; var i = m.end
+      while (i < body.length && depth > 0) {
+        body.charAt(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+        i += 1
+      }
+      if (depth != 0) throw new IllegalArgumentException(s"unbalanced PATTERN clause in '$body'")
+      body.substring(m.end, i - 1).trim
+    }.getOrElse("")
+
+  /** Cursor tokenizer over the PATTERN body: variables and ARBITRARILY
+    * NESTED `( ... )` groups (ref GroupPattern.java), each with an
+    * optional quantifier. */
   private def parsePattern(s: String): Seq[PatElem] = {
     val elems = scala.collection.mutable.ListBuffer[PatElem]()
     var cur = 0
     while (cur < s.length) {
       if (s.charAt(cur).isWhitespace) cur += 1
-      else patTokenRe.findPrefixMatchOf(s.subSequence(cur, s.length)) match {
+      else if (s.charAt(cur) == '(') {
+        var depth = 1; var i = cur + 1
+        while (i < s.length && depth > 0) {
+          s.charAt(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+          i += 1
+        }
+        if (depth != 0)
+          throw new IllegalArgumentException(s"unbalanced group at '${s.substring(cur)}'")
+        val inner = parsePattern(s.substring(cur + 1, i - 1))
+        val qm = patQuantRe.findPrefixMatchOf(s.subSequence(i, s.length)).get
+        val (lo, hi, g) = parseQuant(qm.group(1), qm.group(2), qm.group(3), qm.group(4))
+        elems += PatGroup(inner, lo, hi, g)
+        cur = i + qm.end
+      } else patVarTokenRe.findPrefixMatchOf(s.subSequence(cur, s.length)) match {
         case Some(mm) =>
-          if (mm.group(1) != null) {
-            val (lo, hi, g) = parseQuant(mm.group(2), mm.group(3), mm.group(4), mm.group(5))
-            val inner = parsePattern(mm.group(1)).map {
-              case v: PatVar => v
-              case _: PatGroup => throw new IllegalArgumentException(
-                "only one level of pattern-group nesting is supported")
-            }
-            elems += PatGroup(inner, lo, hi, g)
-          } else {
-            val (lo, hi, g) = parseQuant(mm.group(7), mm.group(8), mm.group(9), mm.group(10))
-            elems += PatVar(mm.group(6), lo, hi, g)
-          }
+          val (lo, hi, g) = parseQuant(mm.group(2), mm.group(3), mm.group(4), mm.group(5))
+          elems += PatVar(mm.group(1), lo, hi, g)
           cur += mm.end
         case None => throw new IllegalArgumentException(
           s"unsupported pattern token at '${s.substring(cur)}'")
@@ -175,8 +198,7 @@ object MatchRecognize {
             offset = Option(off).map(_.toInt).getOrElse(0))
         case other => throw new IllegalArgumentException(s"unsupported measure '$other'")
       }
-    val pattern = parsePattern(
-      patternRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(""))
+    val pattern = parsePattern(patternBody(body))
     val within = withinRe.findFirstMatchIn(body).map { m =>
       val n = m.group(1).toLong
       m.group(2).toUpperCase match {
@@ -297,18 +319,21 @@ object MatchRecognize {
                 else cmpStr(r.get(ci).toString, d.op, d.value))
         }
     }
-    // leaf steps carry their GLOBAL variable id; a group step wraps its
-    // members as a sub-sequence (ref GroupPattern.java), quantified whole
+    // leaf steps carry their GLOBAL variable id (left-to-right leaf order,
+    // matching flatVars); a group step wraps its members as a sub-sequence
+    // (ref GroupPattern.java) quantified whole — recursively, so groups
+    // nest arbitrarily
     var gi = -1
     def leafStep(v: PatVar): Cep.StepG[Row] = {
       gi += 1
       Cep.StepG[Row](predOf(v), v.min, v.max, strict = true, greedy = v.greedy, varId = gi)
     }
-    val steps = spec.pattern.toIndexedSeq.map {
+    def elemStep(e: PatElem): Cep.StepG[Row] = e match {
       case v: PatVar => leafStep(v)
       case g: PatGroup =>
-        Cep.StepG.groupOf[Row](g.vars.toIndexedSeq.map(leafStep), g.min, g.max, g.greedy)
+        Cep.StepG.groupOf[Row](g.elems.toIndexedSeq.map(elemStep), g.min, g.max, g.greedy)
     }
+    val steps = spec.pattern.toIndexedSeq.map(elemStep)
 
     def measureType(m: Measure): DataType = m.fn match {
       case "MATCH_NUMBER" => LongType

@@ -43,6 +43,42 @@ class MatchRecognizeSpec extends SparkTestBase {
       PatVar("E", 0, 1, greedy = false)))
   }
 
+  test("parser: arbitrarily nested groups ((A B)+ C){2}") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES A.x AS ax
+        PATTERN (((A B)+ C){2})
+        DEFINE A AS A.t = 'x')""")
+    import MatchRecognize.{PatGroup, PatVar}
+    assert(spec.pattern == Seq(PatGroup(Seq(
+      PatGroup(Seq(PatVar("A", 1, 1), PatVar("B", 1, 1)), 1, Int.MaxValue),
+      PatVar("C", 1, 1)), 2, 2)))
+    assert(spec.flatVars.map(_.name) == Seq("A", "B", "C"))
+  }
+
+  test("nested groups: outer iterations may differ in inner (A B)+ counts") {
+    // a b a b c a b c — one match: outer iteration 1 has TWO (a b) pairs,
+    // iteration 2 has ONE; no flat unique-variable pattern expresses this
+    mkEvents(Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (1L, 3L, "a", 30L), (1L, 4L, "b", 40L),
+      (1L, 5L, "c", 50L), (1L, 6L, "a", 60L), (1L, 7L, "b", 70L), (1L, 8L, "c", 80L),
+      // incomplete second block: must NOT match
+      (1L, 9L, "a", 90L), (1L, 10L, "b", 100L), (1L, 11L, "c", 110L)))
+    val out = new EngineEnv(spark).sqlQuery("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_id, LAST(C.event_id) AS c_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C){2})
+        DEFINE A AS A.event_type = 'a',
+               B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+      )""").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 8L)))
+  }
+
   test("greedy B* runs to the LAST purchase; reluctant B*? stops at the FIRST") {
     val s = spark
     import s.implicits._
