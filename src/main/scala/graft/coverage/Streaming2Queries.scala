@@ -628,6 +628,68 @@ object Streaming2Queries {
     * changelog row count per key (insert=1, overwrite=2, live-delete=1,
     * absent-delete=0), which pins the -U/+U/-D sequence, not just the
     * endpoint. */
+  /** Upsert source on the SQL DDL surface — the reference's
+    * `'connector'='upsert-kafka'` exposure (UpsertKafkaDynamicTableFactory),
+    * file-staged: a declared `'connector'='upsert-files'` table normalizes
+    * keyed (key, value, seq) messages (NULL value = tombstone) into the
+    * +I/-U/+U/-D changelog; its STREAMING read (fromStream → incremental
+    * ChangelogNormalize) then drives [[StreamJoin.changelogJoin]] against a
+    * plain-insert right side. The materialized join must equal the batch
+    * join of post-upsert live state — tombstoned keys gone, overwritten
+    * values current — which only a retract-correct upsert→join pipeline
+    * produces. */
+  val qUpsertSqlJoin: Q = Q(
+    run = (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("key"),
+                expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      val m = col("key") % 4
+      val msgs = base.select(col("key"), col("cents").as("value"), (col("key") * 4).as("seq"))
+        .unionByName(base.filter(m === 1).select(col("key"),
+          lit(null).cast("long").as("value"), (col("key") * 4 + 1).as("seq")))
+        .unionByName(base.filter(m === 2).select(col("key"),
+          (col("cents") + 55).as("value"), (col("key") * 4 + 1).as("seq")))
+      val path = StreamOps.scratchRoot + s"/upsert_sql_${san(dir)}"
+      msgs.coalesce(1).write.mode("overwrite").parquet(path)
+      val e = new graft.sql.EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE ups (key BIGINT, value BIGINT, seq BIGINT)
+        WITH ('connector'='upsert-files', 'path'='$path', 'format'='parquet')""")
+      // leg 1: the SQL-declared upsert table's STREAMING changelog
+      val changelog = StreamOps.runToMemory(s, e.fromStream("ups"), OutputMode.Update())
+      // leg 2: changelog → join-tagged lattice (+I/+U → +I, -U/-D → -D;
+      // per-key apply order pinned by the kind's position in the upsert
+      // emission sequence), inner-joined against a plain-insert side
+      val left = changelog.select(col("key"), lit(0).as("side"),
+        when(col("row_kind").isin("+I", "+U"), "+I").otherwise("-D").as("kind"),
+        col("value").as("id"),
+        (col("key") * 4 + when(col("row_kind") === "+I", 0)
+          .when(col("row_kind") === "-U", 1).when(col("row_kind") === "+U", 2)
+          .otherwise(1)).as("seq"))
+      val right = base.filter(col("key") % 3 === 0)
+        .select(col("key"), lit(1).as("side"), lit("+I").as("kind"),
+                col("key").as("id"), (col("key") * 4 + 3).as("seq"))
+      val tagged = left.unionByName(right)
+      val srcDir = StreamOps.stageBatches(s, s"upsert_sql_join_${san(dir)}", Seq(tagged))
+      val stream = s.readStream.schema(tagged.schema).parquet(srcDir)
+      val joined = StreamOps.runToMemory(
+        s, StreamJoin.changelogJoin(s, stream, "inner"), OutputMode.Update())
+      StreamJoin.materialize(joined)
+        .select(col("key"), col("l_id"), col("r_id"))
+        .orderBy(col("key"), col("l_id"), col("r_id"))
+    },
+    oracle = Some("""
+      WITH live AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 4 = 2
+                    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 55
+                    ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS l_id
+        FROM orders WHERE o_orderkey % 4 <> 1),
+      r AS (SELECT o_orderkey AS key, o_orderkey AS r_id
+            FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT live.key, live.l_id, r.r_id FROM live JOIN r ON live.key = r.key
+      ORDER BY 1, 2, 3"""))
+
   val qUpsertMaterialize: Q = Q(
     run = (s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -691,5 +753,6 @@ object Streaming2Queries {
     "q_stream_tws_process" -> qStreamTwsProcess,
     "q_stream_tws_timer" -> qStreamTwsTimer,
     "q_upsert_materialize" -> qUpsertMaterialize,
+    "q_upsert_sql_join" -> qUpsertSqlJoin,
   )
 }

@@ -345,9 +345,21 @@ final class EngineEnv(val spark: SparkSession) {
     (m("malformed").asInstanceOf[Long], m("messages").asInstanceOf[Long])
   }
 
+  /** Upsert ingestion as a declarable connector — the reference exposes
+    * this as `'connector'='upsert-kafka'` (UpsertKafkaDynamicTableFactory);
+    * here the keyed message stream is file-staged: (key, value, seq)
+    * messages with NULL-value tombstones, normalized into the full
+    * +I/-U/+U/-D changelog by [[graft.streaming.StreamOps.upsertChangelog]]
+    * (the ChangelogNormalize analog). Batch reads replay the messages as
+    * one batch; [[fromStream]] runs the real incremental normalize. */
+  private def isUpsert(spec: TableSpec): Boolean =
+    spec.options.get("connector").contains("upsert-files")
+
   private def register(name: String, spec: TableSpec): Unit = {
     val base =
       if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, keyOf(name))
+      else if (isUpsert(spec))
+        graft.streaming.StreamOps.upsertChangelog(spark, read(spec.path, spec.format))
       else applyFileMeta(read(spec.path, spec.format), spec)
     applyComputed(base, spec).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
@@ -381,7 +393,7 @@ final class EngineEnv(val spark: SparkSession) {
             if (body.meta.nonEmpty) body.meta else b.metaCols,
             b.options ++ opts)
           register(name, spec)
-        case (None, Some("filesystem")) =>
+        case (None, Some("filesystem")) | (None, Some("upsert-files")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),
             wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical, body.meta,
             opts))
@@ -695,7 +707,13 @@ final class EngineEnv(val spark: SparkSession) {
       if (cdcFormats(spec.format))
         readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec,
                 keyOf(name))
-      else if (spec.format == "avro") {
+      else if (isUpsert(spec)) {
+        // incremental ChangelogNormalize over the staged message stream
+        val schema = read(spec.path, spec.format).schema
+        graft.streaming.StreamOps.upsertChangelog(spark,
+          spark.readStream.schema(schema).format(spec.format)
+            .load(graft.streaming.StreamOps.fileAsDir(spec.path)))
+      } else if (spec.format == "avro") {
         // no spark-avro streaming DataSource in the container (batch reads
         // are special-cased to AvroFormat) — stage a one-shot parquet
         // snapshot and stream that, like the CDC staged-text path
