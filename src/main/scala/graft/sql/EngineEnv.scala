@@ -528,8 +528,38 @@ final class EngineEnv(val spark: SparkSession) {
       spark.catalog.dropTempView(viewOf(name))
       catalog.remove(keyOf(name))
       spark.emptyDataFrame
-    case showRe() => spark.sql("SHOW VIEWS")
+    // SHOW TABLES lists the CURRENT catalog+database only (ref
+    // SqlShowTables / CatalogManager listTables), stripping the flat-view
+    // name mangling
+    case showRe() =>
+      import spark.implicits._
+      val prefix =
+        if (currentCat == "default_catalog" && currentDb == "default_database") ""
+        else s"${currentCat}__${currentDb}__"
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => if (prefix.isEmpty) !n.contains("__") else n.startsWith(prefix))
+        .map(_.stripPrefix(prefix)).sorted.toSeq.toDF("table_name")
     case showFnRe() => spark.sql("SHOW FUNCTIONS")
+    // DESCRIBE of a REGISTERED table reports the reference's column view
+    // (ref SqlRichDescribeTable result: name/type/null/extras/watermark):
+    // computed columns as `AS expr`, metadata columns as `METADATA FROM`,
+    // the watermark column flagged with its declared delay
+    case describeRe(name) if catalog.contains(keyOf(name)) =>
+      import spark.implicits._
+      val spec = catalog(keyOf(name))
+      val computed = spec.computedCols.toMap
+      val metaKeys = spec.metaCols.map(m => m._1 -> m._3).toMap
+      spark.table(viewOf(name)).schema.fields.toSeq.map { f =>
+        val extras =
+          if (computed.contains(f.name)) s"AS ${computed(f.name)}"
+          else if (metaKeys.contains(f.name)) s"METADATA FROM '${metaKeys(f.name)}'"
+          else ""
+        val wm =
+          if (spec.watermarkCol.contains(f.name))
+            s"${f.name} - INTERVAL '${spec.watermarkDelay.getOrElse("")}'"
+          else ""
+        (f.name, f.dataType.simpleString.toUpperCase, f.nullable, extras, wm)
+      }.toDF("name", "type", "null", "extras", "watermark")
     case describeRe(name) => spark.sql(s"DESCRIBE ${viewOf(name)}")
     case explainRe(query) => spark.sql("EXPLAIN " + FlinkSqlDialect.rewrite(query))
     // catalog statements BEFORE the database forms (USE CATALOG vs USE)

@@ -168,7 +168,13 @@ class SqlDialectSpec extends SparkTestBase {
     e.executeSql(s"""CREATE TABLE ddl_orders WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
     e.executeSql("CREATE VIEW big_orders AS SELECT * FROM ddl_orders WHERE o_totalprice > 1000")
     assert(s.table("big_orders").count() > 0)
-    assert(e.executeSql("SHOW TABLES").collect().map(_.getString(1)).contains("big_orders"))
+    assert(e.executeSql("SHOW TABLES").collect().map(_.getString(0)).contains("big_orders"))
+    // scoped to the CURRENT database: a table registered under another
+    // database does not appear in this listing
+    e.executeSql("CREATE DATABASE elsewhere")
+    e.executeSql(s"""CREATE TABLE elsewhere.hidden_t WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    val listed = e.executeSql("SHOW TABLES").collect().map(_.getString(0))
+    assert(listed.contains("ddl_orders") && !listed.contains("hidden_t"))
     e.executeSql("DROP VIEW big_orders")
     assert(!s.catalog.tableExists("big_orders"))
   }
@@ -306,6 +312,16 @@ class SqlDialectSpec extends SparkTestBase {
     e.executeSql(s"""CREATE TABLE ddl_desc WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
     val cols = e.executeSql("DESCRIBE ddl_desc").collect().map(_.getString(0))
     assert(cols.contains("n_nationkey"))
+    // registered-table DESCRIBE reports the reference's extras column:
+    // computed columns as `AS expr`, metadata columns as `METADATA FROM`
+    e.executeSql(s"""CREATE TABLE ddl_desc2 (
+      twice AS n_nationkey * 2,
+      fname STRING METADATA FROM 'file.name'
+    ) WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    val rows = e.executeSql("DESCRIBE ddl_desc2").collect()
+    assert(rows.find(_.getString(0) == "twice").exists(_.getString(3).startsWith("AS ")))
+    assert(rows.find(_.getString(0) == "fname")
+      .exists(_.getString(3) == "METADATA FROM 'file.name'"))
     val plan = e.executeSql("EXPLAIN SELECT n_name FROM ddl_desc WHERE n_nationkey > 3")
       .collect()(0).getString(0)
     assert(plan.contains("Filter") || plan.contains("filter"))
