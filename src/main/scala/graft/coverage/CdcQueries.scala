@@ -211,25 +211,36 @@ object CdcQueries {
     run = (s, dir) => {
       val out = graft.streaming.StreamOps.scratchRoot + s"/avro_rt_${san(dir)}"
       // logical-type columns (ref flink-avro AvroSchemaConverter): a
-      // timestamp-micros and a decimal(12,2), derived deterministically so
-      // the round-trip values are oracle-computable
+      // timestamp-micros and a decimal(12,2); COMPLEX columns: an array,
+      // a string-keyed map and a nested record — all derived
+      // deterministically so the round-trip values are oracle-computable
       graft.sources.AvroFormat.write(
         Tables.load(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
             timestamp_seconds(col("n_nationkey") * 86400).as("asof_ts"),
             (col("n_nationkey").cast("decimal(10,0)") + lit(0.25))
-              .cast("decimal(12,2)").as("bal")), out)
+              .cast("decimal(12,2)").as("bal"),
+            array(col("n_nationkey"), col("n_regionkey") * 10).as("vals"),
+            map(lit("k"), col("n_nationkey")).as("props"),
+            struct(col("n_nationkey").as("nk"), col("n_name").as("nm")).as("meta")), out)
       graft.sources.AvroFormat.read(s, out)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
           expr("unix_micros(max(asof_ts))").as("max_ts_us"),
-          (sum(col("bal")) * 100).cast("long").as("bal_c"))
+          (sum(col("bal")) * 100).cast("long").as("bal_c"),
+          sum(element_at(col("vals"), 1) + element_at(col("vals"), 2))
+            .cast("long").as("vals_sum"),
+          sum(element_at(col("props"), "k")).cast("long").as("props_sum"),
+          min(col("meta.nm")).as("meta_min"))
         .orderBy(col("n_regionkey"))
     },
     oracle = Some("""
       SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
              CAST(MAX(n_nationkey) * 86400000000 AS BIGINT) AS max_ts_us,
-             CAST(SUM(n_nationkey * 100 + 25) AS BIGINT) AS bal_c
+             CAST(SUM(n_nationkey * 100 + 25) AS BIGINT) AS bal_c,
+             CAST(SUM(n_nationkey + n_regionkey * 10) AS BIGINT) AS vals_sum,
+             CAST(SUM(n_nationkey) AS BIGINT) AS props_sum,
+             MIN(n_name) AS meta_min
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
   /** FLIP-107 METADATA columns on the CDC SQL source — ref

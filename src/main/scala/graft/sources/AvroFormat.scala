@@ -18,16 +18,29 @@ import org.apache.spark.sql.types._
   * on read; no driver-side loops (the schema string is the only thing the
   * driver touches).
   *
-  * Type subset: the fixture-relevant primitives (long/int/double/float/
-  * string/boolean) plus the LOGICAL types real Avro data carries — ref
-  * flink-avro AvroSchemaConverter: TIMESTAMP → long+timestamp-micros,
-  * DECIMAL(p,s) → bytes+decimal(p,s), DATE → int+date. Nullable via Avro
-  * unions. */
+  * Type subset — ref flink-avro AvroSchemaConverter: the primitives
+  * (long/int/double/float/string/boolean), the LOGICAL types real Avro
+  * data carries (TIMESTAMP → long+timestamp-micros, DECIMAL(p,s) →
+  * bytes+decimal(p,s), DATE → int+date) and the COMPLEX types
+  * (ARRAY<e> → array, MAP<STRING,v> → map, nested STRUCT → record),
+  * recursively. Nullable via Avro unions at every level. */
 object AvroFormat {
 
   import org.apache.avro.LogicalTypes
+  import scala.jdk.CollectionConverters._
 
-  private def avroType(dt: DataType): Schema = dt match {
+  /** Union-wrapped nullable branch → the effective value schema. */
+  private def effective(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.stream().filter(_.getType != Schema.Type.NULL).findFirst().get()
+    else s
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), s))
+
+  /** Spark type → Avro schema; `path` names nested records uniquely
+    * (Avro record names must not collide within one schema). */
+  private def avroType(dt: DataType, path: String): Schema = dt match {
     case LongType => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
@@ -39,14 +52,21 @@ object AvroFormat {
     case d: DecimalType =>
       LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
     case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(e, containsNull) =>
+      val elem = avroType(e, s"${path}_item")
+      Schema.createArray(if (containsNull) nullable(elem) else elem)
+    case MapType(StringType, v, valueContainsNull) =>
+      val value = avroType(v, s"${path}_value")
+      Schema.createMap(if (valueContainsNull) nullable(value) else value)
+    case st: StructType => avroSchemaOf(st, path)
     case other => throw new IllegalArgumentException(s"unsupported Avro mapping for $other")
   }
 
-  /** Spark value → Avro generic value for one field (identity for
-    * primitives; logical types encode per the Avro spec: timestamp-micros
-    * as epoch-µs long, decimal as unscaled big-endian bytes, date as
-    * epoch-day int). */
-  private def toAvro(dt: DataType): Any => Any = dt match {
+  /** Spark value → Avro generic value (identity for primitives; logical
+    * types encode per the Avro spec: timestamp-micros as epoch-µs long,
+    * decimal as unscaled big-endian bytes, date as epoch-day int; complex
+    * types recurse with their element/value/field schemas). */
+  private def toAvro(dt: DataType, s: Schema): Any => Any = dt match {
     case TimestampType | TimestampNTZType => {
       case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
       case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -66,10 +86,37 @@ object AvroFormat {
       case ld: java.time.LocalDate => ld.toEpochDay.toInt
       case v => v
     }
+    case ArrayType(e, _) =>
+      val elemConv = toAvro(e, effective(s.getElementType))
+      v => {
+        val items = v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(x => if (x == null) null else elemConv(x)).asJava
+        new GenericData.Array[Any](s, items)
+      }
+    case MapType(StringType, vt, _) =>
+      val valConv = toAvro(vt, effective(s.getValueType))
+      v => v.asInstanceOf[scala.collection.Map[String, Any]]
+        .map { case (k, x) => k -> (if (x == null) null else valConv(x)) }
+        .toMap.asJava
+    case st: StructType =>
+      val convs = st.fields.zipWithIndex.map { case (f, i) =>
+        toAvro(f.dataType, effective(s.getFields.get(i).schema()))
+      }
+      val names = st.fieldNames
+      v => {
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < names.length) {
+          rec.put(names(i), if (row.isNullAt(i)) null else convs(i)(row.get(i)))
+          i += 1
+        }
+        rec
+      }
     case _ => identity
   }
 
-  /** Avro generic value → Spark row value for one field. */
+  /** Avro generic value → Spark row value (recursive over complex types). */
   private def fromAvro(dt: DataType): Any => Any = dt match {
     case TimestampType | TimestampNTZType => {
       case us: java.lang.Long =>
@@ -88,6 +135,23 @@ object AvroFormat {
       case days: java.lang.Integer => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
       case v => v
     }
+    case ArrayType(e, _) =>
+      val elemConv = fromAvro(e)
+      v => v.asInstanceOf[java.util.Collection[Any]].asScala
+        .map(x => if (x == null) null else elemConv(x)).toSeq
+    case MapType(StringType, vt, _) =>
+      val valConv = fromAvro(vt)
+      v => v.asInstanceOf[java.util.Map[Any, Any]].asScala
+        .map { case (k, x) => k.toString -> (if (x == null) null else valConv(x)) }.toMap
+    case st: StructType =>
+      val convs = st.fields.map(f => fromAvro(f.dataType))
+      val names = st.fieldNames
+      v => {
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(names.indices.map { i =>
+          rec.get(names(i)) match { case null => null; case x => convs(i)(x) }
+        })
+      }
     case _ => {
       case u: org.apache.avro.util.Utf8 => u.toString
       case v => v
@@ -98,10 +162,8 @@ object AvroFormat {
   def avroSchemaOf(st: StructType, name: String = "graft_record"): Schema = {
     val fields = new java.util.ArrayList[Schema.Field]()
     st.fields.foreach { f =>
-      val base = avroType(f.dataType)
-      val t = if (f.nullable)
-        Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), base))
-      else base
+      val base = avroType(f.dataType, s"${name}_${f.name}")
+      val t = if (f.nullable) nullable(base) else base
       fields.add(new Schema.Field(f.name, t, null, null))
     }
     Schema.createRecord(name, null, "graft", false, fields)
@@ -123,9 +185,13 @@ object AvroFormat {
       spark.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
     val fieldNames = st.fieldNames
-    val convs = st.fields.map(f => toAvro(f.dataType))
     df.rdd.mapPartitions { it =>
       val schema = new Schema.Parser().parse(schemaJson) // parse once per task
+      // converters are schema-aware (nested records/arrays need their Avro
+      // sub-schemas), so they are built per task from the parsed schema
+      val convs = st.fields.zipWithIndex.map { case (f, i) =>
+        toAvro(f.dataType, effective(schema.getFields.get(i).schema()))
+      }
       it.map { row =>
         val rec = new GenericData.Record(schema)
         var i = 0
@@ -157,9 +223,7 @@ object AvroFormat {
   }
 
   private def sparkType(s: Schema): DataType = {
-    val eff = if (s.getType == Schema.Type.UNION)
-      s.getTypes.stream().filter(_.getType != Schema.Type.NULL).findFirst().get()
-    else s
+    val eff = effective(s)
     eff.getLogicalType match {
       case _: LogicalTypes.TimestampMicros => TimestampType
       case dec: LogicalTypes.Decimal => DecimalType(dec.getPrecision, dec.getScale)
@@ -171,6 +235,10 @@ object AvroFormat {
         case Schema.Type.FLOAT => FloatType
         case Schema.Type.STRING => StringType
         case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.ARRAY => ArrayType(sparkType(eff.getElementType))
+        case Schema.Type.MAP => MapType(StringType, sparkType(eff.getValueType))
+        case Schema.Type.RECORD => StructType(
+          eff.getFields.asScala.toSeq.map(f => StructField(f.name, sparkType(f.schema))))
         case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
       }
     }
@@ -183,7 +251,7 @@ object AvroFormat {
       StructField(f.name, sparkType(f.schema), nullable = true))
       .collect(java.util.stream.Collectors.toList[StructField]).toArray(Array[StructField]()))
     val fieldNames = st.fieldNames
-    val convs = st.fields.map(f => fromAvro(f.dataType))
+    val convs: Array[Any => Any] = st.fields.map(f => fromAvro(f.dataType))
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable])
