@@ -53,6 +53,17 @@ final class EngineEnv(val spark: SparkSession) {
     """(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val showRe = """(?is)SHOW\s+TABLES\s*""".r
   private val alterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  // view / database / constraint admin — ref ddl/SqlAlterViewRename.java,
+  // SqlAlterViewAs.java, SqlAlterDatabase.java,
+  // SqlAlterTableAddConstraint.java, SqlAlterTableDropConstraint.java
+  private val alterViewRenameRe =
+    """(?is)ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val alterViewAsRe = """(?is)ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
+  private val alterDbRe = """(?is)ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
+  private val addConstraintRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\([^)]*\)\s+NOT\s+ENFORCED\s*""".r
+  private val dropConstraintRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:CONSTRAINT\s+(\w+)|PRIMARY\s+KEY)\s*""".r
   // partition-admin DDL — ref ddl/SqlAddPartitions.java, SqlDropPartitions
   // .java, dql/SqlShowPartitions.java
   private val addPartRe =
@@ -329,6 +340,13 @@ final class EngineEnv(val spark: SparkSession) {
       d.withColumn(n, expr(FlinkSqlDialect.rewrite(e)))
     }
 
+  private val dbProps = scala.collection.mutable.Map[String, Map[String, String]]()
+  /** Properties set via ALTER DATABASE (ref SqlAlterDatabase). */
+  def databaseProperties(name: String): Map[String, String] = {
+    val (cat, db) = splitDb(name)
+    dbProps.getOrElse(s"$cat.$db", Map.empty)
+  }
+
   private val observations =
     scala.collection.mutable.Map[String, org.apache.spark.sql.Observation]()
   private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -457,6 +475,30 @@ final class EngineEnv(val spark: SparkSession) {
       spark.emptyDataFrame
     case createViewRe(name, query) =>
       sqlQuery(query).createOrReplaceTempView(viewOf(name))
+      spark.emptyDataFrame
+    case alterViewRenameRe(from, to) => // SqlAlterViewRename
+      val df = spark.table(viewOf(from))
+      spark.catalog.dropTempView(viewOf(from))
+      df.createOrReplaceTempView(viewOf(to))
+      spark.emptyDataFrame
+    case alterViewAsRe(name, query) => // SqlAlterViewAs
+      sqlQuery(query).createOrReplaceTempView(viewOf(name))
+      spark.emptyDataFrame
+    case alterDbRe(n, props) => // SqlAlterDatabase: properties recorded
+      val (cat, db) = splitDb(n)
+      if (!catalogs.get(cat).exists(_(db)))
+        throw new IllegalArgumentException(s"unknown database '$n'")
+      dbProps(s"$cat.$db") = dbProps.getOrElse(s"$cat.$db", Map.empty) ++ parseOptions(props)
+      spark.emptyDataFrame
+    // constraints are accepted NOT ENFORCED (the reference's only mode) —
+    // add/drop validate the table and keep the declaration as metadata
+    case addConstraintRe(name, _) =>
+      if (!catalog.contains(keyOf(name)))
+        throw new IllegalArgumentException(s"unknown table '$name'")
+      spark.emptyDataFrame
+    case dropConstraintRe(name, _) =>
+      if (!catalog.contains(keyOf(name)))
+        throw new IllegalArgumentException(s"unknown table '$name'")
       spark.emptyDataFrame
     // partition admin over the `k=v/` filesystem layout (ref
     // SqlAddPartitions / SqlDropPartitions on the Hive-style filesystem

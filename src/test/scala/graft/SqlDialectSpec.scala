@@ -306,6 +306,29 @@ class SqlDialectSpec extends SparkTestBase {
     intercept[IllegalArgumentException](e.executeSql("USE nope"))
   }
 
+  test("ALTER VIEW RENAME/AS, ALTER DATABASE SET, and constraint admin") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE av_orders WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    e.executeSql("CREATE VIEW av_v AS SELECT * FROM av_orders WHERE o_totalprice > 1000")
+    val n1 = s.table("av_v").count()
+    // SqlAlterViewRename: same rows under the new name, old name gone
+    e.executeSql("ALTER VIEW av_v RENAME TO av_v2")
+    assert(s.table("av_v2").count() == n1 && !s.catalog.tableExists("av_v"))
+    // SqlAlterViewAs: redefinition replaces the query
+    e.executeSql("ALTER VIEW av_v2 AS SELECT * FROM av_orders WHERE o_totalprice > 100000")
+    assert(s.table("av_v2").count() < n1)
+    // SqlAlterDatabase: properties recorded and readable
+    e.executeSql("CREATE DATABASE av_db")
+    e.executeSql("ALTER DATABASE av_db SET ('owner'='graft', 'tier'='gold')")
+    assert(e.databaseProperties("av_db") == Map("owner" -> "graft", "tier" -> "gold"))
+    // constraint admin: accepted NOT ENFORCED; unknown table rejected
+    e.executeSql("ALTER TABLE av_orders ADD CONSTRAINT pk_o PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    e.executeSql("ALTER TABLE av_orders DROP CONSTRAINT pk_o")
+    intercept[IllegalArgumentException](
+      e.executeSql("ALTER TABLE nope_t ADD PRIMARY KEY (x) NOT ENFORCED"))
+  }
+
   test("DESCRIBE and EXPLAIN run through the dialect") {
     val s = spark
     val e = new EngineEnv(s)
