@@ -122,6 +122,17 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Queryable-state analog — ref flink-queryable-state
+    * (`KeyedStream.asQueryableState` / QueryableStateClient.getKvState):
+    * out-of-band reads of a stateful operator's keyed state. Spark's
+    * spelling: every checkpointed state store is a first-class READABLE
+    * data source (the `statestore` format), so external state queries run
+    * as plain DataFrames against the checkpoint — the same capability
+    * through a storage-level access path instead of an RPC to the running
+    * job (and it composes: filters/joins/aggregations over live state). */
+  def readState(s: SparkSession, checkpointLocation: String): DataFrame =
+    s.read.format("statestore").load(checkpointLocation)
+
   private def wipe(dir: String): Unit = {
     val base = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(base)) {

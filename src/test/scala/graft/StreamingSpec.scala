@@ -831,4 +831,28 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/p_bucket=$b/_SUCCESS"))
     assert(marked(0L) && !marked(600L) && !marked(1200L))
   }
+
+  test("queryable state: the checkpointed store reads back as a DataFrame (asQueryableState analog)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ckpt = graft.streaming.StreamOps.scratchRoot +
+      s"/qstate_${ProcessHandle.current().pid()}"
+    val q = in.toDF().toDF("k", "v").groupBy("k").count()
+      .writeStream.format("memory").queryName("qstate_sink")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    in.addData(("a", 1L), ("a", 2L), ("b", 3L))
+    q.processAllAvailable()
+    in.addData(("b", 4L), ("c", 5L))
+    q.processAllAvailable()
+    q.stop()
+    // out-of-band state read: key struct + aggregation buffer struct
+    val state = graft.streaming.StreamOps.readState(s, ckpt)
+      .select(col("key.*"), col("value.*"))
+    val buf = state.columns.last // the count buffer field (name is internal)
+    val kv = state.select(col(state.columns.head), col(buf)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kv == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
 }
