@@ -832,6 +832,35 @@ class StreamingSpec extends SparkTestBase {
     assert(marked(0L) && !marked(600L) && !marked(1200L))
   }
 
+  test("watermark idleness analog: an idle union side does not stall event time") {
+    // ref WatermarkStrategy.withIdleness (flink-core eventtime): in the
+    // reference, a two-input operator takes the MIN of input watermarks,
+    // so a side with no events freezes event time forever unless marked
+    // idle. In the micro-batch model with the watermark declared ON THE
+    // UNION, event time is the global observed max minus the delay — an
+    // idle side simply stops contributing, which IS the withIdleness
+    // behavior, by default. This spec pins it: side B stops at t=50 and
+    // windows far past B's last event still finalize in Append mode.
+    val s = spark
+    val sideA1 = s.createDataFrame(Seq((1L, 10L), (2L, 110L))).toDF("id", "sec")
+    val sideA2 = s.createDataFrame(Seq((3L, 1000L))).toDF("id", "sec")
+    val sideB1 = s.createDataFrame(Seq((100L, 50L))).toDF("id", "sec")
+    val dirA = graft.streaming.StreamOps.stageBatches(s, "idle_a", Seq(sideA1, sideA2))
+    val dirB = graft.streaming.StreamOps.stageBatches(s, "idle_b", Seq(sideB1))
+    val a = s.readStream.schema(sideA1.schema).option("maxFilesPerTrigger", "1").parquet(dirA)
+    val b = s.readStream.schema(sideB1.schema).parquet(dirB)
+    val unioned = a.unionByName(b)
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "60 seconds")).count()
+    val out = graft.streaming.StreamOps.runToMemory(
+      s, unioned, org.apache.spark.sql.streaming.OutputMode.Append())
+    val ends = out.select(expr("unix_seconds(window.end)")).collect().map(_.getLong(0)).sorted
+    // windows [0,60) and [60,120) finalized — both end long after side B's
+    // last event (t=50): B's idleness did not hold the watermark at 50
+    assert(ends.toSeq == Seq(60L, 120L))
+  }
+
   test("queryable state: the checkpointed store reads back as a DataFrame (asQueryableState analog)") {
     val s = spark
     import s.implicits._
