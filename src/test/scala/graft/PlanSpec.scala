@@ -210,4 +210,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !"SortMergeJoin".r.findFirstIn(p).isDefined,
       "wire-format parsing must stay map-side")
   }
+
+  test("q_ds_lineage_chain: aggregate-first lineage — partial aggs, broadcast dims, no cartesian") {
+    val p = plan("q_ds_lineage_chain")
+    // each lineage step pre-aggregates before the pair join: partial+final
+    // HashAggregates (map-side combine) on every fact scan
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "three lineage steps must each plan two-phase aggregation")
+    // supplier/nation dims broadcast; the (ck, sk) pair joins are equi
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the date-ordering residuals must ride the equi joins, never a loop join")
+  }
 }
