@@ -195,6 +195,53 @@ object Tpcds4Queries {
       SELECT 'part' AS leg, o_orderstatus, n, total_c FROM agg
       ORDER BY leg, o_orderstatus"""))
 
+  /** Static-partition INSERT — ref flink-sql-parser RichSqlInsert:
+    * `INSERT INTO t PARTITION (k='v') SELECT …` writes the literal
+    * partition (the values become constant columns under the k=v layout)
+    * and `INSERT OVERWRITE … PARTITION` replaces ONLY that partition
+    * (dynamic overwrite). Seeded with F, the O partition arrives via a
+    * static insert, is overwritten once (amounts doubled then restored by
+    * a second overwrite), and the read-back aggregate must equal the
+    * plain F+O oracle — proving partition-scoped overwrite left F alone. */
+  val qSqlStaticPartitionInsert: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/statpart_${san(dir)}"
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(scratch)
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE base_sp (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+          o_orderstatus STRING
+        ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      e.executeSql(s"""
+        CREATE TABLE spt (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+          o_orderstatus STRING
+        ) PARTITIONED BY (o_orderstatus)
+        WITH ('connector'='filesystem', 'path'='$scratch', 'format'='parquet')""")
+      e.executeSql("""
+        INSERT INTO spt PARTITION (o_orderstatus='O')
+        SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        FROM base_sp WHERE o_orderstatus = 'O'""")
+      // partition-scoped OVERWRITE: replaces O (restoring the amounts),
+      // leaves the seeded F partition untouched
+      e.executeSql("""
+        INSERT OVERWRITE spt PARTITION (o_orderstatus='O')
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM base_sp WHERE o_orderstatus = 'O'""")
+      e.sqlQuery("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM spt GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** TPC-DS q25/q29 NATIVE shape — three-step order lineage
     * (sale → return → re-sale) per (customer, supplier) pair with strict
     * date ordering: the first sale, a first returned shipment at or after
@@ -371,6 +418,7 @@ object Tpcds4Queries {
     "q_sql_catalogs" -> qSqlCatalogs,
     "q_sql_partition_admin" -> qSqlPartitionAdmin,
     "q_ds_lineage_chain" -> qDsLineageChain,
+    "q_sql_static_partition_insert" -> qSqlStaticPartitionInsert,
     "q_sink_roundtrip_gz" -> qSinkRoundtripGz,
   )
 }

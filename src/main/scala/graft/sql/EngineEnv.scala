@@ -46,7 +46,11 @@ final class EngineEnv(val spark: SparkSession) {
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
-    """(?is)INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT.*)""".r
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+((?:SELECT|VALUES).*)""".r
+  // static-partition INSERT — ref flink-sql-parser RichSqlInsert (the
+  // `INSERT INTO t PARTITION (k='v') SELECT …` form over partitioned sinks)
+  private val insertPartRe =
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\)\s+((?:SELECT|VALUES).*)""".r
   private val createViewRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val dropRe =
@@ -60,6 +64,11 @@ final class EngineEnv(val spark: SparkSession) {
     """(?is)ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
   private val alterViewAsRe = """(?is)ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val alterDbRe = """(?is)ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
+  // column DDL — ref ddl/SqlAddReplaceColumns.java, SqlChangeColumn.java
+  private val addColsRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+(ADD|REPLACE)\s+COLUMNS\s*\((.*)\)\s*""".r
+  private val changeColRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?(\w+)\s+(\w+)\s+([A-Za-z]+(?:\s*\([^)]*\))?)\s*""".r
   private val addConstraintRe =
     """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\([^)]*\)\s+NOT\s+ENFORCED\s*""".r
   private val dropConstraintRe =
@@ -373,6 +382,27 @@ final class EngineEnv(val spark: SparkSession) {
   private def isUpsert(spec: TableSpec): Boolean =
     spec.options.get("connector").contains("upsert-files")
 
+  /** INSERT-source binding — ref DynamicSinkUtils
+    * .validateSchemaAndApplyImplicitCast: the source's columns bind to the
+    * sink's BY POSITION (a VALUES row carries no names) with implicit
+    * casts to the declared types; virtual (computed/metadata) columns are
+    * dropped from the source when present by name, and `exclude` names
+    * columns the writer synthesizes itself (static partition values). */
+  private def alignToSink(src: DataFrame, name: String, exclude: Set[String]): DataFrame = {
+    val spec = catalog(keyOf(name))
+    val virtual = (spec.computedCols.map(_._1) ++ spec.metaCols.map(_._1)).toSet
+    val dropped = virtual.foldLeft(src) { (d, n) =>
+      if (d.columns.contains(n)) d.drop(n) else d
+    }
+    val target = spark.table(viewOf(name)).schema.fields
+      .filterNot(f => virtual(f.name) || exclude(f.name))
+    require(dropped.columns.length == target.length,
+      s"INSERT into '$name': ${dropped.columns.length} columns provided, " +
+      s"${target.length} expected (${target.map(_.name).mkString(", ")})")
+    dropped.toDF(target.map(_.name).toIndexedSeq: _*)
+      .select(target.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
   private def register(name: String, spec: TableSpec): Unit = {
     val base =
       if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, keyOf(name))
@@ -428,15 +458,39 @@ final class EngineEnv(val spark: SparkSession) {
         case (None, other) => throw new IllegalArgumentException(s"unsupported connector '$other'")
       }
       spark.emptyDataFrame
+    // static-partition INSERT (ref RichSqlInsert static partition spec):
+    // the literal values become constant columns, the dynamic writer lays
+    // out their k=v dirs, and OVERWRITE is scoped to the WRITTEN
+    // partitions (dynamic overwrite), not the whole table
+    case insertPartRe(mode, name, partSpec, query) =>
+      val spec = partitionedSpec(name)
+      val statics = parsePartKv(partSpec)
+      val df0 = alignToSink(sqlQuery(query), name, statics.keySet)
+      val df = statics.foldLeft(df0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.repartition(spec.partitions.map(col): _*)
+        .write.partitionBy(spec.partitions: _*)
+        .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+        .format(spec.format).save(spec.path)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      register(name, spec)
+      spark.emptyDataFrame
     // INSERT INTO/OVERWRITE a registered filesystem table — the reference's
     // ModifyOperation → FileSystemTableSink path (SURVEY §3.1 step 2):
     // append/overwrite the table's files, refresh the view.
     case insertRe(mode, name, query) =>
       val spec = catalog.getOrElse(keyOf(name),
         throw new IllegalArgumentException(s"unknown sink table '$name'"))
-      // computed + metadata columns are virtual — never persisted
-      val df = (spec.computedCols.map(_._1) ++ spec.metaCols.map(_._1))
-        .foldLeft(sqlQuery(query)) { (d, n) => if (d.columns.contains(n)) d.drop(n) else d }
+      // computed + metadata columns are virtual — never persisted; the
+      // remaining source columns bind to the sink positionally with
+      // implicit casts (CDC sinks keep the source's own columns — their
+      // payload is matched by name and may carry row_kind)
+      val df =
+        if (cdcFormats(spec.format))
+          (spec.computedCols.map(_._1) ++ spec.metaCols.map(_._1))
+            .foldLeft(sqlQuery(query)) { (d, n) => if (d.columns.contains(n)) d.drop(n) else d }
+        else alignToSink(sqlQuery(query), name, Set.empty)
       // PARTITIONED BY → dynamic-partition layout; cluster on the partition
       // key first, else tasks × partitions small-files (ref
       // FileSystemTableSink's grouped dynamic partition writer)
@@ -489,6 +543,32 @@ final class EngineEnv(val spark: SparkSession) {
       if (!catalogs.get(cat).exists(_(db)))
         throw new IllegalArgumentException(s"unknown database '$n'")
       dbProps(s"$cat.$db") = dbProps.getOrElse(s"$cat.$db", Map.empty) ++ parseOptions(props)
+      spark.emptyDataFrame
+    // column DDL (ref SqlAddReplaceColumns / SqlChangeColumn): updates the
+    // DECLARED column list — the payload schema of wire-format (CDC)
+    // tables, where added fields read back NULL for older messages (schema
+    // evolution), and the computed/metadata sets everywhere; filesystem
+    // physical schemas stay file-driven
+    case addColsRe(name, verb, cols) =>
+      val spec = catalog.getOrElse(keyOf(name),
+        throw new IllegalArgumentException(s"unknown table '$name'"))
+      val body = parseCreateBody(cols)
+      val next =
+        if (verb.equalsIgnoreCase("REPLACE"))
+          spec.copy(physicalCols = body.physical, computedCols = body.computed,
+                    metaCols = body.meta)
+        else spec.copy(physicalCols = spec.physicalCols ++ body.physical,
+                       computedCols = spec.computedCols ++ body.computed,
+                       metaCols = spec.metaCols ++ body.meta)
+      register(name, next)
+      spark.emptyDataFrame
+    case changeColRe(name, oldCol, newCol, tpe) =>
+      val spec = catalog.getOrElse(keyOf(name),
+        throw new IllegalArgumentException(s"unknown table '$name'"))
+      require(spec.physicalCols.exists(_._1 == oldCol),
+        s"unknown column '$oldCol' in table '$name'")
+      register(name, spec.copy(physicalCols =
+        spec.physicalCols.map { case (n, t) => if (n == oldCol) (newCol, tpe) else (n, t) }))
       spark.emptyDataFrame
     // constraints are accepted NOT ENFORCED (the reference's only mode) —
     // add/drop validate the table and keep the declaration as metadata

@@ -164,4 +164,38 @@ class CdcSpec extends SparkTestBase {
             'debezium-json.ignore-parse-errors'='false')""")
     intercept[Exception] { e.sqlQuery("SELECT * FROM strict_t").count() }
   }
+
+  test("ALTER TABLE ADD COLUMNS evolves a CDC table's payload schema") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_evolve").toString
+    // old-generation messages have no 'w'; new-generation ones do
+    Seq(
+      """{"before":null,"after":{"k":1,"v":5},"op":"c"}""",
+      """{"before":null,"after":{"k":2,"v":6,"w":60},"op":"c"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val e = new graft.sql.EngineEnv(s)
+    e.executeSql(s"""
+      CREATE TABLE evo (k BIGINT, v BIGINT)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='debezium-json')""")
+    assert(e.sqlQuery("SELECT * FROM evo").columns.toSeq == Seq("row_kind", "k", "v"))
+    e.executeSql("ALTER TABLE evo ADD COLUMNS (w BIGINT)")
+    val rows = e.sqlQuery("SELECT k, w FROM evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // schema evolution: the added field is NULL for pre-evolution messages
+    assert(rows == Seq((1L, -1L), (2L, 60L)))
+    // CHANGE COLUMN renames the DECLARED column; wire-format lookup follows
+    // the new name, so messages carrying only the OLD field read NULL — the
+    // honest rename contract for a wire schema (the reference's JSON
+    // deserializer matches by field name the same way)
+    e.executeSql("ALTER TABLE evo CHANGE COLUMN w weight BIGINT")
+    assert(e.sqlQuery("SELECT * FROM evo").columns.toSeq ==
+      Seq("row_kind", "k", "v", "weight"))
+    assert(e.sqlQuery("SELECT weight FROM evo").collect().forall(_.isNullAt(0)))
+    // a post-rename wire generation writes the new field name and reads back
+    Seq("""{"before":null,"after":{"k":3,"v":7,"weight":70},"op":"c"}""").toDF("value")
+      .write.mode("append").text(dir)
+    e.executeSql("ALTER TABLE evo SET ('format'='debezium-json')") // refresh file listing
+    assert(e.sqlQuery("SELECT weight FROM evo WHERE k = 3").collect()(0).getLong(0) == 70L)
+  }
 }

@@ -329,6 +329,20 @@ class SqlDialectSpec extends SparkTestBase {
       e.executeSql("ALTER TABLE nope_t ADD PRIMARY KEY (x) NOT ENFORCED"))
   }
 
+  test("INSERT INTO ... VALUES appends inline rows (RichSqlInsert values form)") {
+    val s = spark
+    val e = new EngineEnv(s)
+    val out = graft.streaming.StreamOps.scratchRoot + "/values_insert_t"
+    s.createDataFrame(Seq((1L, "a"))).toDF("id", "tag")
+      .write.mode("overwrite").parquet(out)
+    e.executeSql(s"""CREATE TABLE vt (id BIGINT, tag STRING)
+      WITH ('connector'='filesystem', 'path'='$out', 'format'='parquet')""")
+    e.executeSql("INSERT INTO vt VALUES (2, 'b'), (3, 'c')")
+    val rows = e.sqlQuery("SELECT id, tag FROM vt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("DESCRIBE and EXPLAIN run through the dialect") {
     val s = spark
     val e = new EngineEnv(s)
