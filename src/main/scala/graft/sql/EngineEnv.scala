@@ -42,7 +42,10 @@ final class EngineEnv(val spark: SparkSession) {
   private var currentCat = "default_catalog"
   private var currentDb = "default_database"
 
-  private val createHeadRe = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)""".r
+  // TEMPORARY is accepted and means what every registration here already
+  // is — session-scoped (ref SqlCreateTable.isTemporary)
+  private val createHeadRe =
+    """(?is)CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)""".r
   private val watermarkRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val insertRe =
@@ -261,7 +264,7 @@ final class EngineEnv(val spark: SparkSession) {
     * tail of CREATE TABLE, tokenized clause by clause on the balanced
     * scanner (no whole-tail regex). */
   private def parseCreateTail(tail0: String)
-      : (Option[String], Seq[String], Map[String, String], Option[String]) = {
+      : (Option[String], Seq[String], Map[String, String], Option[(String, String)]) = {
     var tail = tail0.trim
     var cols: Option[String] = None
     if (tail.startsWith("(")) {
@@ -278,9 +281,27 @@ final class EngineEnv(val spark: SparkSession) {
       val (o, next) = balanced(tail, m.end)
       opts = parseOptions(o); tail = tail.substring(next).trim
     }
-    val like = """(?is)^LIKE\s+(\w+)""".r.findFirstMatchIn(tail).map(_.group(1))
-    // LIKE may also precede WITH in Flink syntax: CREATE TABLE t LIKE b
+    // LIKE [base] [( {INCLUDING|EXCLUDING} {ALL|OPTIONS|WATERMARKS|
+    // GENERATED|CONSTRAINTS|PARTITIONS}, ... )] — ref SqlTableLike.java
+    // FeatureOption/MergingStrategy; LIKE may also precede WITH
+    val like = """(?is)^LIKE\s+([\w.]+)\s*(\(([^)]*)\))?""".r.findFirstMatchIn(tail)
+      .map(m => (m.group(1), Option(m.group(3)).getOrElse("")))
     (cols, partitions, opts, like)
+  }
+
+  /** LIKE feature options → the set of EXCLUDED features. The default is
+    * INCLUDING ALL (the reference's default merging strategy for
+    * everything but options, which it also includes by default). */
+  private def likeExclusions(features: String): Set[String] = {
+    val fs = """(?i)(INCLUDING|EXCLUDING)\s+(ALL|OPTIONS|WATERMARKS|GENERATED|CONSTRAINTS|PARTITIONS)""".r
+      .findAllMatchIn(features).map(m => (m.group(1).toUpperCase, m.group(2).toUpperCase)).toSeq
+    fs.foldLeft(Set.empty[String]) {
+      case (acc, ("EXCLUDING", "ALL")) =>
+        Set("OPTIONS", "WATERMARKS", "GENERATED", "CONSTRAINTS", "PARTITIONS")
+      case (acc, ("INCLUDING", "ALL")) => Set.empty
+      case (acc, ("EXCLUDING", f)) => acc + f
+      case (acc, ("INCLUDING", f)) => acc - f
+    }
   }
 
   /** Identifier resolution (ref CatalogManager.qualifyIdentifier): a bare
@@ -427,19 +448,31 @@ final class EngineEnv(val spark: SparkSession) {
       val body = cols.map(parseCreateBody).getOrElse(CreateBody(None, Nil, Nil))
       val wm = body.watermark
       (like, opts.get("connector")) match {
-        // CREATE TABLE t [WITH (overrides)] LIKE base — SqlCreateTableLike:
-        // clone the base spec, apply option overrides, keep/override watermark
-        case (Some(base), _) =>
+        // CREATE TABLE t [WITH (overrides)] LIKE base [(feature opts)] —
+        // SqlCreateTableLike: clone the base spec per the merging
+        // strategies (default INCLUDING ALL), apply option overrides,
+        // keep/override watermark
+        case (Some((base, features)), _) =>
+          val excl = likeExclusions(features)
           val b = catalog.getOrElse(keyOf(base),
             throw new IllegalArgumentException(s"LIKE references unknown table '$base'"))
+          val path = opts.getOrElse("path", {
+            if (excl("OPTIONS")) throw new IllegalArgumentException(
+              s"LIKE $base EXCLUDING OPTIONS: a 'path' option must be declared")
+            b.path
+          })
           val spec = TableSpec(
-            opts.getOrElse("path", b.path), opts.getOrElse("format", b.format),
-            wm.map(_._1).orElse(b.watermarkCol), wm.map(_._2).orElse(b.watermarkDelay),
-            if (body.computed.nonEmpty) body.computed else b.computedCols,
-            if (partitions.nonEmpty) partitions else b.partitions,
+            path, opts.getOrElse("format", if (excl("OPTIONS")) "parquet" else b.format),
+            wm.map(_._1).orElse(if (excl("WATERMARKS")) None else b.watermarkCol),
+            wm.map(_._2).orElse(if (excl("WATERMARKS")) None else b.watermarkDelay),
+            if (body.computed.nonEmpty) body.computed
+            else if (excl("GENERATED")) Nil else b.computedCols,
+            if (partitions.nonEmpty) partitions
+            else if (excl("PARTITIONS")) Nil else b.partitions,
             if (body.physical.nonEmpty) body.physical else b.physicalCols,
-            if (body.meta.nonEmpty) body.meta else b.metaCols,
-            b.options ++ opts)
+            if (body.meta.nonEmpty) body.meta
+            else if (excl("GENERATED")) Nil else b.metaCols,
+            (if (excl("OPTIONS")) Map.empty[String, String] else b.options) ++ opts)
           register(name, spec)
         case (None, Some("filesystem")) | (None, Some("upsert-files")) =>
           register(name, TableSpec(opts("path"), opts.getOrElse("format", "parquet"),

@@ -329,6 +329,33 @@ class SqlDialectSpec extends SparkTestBase {
       e.executeSql("ALTER TABLE nope_t ADD PRIMARY KEY (x) NOT ENFORCED"))
   }
 
+  test("CREATE TEMPORARY TABLE and LIKE feature options (SqlTableLike merging strategies)") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TEMPORARY TABLE tmp_orders
+      WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    assert(s.table("tmp_orders").count() > 0)
+    e.executeSql(s"""CREATE TABLE like_base (
+      user_id BIGINT, event_id BIGINT, ts TIMESTAMP(3),
+      uid2 AS user_id * 2,
+      WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+    ) WITH ('connector'='filesystem', 'path'='$sfDir/events.parquet', 'format'='parquet')""")
+    // default = INCLUDING ALL: computed column + watermark inherited
+    e.executeSql("CREATE TABLE like_all LIKE like_base")
+    assert(s.table("like_all").columns.contains("uid2") && e.watermarkOf("like_all").nonEmpty)
+    e.executeSql("CREATE TABLE like_nog LIKE like_base (EXCLUDING GENERATED)")
+    assert(!s.table("like_nog").columns.contains("uid2"))
+    e.executeSql("CREATE TABLE like_nowm LIKE like_base (EXCLUDING WATERMARKS)")
+    assert(e.watermarkOf("like_nowm").isEmpty && s.table("like_nowm").columns.contains("uid2"))
+    // EXCLUDING OPTIONS: connector options are NOT inherited — path required
+    intercept[IllegalArgumentException](
+      e.executeSql("CREATE TABLE like_noopt LIKE like_base (EXCLUDING OPTIONS)"))
+    e.executeSql(s"""CREATE TABLE like_noopt
+      WITH ('path'='$sfDir/nation.parquet')
+      LIKE like_base (EXCLUDING OPTIONS, EXCLUDING GENERATED, EXCLUDING WATERMARKS)""")
+    assert(s.table("like_noopt").columns.contains("n_name"))
+  }
+
   test("INSERT INTO ... VALUES appends inline rows (RichSqlInsert values form)") {
     val s = spark
     val e = new EngineEnv(s)
