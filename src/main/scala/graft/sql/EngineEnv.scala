@@ -762,6 +762,12 @@ final class EngineEnv(val spark: SparkSession) {
     case showDbRe() =>
       import spark.implicits._
       catalogs(currentCat).toSeq.toDF("database_name")
+    // a CREATE/ALTER/DROP that matched no statement form is an unsupported
+    // DDL shape — fail with the statement head instead of letting Spark's
+    // parser produce a misleading error against the temp-view catalog
+    case q if """(?is)\s*(CREATE|ALTER|DROP)\s.*""".r.matches(q) =>
+      throw new IllegalArgumentException(
+        s"unsupported DDL statement: '${q.trim.linesIterator.next().take(80)}'")
     case q => sqlQuery(q)
   }
 

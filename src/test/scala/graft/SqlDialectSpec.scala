@@ -327,6 +327,11 @@ class SqlDialectSpec extends SparkTestBase {
     e.executeSql("ALTER TABLE av_orders DROP CONSTRAINT pk_o")
     intercept[IllegalArgumentException](
       e.executeSql("ALTER TABLE nope_t ADD PRIMARY KEY (x) NOT ENFORCED"))
+    // an unsupported DDL shape fails with a CLEAR head-of-statement error,
+    // not a Spark parse error against the temp-view catalog
+    val err = intercept[IllegalArgumentException](
+      e.executeSql("CREATE INDEX idx ON av_orders (o_orderkey)"))
+    assert(err.getMessage.contains("unsupported DDL statement"))
   }
 
   test("CREATE TEMPORARY TABLE and LIKE feature options (SqlTableLike merging strategies)") {
