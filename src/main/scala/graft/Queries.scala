@@ -98,5 +98,6 @@ object Queries {
     coverage.TpcdsShapeQueries.all ++ coverage.Round2Queries.all ++ coverage.Pipeline3Queries.all ++
     coverage.Tpcds3Queries.all ++ coverage.Pipeline4Queries.all ++ coverage.Tpch2Queries.all ++
     coverage.Tpcds4Queries.all ++ coverage.Pipeline5Queries.all ++ coverage.Tpcds5Queries.all ++
-    coverage.TableApiQueries.all ++ coverage.CdcQueries.all ++ coverage.InventoryQueries.all
+    coverage.TableApiQueries.all ++ coverage.CdcQueries.all ++ coverage.InventoryQueries.all ++
+    coverage.Sql2Queries.all
 }

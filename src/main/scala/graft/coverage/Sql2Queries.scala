@@ -1,0 +1,211 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.sql.EngineEnv
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 2: the Table-API / SQL surfaces a Flink-1.12 program
+  * drives programmatically — FLIP-113 dynamic table options (OPTIONS
+  * hint), FLIP-84 StatementSet multi-sink execution, the temporal table
+  * FUNCTION spelling of the versioned join, and the view/database/
+  * function admin statements (SHOW VIEWS, DESCRIBE DATABASE, ALTER
+  * FUNCTION). */
+object Sql2Queries {
+
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** FLIP-113 dynamic table options — ref planner/hint/FlinkHints.java:32
+    * (HINT_NAME_OPTIONS): `SELECT ... FROM t [+OPTIONS hint]` merges
+    * options into THIS query's table scan only. The table is registered
+    * over the 'F' subset; the hinted leg overrides 'path' to the full
+    * orders file and must see every status, while a re-read of the plain
+    * table still sees only 'F' (per-query scope, catalog untouched). */
+  val qSqlOptionsHint: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/hint_${san(dir)}"
+      Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/subset")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE hint_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$scratch/subset', 'format'='parquet')""")
+      e.sqlQuery(s"""
+        SELECT 'plain' AS leg, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM hint_t
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'hinted' AS leg, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM hint_t /*+ OPTIONS('path'='$dir/orders.parquet') */
+        GROUP BY o_orderstatus
+        ORDER BY leg, o_orderstatus""")
+    },
+    oracle = Some("""
+      SELECT 'plain' AS leg, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'hinted' AS leg, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY leg, o_orderstatus"""))
+
+  /** FLIP-84 StatementSet — ref StatementSet.java:30 / StatementSetImpl
+    * .java: two sinks fed by one buffered execute(), one via addInsertSql
+    * and one via addInsert(DataFrame); explain() exercised on the full
+    * buffer. Read-back of BOTH sinks must show seed + inserted subsets —
+    * proving both buffered statements ran. */
+  val qSqlStatementSet: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/stmtset_${san(dir)}"
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/a")
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/b")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE base_ss (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      e.executeSql(s"""
+        CREATE TABLE sink_ss_a (o_orderkey BIGINT, o_orderstatus STRING,
+          o_orderpriority STRING, o_totalprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$scratch/a', 'format'='parquet')""")
+      e.executeSql(s"""
+        CREATE TABLE sink_ss_b (o_orderkey BIGINT, o_orderstatus STRING,
+          o_orderpriority STRING, o_totalprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$scratch/b', 'format'='parquet')""")
+      val set = e.createStatementSet()
+        .addInsertSql("""
+          INSERT INTO sink_ss_a
+          SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          FROM base_ss WHERE o_orderstatus = 'O'""")
+        .addInsert("sink_ss_b", e.sqlQuery("""
+          SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          FROM base_ss WHERE o_orderpriority = '2-HIGH'"""))
+      require(set.explain().contains("=="), "StatementSet.explain must render both plans")
+      set.execute()
+      e.sqlQuery("""
+        SELECT 'a' AS leg, o_orderstatus AS k, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM sink_ss_a GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'b' AS leg, o_orderpriority AS k, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM sink_ss_b GROUP BY o_orderpriority
+        ORDER BY leg, k""")
+    },
+    oracle = Some("""
+      SELECT 'a' AS leg, o_orderstatus AS k, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'b' AS leg, o_orderpriority AS k, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority
+      ORDER BY leg, k"""))
+
+  /** Temporal table FUNCTION — ref TemporalTableFunction.java /
+    * TemporalTableFunctionImpl.java: `createTemporalTableFunction(
+    * timeAttr, primaryKey)` then `FROM Orders o, LATERAL TABLE
+    * (Rates(o.rowtime)) r WHERE o.k = r.k`, the pre-FLIP-132 spelling of
+    * the versioned join. Same data and oracle shape as
+    * q_sql_temporal_join — the point is the FUNCTION surface rewriting
+    * onto the identical keyed as-of plan. */
+  val qSqlTemporalFn: Q = Q(
+    run = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/tfn_${san(dir)}"
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("version_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/rates")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/clicks")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE rates_fn_t (user_id BIGINT, ts TIMESTAMP(3), version_id BIGINT
+        ) WITH ('connector'='filesystem', 'path'='$scratch/rates', 'format'='parquet')""")
+      e.executeSql(s"""
+        CREATE TABLE clicks_fn_t (user_id BIGINT, click_id BIGINT, ts TIMESTAMP(3)
+        ) WITH ('connector'='filesystem', 'path'='$scratch/clicks', 'format'='parquet')""")
+      e.createTemporalTableFunction("rates_fn", "rates_fn_t", "ts", "user_id")
+      e.sqlQuery("""
+        SELECT f.user_id, f.click_id, r.version_id
+        FROM clicks_fn_t f, LATERAL TABLE(rates_fn(f.ts)) AS r WHERE f.user_id = r.user_id
+        ORDER BY f.user_id, f.click_id""")
+    },
+    oracle = Some("""
+      WITH r AS (SELECT user_id, ts, MAX(event_id) AS version_id
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           c AS (SELECT user_id, event_id AS click_id, ts
+                 FROM events WHERE event_type = 'click')
+      SELECT c.user_id, c.click_id, r.version_id
+      FROM c ASOF JOIN r ON c.user_id = r.user_id AND c.ts >= r.ts
+      ORDER BY c.user_id, c.click_id"""))
+
+  /** View / database / function admin statements — ref dql/SqlShowViews
+    * .java, SqlDescribeDatabase.java, ddl/SqlAlterFunction.java. Three
+    * legs: SHOW VIEWS is scoped to the current database (two views in
+    * 'mart' are invisible from default, visible after USE); DESCRIBE
+    * DATABASE reports the ALTER DATABASE properties; ALTER FUNCTION
+    * re-points an alias (lower → upper) and the grouped read-through
+    * proves the NEW target resolves. */
+  val qSqlAdminDdl: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE cust_adm (c_custkey BIGINT, c_name STRING, c_nationkey BIGINT,
+          c_acctbal DOUBLE, c_mktsegment STRING
+        ) WITH ('connector'='filesystem', 'path'='$dir/customer.parquet', 'format'='parquet')""")
+      e.executeSql("CREATE DATABASE adm_mart")
+      e.executeSql("ALTER DATABASE adm_mart SET ('owner'='graft', 'tier'='gold')")
+      e.executeSql(
+        "CREATE VIEW adm_mart.v_big AS SELECT * FROM cust_adm WHERE c_acctbal > 0")
+      e.executeSql(
+        "CREATE VIEW adm_mart.v_small AS SELECT * FROM cust_adm WHERE c_acctbal <= 0")
+      val hidden = e.executeSql("SHOW VIEWS") // current db = default: none
+      require(hidden.count() == 0, "SHOW VIEWS must scope to the current database")
+      e.executeSql("USE adm_mart")
+      val shown = e.executeSql("SHOW VIEWS")
+      e.executeSql("USE default_database")
+      val descDb = e.executeSql("DESCRIBE DATABASE adm_mart")
+      e.executeSql("CREATE FUNCTION adm_fn AS 'lower'")
+      e.executeSql("ALTER FUNCTION adm_fn AS 'upper'")
+      val fnLeg = e.sqlQuery("""
+        SELECT 'fn' AS leg, adm_fn(c_mktsegment) AS k, COUNT(*) AS n
+        FROM cust_adm GROUP BY adm_fn(c_mktsegment)""")
+      shown.select(lit("views").as("leg"), col("view_name").as("k"), lit(1L).as("n"))
+        .unionAll(descDb.select(lit("descdb").as("leg"),
+          concat_ws("=", col("info_name"), col("info_value")).as("k"), lit(1L).as("n")))
+        .unionAll(fnLeg)
+        .orderBy(col("leg"), col("k"))
+    },
+    oracle = Some("""
+      SELECT leg, k, n FROM (VALUES
+        ('views', 'v_big', CAST(1 AS BIGINT)), ('views', 'v_small', CAST(1 AS BIGINT)),
+        ('descdb', 'name=adm_mart', CAST(1 AS BIGINT)),
+        ('descdb', 'catalog=default_catalog', CAST(1 AS BIGINT)),
+        ('descdb', 'property:owner=graft', CAST(1 AS BIGINT)),
+        ('descdb', 'property:tier=gold', CAST(1 AS BIGINT))) AS t(leg, k, n)
+      UNION ALL
+      SELECT 'fn' AS leg, upper(c_mktsegment) AS k, COUNT(*) AS n
+      FROM customer GROUP BY upper(c_mktsegment)
+      ORDER BY leg, k"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_sql_options_hint" -> qSqlOptionsHint,
+    "q_sql_statement_set" -> qSqlStatementSet,
+    "q_sql_temporal_fn" -> qSqlTemporalFn,
+    "q_sql_admin_ddl" -> qSqlAdminDdl,
+  )
+}

@@ -33,6 +33,8 @@ final class EngineEnv(val spark: SparkSession) {
                        metaCols: Seq[(String, String, String)] = Nil,
                        options: Map[String, String] = Map.empty)
   private val catalog = scala.collection.mutable.Map[String, TableSpec]()
+  // registered VIEW keys (cat.db.view) — what SHOW VIEWS lists
+  private val views = scala.collection.mutable.LinkedHashSet[String]()
   // catalog → its databases (ref CatalogManager: the identifier space is
   // three-part catalog.database.table; a fresh catalog starts with its
   // default database, like the reference's GenericInMemoryCatalog)
@@ -97,6 +99,15 @@ final class EngineEnv(val spark: SparkSession) {
   private val showDbRe = """(?is)SHOW\s+DATABASES\s*""".r
   // catalog statements — ref ddl/SqlCreateCatalog.java, SqlUseCatalog.java,
   // dql/SqlShowCatalogs.java, SqlShowCurrentCatalog.java/Database
+  // view / database / catalog introspection — ref dql/SqlShowViews.java,
+  // SqlDescribeDatabase.java, SqlDescribeCatalog.java; ALTER FUNCTION —
+  // ref ddl/SqlAlterFunction.java
+  private val showViewsRe = """(?is)SHOW\s+VIEWS\s*""".r
+  private val descDbRe =
+    """(?is)DESC(?:RIBE)?\s+DATABASE\s+(?:EXTENDED\s+)?([\w.]+)\s*""".r
+  private val descCatRe = """(?is)DESC(?:RIBE)?\s+CATALOG\s+(\w+)\s*""".r
+  private val alterFnRe =
+    """(?is)ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*""".r
   private val createCatRe =
     """(?is)CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:WITH\s*\(.*\))?\s*""".r
   private val dropCatRe = """(?is)DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
@@ -424,13 +435,31 @@ final class EngineEnv(val spark: SparkSession) {
       .select(target.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
 
-  private def register(name: String, spec: TableSpec): Unit = {
+  /** The table's DataFrame for a given spec — shared by [[register]] and
+    * the per-query OPTIONS-hint override (which builds a frame for a
+    * MERGED spec without touching the catalog entry). */
+  private def frameFor(spec: TableSpec, key: String): DataFrame = {
     val base =
-      if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, keyOf(name))
+      if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, key)
       else if (isUpsert(spec))
         graft.streaming.StreamOps.upsertChangelog(spark, read(spec.path, spec.format))
+      else if (spec.format == "datagen") datagenFrame(spec.options)
       else applyFileMeta(read(spec.path, spec.format), spec)
-    applyComputed(base, spec).createOrReplaceTempView(viewOf(name))
+    applyComputed(base, spec)
+  }
+
+  /** ref DataGenTableSourceFactory: deterministic generator (md5-based,
+    * not RNG) so results are reproducible and oracle-checkable. */
+  private def datagenFrame(opts: Map[String, String]): DataFrame = {
+    val n = opts.getOrElse("number-of-rows", "1000").toLong
+    spark.range(n).select(
+      col("id"),
+      expr("conv(substr(md5(concat('k_', id)), 1, 15), 16, 10)").cast("long").as("k"),
+      expr("conv(substr(md5(concat('v_', id)), 1, 8), 16, 10)").cast("double").as("v"))
+  }
+
+  private def register(name: String, spec: TableSpec): Unit = {
+    frameFor(spec, keyOf(name)).createOrReplaceTempView(viewOf(name))
     catalog(keyOf(name)) = spec
   }
 
@@ -479,15 +508,10 @@ final class EngineEnv(val spark: SparkSession) {
             wm.map(_._1), wm.map(_._2), body.computed, partitions, body.physical, body.meta,
             opts))
         case (None, Some("datagen")) =>
-          // ref DataGenTableSourceFactory: deterministic generator (md5-based,
-          // not RNG) so results are reproducible and oracle-checkable
-          val n = opts.getOrElse("number-of-rows", "1000").toLong
-          spark.range(n).select(
-            col("id"),
-            expr("conv(substr(md5(concat('k_', id)), 1, 15), 16, 10)").cast("long").as("k"),
-            expr("conv(substr(md5(concat('v_', id)), 1, 8), 16, 10)").cast("double").as("v"))
-            .createOrReplaceTempView(viewOf(name))
-          catalog(keyOf(name)) = TableSpec("", "datagen", None, None)
+          datagenFrame(opts).createOrReplaceTempView(viewOf(name))
+          // options recorded so a per-query OPTIONS hint can re-generate
+          // with overrides (e.g. 'number-of-rows')
+          catalog(keyOf(name)) = TableSpec("", "datagen", None, None, options = opts)
         case (None, other) => throw new IllegalArgumentException(s"unsupported connector '$other'")
       }
       spark.emptyDataFrame
@@ -562,11 +586,13 @@ final class EngineEnv(val spark: SparkSession) {
       spark.emptyDataFrame
     case createViewRe(name, query) =>
       sqlQuery(query).createOrReplaceTempView(viewOf(name))
+      views += keyOf(name)
       spark.emptyDataFrame
     case alterViewRenameRe(from, to) => // SqlAlterViewRename
       val df = spark.table(viewOf(from))
       spark.catalog.dropTempView(viewOf(from))
       df.createOrReplaceTempView(viewOf(to))
+      views -= keyOf(from); views += keyOf(to)
       spark.emptyDataFrame
     case alterViewAsRe(name, query) => // SqlAlterViewAs
       sqlQuery(query).createOrReplaceTempView(viewOf(name))
@@ -679,9 +705,19 @@ final class EngineEnv(val spark: SparkSession) {
         .sessionState.functionRegistry.dropFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name))
       spark.emptyDataFrame
+    // ALTER FUNCTION alias AS 'newTarget' — SqlAlterFunction: re-point the
+    // alias (same registration mechanics as CREATE, replace semantics)
+    case alterFnRe(name, target) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.createOrReplaceTempFunction(
+          name,
+          exprs => org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq(target), exprs, isDistinct = false),
+          "built-in")
+      spark.emptyDataFrame
     case dropRe(name) =>
       spark.catalog.dropTempView(viewOf(name))
-      catalog.remove(keyOf(name))
+      catalog.remove(keyOf(name)); views -= keyOf(name)
       spark.emptyDataFrame
     // SHOW TABLES lists the CURRENT catalog+database only (ref
     // SqlShowTables / CatalogManager listTables), stripping the flat-view
@@ -695,6 +731,30 @@ final class EngineEnv(val spark: SparkSession) {
         .filter(n => if (prefix.isEmpty) !n.contains("__") else n.startsWith(prefix))
         .map(_.stripPrefix(prefix)).sorted.toSeq.toDF("table_name")
     case showFnRe() => spark.sql("SHOW FUNCTIONS")
+    // SHOW VIEWS lists the CURRENT catalog+database's views only (ref
+    // SqlShowViews / CatalogManager.listViews)
+    case showViewsRe() =>
+      import spark.implicits._
+      views.toSeq.filter(_.startsWith(s"$currentCat.$currentDb."))
+        .map(_.split("\\.", 3)(2)).sorted.toDF("view_name")
+    // DESCRIBE DATABASE — ref SqlDescribeDatabase result set: the db's
+    // identity plus its ALTER DATABASE properties
+    case descDbRe(n) =>
+      import spark.implicits._
+      val (cat, db) = splitDb(n)
+      if (!catalogs.get(cat).exists(_(db)))
+        throw new IllegalArgumentException(s"unknown database '$n'")
+      (Seq(("name", db), ("catalog", cat)) ++
+        dbProps.getOrElse(s"$cat.$db", Map.empty).toSeq.sorted
+          .map { case (k, v) => (s"property:$k", v) })
+        .toDF("info_name", "info_value")
+    // DESCRIBE CATALOG — ref SqlDescribeCatalog
+    case descCatRe(c) =>
+      import spark.implicits._
+      val dbs = catalogs.getOrElse(c,
+        throw new IllegalArgumentException(s"unknown catalog '$c'"))
+      Seq(("name", c), ("databases", dbs.mkString(", ")))
+        .toDF("info_name", "info_value")
     // DESCRIBE of a REGISTERED table reports the reference's column view
     // (ref SqlRichDescribeTable result: name/type/null/extras/watermark):
     // computed columns as `AS expr`, metadata columns as `METADATA FROM`,
@@ -860,6 +920,20 @@ final class EngineEnv(val spark: SparkSession) {
     * Correlated-subquery spellings (LATERAL LIMIT 1 / scalar MAX) both
     * decorrelate into an UNKEYED nested-loop domain join — measured 100×
     * slower at sf0.1 — so the domain construction is done explicitly. */
+  /** The keyed temporal-join plan both SQL spellings rewrite into (see
+    * [[rewriteTemporalJoin]] for the plan rationale): latest dim version
+    * per distinct (key, ts) fact domain, equi-joined back. */
+  private def temporalJoinSql(fact: String, fAl: String, dim: String, dAl: String,
+                              tsCol: String, fk: String, dk: String, vcol: String): String =
+    s"FROM $fact AS $fAl JOIN (" +
+    s"SELECT * FROM (" +
+    s"SELECT __v.*, __f.$tsCol AS __fts, " +
+    s"ROW_NUMBER() OVER (PARTITION BY __v.$dk, __f.$tsCol ORDER BY __v.$vcol DESC) AS __rn " +
+    s"FROM (SELECT DISTINCT $fk, $tsCol FROM $fact) __f " +
+    s"JOIN $dim __v ON __v.$dk = __f.$fk AND __v.$vcol <= __f.$tsCol) " +
+    s"WHERE __rn = 1) AS $dAl " +
+    s"ON $fAl.$fk = $dAl.$dk AND $fAl.$tsCol = $dAl.__fts"
+
   private def rewriteTemporalJoin(sql: String): String =
     temporalJoinRe.replaceAllIn(sql, m => {
       val fact = m.group(1); val fAl = m.group(2)
@@ -872,20 +946,88 @@ final class EngineEnv(val spark: SparkSession) {
       // the ON side that names the dim alias carries the dim key
       val (dk, fk) = if (l == dAl) (lc, rc) else (rc, lc)
       java.util.regex.Matcher.quoteReplacement(
-        s"FROM $fact AS $fAl JOIN (" +
-        s"SELECT * FROM (" +
-        s"SELECT __v.*, __f.$tsCol AS __fts, " +
-        s"ROW_NUMBER() OVER (PARTITION BY __v.$dk, __f.$tsCol ORDER BY __v.$vcol DESC) AS __rn " +
-        s"FROM (SELECT DISTINCT $fk, $tsCol FROM $fact) __f " +
-        s"JOIN $dim __v ON __v.$dk = __f.$fk AND __v.$vcol <= __f.$tsCol) " +
-        s"WHERE __rn = 1) AS $dAl " +
-        s"ON $fAl.$fk = $dAl.$dk AND $fAl.$tsCol = $dAl.__fts")
+        temporalJoinSql(fact, fAl, dim, dAl, tsCol, fk, dk, vcol))
+    })
+
+  private case class TemporalFn(history: String, timeAttr: String, primaryKey: String)
+  private val temporalFns = scala.collection.mutable.Map[String, TemporalFn]()
+
+  /** Temporal table FUNCTION — ref TemporalTableFunction.java /
+    * TemporalTableFunctionImpl.java (`table.createTemporalTableFunction(
+    * timeAttribute, primaryKey)`): the pre-FLIP-132 spelling of the
+    * versioned-table join, used as `FROM Orders o, LATERAL TABLE
+    * (Rates(o.rowtime)) r WHERE o.ccy = r.ccy`. The registered function
+    * carries the history table, its version (time) attribute and primary
+    * key; the correlate + WHERE key equality together define the same
+    * as-of semantics `FOR SYSTEM_TIME AS OF` declares, and both rewrite
+    * onto the same keyed plan ([[temporalJoinSql]]). */
+  def createTemporalTableFunction(name: String, historyTable: String,
+                                  timeAttr: String, primaryKey: String): Unit = {
+    require(catalog.contains(keyOf(historyTable)),
+      s"temporal table function over unknown table '$historyTable'")
+    temporalFns(name) = TemporalFn(historyTable, timeAttr, primaryKey)
+  }
+
+  private val temporalFnRe =
+    ("""(?is)FROM\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*""" +
+     """\(\s*(\w+)\.(\w+)\s*\)\s*\)\s+(?:AS\s+)?(\w+)\s+""" +
+     """WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""").r
+
+  /** Rewrite a temporal-table-function correlate (see
+    * [[createTemporalTableFunction]]). A LATERAL TABLE over a name that is
+    * NOT a registered temporal function is left for the generic UDTF
+    * correlate rewrite. The matched key equality is consumed (it becomes
+    * the join's ON clause); any further WHERE conjuncts survive as
+    * `WHERE TRUE AND …`. */
+  private def rewriteTemporalFn(sql: String): String =
+    temporalFnRe.replaceAllIn(sql, m => temporalFns.get(m.group(3)) match {
+      case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      case Some(fn) =>
+        val fact = m.group(1); val fAl = m.group(2)
+        val tsAl = m.group(4); val tsCol = m.group(5); val rAl = m.group(6)
+        val (l, lc, r, rc) = (m.group(7), m.group(8), m.group(9), m.group(10))
+        require(tsAl == fAl,
+          s"temporal table function: the time argument must reference the fact alias '$fAl'")
+        val (dk, fk) = if (l == rAl) (lc, rc) else (rc, lc)
+        require(dk == fn.primaryKey || fk == fn.primaryKey,
+          s"temporal table function '${m.group(3)}': the WHERE key equality must use " +
+          s"primary key '${fn.primaryKey}'")
+        java.util.regex.Matcher.quoteReplacement(
+          temporalJoinSql(fact, fAl, fn.history, rAl, tsCol, fk, dk, fn.timeAttr) +
+          " WHERE TRUE")
+    })
+
+  // FLIP-113 dynamic table options — ref planner/hint/FlinkHints.java:32
+  // (HINT_NAME_OPTIONS) + FlinkHintStrategies: `t /*+ OPTIONS('k'='v') */`
+  // merges the options into THIS query's read of the table only
+  private val optionsHintRe =
+    """(?is)([\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
+  private val hintSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Replace each `table /*+ OPTIONS(...) */` reference with a synthetic
+    * view over the table's spec merged with the hint options (path/format
+    * overrides included) — per-query scope, catalog entry untouched,
+    * exactly the reference's dynamic-table-options contract. */
+  private def rewriteOptionsHints(sql: String): String =
+    optionsHintRe.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      val opts = parseOptions(m.group(2))
+      val spec0 = catalog.getOrElse(keyOf(name), throw new IllegalArgumentException(
+        s"OPTIONS hint on unknown table '$name'"))
+      val spec = spec0.copy(
+        path = opts.getOrElse("path", spec0.path),
+        format = opts.getOrElse("format", spec0.format),
+        options = spec0.options ++ opts)
+      val view = s"__hint_${hintSeq.incrementAndGet()}"
+      frameFor(spec, keyOf(name)).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
     })
 
   /** Flink-dialect query → DataFrame. MATCH_RECOGNIZE routes to the NFA
     * front-end; everything else is string-rewritten into Spark SQL. */
   def sqlQuery(flinkSql: String): DataFrame = {
-    val resolved = resolveTables(rewriteTemporalJoin(rewriteLateralTable(flinkSql)))
+    val resolved = resolveTables(rewriteTemporalJoin(rewriteLateralTable(
+      rewriteTemporalFn(rewriteOptionsHints(flinkSql)))))
     if (MatchRecognize.isMatchRecognize(resolved)) MatchRecognize.run(spark, resolved)
     else spark.sql(FlinkSqlDialect.rewrite(resolved))
   }
@@ -952,4 +1094,63 @@ final class EngineEnv(val spark: SparkSession) {
   private def parseOptions(w: String): Map[String, String] =
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(w)
       .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** FLIP-84 StatementSet — ref flink-table-api-java/.../StatementSet
+    * .java:30 / internal/StatementSetImpl.java: buffered INSERTs submitted
+    * together by one execute() and cleared afterwards. */
+  def createStatementSet(): StatementSet = new StatementSet(this)
+}
+
+/** A batch of INSERT statements executed as one submission — ref
+  * StatementSet.java:30 (addInsertSql / addInsert / explain / execute).
+  * The reference planner optimizes the set into one job graph so shared
+  * scan/operator prefixes run once; here each INSERT is its own Spark
+  * action and shared-prefix reuse is Catalyst's (exchange/subquery reuse
+  * inside an action; cross-action reuse would need an explicit
+  * `.persist`, deliberately not done — the sinks are independent and a
+  * 100 TB run wants no surprise caching). Like the reference, the buffer
+  * clears when execute() runs. */
+final class StatementSet private[sql] (env: EngineEnv) {
+  private val stmts = scala.collection.mutable.ListBuffer[String]()
+  private val insHeadRe = """(?is)\s*INSERT\s+(?:INTO|OVERWRITE)\s+.*""".r
+
+  /** Buffer an INSERT statement (ref StatementSet.addInsertSql). */
+  def addInsertSql(statement: String): this.type = {
+    require(insHeadRe.matches(statement),
+      s"StatementSet accepts INSERT statements only, got: '${statement.trim.take(60)}'")
+    stmts += statement
+    this
+  }
+
+  /** Buffer a Table (DataFrame) insert into a registered sink table —
+    * ref StatementSet.addInsert(targetPath, table[, overwrite]). */
+  def addInsert(targetPath: String, table: DataFrame): this.type =
+    addInsert(targetPath, table, overwrite = false)
+  def addInsert(targetPath: String, table: DataFrame, overwrite: Boolean): this.type = {
+    val view = s"__stmtset_${StatementSet.seq.incrementAndGet()}"
+    table.createOrReplaceTempView(view)
+    stmts += s"INSERT ${if (overwrite) "OVERWRITE" else "INTO"} $targetPath SELECT * FROM $view"
+    this
+  }
+
+  /** The buffered statements' plans (ref StatementSet.explain). */
+  def explain(): String = stmts.map { st =>
+    val q = st.replaceFirst(
+      """(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+[\w.]+\s+(?:PARTITION\s*\([^)]*\)\s+)?""", "")
+    val plan = env.executeSql("EXPLAIN " + q).collect().map(_.getString(0)).mkString("\n")
+    s"== ${st.trim.linesIterator.next().take(100)} ==\n$plan"
+  }.mkString("\n\n")
+
+  /** Execute all buffered statements; the buffer clears first (the
+    * reference's contract) so a failed run does not double-insert on
+    * retry of the same set object. */
+  def execute(): Unit = {
+    val run = stmts.toList
+    stmts.clear()
+    run.foreach(env.executeSql)
+  }
+}
+
+private object StatementSet {
+  val seq = new java.util.concurrent.atomic.AtomicLong(0)
 }

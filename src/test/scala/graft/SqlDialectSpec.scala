@@ -431,4 +431,119 @@ class SqlDialectSpec extends SparkTestBase {
     val b = e.sqlQuery("SELECT * FROM g2 ORDER BY id").collect().toSeq
     assert(a == b && a.size == 10)
   }
+
+  test("OPTIONS hint overrides table options per query (FLIP-113 dynamic table options)") {
+    val e = new EngineEnv(spark)
+    // datagen row-count override: the hinted scan regenerates with the
+    // merged options; the registered table itself is untouched
+    e.executeSql("CREATE TABLE gh WITH ('connector'='datagen', 'number-of-rows'='10')")
+    val hinted = e.sqlQuery(
+      "SELECT COUNT(*) AS n FROM gh /*+ OPTIONS('number-of-rows'='25') */")
+      .collect()(0).getLong(0)
+    assert(hinted == 25)
+    assert(e.sqlQuery("SELECT COUNT(*) AS n FROM gh").collect()(0).getLong(0) == 10)
+    // filesystem path override — the classic per-query re-point
+    e.executeSql(s"""CREATE TABLE fh
+      WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    val regions = e.sqlQuery(
+      s"SELECT COUNT(*) AS n FROM fh /*+ OPTIONS('path'='$sfDir/region.parquet') */")
+      .collect()(0).getLong(0)
+    assert(regions == 5)
+    assert(e.sqlQuery("SELECT COUNT(*) AS n FROM fh").collect()(0).getLong(0) == 25)
+    intercept[IllegalArgumentException](
+      e.sqlQuery("SELECT * FROM nope_h /*+ OPTIONS('a'='b') */"))
+  }
+
+  test("StatementSet buffers INSERTs, executes once, clears (FLIP-84)") {
+    val s = spark
+    val e = new EngineEnv(s)
+    val root = graft.streaming.StreamOps.scratchRoot + "/stmtset_spec"
+    s.createDataFrame(Seq((1L, "seed"))).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$root/a")
+    s.createDataFrame(Seq((1L, "seed"))).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$root/b")
+    e.executeSql(s"""CREATE TABLE ss_a (id BIGINT, tag STRING)
+      WITH ('connector'='filesystem', 'path'='$root/a', 'format'='parquet')""")
+    e.executeSql(s"""CREATE TABLE ss_b (id BIGINT, tag STRING)
+      WITH ('connector'='filesystem', 'path'='$root/b', 'format'='parquet')""")
+    val set = e.createStatementSet()
+      .addInsertSql("INSERT INTO ss_a VALUES (2, 'x')")
+      .addInsert("ss_b", e.sqlQuery("SELECT id + 10 AS id, tag FROM ss_a"))
+    // nothing runs until execute()
+    assert(s.table("ss_a").count() == 1 && s.table("ss_b").count() == 1)
+    assert(set.explain().contains("=="))
+    set.execute()
+    assert(s.table("ss_a").count() == 2)
+    assert(s.table("ss_b").count() == 2) // seed + the 1 buffered row (pre-insert snapshot)
+    // buffer cleared: a second execute is a no-op
+    set.execute()
+    assert(s.table("ss_a").count() == 2 && s.table("ss_b").count() == 2)
+    intercept[IllegalArgumentException](set.addInsertSql("SELECT 1"))
+  }
+
+  test("SHOW VIEWS / DESCRIBE DATABASE / DESCRIBE CATALOG / ALTER FUNCTION") {
+    val s = spark
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE adm_t
+      WITH ('connector'='filesystem', 'path'='$sfDir/nation.parquet', 'format'='parquet')""")
+    e.executeSql("CREATE DATABASE vdb")
+    e.executeSql("CREATE VIEW vdb.v1 AS SELECT * FROM adm_t")
+    assert(e.executeSql("SHOW VIEWS").collect().isEmpty) // scoped: current db has none
+    e.executeSql("USE vdb")
+    assert(e.executeSql("SHOW VIEWS").collect().map(_.getString(0)).toSeq == Seq("v1"))
+    e.executeSql("USE default_database")
+    e.executeSql("ALTER DATABASE vdb SET ('owner'='me')")
+    val desc = e.executeSql("DESCRIBE DATABASE vdb").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("name") == "vdb" && desc("property:owner") == "me")
+    val cat = e.executeSql("DESCRIBE CATALOG default_catalog").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cat("name") == "default_catalog" && cat("databases").contains("vdb"))
+    intercept[IllegalArgumentException](e.executeSql("DESCRIBE DATABASE nope_db"))
+    // ALTER FUNCTION re-points the alias (SqlAlterFunction)
+    e.executeSql("CREATE FUNCTION flipfn AS 'lower'")
+    assert(e.sqlQuery("SELECT flipfn('AbC') AS x").collect()(0).getString(0) == "abc")
+    e.executeSql("ALTER FUNCTION flipfn AS 'upper'")
+    assert(e.sqlQuery("SELECT flipfn('AbC') AS x").collect()(0).getString(0) == "ABC")
+    // DROP VIEW removes it from SHOW VIEWS
+    e.executeSql("DROP VIEW vdb.v1")
+    e.executeSql("USE vdb")
+    assert(e.executeSql("SHOW VIEWS").collect().isEmpty)
+    e.executeSql("USE default_database")
+  }
+
+  test("temporal table function rewrites onto the keyed as-of plan") {
+    val s = spark
+    val root = graft.streaming.StreamOps.scratchRoot + "/tfn_spec"
+    // versions: key 1 at t=10 (v=100) and t=20 (v=200); key 2 at t=15 (v=150)
+    s.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(10)), 100L),
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(20)), 200L),
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(15)), 150L)))
+      .toDF("k", "vts", "rate").write.mode("overwrite").parquet(s"$root/rates")
+    // facts: key 1 at t=12 (→100), t=25 (→200); key 2 at t=14 (no version yet)
+    s.createDataFrame(Seq(
+      (1L, 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(12))),
+      (1L, 2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(25))),
+      (2L, 3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(14)))))
+      .toDF("k", "fid", "vts").write.mode("overwrite").parquet(s"$root/facts")
+    val e = new EngineEnv(s)
+    e.executeSql(s"""CREATE TABLE tfn_rates (k BIGINT, vts TIMESTAMP(3), rate BIGINT)
+      WITH ('connector'='filesystem', 'path'='$root/rates', 'format'='parquet')""")
+    e.executeSql(s"""CREATE TABLE tfn_facts (k BIGINT, fid BIGINT, vts TIMESTAMP(3))
+      WITH ('connector'='filesystem', 'path'='$root/facts', 'format'='parquet')""")
+    e.createTemporalTableFunction("tfn_rates_fn", "tfn_rates", "vts", "k")
+    val rows = e.sqlQuery("""
+      SELECT f.fid, r.rate
+      FROM tfn_facts f, LATERAL TABLE(tfn_rates_fn(f.vts)) AS r WHERE f.k = r.k
+      ORDER BY f.fid""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // fact 3 (k=2, t=14) precedes key 2's first version → dropped (inner as-of)
+    assert(rows == Seq((1L, 100L), (2L, 200L)))
+    // a non-temporal LATERAL TABLE still goes through the UDTF correlate
+    e.executeSql("CREATE TEMPORARY FUNCTION tfn_split AS 'split'")
+    val udtf = e.sqlQuery("""
+      SELECT word FROM (SELECT 'a-b' AS st) t, LATERAL TABLE(tfn_split(t.st, '-')) AS T(word)
+      ORDER BY word""").collect().map(_.getString(0)).toSeq
+    assert(udtf == Seq("a", "b"))
+  }
 }
