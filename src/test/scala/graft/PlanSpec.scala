@@ -222,4 +222,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the date-ordering residuals must ride the equi joins, never a loop join")
   }
+
+  test("temporal table function plans the KEYED as-of join — no loop join, rank-limited") {
+    // the temporal-fn correlate must land on the same keyed plan as
+    // FOR SYSTEM_TIME AS OF: equi joins + a windowed top-1 version pick;
+    // a decorrelated LATERAL would plan a nested-loop domain join
+    // (measured 100× slower at sf0.1 — EngineEnv.rewriteTemporalJoin doc)
+    val p = plan("q_sql_temporal_fn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "temporal table function decorrelated into a loop join")
+    assert(p.contains("Window"), "latest-version pick must be a windowed rank filter")
+  }
 }
