@@ -91,9 +91,127 @@ object Pipeline5Queries {
       SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
       ORDER BY cnt DESC, pair LIMIT 100"""))
 
+  /** Gopher-style document GATE (Rae et al. 2021 §A1.1, the rule-based
+    * quality filter applied before training): word-count bounds, mean-
+    * word-length bounds, alphabetic-word fraction, and the ≥2-stopword
+    * requirement, conjoined into the keep/drop decision — the FILTER
+    * composition step downstream of the scoring (q_pipe_quality) and
+    * repetition (q_pipe_repetition) signals. Pure map-side column math
+    * per document; at 100 TB this is a single pass with no shuffle
+    * (the output ORDER BY here is oracle-comparison scaffolding). */
+  val qPipeGopherGate: Q = Q(
+    run = (s, dir) => {
+      val ws = split(col("text"), " ")
+      val stops = Seq("the", "a", "data", "table", "merge", "sort", "filter", "scan",
+                      "spark", "query", "window", "stream")
+      docs(s, dir).select(
+          col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_words"),
+          (aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(ws).cast("double")).as("mwl"),
+          (size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
+            size(ws).cast("double")).as("alpha_frac"),
+          size(array_distinct(filter(ws, w => w.isInCollection(stops))))
+            .cast("long").as("stop_hits"))
+        .withColumn("r_wc", col("n_words").between(20L, 80L))
+        .withColumn("r_mwl", col("mwl").between(4.0, 5.0))
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+        .withColumn("r_stop", col("stop_hits") >= 2L)
+        .withColumn("keep", col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+               CAST(len(list_distinct(list_filter(ws, w -> list_contains(
+                 ['the','a','data','table','merge','sort','filter','scan','spark','query','window','stream'], w)))) AS BIGINT) AS stop_hits
+        FROM b)
+      SELECT doc_id, source, n_words, mwl, alpha_frac, stop_hits,
+             (n_words BETWEEN 20 AND 80) AS r_wc,
+             (mwl BETWEEN 4.0 AND 5.0) AS r_mwl,
+             (alpha_frac >= 0.8) AS r_alpha,
+             (stop_hits >= 2) AS r_stop,
+             ((n_words BETWEEN 20 AND 80) AND (mwl BETWEEN 4.0 AND 5.0)
+               AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
+    * clustered by a coarse quantizer (the IVF assignment — deterministic
+    * first-8 centroids, broadcast, map-side nearest-centroid), then
+    * near-duplicate pairs are detected ONLY within a cluster (cosine ≥
+    * threshold on the quantized-dot kernel) and the higher id of each
+    * pair is dropped. The cluster key bounds the pair join exactly like
+    * LSH bands bound q_pipe_dedup_cosine — at 100 TB the candidate set
+    * is Σ|cluster|², never |corpus|² (and the cluster id is the shuffle
+    * partition key). */
+  val qPipeSemDedup: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").withColumn("nq", PipelineQueries.normQ)
+      val cent = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nq").as("cn")))
+      val cdot = graft.plans.DotProductQExpr.dotQ(col("embedding"), col("ce"), 1000000.0)
+      val assign = e.crossJoin(cent)
+        .withColumn("sim", PipelineQueries.cosQ(cdot, col("nq"), col("cn")))
+        .withColumn("crn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cid"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("nq"))
+      val pdot = graft.plans.DotProductQExpr.dotQ(col("e1"), col("e2"), 1000000.0)
+      val dropped = assign.as("a").join(assign.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("v2"), col("a.embedding").as("e1"),
+                col("b.embedding").as("e2"), col("a.nq").as("n1"), col("b.nq").as("n2"))
+        .withColumn("cosv", PipelineQueries.cosQ(pdot, col("n1"), col("n2")))
+        .filter(col("cosv") >= 0.3)
+        .select(col("v2")).distinct()
+      assign.select(col("vec_id"), col("cid"))
+        .join(dropped.withColumnRenamed("v2", "vec_id").withColumn("dropped", lit(true)),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), coalesce(col("dropped"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS nq
+        FROM embeddings, generate_series(1, 64) g(d) GROUP BY vec_id),
+      cd AS (
+        SELECT v.vec_id, c.vec_id AS cid,
+               SUM(CAST(FLOOR(CAST(v.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM embeddings v, embeddings c, generate_series(1, 64) g(d)
+        WHERE c.vec_id < 8 GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT cd.vec_id, cid,
+                 row_number() OVER (PARTITION BY cd.vec_id
+                   ORDER BY CAST(dp AS DOUBLE) / (sqrt(CAST(nv.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) DESC, cid) AS crn
+          FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id JOIN norms nc ON nc.vec_id = cid)
+        WHERE crn = 1),
+      pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               SUM(CAST(FLOOR(CAST(ea.embedding[d] AS DOUBLE) * CAST(eb.embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS dp
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id,
+             generate_series(1, 64) g(d)
+        GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT v2 FROM pairs
+        JOIN norms na ON na.vec_id = v1 JOIN norms nb ON nb.vec_id = v2
+        WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3)
+      SELECT a.vec_id, a.cid, (d.v2 IS NOT NULL) AS dropped
+      FROM assign a LEFT JOIN dropped d ON d.v2 = a.vec_id
+      ORDER BY a.vec_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_split" -> qPipeSplit,
     "q_pipe_shards" -> qPipeShards,
     "q_pipe_bigram_stats" -> qPipeBigramStats,
+    "q_pipe_gopher_gate" -> qPipeGopherGate,
+    "q_pipe_semdedup" -> qPipeSemDedup,
   )
 }
