@@ -223,6 +223,23 @@ class PlanSpec extends SparkTestBase {
       "the date-ordering residuals must ride the equi joins, never a loop join")
   }
 
+  test("q_pipe_semdedup: cluster-keyed pair join — no corpus-wide cartesian") {
+    // SemDeDup's candidate set must be bounded by the cluster assignment:
+    // the only cross product allowed is the broadcast×centroids assignment
+    // (8 rows); the PAIR join must ride the cid equi-key
+    val p = plan("q_pipe_semdedup")
+    assert(!p.contains("CartesianProduct"), "semdedup pair join degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "cluster-keyed pair join missing")
+  }
+
+  test("q_pipe_gopher_gate: map-side only — no join, no aggregate exchange") {
+    val p = plan("q_pipe_gopher_gate")
+    assert(!"Join".r.findFirstIn(p).isDefined, "the rule gate must not join")
+    assert(!p.contains("HashAggregate"), "the rule gate must not aggregate")
+  }
+
   test("temporal table function plans the KEYED as-of join — no loop join, rank-limited") {
     // the temporal-fn correlate must land on the same keyed plan as
     // FOR SYSTEM_TIME AS OF: equi joins + a windowed top-1 version pick;
