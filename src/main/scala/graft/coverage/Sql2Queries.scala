@@ -202,10 +202,48 @@ object Sql2Queries {
       FROM customer GROUP BY upper(c_mktsegment)
       ORDER BY leg, k"""))
 
+  /** Flink builtin spellings that are renames/arg-fixings of native Spark
+    * expressions — ref table/functions/sql/FlinkSqlOperatorTable.java
+    * (WEEK, SHA256 family, TO_BASE64/FROM_BASE64) and runtime
+    * SqlDateTimeUtils.convertTz (CONVERT_TZ re-expresses a
+    * 'yyyy-MM-dd HH:mm:ss' wall-clock string from one zone in another).
+    * Registered as analyzer-level aliases over codegen'd builtins
+    * (FlinkFunctions.registerAll), auto-loaded by EngineEnv the way the
+    * reference TableEnvironment loads BuiltInFunctionDefinitions — this
+    * query proves the SQL surface resolves them with zero UDF overhead. */
+  val qFlinkFns3: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE fns3_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      e.sqlQuery("""
+        SELECT o_orderkey,
+               WEEK(o_orderdate) AS wk,
+               SHA256(o_orderpriority) AS sha,
+               TO_BASE64(o_orderpriority) AS b64,
+               FROM_BASE64(TO_BASE64(o_orderstatus)) AS rt,
+               CONVERT_TZ(CAST(o_orderdate AS STRING), 'UTC', 'America/Los_Angeles') AS lts
+        FROM fns3_t WHERE MOD(o_orderkey, 97) = 0
+        ORDER BY o_orderkey""")
+    },
+    oracle = Some("""
+      SELECT o_orderkey,
+             week(o_orderdate) AS wk,
+             sha256(o_orderpriority) AS sha,
+             to_base64(o_orderpriority::BLOB) AS b64,
+             CAST(from_base64(to_base64(o_orderstatus::BLOB)) AS VARCHAR) AS rt,
+             strftime(timezone('America/Los_Angeles', timezone('UTC', o_orderdate)),
+                      '%Y-%m-%d %H:%M:%S') AS lts
+      FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_options_hint" -> qSqlOptionsHint,
     "q_sql_statement_set" -> qSqlStatementSet,
     "q_sql_temporal_fn" -> qSqlTemporalFn,
     "q_sql_admin_ddl" -> qSqlAdminDdl,
+    "q_flink_fns3" -> qFlinkFns3,
   )
 }

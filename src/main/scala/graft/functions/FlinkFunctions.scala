@@ -86,5 +86,36 @@ object FlinkFunctions {
     spark.udf.register("IS_DECIMAL", isDecimal _)
     spark.udf.register("HASH_CODE", hashCode _)
     spark.udf.register("SINGLE_VALUE", udaf(new SingleValueAgg))
+    // Flink spellings that are pure renames/arg-fixings of a native
+    // Catalyst builtin (FlinkSqlOperatorTable WEEK/SHA*/TO_BASE64/
+    // FROM_BASE64/CONVERT_TZ): registered as UnresolvedFunction builders —
+    // the analyzer resolves to the codegen'd native expression, zero UDF
+    // overhead.
+    def alias(name: String)(build: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.createOrReplaceTempFunction(name, build, "built-in")
+    def fn(name: String, args: org.apache.spark.sql.catalyst.expressions.Expression*) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(name), args.toSeq, isDistinct = false)
+    def intLit(i: Int) = org.apache.spark.sql.catalyst.expressions.Literal(i)
+    def strLit(s: String) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(s,
+        org.apache.spark.sql.types.StringType)
+    alias("WEEK")(e => fn("weekofyear", e.head))
+    Seq(224, 256, 384, 512).foreach { bits =>
+      alias(s"SHA$bits")(e => fn("sha2", e.head, intLit(bits)))
+    }
+    alias("TO_BASE64")(e => fn("base64", e.head))
+    alias("FROM_BASE64")(e => org.apache.spark.sql.catalyst.expressions.Cast(
+      fn("unbase64", e.head), org.apache.spark.sql.types.StringType))
+    // CONVERT_TZ(tsStr, tzFrom, tzTo) → formatted string, ref
+    // SqlDateTimeUtils.convertTz ('yyyy-MM-dd HH:mm:ss' wall-clock in
+    // tzFrom re-expressed in tzTo)
+    alias("CONVERT_TZ")(e => fn("date_format",
+      fn("convert_timezone", e(1), e(2),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e.head, org.apache.spark.sql.types.TimestampNTZType)),
+      strLit("yyyy-MM-dd HH:mm:ss")))
   }
 }

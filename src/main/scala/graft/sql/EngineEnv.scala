@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   */
 final class EngineEnv(val spark: SparkSession) {
 
+  // the reference TableEnvironment exposes every built-in unconditionally
+  // (BuiltInFunctionDefinitions loads with the env) — register the Flink-
+  // only surface on construction so SQL never needs a manual registerAll
+  graft.functions.FlinkFunctions.registerAll(spark)
+
   case class TableSpec(path: String, format: String, watermarkCol: Option[String],
                        watermarkDelay: Option[String],
                        computedCols: Seq[(String, String)] = Nil,

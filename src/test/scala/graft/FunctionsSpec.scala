@@ -131,6 +131,39 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.limit(1).collect().head.getLong(0) > 0)
   }
 
+  test("builtin aliases: WEEK / SHA-n family / TO_BASE64 / FROM_BASE64 / CONVERT_TZ") {
+    val s = spark
+    import s.implicits._
+    FlinkFunctions.registerAll(s)
+    // known vectors: java.security.MessageDigest is the independent oracle
+    def md(alg: String, in: String) =
+      java.security.MessageDigest.getInstance(alg).digest(in.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val row = s.sql("""
+      SELECT WEEK(DATE '1996-01-02') AS wk,
+             SHA224('abc') AS s224, SHA256('abc') AS s256,
+             SHA384('abc') AS s384, SHA512('abc') AS s512,
+             TO_BASE64('hello graft') AS b64,
+             FROM_BASE64(TO_BASE64('round trip')) AS rt,
+             CONVERT_TZ('2021-04-15 14:00:00', 'UTC', 'Asia/Shanghai') AS tz1,
+             CONVERT_TZ('1997-01-01 00:00:00', 'UTC', 'America/Los_Angeles') AS tz2
+    """).head()
+    assert(row.getAs[Int]("wk") == 1)
+    assert(row.getAs[String]("s224") == md("SHA-224", "abc"))
+    assert(row.getAs[String]("s256") == md("SHA-256", "abc"))
+    assert(row.getAs[String]("s384") == md("SHA-384", "abc"))
+    assert(row.getAs[String]("s512") == md("SHA-512", "abc"))
+    assert(row.getAs[String]("b64") ==
+      java.util.Base64.getEncoder.encodeToString("hello graft".getBytes("UTF-8")))
+    assert(row.getAs[String]("rt") == "round trip")
+    assert(row.getAs[String]("tz1") == "2021-04-15 22:00:00")
+    assert(row.getAs[String]("tz2") == "1996-12-31 16:00:00") // PST, -8
+    // aliases resolve to native codegen'd expressions, not ScalaUDFs
+    val plan = s.sql("SELECT SHA256('x') AS a, TO_BASE64('y') AS b, WEEK(DATE '2020-01-01') AS c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(400))
+  }
+
   test("SINGLE_VALUE over a single NULL row returns NULL, not 0.0") {
     val s = spark
     import s.implicits._
