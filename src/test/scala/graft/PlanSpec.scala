@@ -250,4 +250,19 @@ class PlanSpec extends SparkTestBase {
       "temporal table function decorrelated into a loop join")
     assert(p.contains("Window"), "latest-version pick must be a windowed rank filter")
   }
+
+  test("q_pipe_dsir: the 64-bucket weight table broadcasts onto the feature stream") {
+    // the corpus-side scoring join must be a broadcast of the bounded
+    // model table — a shuffle join here would re-shuffle the full corpus
+    // per scoring pass at 100 TB
+    val p = plan("q_pipe_dsir")
+    assert(p.contains("BroadcastHashJoin"), "feature-weight join must broadcast the 64-row table")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the scoring pass")
+  }
+
+  test("q_pipe_ccnet_bucket: the reference-vocab LM broadcasts onto the token stream") {
+    val p = plan("q_pipe_ccnet_bucket")
+    assert(p.contains("BroadcastHashJoin"), "LM scoring join must broadcast the vocab table")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the scoring pass")
+  }
 }
