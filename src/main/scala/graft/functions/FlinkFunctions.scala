@@ -60,11 +60,19 @@ object FlinkFunctions {
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  // one registration per live session — EngineEnv constructs per query,
+  // and re-deriving the SINGLE_VALUE UDAF encoder each time showed up as
+  // a flat +0.3 s on every EngineEnv-path bench query (weak keys: a
+  // retired session must not pin its function registry)
+  private val registeredSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent registration of the whole surface on a session.
     * SPLIT_INDEX registers as a NATIVE codegen'd Catalyst expression
     * ([[graft.plans.SplitIndexExpr]]) — the §2.11 hot-path upgrade; the
     * rest stay Scala UDFs until a benchmark says otherwise. */
-  def registerAll(spark: SparkSession): Unit = {
+  def registerAll(spark: SparkSession): Unit = synchronized {
+    if (!registeredSessions.add(spark)) return
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "SPLIT_INDEX",
