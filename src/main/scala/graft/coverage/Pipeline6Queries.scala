@@ -127,8 +127,125 @@ object Pipeline6Queries {
       SELECT doc_id, lang, n_words, ce_micro, bucket, (bucket <> 'tail') AS kept
       FROM b ORDER BY doc_id"""))
 
+  /** End-to-end C4-style corpus pipeline as ONE declarative plan:
+    * normalize → language filter → quality gate → exact dedup (keep-first
+    * per content hash) → MinHash-banded fuzzy dedup (8 perms, 2 bands × 4
+    * — the q_pipe_minhash_lsh mechanic on the SURVIVING subset) → staged
+    * funnel audit. The audit is computed in a SINGLE aggregation pass:
+    * each document is tagged with the furthest stage it survives
+    * (`last_stage`), exploded into one row per stage it reaches, and
+    * aggregated once — NOT five re-aggregations of the corpus lineage, so
+    * at 100 TB the funnel costs one extra explode over the already-scored
+    * rows. Dedup shuffles ride bounded keys (content hash / band bucket);
+    * the LSH candidate set is Σbucket², never corpus². */
+  val qPipeE2eC4: Q = {
+    val p = 2147483647L
+    val seeds = 0 until 8
+    Q(
+      run = (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          regexp_replace(trim(col("text")), "\\s+", " ").as("t"))
+        val ws = split(col("t"), " ")
+        val flagged = base
+          .withColumn("pass_lang", col("lang") === "en")
+          .withColumn("nw", size(ws).cast("long"))
+          .withColumn("af", size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
+            size(ws).cast("double"))
+          .withColumn("pass_q", col("pass_lang") && col("nw") >= 20L && col("af") >= 0.8)
+        val keepers = flagged.filter(col("pass_q"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("t"))).orderBy(col("doc_id"))))
+          .select(col("doc_id"), col("rn"))
+        val exact = flagged.join(keepers, Seq("doc_id"), "left")
+        // fuzzy dedup over the exact-dedup survivors: 3-word shingles
+        val survivors = exact.filter(col("rn") === 1)
+        val sh = survivors.select(col("doc_id"),
+          explode(expr("array_distinct(transform(sequence(1, size(split(t, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(t, ' '), i, 3))))")).as("sg"))
+        val sig = sh.withColumn("h0", hashStr(col("sg")) % p)
+          .groupBy(col("doc_id"))
+          .agg(seeds.map(sd =>
+            min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
+            seeds.tail.map(sd =>
+              min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 2).map(b =>
+            struct(lit(b).as("band"),
+              md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
+            .as("bd"))
+          .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+        val dropFuzzy = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("b.doc_id").as("doc_id")).distinct()
+          .withColumn("fdrop", lit(true))
+        exact.join(dropFuzzy, Seq("doc_id"), "left")
+          .withColumn("last_stage",
+            when(!col("pass_lang"), lit(0))
+              .when(!col("pass_q"), lit(1))
+              .when(col("rn").isNull || col("rn") > 1, lit(2))
+              .when(col("fdrop").isNotNull, lit(3))
+              .otherwise(lit(4)))
+          .select(length(col("t")).cast("long").as("nc"),
+            explode(sequence(lit(0), col("last_stage"))).as("stage_i"))
+          .groupBy(col("stage_i"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).cast("long").as("n_chars"))
+          .select(element_at(array(lit("s0_raw"), lit("s1_lang"), lit("s2_quality"),
+              lit("s3_exact"), lit("s4_fuzzy")), col("stage_i") + 1).as("stage"),
+            col("n_docs"), col("n_chars"))
+          .orderBy(col("stage"))
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT doc_id, lang,
+                             regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                      FROM documents),
+        q2 AS (SELECT *,
+                      (lang = 'en') AS pass_lang,
+                      CAST(len(string_split(t, ' ')) AS BIGINT) AS nw,
+                      CAST(len(list_filter(string_split(t, ' '), w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                        / len(string_split(t, ' ')) AS af
+               FROM base),
+        q3 AS (SELECT *, (pass_lang AND nw >= 20 AND af >= 0.8) AS pass_q FROM q2),
+        k AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+              FROM q3 WHERE pass_q),
+        sh AS (SELECT q3.doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(string_split(t, ' ')) - 2),
+                        i -> string_split(t, ' ')[i] || ' ' || string_split(t, ' ')[i + 1]
+                             || ' ' || string_split(t, ' ')[i + 2]))) AS sg
+               FROM q3 JOIN k ON k.doc_id = q3.doc_id AND k.rn = 1),
+        sig AS (SELECT doc_id, seed,
+                       min(((seed * 2 + 1) * (${oHash("sg")} % 2147483647)
+                            + seed * 12345 + 7) % 2147483647) AS mh
+                FROM sh CROSS JOIN generate_series(0, 7) g(seed)
+                GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                         md5(min(CASE WHEN seed % 4 = 0 THEN mh END) || ',' ||
+                             min(CASE WHEN seed % 4 = 1 THEN mh END) || ',' ||
+                             min(CASE WHEN seed % 4 = 2 THEN mh END) || ',' ||
+                             min(CASE WHEN seed % 4 = 3 THEN mh END)) AS bkey
+                  FROM sig GROUP BY 1, 2),
+        dropf AS (SELECT DISTINCT b.doc_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        ls AS (SELECT q3.doc_id, length(q3.t) AS nc,
+                      CASE WHEN NOT pass_lang THEN 0
+                           WHEN NOT pass_q THEN 1
+                           WHEN k.rn IS NULL OR k.rn > 1 THEN 2
+                           WHEN d.doc_id IS NOT NULL THEN 3
+                           ELSE 4 END AS last_stage
+               FROM q3 LEFT JOIN k ON k.doc_id = q3.doc_id
+                       LEFT JOIN dropf d ON d.doc_id = q3.doc_id),
+        funnel AS (SELECT unnest(generate_series(0, last_stage)) AS stage_i, nc FROM ls)
+        SELECT ['s0_raw', 's1_lang', 's2_quality', 's3_exact', 's4_fuzzy'][stage_i + 1] AS stage,
+               COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars
+        FROM funnel GROUP BY stage_i
+        ORDER BY stage"""))
+  }
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_dsir" -> qPipeDsir,
     "q_pipe_ccnet_bucket" -> qPipeCcnetBucket,
+    "q_pipe_e2e_c4" -> qPipeE2eC4,
   )
 }

@@ -265,4 +265,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "LM scoring join must broadcast the vocab table")
     assert(!p.contains("CartesianProduct"), "no cartesian in the scoring pass")
   }
+
+  test("q_pipe_e2e_c4: the composite pipeline never degenerates to all-pairs") {
+    // the fuzzy stage's candidate join must ride the (band, bkey) equi key
+    // and the funnel audit must be ONE aggregation pass (single explode),
+    // not a re-aggregation per stage
+    val p = plan("q_pipe_e2e_c4")
+    assert(!p.contains("CartesianProduct"), "LSH band join degenerated to all-pairs")
+    assert(!p.contains("Union"), "funnel audit must be one pass, not unioned re-aggregations")
+  }
 }
