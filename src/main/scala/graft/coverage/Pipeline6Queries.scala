@@ -39,13 +39,14 @@ object Pipeline6Queries {
             expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
             (a, b) => concat(a, lit(" "), b))).as("pair"))
         .withColumn("b", hashStr(col("pair")) % 64)
-      val raw = pairs.groupBy(col("b")).agg(count(lit(1)).as("nr"))
-      val tgt = pairs.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("nt"))
-      val totals = pairs.agg(
-        count(lit(1)).as("tr"),
-        count(when(col("lang") === "en", 1)).as("tt"))
-      val feat = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("nt"))
-        .crossJoin(broadcast(totals))
+      // raw + target counts in ONE corpus aggregate (conditional count);
+      // totals derive from the 64-row model table, so the corpus is
+      // scanned exactly twice: once to fit, once to score
+      val cnt = pairs.groupBy(col("b")).agg(
+        count(lit(1)).as("nr"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val totals = cnt.agg(sum(col("nr")).as("tr"), sum(col("nt")).as("tt"))
+      val feat = cnt.crossJoin(broadcast(totals))
         .select(col("b"),
           floor(log(((col("nt") + 1) * (col("tr") + 64)).cast("double") /
                     ((col("nr") + 1) * (col("tt") + 64)).cast("double")) * 1000000.0)
@@ -91,9 +92,11 @@ object Pipeline6Queries {
     run = (s, dir) => {
       val w = docs(s, dir).select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
-      val ref = w.filter(col("lang") === "en")
-      val counts = ref.groupBy(col("w")).agg(count(lit(1)).as("nw"))
-      val stats = ref.agg(count(lit(1)).as("n_ref"), countDistinct(col("w")).as("v_ref"))
+      val counts = w.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      // N and V come from the VOCAB table, not a rescan of the reference
+      // corpus — one fit pass + one scoring pass total
+      val stats = counts.agg(sum(col("nw")).as("n_ref"), count(lit(1)).as("v_ref"))
       w.join(broadcast(counts), Seq("w"), "left").na.fill(0L, Seq("nw"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("lang"),
