@@ -1,0 +1,269 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.Queries._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 pipeline additions, part 2 — the four remaining mechanisms a
+  * 100 TB pretraining pipeline runs that the corpus did not yet cover:
+  *
+  *  - exact repeated-SUBSTRING dedup (the suffix-array pass of Lee et al.
+  *    2022, "Deduplicating Training Data Makes Language Models Better"),
+  *    re-expressed as a shingle-position inverted index + per-doc interval
+  *    merge — no suffix array, no pairwise scan;
+  *  - cross-corpus dedup behind a BLOOM prefilter (the "have we trained on
+  *    this before" gate): the prior corpus is compressed to a bloom sketch
+  *    that rides a broadcast, and only might-contain candidates reach the
+  *    exact-confirm join, so the shuffled side is |true dups| + fpp·|new|;
+  *  - BPE merge TRAINING (Sennrich et al. 2016): the corpus is reduced once
+  *    to the word-frequency dictionary, then each merge round is a
+  *    vocab-table pass + a 1-row argmax — the classic trainer loop, with
+  *    the driver holding only the merge table (the GraphOps iteration
+  *    contract);
+  *  - k-means curation clustering (2 Lloyd iterations) in EXACT integer
+  *    micro-unit math, so assignment and centroid update are bit-stable
+  *    under any aggregation order — the cluster ids that SemDeDup-style
+  *    selection and domain balancing consume upstream.
+  */
+object Pipeline7Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** Exact repeated-substring spans: every word 8-gram that occurs in ≥2
+    * documents marks its [pos, pos+8) span; overlapping/adjacent spans merge
+    * per document (the lag-free island trick: a span opens an island iff its
+    * start exceeds the running max end). The reference pass builds a suffix
+    * array over the concatenated corpus (ref: flink has no analog; Lee et
+    * al. §4); the Spark-first shape is an inverted index keyed by shingle
+    * hash — the only shuffles are the shingle-hash agg + join and the
+    * per-doc window, all linear in corpus size, never pairwise. */
+  val qPipeSpanDedup: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+      val sh = t.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 7), " +
+            "i -> struct(i AS pos, concat_ws(' ', slice(ws, i, 8)) AS sh))")).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), hashStr(col("e.sh")).as("h"))
+      val dup = sh.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2).select(col("h"))
+      val hits = sh.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prevEnd = max(col("pos") + 8).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = hits
+        .withColumn("ni", when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+        .withColumn("g", sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 8).as("e"))
+      spans.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s")).cast("long").as("dup_words"),
+          min(col("s")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT doc_id, pe.pos AS pos, ${oHash("pe.sh")} AS h FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+                  i -> struct_pack(pos := i, sh := array_to_string(ws[i:i+7], ' ')))) AS pe
+          FROM t WHERE len(ws) >= 8)),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+              CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni FROM hits),
+      grp AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM isl),
+      spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 8 AS e FROM grp GROUP BY doc_id, g)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS dup_words,
+             CAST(MIN(s) AS BIGINT) AS first_pos
+      FROM spans GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Cross-corpus dedup with a bloom prefilter: the "prior" corpus
+    * (src0–src9) is sketched into a bloom filter (a distributed aggregate —
+    * each partition builds a sketch, merge is a bitwise OR, so the result is
+    * deterministic and fits the driver at any corpus size: ~1.2 GB holds
+    * 1e9 keys at 1% fpp). Incoming docs (src10+) that the bloom rejects are
+    * proven-new without touching a join; only might-contain candidates are
+    * exact-confirmed against the prior keys, which removes the false
+    * positives — the output is exact regardless of fpp. At 100 TB this is
+    * the difference between shuffling the full new corpus and shuffling
+    * ~|dups|. The bloom gate is a broadcast-riding scalar (a UDF here; the
+    * native analog is the runtime-filter `might_contain` Spark injects for
+    * join pruning). */
+  val qPipeBloomDedup: Q = Q(
+    run = (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("sig", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+        .withColumn("sn", substring(col("source"), 4, 10).cast("int"))
+      val prior = d.filter(col("sn") < 10).select(col("sig"))
+      val incoming = d.filter(col("sn") >= 10).select(col("doc_id"), col("source"), col("sig"))
+      // expectedNumItems would be estimated from prior-corpus row counts in
+      // production; a fixed over-estimate keeps the sketch deterministic here
+      val bf = prior.stat.bloomFilter("sig", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((x: String) => x != null && bfB.value.mightContainString(x))
+      val pri = prior.distinct()
+      val miss = incoming.filter(!might(col("sig")))
+        .select(col("doc_id"), col("source"), lit(false).as("is_dup"))
+      val flagged = incoming.filter(might(col("sig")))
+        .join(pri.withColumn("hit", lit(true)), Seq("sig"), "left")
+        .select(col("doc_id"), col("source"), coalesce(col("hit"), lit(false)).as("is_dup"))
+      miss.union(flagged).orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS sn,
+                 md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS sig FROM documents),
+      p AS (SELECT DISTINCT sig FROM d WHERE sn < 10)
+      SELECT i.doc_id, i.source, (p.sig IS NOT NULL) AS is_dup
+      FROM (SELECT * FROM d WHERE sn >= 10) i LEFT JOIN p ON i.sig = p.sig
+      ORDER BY i.doc_id"""))
+
+  /** BPE merge training, 5 rounds: reduce the corpus ONCE to the
+    * word-frequency dictionary, then each round counts adjacent token pairs
+    * weighted by word frequency, picks the argmax pair (tie-break: pair
+    * string — deterministic), and merges it greedily left-to-right (padded
+    * `replace` has exactly BPE's non-overlapping left-to-right semantics:
+    * "a a a" + merge(a,a) → "aa a"). The driver holds only the merge table
+    * (5 rows) — the same bounded-driver-state contract as the GraphOps
+    * convergence loop; the vocab table (≤ millions of rows at 100 TB, vs
+    * billions of corpus rows) would be checkpointed between rounds at scale.
+    * Output: the final token inventory with corpus frequencies and the
+    * round that minted each merged token. */
+  val qPipeBpeTrain: Q = Q(
+    run = (s, dir) => {
+      val base = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("tokstr", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      var vocab = base
+      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (_ <- 1 to 5) {
+        val best = vocab
+          .withColumn("ts", split(col("tokstr"), " "))
+          .filter(size(col("ts")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
+              "(a, b) -> concat(a, ' ', b))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .collect()(0).getString(0)
+        merges += best
+        val merged = best.replace(" ", "")
+        vocab = vocab.withColumn("tokstr",
+          trim(expr(s"replace(concat(' ', tokstr, ' '), ' $best ', ' $merged ')")))
+      }
+      val mergedToks = merges.map(_.replace(" ", ""))
+      val roundOf = mergedToks.zipWithIndex.reverse.foldLeft(lit(0)) {
+        case (acc, (tok, i)) => when(col("token") === tok, i + 1).otherwise(acc)
+      }
+      vocab.select(col("cnt"), explode(split(col("tokstr"), " ")).as("token"))
+        .groupBy(col("token")).agg(sum(col("cnt")).cast("long").as("total"))
+        .withColumn("merge_round", roundOf)
+        .orderBy(col("token"))
+    },
+    oracle = Some {
+      def round(r: Int): String = {
+        val p = r - 1
+        s"""
+      p$r AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(ts) - 1),
+                                          i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(tokstr, ' ') AS ts FROM v$p)) GROUP BY pair),
+      b$r AS (SELECT pair FROM p$r ORDER BY c DESC, pair LIMIT 1),
+      v$r AS (SELECT word, cnt,
+        trim(replace(' ' || tokstr || ' ',
+                     ' ' || (SELECT pair FROM b$r) || ' ',
+                     ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS tokstr FROM v$p)"""
+      }
+      s"""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS tokstr
+             FROM w WHERE word <> '' GROUP BY word),
+      ${(1 to 5).map(round).mkString(",")},
+      toks AS (SELECT t AS token, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt, unnest(string_split(tokstr, ' ')) AS t FROM v5) GROUP BY t)
+      SELECT token, total,
+        CASE token
+          WHEN (SELECT replace(pair, ' ', '') FROM b5) THEN 5
+          WHEN (SELECT replace(pair, ' ', '') FROM b4) THEN 4
+          WHEN (SELECT replace(pair, ' ', '') FROM b3) THEN 3
+          WHEN (SELECT replace(pair, ' ', '') FROM b2) THEN 2
+          WHEN (SELECT replace(pair, ' ', '') FROM b1) THEN 1
+          ELSE 0 END AS merge_round
+      FROM toks ORDER BY token"""
+    })
+
+  /** K-means over embeddings, k=4, 2 Lloyd iterations, EXACT integer math:
+    * each coordinate is quantized to micro-units (floor ·1e6 → BIGINT), so
+    * squared distances, argmin tie-breaks, per-dimension centroid sums and
+    * the floor-divided centroid update are all bit-stable regardless of
+    * shuffle/aggregation order — no float drift between engines or between
+    * cluster runs. Centroids (4×64 longs) broadcast both rounds; the
+    * centroid update is a posexplode → (cid, dim) hash agg → array rebuild,
+    * i.e. two narrow aggregates over dim·n rows — nothing pairwise. Seeds
+    * are the first k vectors (deterministic; k-means‖ sampling would slot in
+    * here at scale without changing the loop). */
+  val qPipeKmeans: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qe"))
+      def dist2: Column = expr(
+        "aggregate(zip_with(qe, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val c0 = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("cid"), col("qe").as("ce")))
+      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dd"), col("cid"))
+      val a1 = e.crossJoin(c0).withColumn("dd", dist2)
+        .withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qe"))
+      val c1 = broadcast(a1
+        .select(col("cid"), posexplode(col("qe")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", floor(col("sv").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), p -> p.cv)").as("ce")))
+      e.crossJoin(c1).withColumn("dd", dist2)
+        .withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dd").as("d2"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+             FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qe AS ce FROM e WHERE vec_id < 4),
+      a1 AS (SELECT vec_id, cid, qe FROM (
+        SELECT e.vec_id, c0.cid, e.qe,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   d -> (e.qe[d] - c0.ce[d]) * (e.qe[d] - c0.ce[d]))) ASC, c0.cid) AS rn
+        FROM e, c0) WHERE rn = 1),
+      cs AS (SELECT cid, d, CAST(SUM(qe[d]) AS BIGINT) AS sv, COUNT(*) AS n
+             FROM a1, generate_series(1, 64) g(d) GROUP BY cid, d),
+      c1 AS (SELECT cid, list(CAST(FLOOR(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS ce
+             FROM cs GROUP BY cid),
+      a2 AS (SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c1.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> (e.qe[d] - c1.ce[d]) * (e.qe[d] - c1.ce[d]))) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   d -> (e.qe[d] - c1.ce[d]) * (e.qe[d] - c1.ce[d]))) ASC, c1.cid) AS rn
+        FROM e, c1) WHERE rn = 1)
+      SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM a2 ORDER BY vec_id"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_span_dedup" -> qPipeSpanDedup,
+    "q_pipe_bloom_dedup" -> qPipeBloomDedup,
+    "q_pipe_bpe_train" -> qPipeBpeTrain,
+    "q_pipe_kmeans" -> qPipeKmeans,
+  )
+}

@@ -274,4 +274,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "LSH band join degenerated to all-pairs")
     assert(!p.contains("Union"), "funnel audit must be one pass, not unioned re-aggregations")
   }
+
+  test("q_pipe_span_dedup: inverted-index join on the shingle hash — never pairwise") {
+    // the suffix-array analog must stay linear: shingle-hash agg + equi
+    // join + per-doc window; a cartesian or loop join here is |corpus|²
+    val p = plan("q_pipe_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span-dedup must join on the shingle hash, not compare documents pairwise")
+    assert(p.contains("Window"), "interval merge must be the per-doc window pass")
+  }
+
+  test("q_pipe_bloom_dedup: bloom gate filters BEFORE the exact-confirm join") {
+    // the scalar bloom probe must sit under the join so only might-contain
+    // candidates are shuffled; the exact join keeps the output fpp-free
+    val p = plan("q_pipe_bloom_dedup")
+    assert(p.contains("UDF"), "bloom might-contain gate missing from the candidate filter")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the confirm join")
+  }
+
+  test("q_pipe_bpe_train: merge rounds are vocab-table passes — no joins at all") {
+    val p = plan("q_pipe_bpe_train")
+    assert(!p.contains("Join"), "BPE training must reduce to word-dict aggregates, never a join")
+  }
+
+  test("q_pipe_kmeans: centroids broadcast; assignment is map-side over one corpus scan") {
+    val p = plan("q_pipe_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "k×corpus assignment must broadcast the k-row centroid table")
+    assert(!p.contains("CartesianProduct"), "no shuffled cartesian in assignment")
+    assert(!p.contains("SortMergeJoin"), "nothing in the loop may shuffle-join the corpus")
+  }
 }
