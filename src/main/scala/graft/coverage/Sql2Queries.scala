@@ -239,11 +239,50 @@ object Sql2Queries {
       FROM orders WHERE o_orderkey % 97 = 0
       ORDER BY o_orderkey"""))
 
+  /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
+    * formats/raw/RawFormatFactory.java:56 (single physical column; the
+    * whole record IS the value) and docs/dev/table/connectors/formats/raw.
+    * Source leg: documents' text staged as line-framed files, declared
+    * `line STRING` with 'format'='raw'. Sink leg: INSERT INTO a raw table
+    * whose payload is BYTES — the serializer writes the single field as
+    * the record, and the read-back decodes it. The aggregate compares the
+    * full round-trip (uppercased lines → bytes → lines) against the
+    * documents table directly. */
+  val qSqlRawFormat: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/raw_${san(dir)}"
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("text").as("value")).write.mode("overwrite").text(s"$scratch/src")
+      // seed the sink path so registration (and the Flink-style read-back
+      // view) binds before the INSERT
+      s.range(0).select(lit("seed").as("value")).write.mode("overwrite").text(s"$scratch/snk")
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE raw_src (line STRING)
+        WITH ('connector'='filesystem', 'path'='$scratch/src', 'format'='raw',
+              'raw.charset'='UTF-8')""")
+      e.executeSql(s"""
+        CREATE TABLE raw_snk (payload BYTES)
+        WITH ('connector'='filesystem', 'path'='$scratch/snk', 'format'='raw')""")
+      e.executeSql("INSERT OVERWRITE raw_snk SELECT UPPER(line) FROM raw_src")
+      e.sqlQuery("""
+        SELECT SPLIT_INDEX(CAST(payload AS STRING), ' ', 0) AS w, COUNT(*) AS n,
+               CAST(SUM(CHAR_LENGTH(CAST(payload AS STRING))) AS BIGINT) AS total_chars
+        FROM raw_snk
+        GROUP BY SPLIT_INDEX(CAST(payload AS STRING), ' ', 0)
+        ORDER BY w""")
+    },
+    oracle = Some("""
+      SELECT string_split(upper(text), ' ')[1] AS w, COUNT(*) AS n,
+             CAST(SUM(length(upper(text))) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1 ORDER BY w"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_options_hint" -> qSqlOptionsHint,
     "q_sql_statement_set" -> qSqlStatementSet,
     "q_sql_temporal_fn" -> qSqlTemporalFn,
     "q_sql_admin_ddl" -> qSqlAdminDdl,
     "q_flink_fns3" -> qFlinkFns3,
+    "q_sql_raw_format" -> qSqlRawFormat,
   )
 }

@@ -220,6 +220,38 @@ final class EngineEnv(val spark: SparkSession) {
 
   private val cdcFormats = Set("debezium-json", "canal-json", "maxwell-json")
 
+  /** FLIP-124 raw format — ref flink-table-runtime-blink
+    * formats/raw/RawFormatFactory.java:56 ("read and write raw (byte
+    * based) values as a single column") + RawFormatDeserializationSchema /
+    * RawFormatSerializationSchema. The factory requires EXACTLY ONE
+    * physical field; the filesystem staging frames one record per line,
+    * so the text-framable payload types apply: STRING/CHAR/VARCHAR (the
+    * line, 'raw.charset' honored as UTF-8) and BYTES/BINARY/VARBINARY
+    * (the line's UTF-8 bytes). Numeric payloads need the byte-exact Kafka
+    * framing the sandbox lacks — rejected with a clear message. */
+  private def rawField(spec: TableSpec): (String, String) = {
+    require(spec.physicalCols.size == 1,
+      s"raw format requires a single physical column, found ${spec.physicalCols.size} " +
+        "(ref RawFormatFactory.validateAndExtractSingleField)")
+    val cs = spec.options.getOrElse("raw.charset", "UTF-8")
+    require(cs.equalsIgnoreCase("UTF-8"),
+      s"raw format: unsupported 'raw.charset'='$cs' — line-framed filesystem staging is UTF-8")
+    val (n, t) = spec.physicalCols.head
+    val up = t.trim.toUpperCase
+    require(Seq("STRING", "CHAR", "VARCHAR", "BYTES", "BINARY", "VARBINARY").exists(up.startsWith),
+      s"raw format: payload type '$t' is not line-framable here (use STRING or BYTES)")
+    (n, up)
+  }
+
+  private def rawIsBinary(up: String): Boolean =
+    up.startsWith("BYTES") || up.startsWith("BINARY") || up.startsWith("VARBINARY")
+
+  private def readRaw(lines: DataFrame, spec: TableSpec): DataFrame = {
+    val (name, tpe) = rawField(spec)
+    if (rawIsBinary(tpe)) lines.select(encode(col("value"), "UTF-8").as(name))
+    else lines.select(col("value").as(name))
+  }
+
   /** CDC wire formats read line-delimited JSON and parse to the tagged
     * changelog (ref flink-formats/flink-json debezium/canal/maxwell
     * deserialization schemas — see [[graft.sources.CdcFormats]]). */
@@ -446,6 +478,7 @@ final class EngineEnv(val spark: SparkSession) {
   private def frameFor(spec: TableSpec, key: String): DataFrame = {
     val base =
       if (cdcFormats(spec.format)) readCdc(spark.read.text(spec.path), spec, key)
+      else if (spec.format == "raw") readRaw(spark.read.text(spec.path), spec)
       else if (isUpsert(spec))
         graft.streaming.StreamOps.upsertChangelog(spark, read(spec.path, spec.format))
       else if (spec.format == "datagen") datagenFrame(spec.options)
@@ -572,6 +605,14 @@ final class EngineEnv(val spark: SparkSession) {
           case "maxwell-json" => graft.sources.CdcFormats.toMaxwell(tagged, payloadCols)
         }
         wire.write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+          .text(spec.path)
+      } else if (spec.format == "raw") {
+        // ref RawFormatSerializationSchema: the single payload field IS
+        // the record; line framing on the filesystem sink
+        val (nm, tpe) = rawField(spec)
+        val line = if (rawIsBinary(tpe)) decode(col(nm), "UTF-8") else col(nm).cast("string")
+        df.select(line.as("value"))
+          .write.mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
           .text(spec.path)
       } else if (spec.format == "avro") {
         // the Hadoop output format cannot append in place — INSERT
@@ -1045,6 +1086,8 @@ final class EngineEnv(val spark: SparkSession) {
       if (cdcFormats(spec.format))
         readCdc(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec,
                 keyOf(name))
+      else if (spec.format == "raw")
+        readRaw(spark.readStream.text(graft.streaming.StreamOps.fileAsDir(spec.path)), spec)
       else if (isUpsert(spec)) {
         // incremental ChangelogNormalize over the staged message stream
         val schema = read(spec.path, spec.format).schema

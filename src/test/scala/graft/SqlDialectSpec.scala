@@ -546,4 +546,31 @@ class SqlDialectSpec extends SparkTestBase {
       ORDER BY word""").collect().map(_.getString(0)).toSeq
     assert(udtf == Seq("a", "b"))
   }
+
+  test("raw format: single-field contract, BYTES payload, streaming read") {
+    val dir = s"${graft.streaming.StreamOps.scratchRoot}/raw_spec"
+    spark.range(2).selectExpr("CASE WHEN id = 0 THEN 'alpha' ELSE 'beta' END AS value")
+      .write.mode("overwrite").text(dir)
+    val e = new EngineEnv(spark)
+    // ref RawFormatFactory.validateAndExtractSingleField: >1 physical column rejected
+    val multi = intercept[IllegalArgumentException](e.executeSql(s"""
+      CREATE TABLE raw_bad (a STRING, b STRING)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='raw')"""))
+    assert(multi.getMessage.contains("single physical column"))
+    // numeric payloads need byte framing the line staging can't carry
+    val num = intercept[IllegalArgumentException](e.executeSql(s"""
+      CREATE TABLE raw_int (n INT)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='raw')"""))
+    assert(num.getMessage.contains("payload type"))
+    e.executeSql(s"""
+      CREATE TABLE raw_b (payload BYTES)
+      WITH ('connector'='filesystem', 'path'='$dir', 'format'='raw')""")
+    val got = e.sqlQuery("SELECT CAST(payload AS STRING) AS s FROM raw_b")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("alpha", "beta"))
+    assert(e.sqlQuery("SELECT payload FROM raw_b").schema.head.dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val stream = e.fromStream("raw_b")
+    assert(stream.isStreaming && stream.schema.fieldNames.sameElements(Array("payload")))
+  }
 }
