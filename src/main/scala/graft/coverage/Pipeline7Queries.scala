@@ -260,10 +260,70 @@ object Pipeline7Queries {
         FROM e, c1) WHERE rn = 1)
       SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM a2 ORDER BY vec_id"""))
 
+  /** Product-quantization ANN (Jégou et al. 2011): 64 dims → 8 subspaces
+    * of 8; per-subspace codebook (k=4, deterministic seeds = the first 4
+    * vectors' subvectors); every corpus vector compresses to 8 two-bit
+    * codes (the 100 TB story: 256 floats of payload become 8 bytes, and
+    * the ADC scan touches only codes); queries build exact
+    * query-to-centroid distance tables (10 queries × 8 subs × 4 codes =
+    * 320 rows, broadcast), and asymmetric-distance top-5 is a broadcast
+    * hash join on (sub, code) + a per-candidate sum — linear in corpus
+    * size, no full-vector math after encoding. All distances in micro-unit
+    * integer space → bit-stable ranking. */
+  val qPipeAnnPq: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qe"))
+      val sv = e.select(col("vec_id"),
+          explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, slice(qe, s*8+1, 8) AS sv))")).as("p"))
+        .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      val cb = broadcast(sv.filter(col("vec_id") < 4)
+        .select(col("sub"), col("vec_id").cast("long").as("code"), col("sv").as("cv")))
+      def subDist: Column = expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val bySubDist = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dd"), col("code"))
+      val codes = sv.join(cb, Seq("sub")).withColumn("dd", subDist)
+        .withColumn("rn", row_number().over(bySubDist)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      val qt = broadcast(sv.filter(col("vec_id") < 10).join(cb, Seq("sub"))
+        .withColumn("dq", subDist)
+        .select(col("vec_id").as("qid"), col("sub"), col("code"), col("dq")))
+      val topk = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      codes.join(qt, Seq("sub", "code")).filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("cid")).agg(sum(col("dq")).cast("long").as("adc"))
+        .withColumn("rn", row_number().over(topk)).filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("cid"), col("adc"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+             FROM embeddings),
+      sv AS (SELECT vec_id, p.s AS sub, p.sv AS sv FROM (
+          SELECT vec_id, unnest(list_transform(generate_series(0, 7),
+                  s -> struct_pack(s := s, sv := qe[s*8+1:s*8+8]))) AS p FROM e)),
+      cb AS (SELECT sub, CAST(vec_id AS BIGINT) AS code, sv AS cv FROM sv WHERE vec_id < 4),
+      codes AS (SELECT vec_id, sub, code FROM (
+          SELECT sv.vec_id, sv.sub, cb.code,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                   list_sum(list_transform(generate_series(1, 8),
+                     d -> (sv.sv[d] - cb.cv[d]) * (sv.sv[d] - cb.cv[d]))) ASC, cb.code) AS rn
+          FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
+      qt AS (SELECT sv.vec_id AS qid, sv.sub, cb.code,
+                    list_sum(list_transform(generate_series(1, 8),
+                      d -> (sv.sv[d] - cb.cv[d]) * (sv.sv[d] - cb.cv[d]))) AS dq
+             FROM sv JOIN cb ON sv.sub = cb.sub WHERE sv.vec_id < 10),
+      adc AS (SELECT qt.qid, codes.vec_id AS cid, CAST(SUM(dq) AS BIGINT) AS adc
+              FROM codes JOIN qt ON codes.sub = qt.sub AND codes.code = qt.code
+              WHERE codes.vec_id <> qt.qid GROUP BY 1, 2)
+      SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rn, cid, adc
+      FROM adc QUALIFY rn <= 5 ORDER BY qid, rn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
     "q_pipe_bpe_train" -> qPipeBpeTrain,
     "q_pipe_kmeans" -> qPipeKmeans,
+    "q_pipe_ann_pq" -> qPipeAnnPq,
   )
 }

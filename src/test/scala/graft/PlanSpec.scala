@@ -297,6 +297,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "BPE training must reduce to word-dict aggregates, never a join")
   }
 
+  test("q_pipe_ann_pq: codebook and query distance tables broadcast; ADC scan is hash, not cartesian") {
+    // after encoding, the corpus side carries only (sub, code) — the ADC
+    // join must ride the broadcast distance table; a cartesian or
+    // shuffle of full vectors would undo PQ's compression win
+    val p = plan("q_pipe_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), "ADC join must broadcast the query distance table")
+    assert(!p.contains("CartesianProduct"), "no all-pairs product in the ADC scan")
+  }
+
   test("q_pipe_kmeans: centroids broadcast; assignment is map-side over one corpus scan") {
     val p = plan("q_pipe_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
