@@ -31,6 +31,8 @@ object Pipeline7Queries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
 
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Exact repeated-substring spans: every word 8-gram that occurs in ≥2
     * documents marks its [pos, pos+8) span; overlapping/adjacent spans merge
     * per document (the lag-free island trick: a span opens an island iff its
@@ -319,11 +321,48 @@ object Pipeline7Queries {
       SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rn, cid, adc
       FROM adc QUALIFY rn <= 5 ORDER BY qid, rn"""))
 
+  /** The STREAMING form of MinHash-LSH dedup: documents arrive in ordered
+    * micro-batches as their 4 (band, bkey) rows; the per-bucket keep-first
+    * state ([[graft.streaming.StreamOps.streamingLshDedup]]) claims each
+    * bucket for its smallest doc_id, and a document is a duplicate iff ANY
+    * of its buckets was claimed earlier. With arrival ordered by doc_id the
+    * materialized verdicts equal the BATCH banded dedup exactly — which is
+    * what the oracle computes (bands/pairs CTEs shared with
+    * q_pipe_minhash_lsh). The continuous-ingestion dedup a training-data
+    * feed runs: per document only 4 small keyed rows shuffle, state is one
+    * long per live bucket. */
+  val qStreamMinhashDedup: Q = Q(
+    run = (s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamOps
+      val bands = PipelineQueries.minhashBands(s, dir)
+      // fixture staging: split into two ordered halves by doc_id (the
+      // arrival-order contract that makes keep-first == smallest-id)
+      val thr = bands.agg(max(col("doc_id"))).collect()(0).get(0)
+        .asInstanceOf[Number].longValue / 2
+      val srcDir = StreamOps.stageBatches(s, s"mhdedup_${san(dir)}", Seq(
+        bands.filter(col("doc_id") <= thr), bands.filter(col("doc_id") > thr)))
+      val stream = s.readStream.schema(bands.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val claims = StreamOps.runToMemory(
+        s, StreamOps.streamingLshDedup(s, stream), OutputMode.Append())
+      claims.groupBy(col("doc_id")).agg(max(col("dup_band")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH ${PipelineQueries.oMinhashCtes},
+      dups AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+      base AS (SELECT DISTINCT doc_id FROM bands)
+      SELECT base.doc_id, (dups.doc_id IS NOT NULL) AS is_dup
+      FROM base LEFT JOIN dups ON base.doc_id = dups.doc_id
+      ORDER BY base.doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
     "q_pipe_bpe_train" -> qPipeBpeTrain,
     "q_pipe_kmeans" -> qPipeKmeans,
     "q_pipe_ann_pq" -> qPipeAnnPq,
+    "q_stream_minhash_dedup" -> qStreamMinhashDedup,
   )
 }

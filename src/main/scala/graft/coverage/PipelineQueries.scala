@@ -133,7 +133,10 @@ object PipelineQueries {
     * pairs and just as oracle-reproducible. */
   /** MinHash-LSH candidate pair frame (d1 < d2, distinct) — shared by
     * q_pipe_minhash_lsh and the cluster-canonicalization query. */
-  private[coverage] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, band, bkey) LSH band table behind [[minhashPairs]] —
+    * also the keyed input of the STREAMING near-dup gate
+    * ([[graft.streaming.StreamOps.streamingLshDedup]]). */
+  private[coverage] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(docs(s, dir))
     val p = 2147483647L
     // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
@@ -147,12 +150,16 @@ object PipelineQueries {
         min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
         seeds.tail.map(sd =>
           min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+  }
+
+  private[coverage] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

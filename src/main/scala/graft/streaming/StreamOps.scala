@@ -839,6 +839,43 @@ object StreamOps {
       .toDF()
   }
 
+  case class LshClaimOut(doc_id: Long, band: Int, dup_band: Boolean)
+
+  /** Streaming near-duplicate gate over MinHash LSH bands — the continuous-
+    * ingestion form of the batch banded dedup (q_pipe_minhash_lsh): each
+    * document arrives as its 4 (band, bkey) rows; per-bucket state holds
+    * ONE long (the smallest doc_id that ever claimed the bucket), and a
+    * band row signals a duplicate iff a smaller doc_id claimed its bucket
+    * earlier — from state for previous batches, from the sorted group scan
+    * within a batch. The per-doc verdict (any band claimed) is a downstream
+    * aggregate of the emitted claims. State is bounded by live buckets ×
+    * 8 bytes; in a production stream the same event-time TTL knob as
+    * [[ttlDedup]]/changelogJoin applies (a bucket idle past the horizon
+    * cannot dedup anything that matters any more).
+    * Ref: the reference pairs DeduplicateFunctionHelper keep-first state
+    * with keyed exchange — here the bucket IS the key, so dedup of a
+    * 100 TB stream shuffles only 4 small rows per document. */
+  def streamingLshDedup(s: SparkSession, bands: DataFrame): DataFrame = {
+    import s.implicits._
+    bands
+      .select(col("doc_id").cast("long").as("_1"), col("band").cast("int").as("_2"),
+              col("bkey").as("_3"))
+      .as[(Long, Int, String)]
+      .groupByKey(e => (e._2, e._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), it: Iterator[(Long, Int, String)], state: GroupState[Long]) => {
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ListBuffer[LshClaimOut]()
+          it.map(_._1).toIndexedSeq.sorted.foreach { d =>
+            out += LshClaimOut(d, key._1, minSeen < d)
+            if (d < minSeen) minSeen = d
+          }
+          state.update(minSeen)
+          out.iterator
+        })
+      .toDF()
+  }
+
   case class TtlDedupOut(user_id: Long, event_type: String, event_id: Long)
 
   /** Streaming dedup with an event-time state TTL — ref Flink's

@@ -884,4 +884,23 @@ class StreamingSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kv == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("streamingLshDedup: bucket claims survive batches; smallest id wins within a batch") {
+    val s = spark
+    import s.implicits._
+    def bands(rows: (Long, Int, String)*) =
+      rows.toDF("doc_id", "band", "bkey")
+    // batch 1: docs 1,2 share bucket (0,A) → 2 is dup in-batch
+    // batch 2: doc 3 hits (0,A) from STATE; 4 opens (1,B); 5 dups 4 in-batch
+    val srcDir = graft.streaming.StreamOps.stageBatches(s, "lshdedup_spec", Seq(
+      bands((1L, 0, "A"), (2L, 0, "A")),
+      bands((3L, 0, "A"), (4L, 1, "B"), (5L, 1, "B"))))
+    val stream = s.readStream.schema(bands((0L, 0, "x")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val claims = graft.streaming.StreamOps.runToMemory(
+      s, graft.streaming.StreamOps.streamingLshDedup(s, stream),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = claims.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> true))
+  }
 }
