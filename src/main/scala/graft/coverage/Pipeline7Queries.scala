@@ -140,11 +140,16 @@ object Pipeline7Queries {
     * round that minted each merged token. */
   val qPipeBpeTrain: Q = Q(
     run = (s, dir) => {
+      // the word-freq dict is the trainer's working set (vocab-sized, not
+      // corpus-sized) — materialize it once so the 5 argmax rounds and the
+      // final tokenized inventory never rescan the corpus (1 corpus pass
+      // total; at 100 TB this cache is the checkpointed dict)
       val base = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
         .withColumn("tokstr", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+        .persist()
       var vocab = base
       val merges = scala.collection.mutable.ArrayBuffer.empty[String]
       for (_ <- 1 to 5) {
