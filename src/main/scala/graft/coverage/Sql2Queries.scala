@@ -239,6 +239,78 @@ object Sql2Queries {
       FROM orders WHERE o_orderkey % 97 = 0
       ORDER BY o_orderkey"""))
 
+  /** Fourth builtin batch — the §2.11 long tail of FlinkSqlOperatorTable /
+    * BuiltInFunctionDefinitions spellings not yet demonstrated: math
+    * (DEGREES/RADIANS/SIGN/LOG2/LOG10/COT — transcendentals quantized to
+    * µ-units, the cross-engine-libm contract), string padding/repetition
+    * (LPAD/RPAD/REPEAT), char codes (CHR/ASCII), and ANSI
+    * `POSITION(x IN y)` + INSTR. All resolve to native codegen'd Catalyst
+    * expressions — no UDFs. */
+  val qFlinkFns4: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE fns4_t (p_partkey BIGINT, p_name STRING, p_brand STRING,
+          p_type STRING, p_size INT, p_retailprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$dir/part.parquet', 'format'='parquet')""")
+      e.sqlQuery("""
+        SELECT p_partkey,
+               CAST(FLOOR(DEGREES(p_retailprice / 1000.0) * 1000000.0) AS BIGINT) AS deg_u,
+               CAST(FLOOR(RADIANS(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS rad_u,
+               SIGN(p_size - 25) AS sgn,
+               CAST(FLOOR(LOG2(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS l2_u,
+               CAST(FLOOR(LOG10(p_retailprice) * 1000000.0) AS BIGINT) AS l10_u,
+               CAST(FLOOR(COT(CAST(p_size AS DOUBLE)) * 1000.0) AS BIGINT) AS cot_m,
+               LPAD(p_brand, 12, '*') AS lp,
+               RPAD(p_brand, 12, '#') AS rp,
+               REPEAT(SUBSTRING(p_type, 1, 2), 3) AS rep,
+               CHR(65 + MOD(p_size, 26)) AS ch,
+               ASCII(p_name) AS asc_c,
+               POSITION('a' IN p_name) AS pos_a,
+               INSTR(p_name, 'o') AS in_o
+        FROM fns4_t WHERE MOD(p_partkey, 29) = 0
+        ORDER BY p_partkey""")
+    },
+    oracle = Some("""
+      SELECT p_partkey,
+             CAST(FLOOR(degrees(p_retailprice / 1000.0) * 1000000.0) AS BIGINT) AS deg_u,
+             CAST(FLOOR(radians(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS rad_u,
+             CAST(sign(p_size - 25) AS DOUBLE) AS sgn,
+             CAST(FLOOR(log2(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS l2_u,
+             CAST(FLOOR(log10(p_retailprice) * 1000000.0) AS BIGINT) AS l10_u,
+             CAST(FLOOR(cot(CAST(p_size AS DOUBLE)) * 1000.0) AS BIGINT) AS cot_m,
+             lpad(p_brand, 12, '*') AS lp,
+             rpad(p_brand, 12, '#') AS rp,
+             repeat(p_type[1:2], 3) AS rep,
+             chr(65 + p_size % 26) AS ch,
+             ascii(p_name) AS asc_c,
+             CAST(position('a' IN p_name) AS BIGINT) AS pos_a,
+             CAST(instr(p_name, 'o') AS BIGINT) AS in_o
+      FROM part WHERE p_partkey % 29 = 0
+      ORDER BY p_partkey"""))
+
+  /** SUM0 — ref FlinkSqlOperatorTable.SUM0 (the retract-agg counting
+    * primitive): 0, not NULL, over all-null input. Groups whose filter
+    * never fires prove the difference (plain SUM's NULL would hash-differ). */
+  val qAggSum0: Q = Q(
+    run = (s, dir) => {
+      val e = new EngineEnv(s)
+      e.executeSql(s"""
+        CREATE TABLE sum0_t (p_partkey BIGINT, p_brand STRING, p_size INT,
+          p_retailprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$dir/part.parquet', 'format'='parquet')""")
+      e.sqlQuery("""
+        SELECT p_brand,
+               CAST(SUM0(CASE WHEN p_size > 48 THEN CAST(p_size AS BIGINT) END) AS BIGINT) AS big_sz,
+               CAST(SUM0(CASE WHEN p_retailprice > 1990.0 THEN CAST(1 AS BIGINT) END) AS BIGINT) AS n_pricey
+        FROM sum0_t GROUP BY p_brand ORDER BY p_brand""")
+    },
+    oracle = Some("""
+      SELECT p_brand,
+             CAST(COALESCE(SUM(CASE WHEN p_size > 48 THEN p_size END), 0) AS BIGINT) AS big_sz,
+             CAST(COALESCE(SUM(CASE WHEN p_retailprice > 1990.0 THEN 1 END), 0) AS BIGINT) AS n_pricey
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
   /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
     * formats/raw/RawFormatFactory.java:56 (single physical column; the
     * whole record IS the value) and docs/dev/table/connectors/formats/raw.
@@ -283,6 +355,8 @@ object Sql2Queries {
     "q_sql_temporal_fn" -> qSqlTemporalFn,
     "q_sql_admin_ddl" -> qSqlAdminDdl,
     "q_flink_fns3" -> qFlinkFns3,
+    "q_flink_fns4" -> qFlinkFns4,
+    "q_agg_sum0" -> qAggSum0,
     "q_sql_raw_format" -> qSqlRawFormat,
   )
 }

@@ -125,5 +125,9 @@ object FlinkFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           e.head, org.apache.spark.sql.types.TimestampNTZType)),
       strLit("yyyy-MM-dd HH:mm:ss")))
+    // SUM0 (FlinkSqlOperatorTable.SUM0 / Table-API sum0): SUM that yields
+    // 0 instead of NULL over empty/all-null input — the primitive the
+    // reference's retract aggregates count with
+    alias("SUM0")(e => fn("coalesce", fn("sum", e.head), intLit(0)))
   }
 }
