@@ -362,6 +362,90 @@ object Pipeline7Queries {
       FROM base LEFT JOIN dups ON base.doc_id = dups.doc_id
       ORDER BY base.doc_id"""))
 
+  /** The continuous-ingestion CORPUS PIPELINE in one streaming query —
+    * language filter → quality gate → exact dedup → MinHash near-dup gate
+    * (the streaming form of q_pipe_e2e_c4's funnel):
+    *
+    *  - every per-document feature is computed STATELESSLY on the single
+    *    doc row — the 16 minhashes are `array_min` over the shingle-hash
+    *    array (no groupBy: a doc IS one row), so the whole prep is
+    *    map-side expressions feeding ONE stateful operator;
+    *  - exact dedup folds into the LSH gate as a pseudo-band (band −1,
+    *    bkey = the first-10-words md5) — 5 keyed claim rows per doc, one
+    *    keep-first long per live bucket ([[graft.streaming.StreamOps
+    *    .streamingLshDedup]]);
+    *  - semantics are dup-against-HISTORY (every arrival claims its
+    *    buckets, kept or dropped): a doc near-dup of an already-dropped
+    *    arrival is still a near-dup — the semantics a feed dedup wants,
+    *    and exactly what the oracle's smaller-doc-exists SQL computes.
+    *
+    * Verdict per gate-passing doc: exact_dup / near_dup / kept. */
+  val qStreamE2eCorpus: Q = Q(
+    run = (s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamOps
+      val p = 2147483647L
+      val prepped = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(col("lang") === "en" && size(col("ws")).between(20, 80))
+        .withColumn("sig", md5(concat_ws(" ", slice(col("ws"), 1, 10))))
+        .withColumn("h0s", expr(
+          s"""transform(sequence(1, size(ws) - 2),
+                i -> CAST(conv(substring(md5(concat_ws(' ',
+                       element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))),
+                     1, 15), 16, 10) AS BIGINT) % $p)"""))
+        .withColumn("mh", expr(
+          s"""transform(sequence(0, 15),
+                sd -> array_min(transform(h0s, h -> (h * (2 * sd + 1) + sd * 12345 + 7) % $p)))"""))
+        .select(col("doc_id"), col("sig"),
+          explode(expr(
+            """concat(array(struct(-1 AS band, sig AS bkey)),
+                 transform(sequence(0, 3), b -> struct(CAST(b AS INT) AS band,
+                   md5(concat_ws(',', element_at(mh, b * 4 + 1), element_at(mh, b * 4 + 2),
+                                 element_at(mh, b * 4 + 3), element_at(mh, b * 4 + 4))) AS bkey)))""")).as("br"))
+        .select(col("doc_id"), col("br.band").as("band"), col("br.bkey").as("bkey"))
+      val thr = prepped.agg(max(col("doc_id"))).collect()(0).get(0)
+        .asInstanceOf[Number].longValue / 2
+      val srcDir = StreamOps.stageBatches(s, s"e2ecorpus_${san(dir)}", Seq(
+        prepped.filter(col("doc_id") <= thr), prepped.filter(col("doc_id") > thr)))
+      val stream = s.readStream.schema(prepped.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val claims = StreamOps.runToMemory(
+        s, StreamOps.streamingLshDedup(s, stream), OutputMode.Append())
+      claims.groupBy(col("doc_id")).agg(
+          max(col("band") === -1 && col("dup_band")).as("e"),
+          max(col("band") >= 0 && col("dup_band")).as("n"))
+        .select(col("doc_id"), col("e").as("exact_dup"),
+          (!col("e") && col("n")).as("near_dup"),
+          (!col("e") && !col("n")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE lang = 'en' AND len(string_split(text, ' ')) BETWEEN 20 AND 80),
+      sigs AS (SELECT doc_id, md5(array_to_string(ws[1:10], ' ')) AS sig FROM g),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+             FROM g CROSS JOIN generate_series(1, 500) gs(i) WHERE i <= len(ws) - 2),
+      sig16 AS (SELECT doc_id, seed,
+                  min(((seed * 2 + 1) * (${oHash("sh")} % 2147483647) + seed * 12345 + 7) % 2147483647) AS mh
+                FROM sh CROSS JOIN generate_series(0, 15) g2(seed) GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                  md5(min(CASE WHEN seed % 4 = 0 THEN mh END) || ',' ||
+                      min(CASE WHEN seed % 4 = 1 THEN mh END) || ',' ||
+                      min(CASE WHEN seed % 4 = 2 THEN mh END) || ',' ||
+                      min(CASE WHEN seed % 4 = 3 THEN mh END)) AS bkey
+                FROM sig16 GROUP BY 1, 2),
+      allb AS (SELECT doc_id, -1 AS band, sig AS bkey FROM sigs
+               UNION ALL SELECT doc_id, band, bkey FROM bands),
+      dup AS (SELECT DISTINCT b.doc_id, b.band FROM allb a JOIN allb b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      flags AS (SELECT doc_id, MAX(CASE WHEN band = -1 THEN 1 ELSE 0 END) AS e,
+                       MAX(CASE WHEN band >= 0 THEN 1 ELSE 0 END) AS n FROM dup GROUP BY doc_id)
+      SELECT g.doc_id, (COALESCE(e, 0) = 1) AS exact_dup,
+             (COALESCE(e, 0) = 0 AND COALESCE(n, 0) = 1) AS near_dup,
+             (COALESCE(e, 0) = 0 AND COALESCE(n, 0) = 0) AS kept
+      FROM g LEFT JOIN flags ON g.doc_id = flags.doc_id ORDER BY g.doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
@@ -369,5 +453,6 @@ object Pipeline7Queries {
     "q_pipe_kmeans" -> qPipeKmeans,
     "q_pipe_ann_pq" -> qPipeAnnPq,
     "q_stream_minhash_dedup" -> qStreamMinhashDedup,
+    "q_stream_e2e_corpus" -> qStreamE2eCorpus,
   )
 }
