@@ -49,9 +49,15 @@ object Pipeline7Queries {
           explode(expr("transform(sequence(1, size(ws) - 7), " +
             "i -> struct(i AS pos, concat_ws(' ', slice(ws, i, 8)) AS sh))")).as("e"))
         .select(col("doc_id"), col("e.pos").as("pos"), hashStr(col("e.sh")).as("h"))
-      val dup = sh.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2).select(col("h"))
-      val hits = sh.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+      // cross-doc duplication test as ONE pass over the inverted index:
+      // a shingle hash is shared by ≥2 docs iff min(doc) ≠ max(doc) in its
+      // hash partition — no countDistinct agg, no join-back, one shuffle
+      val byHash = Window.partitionBy(col("h"))
+      val hits = sh
+        .withColumn("dmin", min(col("doc_id")).over(byHash))
+        .withColumn("dmax", max(col("doc_id")).over(byHash))
+        .filter(col("dmin") =!= col("dmax"))
+        .select(col("doc_id"), col("pos"))
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val prevEnd = max(col("pos") + 8).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
       val spans = hits
