@@ -903,4 +903,41 @@ class StreamingSpec extends SparkTestBase {
     val got = claims.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> true))
   }
+
+  test("streamingLshDedup: bucket-claim state survives a stop/restart (checkpoint recovery)") {
+    val s = spark
+    import s.implicits._
+    val base = graft.streaming.StreamOps.scratchRoot + "/lsh_restart"
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(name: String, rows: Seq[(Long, Int, String)]): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("doc_id", "band", "bkey").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def run(): Unit = {
+      val stream = s.readStream.schema("doc_id LONG, band INT, bkey STRING").parquet(src)
+      val q = graft.streaming.StreamOps.streamingLshDedup(s, stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("f0", Seq((1L, 0, "A")))
+    run() // run 1 claims bucket (0, A) for doc 1, then STOPS
+    addFile("f1", Seq((2L, 0, "A"), (3L, 1, "B")))
+    run() // restart: recovered state must still hold the (0, A) claim
+    val got = s.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup_band")).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false),
+      "doc 2 must be flagged by the RECOVERED claim from the pre-restart run")
+  }
 }
