@@ -311,6 +311,35 @@ object Sql2Queries {
              CAST(COALESCE(SUM(CASE WHEN p_retailprice > 1990.0 THEN 1 END), 0) AS BIGINT) AS n_pricey
       FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Async I/O, oracle-gated — ref AsyncWaitOperator.java:78 ordered mode.
+    * The per-record async function is a pure deterministic "lookup"
+    * (tier parse + md5 tag), so ordered emission makes the operator's
+    * output value-identical to the synchronous map the oracle computes —
+    * which is exactly the reference's ordered-mode contract (results in
+    * input order regardless of completion order). 8 in-flight requests
+    * per partition, executor-side pools, no driver coordination. */
+  val qAsyncEnrich: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val ds = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderkey % 13 = 0"))
+        .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
+        .as[(Long, String)]
+      graft.operators.AsyncIO.mapAsyncOrdered(ds, 8) { case (k, pr) =>
+        val tier = pr.substring(0, 1).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:$pr".getBytes("UTF-8"))
+        (k, pr, tier, md.map("%02x".format(_)).mkString)
+      }.toDF("o_orderkey", "o_orderpriority", "tier", "tag")
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS tier,
+             md5(o_orderkey || ':' || o_orderpriority) AS tag
+      FROM orders WHERE o_orderkey % 13 = 0
+      ORDER BY o_orderkey"""))
+
   /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
     * formats/raw/RawFormatFactory.java:56 (single physical column; the
     * whole record IS the value) and docs/dev/table/connectors/formats/raw.
@@ -357,6 +386,7 @@ object Sql2Queries {
     "q_flink_fns3" -> qFlinkFns3,
     "q_flink_fns4" -> qFlinkFns4,
     "q_agg_sum0" -> qAggSum0,
+    "q_async_enrich" -> qAsyncEnrich,
     "q_sql_raw_format" -> qSqlRawFormat,
   )
 }
