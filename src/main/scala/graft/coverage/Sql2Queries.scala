@@ -340,6 +340,73 @@ object Sql2Queries {
       FROM orders WHERE o_orderkey % 13 = 0
       ORDER BY o_orderkey"""))
 
+  /** Rolling file sink, oracle-gated end-to-end — ref StreamingFileSink +
+    * RollingPolicy: the streamed write rolls part files at
+    * `maxRecordsPerFile`, and the sink's CONTENT (multi-file read-back,
+    * aggregated) must equal the batch oracle — the part-file layout is an
+    * implementation detail, the committed rows are the contract. The
+    * checkpointed commit log is what makes the sink exactly-once
+    * (SinkSpec restarts it); here the value parity is the gate. */
+  val qStreamFileSink: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/fsink_${san(dir)}"
+      graft.streaming.StreamOps.wipeDir(scratch)
+      val src = graft.streaming.StreamOps.readTable(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = src.writeStream.format("parquet")
+        .option("path", s"$scratch/out")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .option("maxRecordsPerFile", "1000")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val files = new java.io.File(s"$scratch/out").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(files > 1, s"rolling policy must split the sink into >1 part file, got $files")
+      s.read.parquet(s"$scratch/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).cast("long").as("v_c"),
+             max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS v_c,
+             max(event_id) AS max_id
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Queryable state, oracle-gated — ref FLIP-21 QueryableStateClient (the
+    * reference serves keyed state point lookups); the Spark spelling is
+    * the State Data Source: the checkpoint IS the queryable store, read
+    * back as a DataFrame. A keyed count aggregation runs to completion,
+    * then `statestore`-format read of its checkpoint must reproduce the
+    * batch GROUP BY exactly — state-as-a-table parity, stronger than a
+    * point lookup. */
+  val qQueryableState: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/qstate_${san(dir)}"
+      graft.streaming.StreamOps.wipeDir(scratch)
+      val src = graft.streaming.StreamOps.readTable(s, dir, "events")
+      val agg = src.groupBy(col("event_type")).count()
+      val q = agg.writeStream.format("memory")
+        .queryName(s"qstate_sink_${san(dir)}")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val st = graft.streaming.StreamOps.readState(s, s"$scratch/ckpt")
+      // the aggregation buffer's field name is internal — take the count
+      // buffer positionally (last field), like the reference's state
+      // descriptor addressing
+      val buf = st.select(col("value.*")).columns.last
+      st.select(col("key.event_type").as("event_type"),
+                col("value").getField(buf).cast("long").as("n"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
     * formats/raw/RawFormatFactory.java:56 (single physical column; the
     * whole record IS the value) and docs/dev/table/connectors/formats/raw.
@@ -387,6 +454,8 @@ object Sql2Queries {
     "q_flink_fns4" -> qFlinkFns4,
     "q_agg_sum0" -> qAggSum0,
     "q_async_enrich" -> qAsyncEnrich,
+    "q_stream_file_sink" -> qStreamFileSink,
+    "q_queryable_state" -> qQueryableState,
     "q_sql_raw_format" -> qSqlRawFormat,
   )
 }

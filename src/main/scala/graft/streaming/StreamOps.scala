@@ -133,6 +133,10 @@ object StreamOps {
   def readState(s: SparkSession, checkpointLocation: String): DataFrame =
     s.read.format("statestore").load(checkpointLocation)
 
+  /** Clear a scratch dir (fresh checkpoint/sink staging for re-runnable
+    * queries). */
+  def wipeDir(dir: String): Unit = wipe(dir)
+
   private def wipe(dir: String): Unit = {
     val base = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(base)) {
