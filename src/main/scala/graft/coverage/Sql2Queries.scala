@@ -407,6 +407,41 @@ object Sql2Queries {
       SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Early-fire (update-mode partials), oracle-gated — ref Flink
+    * `table.exec.emit.early-fire.enabled` (GroupAggFunction emitting
+    * per-arrival updates before the window/group closes): counts are
+    * emitted per micro-batch, refined as data arrives; the LATEST
+    * emission per key must equal the batch aggregate (counts are
+    * monotone, so latest = max), and the partial trail must actually
+    * exist (more emissions than keys — proof the operator fired early
+    * rather than only once at the end). */
+  val qStreamEarlyFire: Q = Q(
+    run = (s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamOps
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val mid = ev.agg(max(col("event_id"))).collect()(0).get(0)
+        .asInstanceOf[Number].longValue / 2
+      val srcDir = StreamOps.stageBatches(s, s"earlyfire_${san(dir)}", Seq(
+        ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid)))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val partials = StreamOps.runToMemory(s,
+        stream.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("u")),
+        OutputMode.Update())
+      val nKeys = partials.select(col("event_type")).distinct().count()
+      require(partials.count() > nKeys,
+        "update mode must emit early partials (one per key per touched batch)")
+      partials.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n"), max(col("u")).cast("long").as("u"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS u
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
     * formats/raw/RawFormatFactory.java:56 (single physical column; the
     * whole record IS the value) and docs/dev/table/connectors/formats/raw.
@@ -456,6 +491,7 @@ object Sql2Queries {
     "q_async_enrich" -> qAsyncEnrich,
     "q_stream_file_sink" -> qStreamFileSink,
     "q_queryable_state" -> qQueryableState,
+    "q_stream_early_fire" -> qStreamEarlyFire,
     "q_sql_raw_format" -> qSqlRawFormat,
   )
 }
