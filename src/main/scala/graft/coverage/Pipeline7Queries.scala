@@ -452,12 +452,61 @@ object Pipeline7Queries {
              (COALESCE(e, 0) = 0 AND COALESCE(n, 0) = 0) AS kept
       FROM g LEFT JOIN flags ON g.doc_id = flags.doc_id ORDER BY g.doc_id"""))
 
+  /** PPJoin-style prefix-filtered set-similarity join, oracle-gated —
+    * word-5-gram sets driven through
+    * [[graft.operators.SetSimJoin.jaccardSelfJoin]]. The prefix filter is
+    * LOSSLESS (any J ≥ t pair shares an element in the first
+    * ⌊(1−t)·|A|⌋+1 under the rarest-first canonical order), so the result
+    * hash-matches the exact naive oracle — the proof the spec previously
+    * asserted, now on the driver's cross-engine gate. 5-grams give the
+    * diverse token space the design assumes (the fixture's deliberately
+    * tiny 3-gram vocab floods ANY prefix index with stop-shingle
+    * collisions; at 5-gram diversity the candidate set equals the true
+    * near-dup pairs EXACTLY — 255/255 at sf0.1 — the sub-quadratic scale
+    * story in its purest form). */
+  val qPipePpjoin: Q = Q(
+    run = (s, dir) => {
+      val d = docs(s, dir)
+      // no stop-shingle cap needed at 5-gram diversity (max df = 4 at
+      // sf0.1) — the set table is a pure map-side explode + hash, so the
+      // operator's multiple passes over it stay shuffle-free until its own
+      // aggregates
+      // materialized once: the operator scans the set table 5× (sizes, DF,
+      // prefix, both intersection legs) and the 5-gram build (string
+      // assembly + dedup + md5) is the CPU cost — 16-byte (doc, hash) rows
+      // in memory, the checkpointed token index at 100 TB
+      val sets = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))).as("sh"))
+        .select(col("doc_id"), hashStr(col("sh")).as("shid"))
+        .persist()
+      graft.operators.SetSimJoin.jaccardSelfJoin(sets, 0.8)
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        CROSS JOIN generate_series(1, 500) g(i)
+        WHERE len(ws) >= 5 AND i <= len(ws) - 4),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT d1, d2, inter,
+             CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) AS jac
+      FROM pr JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      WHERE CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) >= 0.8
+      ORDER BY d1, d2"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
     "q_pipe_bpe_train" -> qPipeBpeTrain,
     "q_pipe_kmeans" -> qPipeKmeans,
     "q_pipe_ann_pq" -> qPipeAnnPq,
+    "q_pipe_ppjoin" -> qPipePpjoin,
     "q_stream_minhash_dedup" -> qStreamMinhashDedup,
     "q_stream_e2e_corpus" -> qStreamE2eCorpus,
   )

@@ -36,10 +36,17 @@ object SetSimJoin {
     val pref = sets.join(df, "shid").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= floor(col("sz") * lit(1.0 - threshold)) + 1)
-      .select(col("doc_id"), col("shid"))
+      .select(col("doc_id"), col("shid"), col("sz"))
 
+    // PPJoin's LENGTH filter applied at probe time (also lossless:
+    // |A∩B| ≥ t·|A∪B| ≥ t·max ⟹ min ≥ t·max): candidates with
+    // incompatible sizes never leave the index join — on low-diversity
+    // token distributions this is the difference between the candidate
+    // set being |near-dups| and being |shared-prefix-token pairs|
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(greatest(col("a.sz"), col("b.sz")) * lit(threshold)))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 

@@ -306,6 +306,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "no all-pairs product in the ADC scan")
   }
 
+  test("q_pipe_ppjoin: prefix-filtered candidates — hash joins only, never all-pairs") {
+    // the PPJoin shape: prefix window + equi joins; a cartesian or
+    // loop join would mean the prefix filter stopped gating candidates
+    val p = plan("q_pipe_ppjoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must ride the prefix-token equi key")
+    assert(p.contains("Window"), "rarest-first prefix selection is the window pass")
+  }
+
   test("q_pipe_kmeans: centroids broadcast; assignment is map-side over one corpus scan") {
     val p = plan("q_pipe_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
