@@ -547,6 +547,30 @@ class SqlDialectSpec extends SparkTestBase {
     assert(udtf == Seq("a", "b"))
   }
 
+  test("statement classification is full-match: DDL keywords inside literals never reroute") {
+    // the VERDICT watch item on regex-first classification: every regex is
+    // matched against the WHOLE trimmed statement (Scala unapplySeq), so a
+    // keyword-bearing literal or lookalike identifier must stay a query
+    val e = new EngineEnv(spark)
+    e.executeSql("""
+      CREATE TABLE cls_t WITH ('connector'='datagen', 'number-of-rows'='5')""")
+    // 1. SELECT carrying DDL keywords in literals routes to the query path
+    val r1 = e.executeSql(
+      "SELECT 'CREATE TABLE trap' AS a, 'DROP DATABASE d' AS b, id FROM cls_t ORDER BY id")
+    assert(r1.count() == 5 && r1.head.getString(0) == "CREATE TABLE trap")
+    // 2. CREATE VIEW whose body contains further AS + keyword literals
+    e.executeSql(
+      "CREATE VIEW cls_v AS SELECT id AS k, 'INSERT OVERWRITE x' AS note FROM cls_t")
+    assert(e.sqlQuery("SELECT note FROM cls_v LIMIT 1").head.getString(0)
+      == "INSERT OVERWRITE x")
+    // 3. lookalike identifiers (use_y, explain_z) are not USE/EXPLAIN
+    e.executeSql("CREATE VIEW use_y AS SELECT id FROM cls_t")
+    assert(e.executeSql("SELECT COUNT(*) AS n FROM use_y").head.getLong(0) == 5)
+    // 4. EXPLAIN really is EXPLAIN (returns a plan, not rows)
+    val ex = e.executeSql("EXPLAIN SELECT id FROM cls_t").collect().map(_.getString(0)).mkString
+    assert(ex.contains("Physical Plan") || ex.contains("=="))
+  }
+
   test("raw format: single-field contract, BYTES payload, streaming read") {
     val dir = s"${graft.streaming.StreamOps.scratchRoot}/raw_spec"
     spark.range(2).selectExpr("CASE WHEN id = 0 THEN 'alpha' ELSE 'beta' END AS value")
