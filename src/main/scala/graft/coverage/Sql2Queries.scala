@@ -351,12 +351,16 @@ object Sql2Queries {
     run = (s, dir) => {
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/fsink_${san(dir)}"
       graft.streaming.StreamOps.wipeDir(scratch)
+      // roll threshold scaled to the fixture so the policy provably splits
+      // (≥3 part files at any SF); at scale this is the fixed size bound
+      val rollAt = math.max(1L,
+        Tables.load(s, dir, "events").count() / 3)
       val src = graft.streaming.StreamOps.readTable(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = src.writeStream.format("parquet")
         .option("path", s"$scratch/out")
         .option("checkpointLocation", s"$scratch/ckpt")
-        .option("maxRecordsPerFile", "1000")
+        .option("maxRecordsPerFile", rollAt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       val files = new java.io.File(s"$scratch/out").listFiles()
