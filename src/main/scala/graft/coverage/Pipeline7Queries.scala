@@ -500,6 +500,43 @@ object Pipeline7Queries {
       WHERE CAST(inter AS DOUBLE) / CAST(s1.s + s2.s - inter AS DOUBLE) >= 0.8
       ORDER BY d1, d2"""))
 
+  /** Model-based quality scoring — the fastText-style linear classifier
+    * family (the GPT-3 quality filter / FineWeb-Edu classifier shape,
+    * complementing rule-based q_pipe_gopher_gate and perplexity-based
+    * q_pipe_ccnet_bucket): unigram + word-bigram features hash into 128
+    * buckets, each bucket carries a fixed md5-derived integer weight
+    * (micro-units, the stand-in for trained coefficients), and the
+    * document score is the feature-weight sum — logistic is monotone, so
+    * thresholding the raw integer sum IS the classifier decision. Wholly
+    * map-side: features explode per doc, the weight is an inline
+    * expression (no table, no join), one hash agg — at 100 TB the scoring
+    * pass costs one corpus scan. */
+  val qPipeQualityClf: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val feats = t.select(col("doc_id"), explode(expr(
+        "concat(ws, zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> concat(a, '_', b)))")).as("f"))
+      val w = (hashStr(concat(lit("w_"), (hashStr(col("f")) % 128).cast("string"))) % 2001) - 1000
+      feats.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(w).cast("long").as("score_micro"))
+        .withColumn("kept", col("score_micro") >= -6000)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      feats AS (
+        SELECT doc_id, f FROM (
+          SELECT doc_id, unnest(ws) AS f FROM t
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                               i -> ws[i] || '_' || ws[i + 1])) AS f FROM t)),
+      sc AS (SELECT doc_id, COUNT(*) AS n_feats,
+               CAST(SUM((${oHash(s"'w_' || (${oHash("f")} % 128)")} % 2001) - 1000) AS BIGINT) AS score_micro
+             FROM feats GROUP BY doc_id)
+      SELECT doc_id, n_feats, score_micro, (score_micro >= -6000) AS kept
+      FROM sc ORDER BY doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
@@ -507,6 +544,7 @@ object Pipeline7Queries {
     "q_pipe_kmeans" -> qPipeKmeans,
     "q_pipe_ann_pq" -> qPipeAnnPq,
     "q_pipe_ppjoin" -> qPipePpjoin,
+    "q_pipe_quality_clf" -> qPipeQualityClf,
     "q_stream_minhash_dedup" -> qStreamMinhashDedup,
     "q_stream_e2e_corpus" -> qStreamE2eCorpus,
   )
