@@ -144,48 +144,45 @@ object Pipeline7Queries {
     * billions of corpus rows) would be checkpointed between rounds at scale.
     * Output: the final token inventory with corpus frequencies and the
     * round that minted each merged token. */
-  val qPipeBpeTrain: Q = Q(
-    run = (s, dir) => {
-      // the word-freq dict is the trainer's working set (vocab-sized, not
-      // corpus-sized) — materialize it once so the 5 argmax rounds and the
-      // final tokenized inventory never rescan the corpus (1 corpus pass
-      // total; at 100 TB this cache is the checkpointed dict)
-      val base = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
-        .withColumn("tokstr", trim(regexp_replace(col("word"), "(.)", "$1 ")))
-        .persist()
-      var vocab = base
-      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (_ <- 1 to 5) {
-        val best = vocab
-          .withColumn("ts", split(col("tokstr"), " "))
-          .filter(size(col("ts")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
-              "(a, b) -> concat(a, ' ', b))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1)
-          .collect()(0).getString(0)
-        merges += best
-        val merged = best.replace(" ", "")
-        vocab = vocab.withColumn("tokstr",
-          trim(expr(s"replace(concat(' ', tokstr, ' '), ' $best ', ' $merged ')")))
-      }
-      val mergedToks = merges.map(_.replace(" ", ""))
-      val roundOf = mergedToks.zipWithIndex.reverse.foldLeft(lit(0)) {
-        case (acc, (tok, i)) => when(col("token") === tok, i + 1).otherwise(acc)
-      }
-      vocab.select(col("cnt"), explode(split(col("tokstr"), " ")).as("token"))
-        .groupBy(col("token")).agg(sum(col("cnt")).cast("long").as("total"))
-        .withColumn("merge_round", roundOf)
-        .orderBy(col("token"))
-    },
-    oracle = Some {
-      def round(r: Int): String = {
-        val p = r - 1
-        s"""
+  /** Shared by q_pipe_bpe_train and q_pipe_tokenize_pack: run the 5-round
+    * merge loop over the persisted word-frequency dict, returning the final
+    * (word, cnt, tokstr) vocabulary and the merge table in order. */
+  private def bpeFit(s: SparkSession, dir: String): (DataFrame, Seq[String]) = {
+    // the word-freq dict is the trainer's working set (vocab-sized, not
+    // corpus-sized) — materialize it once so the 5 argmax rounds and the
+    // final tokenized inventory never rescan the corpus (1 corpus pass
+    // total; at 100 TB this cache is the checkpointed dict)
+    val base = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("tokstr", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .persist()
+    var vocab = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to 5) {
+      val best = vocab
+        .withColumn("ts", split(col("tokstr"), " "))
+        .filter(size(col("ts")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0).getString(0)
+      merges += best
+      val merged = best.replace(" ", "")
+      vocab = vocab.withColumn("tokstr",
+        trim(expr(s"replace(concat(' ', tokstr, ' '), ' $best ', ' $merged ')")))
+    }
+    (vocab, merges.toSeq)
+  }
+
+  /** Oracle CTE chain `w, v0, p1..b1..v1, …, p5..b5..v5` — the SQL twin of
+    * [[bpeFit]], ending at the final vocabulary `v5(word, cnt, tokstr)`. */
+  private def oBpeRound(r: Int): String = {
+    val p = r - 1
+    s"""
       p$r AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
         SELECT cnt, unnest(list_transform(generate_series(1, len(ts) - 1),
                                           i -> ts[i] || ' ' || ts[i + 1])) AS pair
@@ -195,13 +192,27 @@ object Pipeline7Queries {
         trim(replace(' ' || tokstr || ' ',
                      ' ' || (SELECT pair FROM b$r) || ' ',
                      ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS tokstr FROM v$p)"""
-      }
-      s"""
-      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+  }
+  private def oBpeV5Ctes: String = s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       v0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
              trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS tokstr
              FROM w WHERE word <> '' GROUP BY word),
-      ${(1 to 5).map(round).mkString(",")},
+      ${(1 to 5).map(oBpeRound).mkString(",")}"""
+
+  val qPipeBpeTrain: Q = Q(
+    run = (s, dir) => {
+      val (vocab, merges) = bpeFit(s, dir)
+      val mergedToks = merges.map(_.replace(" ", ""))
+      val roundOf = mergedToks.zipWithIndex.reverse.foldLeft(lit(0)) {
+        case (acc, (tok, i)) => when(col("token") === tok, i + 1).otherwise(acc)
+      }
+      vocab.select(col("cnt"), explode(split(col("tokstr"), " ")).as("token"))
+        .groupBy(col("token")).agg(sum(col("cnt")).cast("long").as("total"))
+        .withColumn("merge_round", roundOf)
+        .orderBy(col("token"))
+    },
+    oracle = Some(s"""
+      WITH $oBpeV5Ctes,
       toks AS (SELECT t AS token, CAST(SUM(cnt) AS BIGINT) AS total FROM (
         SELECT cnt, unnest(string_split(tokstr, ' ')) AS t FROM v5) GROUP BY t)
       SELECT token, total,
@@ -212,8 +223,7 @@ object Pipeline7Queries {
           WHEN (SELECT replace(pair, ' ', '') FROM b2) THEN 2
           WHEN (SELECT replace(pair, ' ', '') FROM b1) THEN 1
           ELSE 0 END AS merge_round
-      FROM toks ORDER BY token"""
-    })
+      FROM toks ORDER BY token"""))
 
   /** K-means over embeddings, k=4, 2 Lloyd iterations, EXACT integer math:
     * each coordinate is quantized to micro-units (floor ·1e6 → BIGINT), so
@@ -537,6 +547,48 @@ object Pipeline7Queries {
       SELECT doc_id, n_feats, score_micro, (score_micro >= -6000) AS kept
       FROM sc ORDER BY doc_id"""))
 
+  /** End-to-end TOKENIZER APPLY + sequence packing: the trained BPE merge
+    * table ([[bpeFit]] — the artifact q_pipe_bpe_train produces) tokenizes
+    * the corpus by joining each word against the broadcast final
+    * vocabulary (word → token count), then documents pack into fixed
+    * 1024-token training sequences per source via the running-sum window
+    * (the GPT-style concat-and-split layout of q_pipe_pack, now in REAL
+    * post-BPE token units instead of whitespace words). One corpus scan
+    * for the word-freq fit, one for the scoring join; the vocab mapping is
+    * bounded by vocabulary size and rides a broadcast. */
+  val qPipeTokenizePack: Q = Q(
+    run = (s, dir) => {
+      val (vocab, _) = bpeFit(s, dir)
+      val mapping = broadcast(vocab.select(col("word"),
+        size(split(col("tokstr"), " ")).cast("long").as("n_tok")))
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(mapping, Seq("word"))
+        .groupBy(col("doc_id"), col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.withColumn("cum_end", sum(col("n_tokens")).over(w))
+        .withColumn("start_pos", col("cum_end") - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          expr("start_pos DIV 1024").as("seq_id"),
+          (col("start_pos") % 1024).cast("long").as("seq_off"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH $oBpeV5Ctes,
+      wl AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents),
+      perdoc AS (SELECT doc_id, source, CAST(SUM(len(string_split(v5.tokstr, ' '))) AS BIGINT) AS n_tokens
+                 FROM wl JOIN v5 USING (word) WHERE word <> '' GROUP BY doc_id, source),
+      c AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+            FROM perdoc)
+      SELECT doc_id, source, n_tokens,
+             CAST((cum_end - n_tokens) // 1024 AS BIGINT) AS seq_id,
+             CAST((cum_end - n_tokens) % 1024 AS BIGINT) AS seq_off
+      FROM c ORDER BY doc_id"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
@@ -545,6 +597,7 @@ object Pipeline7Queries {
     "q_pipe_ann_pq" -> qPipeAnnPq,
     "q_pipe_ppjoin" -> qPipePpjoin,
     "q_pipe_quality_clf" -> qPipeQualityClf,
+    "q_pipe_tokenize_pack" -> qPipeTokenizePack,
     "q_stream_minhash_dedup" -> qStreamMinhashDedup,
     "q_stream_e2e_corpus" -> qStreamE2eCorpus,
   )
