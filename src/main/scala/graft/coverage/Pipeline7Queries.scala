@@ -589,6 +589,53 @@ object Pipeline7Queries {
              CAST((cum_end - n_tokens) % 1024 AS BIGINT) AS seq_off
       FROM c ORDER BY doc_id"""))
 
+  /** Matryoshka-style two-stage retrieval (coarse-prefix search + exact
+    * rerank — the MRL / multi-stage ANN pattern): stage 1 scores every
+    * candidate on only the FIRST 16 dims (embeddings trained
+    * coarse-to-fine make the prefix a usable coarse metric — 4× less
+    * arithmetic and, at 100 TB, 4× less scan bandwidth with a
+    * prefix-truncated column); stage 2 re-scores just the top-20 shortlist
+    * with full 64-dim distances. Integer micro-unit math throughout; both
+    * cuts tie-break on candidate id, so the pipeline is bit-stable. */
+  val qPipeAnnMatryoshka: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qe"))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qq")))
+      def d2(dims: Int): Column = expr(
+        s"aggregate(zip_with(slice(qq, 1, $dims), slice(qe, 1, $dims), " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val coarse = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+        .withColumn("dc", d2(16))
+        .withColumn("rn1", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dc"), col("vec_id"))))
+        .filter(col("rn1") <= 20)
+        .select(col("qid"), col("qq"), col("vec_id").as("cid"), col("qe"))
+      coarse.withColumn("d2", d2(64))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("cid"), col("d2"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+             FROM embeddings),
+      coarse AS (SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 16),
+                   d -> (q.qe[d] - c.qe[d]) * (q.qe[d] - c.qe[d]))) ASC, c.vec_id) AS rn1
+        FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rn1 <= 20),
+      rr AS (SELECT qid, cid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rn FROM (
+        SELECT coarse.qid, coarse.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> (q.qe[d] - c.qe[d]) * (q.qe[d] - c.qe[d]))) AS d2
+        FROM coarse JOIN e q ON q.vec_id = coarse.qid JOIN e c ON c.vec_id = coarse.cid))
+      SELECT qid, rn, cid, CAST(d2 AS BIGINT) AS d2 FROM rr WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_span_dedup" -> qPipeSpanDedup,
     "q_pipe_bloom_dedup" -> qPipeBloomDedup,
@@ -598,6 +645,7 @@ object Pipeline7Queries {
     "q_pipe_ppjoin" -> qPipePpjoin,
     "q_pipe_quality_clf" -> qPipeQualityClf,
     "q_pipe_tokenize_pack" -> qPipeTokenizePack,
+    "q_pipe_ann_matryoshka" -> qPipeAnnMatryoshka,
     "q_stream_minhash_dedup" -> qStreamMinhashDedup,
     "q_stream_e2e_corpus" -> qStreamE2eCorpus,
   )
