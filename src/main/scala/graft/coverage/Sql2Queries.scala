@@ -446,6 +446,47 @@ object Sql2Queries {
       SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS u
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** DataSet-facade operator chain, oracle-gated — ref DataSet.sortPartition
+    * / DataSetUtils.zipWithIndex / DataSet.minBy/maxBy: a single-partition
+    * sortPartition makes zipWithIndex's two-pass global index equal the
+    * deterministic rank (index i = i-th smallest key), and minBy/maxBy
+    * run on the UNIQUE composite (cents, key) ordering so the per-priority
+    * argmin/argmax is reduce-order-independent. The facade ops compose into
+    * one pipeline whose value output the batch oracle reproduces exactly. */
+  val qDatastreamOps: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val env = new graft.datastream.DataStreamEnv(s)
+      val base = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderkey % 7 = 0"))
+        .select(col("o_orderkey").cast("long"), col("o_orderpriority"),
+                expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"))
+        .as[(Long, String, Long)]
+      val indexed = env.fromDataset(base.repartition(1))
+        .sortPartition(_._1)
+        .zipWithIndex
+        .map { case ((k, p, c), i) => (p, k, c, i) }
+      val lo = indexed.keyBy(_._1).minBy(t => (t._3, t._2))
+        .map { case (p, (_, k, c, i)) => (p, "min", k, c, i) }
+      val hi = indexed.keyBy(_._1).maxBy(t => (t._3, t._2))
+        .map { case (p, (_, k, c, i)) => (p, "max", k, c, i) }
+      lo.ds.union(hi.ds)
+        .toDF("prio", "leg", "o_orderkey", "cents", "idx")
+        .orderBy(col("prio"), col("leg"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                        CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
+                 FROM orders WHERE o_orderkey % 7 = 0),
+      idx AS (SELECT k, p, c, row_number() OVER (ORDER BY k) - 1 AS i FROM t),
+      lo AS (SELECT p AS prio, 'min' AS leg, k AS o_orderkey, c AS cents, i AS idx FROM (
+               SELECT *, row_number() OVER (PARTITION BY p ORDER BY c, k) AS rn FROM idx)
+             WHERE rn = 1),
+      hi AS (SELECT p AS prio, 'max' AS leg, k AS o_orderkey, c AS cents, i AS idx FROM (
+               SELECT *, row_number() OVER (PARTITION BY p ORDER BY c DESC, k DESC) AS rn FROM idx)
+             WHERE rn = 1)
+      SELECT * FROM lo UNION ALL SELECT * FROM hi ORDER BY prio, leg"""))
+
   /** FLIP-124 raw format on the DDL surface — ref flink-table-runtime-blink
     * formats/raw/RawFormatFactory.java:56 (single physical column; the
     * whole record IS the value) and docs/dev/table/connectors/formats/raw.
@@ -496,6 +537,7 @@ object Sql2Queries {
     "q_stream_file_sink" -> qStreamFileSink,
     "q_queryable_state" -> qQueryableState,
     "q_stream_early_fire" -> qStreamEarlyFire,
+    "q_datastream_ops" -> qDatastreamOps,
     "q_sql_raw_format" -> qSqlRawFormat,
   )
 }
