@@ -99,5 +99,6 @@ object Queries {
     coverage.Tpcds3Queries.all ++ coverage.Pipeline4Queries.all ++ coverage.Tpch2Queries.all ++
     coverage.Tpcds4Queries.all ++ coverage.Pipeline5Queries.all ++ coverage.Tpcds5Queries.all ++
     coverage.TableApiQueries.all ++ coverage.CdcQueries.all ++ coverage.InventoryQueries.all ++
-    coverage.Sql2Queries.all ++ coverage.Pipeline6Queries.all ++ coverage.Pipeline7Queries.all
+    coverage.Sql2Queries.all ++ coverage.Pipeline6Queries.all ++ coverage.Pipeline7Queries.all ++
+    coverage.Pipeline8Queries.all
 }

@@ -1,0 +1,174 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.Queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 pipeline additions, part 3 — the retrieval-side operators a
+  * training-data platform runs next to its dedup/curation passes:
+  *
+  *  - BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+  *    relevance; the lexical-search baseline every RAG/eval harness keeps
+  *    alongside embedding ANN): corpus → inverted postings (term → tf per
+  *    doc), query terms broadcast onto the postings, per-(query, doc)
+  *    additive scores, windowed top-k. One shuffle for the tf agg, one for
+  *    the df agg, one keyed join — never query×corpus;
+  *  - winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS):
+  *    the local-min-in-window guarantee picks O(2/(w+1)) of k-gram hashes
+  *    while still catching every shared substring ≥ w+k-1 tokens — the
+  *    edit-robust copy-detection sketch, vs. [[PipelineQueries]]' modular
+  *    rolling-hash selection which an adversary shifts away;
+  *  - sliding-window chunk generation (fixed window, fixed stride, tail
+  *    drop): the pass that turns curated documents into training/RAG
+  *    sequences. Pure map-side — sequence + transform + explode, no state.
+  */
+object Pipeline8Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** BM25 top-10 per query (k1=1.2, b=0.75, Lucene-style idf
+    * ln((N-df+0.5)/(df+0.5)+1) ≥ 0). Per-term scores are quantized to
+    * integer micro-units *before* the per-(query,doc) sum (the corpus-wide
+    * dsum convention) so the reduction is exact and shuffle-order-free:
+    * idf is floored to a BIGINT once per term, and each posting contributes
+    * floor(idf_q·tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl))) — identical IEEE
+    * expression trees on both engines. At 100 TB the postings list is the
+    * big side, partitioned by term; the query-term list is a broadcast and
+    * the doc-length table joins on the doc key — no query×corpus product. */
+  val qPipeBm25: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dl = t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
+      val tf = t.select(col("doc_id"), explode(col("ws")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = s.createDataFrame(Seq(
+          (0L, "spark window join"), (1L, "customer order filter"),
+          (2L, "hash merge sort table"), (3L, "stream batch vector")))
+        .toDF("qid", "qtext")
+      val qt = q.select(col("qid"), explode(split(col("qtext"), " ")).as("term")).distinct()
+      val idfq = floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        * lit(1000000.0)).cast("long")
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val contrib = floor(idfq.cast("double") * (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))).cast("long")
+      val scored = tf
+        .join(broadcast(qt), "term")
+        .join(broadcast(dfq.join(broadcast(qt.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .groupBy(col("qid"), col("doc_id")).agg(sum(contrib).as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+      st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+      tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM
+               (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      q(qid, qtext) AS (VALUES (0, 'spark window join'), (1, 'customer order filter'),
+                               (2, 'hash merge sort table'), (3, 'stream batch vector')),
+      qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               SUM(CAST(FLOOR(
+                 CAST(CAST(FLOOR(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                      * 1000000.0) AS BIGINT) AS DOUBLE)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))))
+               ) AS BIGINT)) AS score
+        FROM tf JOIN qt ON qt.term = tf.term
+                JOIN dfq ON dfq.term = tf.term
+                JOIN dl ON dl.doc_id = tf.doc_id, st
+        GROUP BY qt.qid, tf.doc_id)
+      SELECT qid, rank, doc_id, score FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Winnowing fingerprints: word 4-gram hashes, window w=5 — each window
+    * of 5 consecutive k-gram hashes contributes its minimum, and the
+    * per-document distinct minima are the fingerprint set (guaranteed to
+    * share a fingerprint with any document that copies ≥ 8 consecutive
+    * words, while keeping ~2/(w+1) of the hashes). The window min is a
+    * bounded ROWS frame over the in-document position order — one shuffle
+    * on doc_id, state bounded by w. Ref corpus analog: the reference has
+    * no winnowing; Schleimer et al. 2003 §2. */
+  val qPipeWinnow: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8) // k + w - 1
+      val kg = t.select(col("doc_id"), (size(col("ws")) - 3).as("nk"),
+          explode(expr("transform(sequence(1, size(ws) - 3), " +
+            "i -> struct(i AS pos, concat_ws(' ', slice(ws, i, 4)) AS g))")).as("e"))
+        .select(col("doc_id"), col("nk"), col("e.pos").as("pos"), hashStr(col("e.g")).as("h"))
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 4)
+      kg.withColumn("wmin", min(col("h")).over(wWin))
+        .filter(col("pos") <= col("nk") - 4) // full windows only
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_fp"), min(col("wmin")).as("min_fp"), max(col("wmin")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      kg AS (SELECT doc_id, len(ws) - 3 AS nk, pe.pos AS pos, ${oHash("pe.g")} AS h FROM (
+          SELECT doc_id, ws, unnest(list_transform(generate_series(1, len(ws) - 3),
+                  i -> struct_pack(pos := i, g := array_to_string(ws[i:i+3], ' ')))) AS pe
+          FROM t)),
+      fp AS (SELECT DISTINCT doc_id, wmin FROM (
+          SELECT doc_id, nk, pos,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+          FROM kg) WHERE pos <= nk - 4)
+      SELECT doc_id, COUNT(*) AS n_fp, MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+      FROM fp GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Sliding-window chunking: 32-token windows at stride 24 (8-token
+    * overlap), tail chunks under 8 tokens dropped. chunk_idx derives from
+    * the start offset so the output is stable under any execution order.
+    * Pure map-side (sequence + transform + explode); at 100 TB this is a
+    * scan-shaped pass whose output partitioning follows the input. */
+  val qPipeChunk: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      t.select(col("doc_id"), size(col("ws")).as("n"),
+          explode(expr("transform(sequence(1, size(ws), 24), " +
+            "p -> struct(p AS start, concat_ws(' ', slice(ws, p, 32)) AS ctext))")).as("e"))
+        .select(col("doc_id"),
+          ((col("e.start") - 1) / 24).cast("long").as("chunk_idx"),
+          col("e.start").cast("long").as("start"),
+          least(lit(32), col("n") - col("e.start") + 1).cast("long").as("n_tok"),
+          hashStr(col("e.ctext")).as("chash"))
+        .filter(col("n_tok") >= 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ch AS (SELECT doc_id, len(ws) AS n, pe.start AS start, ${oHash("pe.ctext")} AS chash FROM (
+          SELECT doc_id, ws, unnest(list_transform(generate_series(1, len(ws), 24),
+                  p -> struct_pack(start := p, ctext := array_to_string(ws[p:p+31], ' ')))) AS pe
+          FROM t))
+      SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS start,
+             CAST(LEAST(32, n - start + 1) AS BIGINT) AS n_tok, chash
+      FROM ch WHERE LEAST(32, n - start + 1) >= 8
+      ORDER BY doc_id, chunk_idx"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_bm25" -> qPipeBm25,
+    "q_pipe_winnow" -> qPipeWinnow,
+    "q_pipe_chunk" -> qPipeChunk,
+  )
+}
