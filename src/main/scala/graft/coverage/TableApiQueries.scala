@@ -100,10 +100,68 @@ object TableApiQueries {
                                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS trail3_c
       FROM events ORDER BY user_id, event_id"""))
 
+  /** FLIP-29 row-based Table API — ref Table.java map/flatMap/aggregate/
+    * flatAggregate (1.12): all four composed in one pipeline. map = one
+    * composite scalar call per row; flatMap = a table-function call whose
+    * array elements become rows (the name-splitting UDTF); aggregate = a
+    * struct-valued aggregate per group; flatAggregate = the reference's
+    * Top2 TableAggregateFunction shape (multi-row emit per group), lowered
+    * to sort_array+slice+explode — map-side partials, only groups shuffle,
+    * never a per-group sort of the whole input at the driver. */
+  val qTableApiRowops: Q = Q(
+    run = (s, dir) => {
+      val cust = GTable(Tables.load(s, dir, "customer"))
+      val orders = GTable(Tables.load(s, dir, "orders"))
+      val m = cust.map(struct(col("c_custkey").as("k"),
+        upper(col("c_mktsegment")).as("seg"), cents(col("c_acctbal")).as("bal_c")))
+      val fm = cust.flatMap(expr(
+          "transform(sequence(1, size(split(c_name, '#'))), " +
+          "i -> struct(c_custkey AS k2, cast(i AS bigint) AS pos, " +
+          "element_at(split(c_name, '#'), i) AS part))"))
+        .filter(col("pos") === 2)
+      val ag = orders.groupBy(col("o_custkey"))
+        .aggregate(struct(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_c")))
+      val top = orders.groupBy(col("o_custkey"))
+        .flatAggregate(slice(sort_array(
+          collect_list(struct(cents(col("o_totalprice")).as("top_c"))), asc = false), 1, 2))
+        .renameColumns("o_custkey" -> "k3")
+      m.join(ag, col("k") === col("o_custkey"))
+        .join(fm, col("k") === col("k2"))
+        .join(top, col("k") === col("k3"))
+        .select(col("k"), col("seg"), col("bal_c"), col("part"),
+                col("n_orders"), col("sum_c"), col("top_c"))
+        .orderBy(col("k"), col("top_c").desc)
+        .toDataFrame
+    },
+    oracle = Some(s"""
+      WITH m AS (SELECT c_custkey AS k, upper(c_mktsegment) AS seg,
+                        ${oCents("c_acctbal")} AS bal_c FROM customer),
+      fm AS (SELECT k2, pos, part FROM (
+          SELECT c_custkey AS k2, pe.pos AS pos, pe.part AS part FROM (
+            SELECT c_custkey, unnest(list_transform(
+                generate_series(1, len(string_split(c_name, '#'))),
+                i -> struct_pack(pos := i, part := string_split(c_name, '#')[i]))) AS pe
+            FROM customer)) WHERE pos = 2),
+      ag AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                    CAST(SUM(${oCents("o_totalprice")}) AS BIGINT) AS sum_c
+             FROM orders GROUP BY o_custkey),
+      top AS (SELECT o_custkey AS k3, top_c FROM (
+          SELECT o_custkey, ${oCents("o_totalprice")} AS top_c,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY ${oCents("o_totalprice")} DESC) AS rn
+          FROM orders) WHERE rn <= 2)
+      SELECT k, seg, bal_c, part, n_orders, sum_c, top_c
+      FROM m JOIN ag ON ag.o_custkey = m.k
+             JOIN fm ON fm.k2 = m.k
+             JOIN top ON top.k3 = m.k
+      ORDER BY k, top_c DESC"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_table_api_tumble" -> qTableApiTumble,
     "q_table_api_relops" -> qTableApiRelops,
     "q_table_api_session" -> qTableApiSession,
     "q_table_api_over" -> qTableApiOver,
+    "q_table_api_rowops" -> qTableApiRowops,
   )
 }

@@ -53,6 +53,24 @@ final class GTable(val df: DataFrame) {
   def fetch(n: Int): GTable = new GTable(df.limit(n))
   def offset(n: Int): GTable = new GTable(df.offset(n))
 
+  // -------- FLIP-29 row-based operations (Table.map/flatMap, 1.12 API) ----
+  // Ref flink-table-api-java Table.java map(Expression)/flatMap(Expression):
+  // the call's composite result becomes the row. Spark-first: the argument
+  // is a Column of STRUCT (map) or ARRAY<STRUCT> (flatMap) — typically a
+  // registered scalar/table function call — and the struct fields expand to
+  // the output schema. Codegen-friendly: a plain Project (+ Generate for
+  // flatMap), no lambda execution on the driver.
+
+  /** `table.map(call(f, $"c"))` — one composite scalar call per row. */
+  def map(call: Column): GTable =
+    new GTable(df.select(call.as("__r")).select(col("__r.*")))
+
+  /** `table.flatMap(call(tf, $"c"))` — a table-function call; each element
+    * of the returned array becomes an output row. */
+  def flatMap(call: Column): GTable =
+    new GTable(df.select(org.apache.spark.sql.functions.explode(call).as("__r"))
+      .select(col("__r.*")))
+
   def toDataFrame: DataFrame = df
 }
 
@@ -94,6 +112,28 @@ private[table] object GroupedSelect {
 /** `groupBy('a).select('a, 'b.sum as "total")`. */
 final class GroupedGTable(df: DataFrame, keys: Seq[Column]) {
   def select(cols: Column*): GTable = new GTable(GroupedSelect.lower(df, keys, cols))
+
+  // FLIP-29 grouped row-based ops — ref Table.java aggregate(Expression) /
+  // flatAggregate(Expression) (the Top2 TableAggregateFunction example).
+  // `call` is an aggregate expression producing a STRUCT (aggregate) or an
+  // ARRAY<STRUCT> (flatAggregate — each element emitted as a row, the
+  // multi-row-per-group contract); grouping keys are prepended.
+
+  /** `groupBy('k).aggregate(call(agg, $"v"))` — one struct row per group. */
+  def aggregate(call: Column): GTable = {
+    val d = df.groupBy(keys: _*).agg(call.as("__r"))
+    new GTable(d.select(keys.map(k => col(GroupedSelect.outName(k))) :+ col("__r.*"): _*))
+  }
+
+  /** `groupBy('k).flatAggregate(call(top2, $"v"))` — emits every element of
+    * the aggregated array as an output row (Top-N-per-group shape). The
+    * aggregate runs with map-side partials; only groups shuffle. */
+  def flatAggregate(call: Column): GTable = {
+    val d = df.groupBy(keys: _*).agg(call.as("__a"))
+      .select(keys.map(k => org.apache.spark.sql.functions.col(GroupedSelect.outName(k))) :+
+        org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.col("__a")).as("__r"): _*)
+    new GTable(d.select(keys.map(k => col(GroupedSelect.outName(k))) :+ col("__r.*"): _*))
+  }
 }
 
 /** Group-window builders — ref Tumble/Slide/Session builder classes

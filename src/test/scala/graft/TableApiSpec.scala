@@ -58,4 +58,33 @@ class TableApiSpec extends SparkTestBase {
     assert(t.toDataFrame.schema.fieldNames.toSeq == Seq("label", "z"))
     assert(t.toDataFrame.as[(String, Int)].head() == ("a", 2))
   }
+
+  test("FLIP-29 row-based ops: map/flatMap/aggregate/flatAggregate") {
+    val s = spark
+    import s.implicits._
+    val t = GTable(Seq((1L, "a b"), (1L, "c"), (2L, "d e f")).toDF("k", "txt"))
+
+    val mapped = t.map(struct((col("k") * 10).as("k10"), upper(col("txt")).as("u")))
+    assert(mapped.toDataFrame.schema.fieldNames.toSeq == Seq("k10", "u"))
+    assert(mapped.toDataFrame.as[(Long, String)].collect().toSet ==
+      Set((10L, "A B"), (10L, "C"), (20L, "D E F")))
+
+    val fm = t.flatMap(expr(
+      "transform(split(txt, ' '), w -> struct(k AS k, w AS word))"))
+    assert(fm.toDataFrame.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (2L, "e"), (2L, "f")))
+
+    val ag = t.groupBy(col("k"))
+      .aggregate(struct(count(lit(1)).as("n"), sum(length(col("txt"))).as("chars")))
+    assert(ag.toDataFrame.schema.fieldNames.toSeq == Seq("k", "n", "chars"))
+    assert(ag.toDataFrame.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 4L), (2L, 1L, 5L)))
+
+    // Top-2 longest txt per key — the reference's Top2 table aggregate
+    val top = t.groupBy(col("k")).flatAggregate(
+      slice(sort_array(collect_list(struct(length(col("txt")).as("len"))), asc = false), 1, 2))
+    assert(top.toDataFrame.schema.fieldNames.toSeq == Seq("k", "len"))
+    assert(top.toDataFrame.as[(Long, Int)].collect().toSet ==
+      Set((1L, 3), (1L, 1), (2L, 5)))
+  }
 }
