@@ -166,9 +166,78 @@ object Pipeline8Queries {
       FROM ch WHERE LEAST(32, n - start + 1) >= 8
       ORDER BY doc_id, chunk_idx"""))
 
+  /** End-to-end passage retrieval (the RAG indexing+query pass): documents
+    * → 32-token chunks at stride 24 → deterministic hashed bag-of-words
+    * embedding (8 dims, integer components: each token adds
+    * hash(token·dim)%2001-1000 to its dimension — the feature-hashing trick,
+    * exact under any add order) → integer dot-product scoring against 3
+    * query embeddings → top-3 chunks per query. The chunk-embedding side is
+    * map-side generated and shuffles once on the 8 dim keys; the query side
+    * is a broadcast; never query×corpus beyond the keyed join. At 100 TB
+    * the chunk embedding pass is scan-shaped and the scoring join stays
+    * bounded by |chunk-emb rows|·|queries|. */
+  val qPipeRagE2e: Q = Q(
+    run = (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val chunks = t.select(col("doc_id"), size(col("ws")).as("n"),
+          explode(expr("transform(sequence(1, size(ws), 24), " +
+            "p -> struct(p AS start, slice(ws, p, 32) AS cw))")).as("e"))
+        .filter(least(lit(32), col("n") - col("e.start") + 1) >= 8)
+        .select(col("doc_id"), col("e.start").cast("long").as("start"), col("e.cw").as("cw"))
+      val cemb = chunks
+        .select(col("doc_id"), col("start"), explode(col("cw")).as("w"))
+        .select(col("doc_id"), col("start"), explode(expr("sequence(0, 7)")).as("d"), col("w"))
+        .groupBy(col("doc_id"), col("start"), col("d"))
+        .agg(sum(hashStr(concat(col("w"), lit("_"), col("d"))) % 2001 - 1000).as("cv"))
+      val q = s.createDataFrame(Seq(
+          (0L, "spark window join stream"), (1L, "customer order merge sort"),
+          (2L, "hash table scan filter")))
+        .toDF("qid", "qtext")
+      val qemb = q.select(col("qid"), explode(split(col("qtext"), " ")).as("w"))
+        .select(col("qid"), explode(expr("sequence(0, 7)")).as("d"), col("w"))
+        .groupBy(col("qid"), col("d"))
+        .agg(sum(hashStr(concat(col("w"), lit("_"), col("d"))) % 2001 - 1000).as("qv"))
+      val scored = cemb.join(broadcast(qemb), "d")
+        .groupBy(col("qid"), col("doc_id"), col("start"))
+        .agg(sum(col("cv") * col("qv")).as("score"))
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"), col("start"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("doc_id"), col("start"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ch AS (SELECT doc_id, CAST(pe.start AS BIGINT) AS start, pe.cw AS cw FROM (
+          SELECT doc_id, len(ws) AS n, unnest(list_transform(generate_series(1, len(ws), 24),
+                  p -> struct_pack(start := p, cw := ws[p:p+31]))) AS pe
+          FROM t) WHERE LEAST(32, n - pe.start + 1) >= 8),
+      tok AS (SELECT doc_id, start, unnest(cw) AS w FROM ch),
+      cemb AS (SELECT doc_id, start, d, SUM(${oHash("w || '_' || d")} % 2001 - 1000) AS cv FROM (
+          SELECT doc_id, start, w, unnest(generate_series(0, 7)) AS d FROM tok)
+        GROUP BY doc_id, start, d),
+      q(qid, qtext) AS (VALUES (0, 'spark window join stream'),
+                               (1, 'customer order merge sort'),
+                               (2, 'hash table scan filter')),
+      qtok AS (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q),
+      qemb AS (SELECT qid, d, SUM(${oHash("w || '_' || d")} % 2001 - 1000) AS qv FROM (
+          SELECT qid, w, unnest(generate_series(0, 7)) AS d FROM qtok)
+        GROUP BY qid, d),
+      scored AS (SELECT qemb.qid, cemb.doc_id, cemb.start, SUM(cemb.cv * qemb.qv) AS score
+                 FROM cemb JOIN qemb ON qemb.d = cemb.d
+                 GROUP BY qemb.qid, cemb.doc_id, cemb.start)
+      SELECT qid, rank, doc_id, start, score FROM (
+        SELECT qid, doc_id, start, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id, start) AS rank
+        FROM scored)
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_bm25" -> qPipeBm25,
     "q_pipe_winnow" -> qPipeWinnow,
     "q_pipe_chunk" -> qPipeChunk,
+    "q_pipe_rag_e2e" -> qPipeRagE2e,
   )
 }
