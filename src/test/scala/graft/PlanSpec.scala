@@ -322,4 +322,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "no shuffled cartesian in assignment")
     assert(!p.contains("SortMergeJoin"), "nothing in the loop may shuffle-join the corpus")
   }
+
+  test("q_pipe_bm25: query terms broadcast onto the postings; never query×corpus") {
+    val p = plan("q_pipe_bm25")
+    assert(!p.contains("CartesianProduct"), "BM25 scoring degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "query-term/df/stat tables must broadcast")
+  }
+
+  test("q_pipe_rag_e2e: query embeddings broadcast; chunk embedding is scan-shaped") {
+    val p = plan("q_pipe_rag_e2e")
+    assert(!p.contains("CartesianProduct"), "RAG scoring degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "query-embedding side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join in the scoring path")
+  }
+
+  test("q_pipe_winnow / q_pipe_chunk: map-side passes — chunking never joins") {
+    val pw = plan("q_pipe_winnow")
+    assert(!"Join".r.findFirstIn(pw).isDefined, "winnowing must not join")
+    val pc = plan("q_pipe_chunk")
+    assert(!"Join".r.findFirstIn(pc).isDefined && !pc.contains("HashAggregate"),
+      "chunk generation must stay a map-only pass")
+  }
 }
