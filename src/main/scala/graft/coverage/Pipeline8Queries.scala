@@ -168,9 +168,10 @@ object Pipeline8Queries {
 
   /** End-to-end passage retrieval (the RAG indexing+query pass): documents
     * → 32-token chunks at stride 24 → deterministic hashed bag-of-words
-    * embedding (8 dims, integer components: each token adds
-    * hash(token·dim)%2001-1000 to its dimension — the feature-hashing trick,
-    * exact under any add order) → integer dot-product scoring against 3
+    * embedding (8 dims, integer components: dim d of a token reads hex
+    * chars [4d, 4d+4) of ONE md5 digest, %2001-1000 — the feature-hashing
+    * trick with a single hash per token, exact under any add order)
+    * → integer dot-product scoring against 3
     * query embeddings → top-3 chunks per query. The chunk-embedding side is
     * map-side generated and shuffles once on the 8 dim keys; the query side
     * is a broadcast; never query×corpus beyond the keyed join. At 100 TB
@@ -184,19 +185,26 @@ object Pipeline8Queries {
             "p -> struct(p AS start, slice(ws, p, 32) AS cw))")).as("e"))
         .filter(least(lit(32), col("n") - col("e.start") + 1) >= 8)
         .select(col("doc_id"), col("e.start").cast("long").as("start"), col("e.cw").as("cw"))
+      // ONE md5 per token; dim d reads hex chars [4d, 4d+4) of the digest —
+      // 8× less hashing than a per-(token, dim) hash at identical quality
       val cemb = chunks
         .select(col("doc_id"), col("start"), explode(col("cw")).as("w"))
-        .select(col("doc_id"), col("start"), explode(expr("sequence(0, 7)")).as("d"), col("w"))
+        .select(col("doc_id"), col("start"), md5(col("w")).as("hh"))
+        .select(col("doc_id"), col("start"), col("hh"),
+          explode(expr("sequence(0, 7)")).as("d"))
         .groupBy(col("doc_id"), col("start"), col("d"))
-        .agg(sum(hashStr(concat(col("w"), lit("_"), col("d"))) % 2001 - 1000).as("cv"))
+        .agg(sum(conv(expr("substring(hh, d * 4 + 1, 4)"), 16, 10).cast("long")
+          % 2001 - 1000).as("cv"))
       val q = s.createDataFrame(Seq(
           (0L, "spark window join stream"), (1L, "customer order merge sort"),
           (2L, "hash table scan filter")))
         .toDF("qid", "qtext")
       val qemb = q.select(col("qid"), explode(split(col("qtext"), " ")).as("w"))
-        .select(col("qid"), explode(expr("sequence(0, 7)")).as("d"), col("w"))
+        .select(col("qid"), md5(col("w")).as("hh"))
+        .select(col("qid"), col("hh"), explode(expr("sequence(0, 7)")).as("d"))
         .groupBy(col("qid"), col("d"))
-        .agg(sum(hashStr(concat(col("w"), lit("_"), col("d"))) % 2001 - 1000).as("qv"))
+        .agg(sum(conv(expr("substring(hh, d * 4 + 1, 4)"), 16, 10).cast("long")
+          % 2001 - 1000).as("qv"))
       val scored = cemb.join(broadcast(qemb), "d")
         .groupBy(col("qid"), col("doc_id"), col("start"))
         .agg(sum(col("cv") * col("qv")).as("score"))
@@ -213,16 +221,19 @@ object Pipeline8Queries {
           SELECT doc_id, len(ws) AS n, unnest(list_transform(generate_series(1, len(ws), 24),
                   p -> struct_pack(start := p, cw := ws[p:p+31]))) AS pe
           FROM t) WHERE LEAST(32, n - pe.start + 1) >= 8),
-      tok AS (SELECT doc_id, start, unnest(cw) AS w FROM ch),
-      cemb AS (SELECT doc_id, start, d, SUM(${oHash("w || '_' || d")} % 2001 - 1000) AS cv FROM (
-          SELECT doc_id, start, w, unnest(generate_series(0, 7)) AS d FROM tok)
+      tok AS (SELECT doc_id, start, md5(unnest(cw)) AS hh FROM ch),
+      cemb AS (SELECT doc_id, start, d,
+                      SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
+                          % 2001 - 1000) AS cv FROM (
+          SELECT doc_id, start, hh, unnest(generate_series(0, 7)) AS d FROM tok)
         GROUP BY doc_id, start, d),
       q(qid, qtext) AS (VALUES (0, 'spark window join stream'),
                                (1, 'customer order merge sort'),
                                (2, 'hash table scan filter')),
-      qtok AS (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q),
-      qemb AS (SELECT qid, d, SUM(${oHash("w || '_' || d")} % 2001 - 1000) AS qv FROM (
-          SELECT qid, w, unnest(generate_series(0, 7)) AS d FROM qtok)
+      qtok AS (SELECT qid, md5(unnest(string_split(qtext, ' '))) AS hh FROM q),
+      qemb AS (SELECT qid, d, SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
+                                  % 2001 - 1000) AS qv FROM (
+          SELECT qid, hh, unnest(generate_series(0, 7)) AS d FROM qtok)
         GROUP BY qid, d),
       scored AS (SELECT qemb.qid, cemb.doc_id, cemb.start, SUM(cemb.cv * qemb.qv) AS score
                  FROM cemb JOIN qemb ON qemb.d = cemb.d

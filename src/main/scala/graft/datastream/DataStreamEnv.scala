@@ -104,6 +104,15 @@ final class DStream[T](val ds: Dataset[T]) {
 
   def sideOutput(isMain: T => Boolean): (DStream[T], DStream[T]) =
     (filter(isMain), filter((t: T) => !isMain(t)))
+
+  /** Flink 1.12 `DataStream.split(OutputSelector)` / `SplitStream.select`
+    * (deprecated there in favor of side outputs, but still on the 1.12
+    * surface — ref DataStream.java split / SplitStream.java). A record
+    * routes to EVERY tag its selector names; `select` re-evaluates the
+    * selector per branch, exactly like the reference's `OutputSelector`
+    * re-run on each downstream edge — each branch is an independent
+    * filtered view of the same plan, no materialization. */
+  def split(selector: T => Seq[String]): SplitDStream[T] = new SplitDStream(this, selector)
   /** Connect with a second stream of a different type — ref
     * ConnectedStreams / CoProcessFunction (CoBroadcastWithKeyedOperator
     * .java:64 family): both inputs keyed to the same key space, processed
@@ -114,6 +123,15 @@ final class DStream[T](val ds: Dataset[T]) {
 
   /** Flink `DataStream.executeAndCollect` analog (bounded only). */
   def collect(): Seq[T] = ds.collect().toSeq
+}
+
+/** Ref SplitStream.java: `select("a")`, `select("a", "b")` — union of tags. */
+final class SplitDStream[T](up: DStream[T], selector: T => Seq[String]) {
+  def select(tags: String*): DStream[T] = {
+    val want = tags.toSet
+    val sel = selector // local copy — the closure must not capture `this` (holds the Dataset)
+    up.filter((t: T) => sel(t).exists(want))
+  }
 }
 
 final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {

@@ -69,6 +69,18 @@ class OpsSpec extends SparkTestBase {
     assert(main.collect().toSet == Set(2, 4) && side.collect().toSet == Set(1, 3, 5))
   }
 
+  test("split/select routes records to every selected tag (1.12 OutputSelector)") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    // even→"even", odd→"odd", multiples of 3 ALSO→"three" (multi-tag routing)
+    val sp = env.fromElements(1, 2, 3, 4, 5, 6).split(n =>
+      (if (n % 2 == 0) Seq("even") else Seq("odd")) ++ (if (n % 3 == 0) Seq("three") else Nil))
+    assert(sp.select("even").collect().toSet == Set(2, 4, 6))
+    assert(sp.select("three").collect().toSet == Set(3, 6))      // 6 reaches both branches
+    assert(sp.select("even", "odd").collect().toSet == Set(1, 2, 3, 4, 5, 6))
+  }
+
   test("rebalance/rescale/global control partition counts") {
     val s = spark
     import s.implicits._
