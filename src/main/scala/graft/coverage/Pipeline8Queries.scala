@@ -245,10 +245,59 @@ object Pipeline8Queries {
         FROM scored)
       WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Count-min-sketch heavy hitters: the corpus folds into a FIXED 4×256
+    * counter table (one shuffle of at most 1024 keyed partials — the
+    * mergeable-sketch contract: partials from any number of executors sum
+    * into the same table), then candidate terms read their min-over-rows
+    * estimate back from the broadcast sketch. Deterministic row hashes (md5
+    * slices) make the sketch bit-identical on any engine — the oracle
+    * rebuilds the same table in SQL, so estimates (INCLUDING collision
+    * inflation) match exactly. Candidates = terms with exact count ≥ 200;
+    * output compares estimate vs exact (est ≥ exact always; equality iff
+    * no row collides). At 100 TB the sketch stays 4×256 longs while the
+    * exact top-k would shuffle the full vocabulary. */
+  val qPipeCmsHitters: Q = Q(
+    run = (s, dir) => {
+      val tok = docs(s, dir).select(explode(split(col("text"), " ")).as("w"))
+        .select(col("w"), md5(col("w")).as("hh"))
+      // row r counter index = hex chars [4r, 4r+4) of md5(w), mod 256
+      val cells = tok
+        .select(col("w"), explode(expr("sequence(0, 3)")).as("r"),
+          col("hh"))
+        .select(col("w"), col("r"),
+          (conv(expr("substring(hh, r * 4 + 1, 4)"), 16, 10).cast("long") % 256).as("c"))
+      val sketch = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+      val exact = tok.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .filter(col("exact") >= 200)
+      val cand = exact
+        .select(col("w"), col("exact"), md5(col("w")).as("hh"))
+        .select(col("w"), col("exact"), explode(expr("sequence(0, 3)")).as("r"), col("hh"))
+        .select(col("w"), col("exact"), col("r"),
+          (conv(expr("substring(hh, r * 4 + 1, 4)"), 16, 10).cast("long") % 256).as("c"))
+      cand.join(broadcast(sketch), Seq("r", "c"))
+        .groupBy(col("w"), col("exact")).agg(min(col("cnt")).as("est"))
+        .select(col("w"), col("exact"), col("est"), (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("w"))
+    },
+    oracle = Some("""
+      WITH tok AS (SELECT md5(w) AS hh, w FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      cells AS (SELECT w, r, ('0x' || substr(hh, CAST(r * 4 + 1 AS INT), 4))::BIGINT % 256 AS c
+                FROM (SELECT w, hh, unnest(generate_series(0, 3)) AS r FROM tok)),
+      sketch AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+      exact AS (SELECT w, COUNT(*) AS exact FROM tok GROUP BY w HAVING COUNT(*) >= 200),
+      cand AS (SELECT e.w, e.exact, ce.r, ce.c FROM exact e JOIN (
+                 SELECT DISTINCT w, r, c FROM cells) ce ON ce.w = e.w)
+      SELECT cand.w AS w, cand.exact, MIN(sketch.cnt) AS est,
+             MIN(sketch.cnt) - cand.exact AS overcount
+      FROM cand JOIN sketch ON sketch.r = cand.r AND sketch.c = cand.c
+      GROUP BY cand.w, cand.exact ORDER BY w"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_bm25" -> qPipeBm25,
     "q_pipe_winnow" -> qPipeWinnow,
     "q_pipe_chunk" -> qPipeChunk,
     "q_pipe_rag_e2e" -> qPipeRagE2e,
+    "q_pipe_cms_hitters" -> qPipeCmsHitters,
   )
 }
