@@ -26,6 +26,29 @@ final class DStream[T](val ds: Dataset[T]) {
     * EventTimeWindows.of(size)); see [[WindowedDStream]]. */
   def keyByWindowed[K](f: T => K, tsMillis: T => Long, sizeMillis: Long): WindowedDStream[K, T] =
     new WindowedDStream(ds, f, tsMillis, sizeMillis)
+
+  /** Keyed SLIDING event-time window — ref KeyedStream.timeWindow(size,
+    * slide):683 + SlidingEventTimeWindows.assignWindows (each record lands
+    * in ceil(size/slide) overlapping windows); see [[SlidingWindowedDStream]]. */
+  def keyByWindowedSliding[K](f: T => K, tsMillis: T => Long, sizeMillis: Long,
+                              slideMillis: Long): SlidingWindowedDStream[K, T] =
+    new SlidingWindowedDStream(ds, f, tsMillis, sizeMillis, slideMillis)
+
+  /** Non-keyed tumbling window — ref DataStream.timeWindowAll /
+    * AllWindowedStream: all records in one window group. The reference
+    * runs this at parallelism 1; here it is a single-key groupBy, the
+    * same one-task semantics with Spark scheduling the rest of the plan
+    * at full parallelism around it. */
+  def windowAll(tsMillis: T => Long, sizeMillis: Long): WindowedDStream[Int, T] =
+    new WindowedDStream(ds, (_: T) => 0, tsMillis, sizeMillis)
+
+  /** Event-time + watermark declaration — ref DataStream
+    * .assignTimestampsAndWatermarks(WatermarkStrategy
+    * .forBoundedOutOfOrderness(d)): `tsCol` becomes the event-time
+    * attribute and the engine tracks max(ts) − delay as the watermark,
+    * exactly Spark's `withWatermark` contract. */
+  def assignTimestampsAndWatermarks(tsCol: String, maxOutOfOrderness: String): DStream[T] =
+    new DStream(ds.withWatermark(tsCol, maxOutOfOrderness))
   /** Round-robin redistribution — ref DataStream.rebalance:520. */
   def rebalance(n: Int): DStream[T] = new DStream(ds.repartition(n))
   /** Local scale-down without shuffle — ref DataStream.rescale:557. */
@@ -123,6 +146,18 @@ final class DStream[T](val ds: Dataset[T]) {
 
   /** Flink `DataStream.executeAndCollect` analog (bounded only). */
   def collect(): Seq[T] = ds.collect().toSeq
+
+  /** ref DataStream.writeAsText:1037 / DataSet.writeAsText — one line per
+    * record, the record's toString, exactly the reference's
+    * TextOutputFormat contract (parallel part files under `path`). */
+  def writeAsText(path: String): Unit =
+    ds.map(_.toString)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(path)
+
+  /** ref DataStream.writeAsCsv:1064 — tuple/case-class fields as CSV
+    * columns (CsvOutputFormat: no header, comma delimiter). */
+  def writeAsCsv(path: String): Unit =
+    ds.toDF().write.mode("overwrite").option("header", "false").csv(path)
 }
 
 /** Ref SplitStream.java: `select("a")`, `select("a", "b")` — union of tags. */
@@ -135,6 +170,18 @@ final class SplitDStream[T](up: DStream[T], selector: T => Seq[String]) {
 }
 
 final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {
+
+  /** Non-keyed CoMapFunction — ref ConnectedStreams.map(CoMapFunction):
+    * map1 over stream 1, map2 over stream 2, one output stream. Without
+    * shared keyed state the reference operator is exactly a per-side map
+    * into a union, which is how it lowers here (no shuffle at all). */
+  def map[U: Encoder](f1: T1 => U, f2: T2 => U): DStream[U] =
+    s1.map(f1).union(s2.map(f2))
+
+  /** Non-keyed CoFlatMapFunction — ref ConnectedStreams.flatMap. */
+  def flatMap[U: Encoder](f1: T1 => IterableOnce[U], f2: T2 => IterableOnce[U]): DStream[U] =
+    s1.flatMap(f1).union(s2.flatMap(f2))
+
   /** Keyed two-input process — ref KeyedCoProcessFunction. */
   def keyedProcess[K: Encoder, U: Encoder](k1: T1 => K, k2: T2 => K)(
       f: (K, Iterator[T1], Iterator[T2]) => IterableOnce[U]): DStream[U] = {
@@ -163,6 +210,47 @@ final class ConnectedDStream[T1, T2](s1: DStream[T1], s2: DStream[T2]) {
 }
 
 final class KeyedDStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
+
+  /** Rolling per-record reduce — ref KeyedStream.reduce:743: every arriving
+    * record emits the UPDATED running aggregate for its key (not one final
+    * row). The reference's implicit arrival order is made explicit — and
+    * replay-deterministic, which Spark's recomputable-lineage model
+    * requires — via `order`: records fold in ascending extracted-order-key
+    * order. Emission count = input count, exactly the reference contract. */
+  def rollingReduce[O](order: T => O)(f: (T, T) => T)(
+      implicit ord: Ordering[O], e: Encoder[(K, T)]): DStream[(K, T)] =
+    new DStream(kv.flatMapGroups { (k: K, it: Iterator[T]) =>
+      it.toIndexedSeq.sortBy(order).scanLeft(Option.empty[T]) {
+        case (None, t)    => Some(t)
+        case (Some(a), t) => Some(f(a, t))
+      }.flatten.map((k, _)).iterator
+    })
+
+  /** Rolling sum — ref KeyedStream.sum:767 (SumAggregator): per record,
+    * the running sum of the extracted field so far for its key. */
+  def rollingSum[O](value: T => Long, order: T => O)(
+      implicit ord: Ordering[O], e: Encoder[(K, Long)]): DStream[(K, Long)] =
+    new DStream(kv.flatMapGroups { (k: K, it: Iterator[T]) =>
+      it.toIndexedSeq.sortBy(order).scanLeft(0L)((a, t) => a + value(t))
+        .drop(1).map((k, _)).iterator
+    })
+
+  /** Rolling min — ref KeyedStream.min:794 (ComparableAggregator). */
+  def rollingMin[O](value: T => Long, order: T => O)(
+      implicit ord: Ordering[O], e: Encoder[(K, Long)]): DStream[(K, Long)] =
+    new DStream(kv.flatMapGroups { (k: K, it: Iterator[T]) =>
+      val vs = it.toIndexedSeq.sortBy(order).map(value)
+      vs.scanLeft(Long.MaxValue)(math.min).drop(1).map((k, _)).iterator
+    })
+
+  /** Rolling max — ref KeyedStream.max:835. */
+  def rollingMax[O](value: T => Long, order: T => O)(
+      implicit ord: Ordering[O], e: Encoder[(K, Long)]): DStream[(K, Long)] =
+    new DStream(kv.flatMapGroups { (k: K, it: Iterator[T]) =>
+      val vs = it.toIndexedSeq.sortBy(order).map(value)
+      vs.scanLeft(Long.MinValue)(math.max).drop(1).map((k, _)).iterator
+    })
+
   /** Rolling reduce — ref KeyedStream.reduce (bounded: one result per key). */
   /** ref DataSet.minBy / KeyedStream.minBy — the row with the smallest
     * extracted value per key (ties: first in reduce order). */
@@ -194,6 +282,32 @@ final class WindowedDStream[K, T](ds: org.apache.spark.sql.Dataset[T], keyF: T =
     val grouped = ds.groupByKey(t => (kf(t), tsf(t) - math.floorMod(tsf(t), size)))
     new DStream(grouped.mapGroups((kw: (K, Long), it: Iterator[T]) =>
       finish(kw._1, kw._2, it.foldLeft(zero)(fold))))
+  }
+}
+
+/** `keyBy().timeWindow(size, slide)` — ref KeyedStream.timeWindow:683 +
+  * SlidingEventTimeWindows.assignWindows: a record with timestamp ts
+  * belongs to every window [s, s+size) with s ≡ 0 (mod slide) and
+  * s ∈ (ts−size, ts] — ceil(size/slide) windows. The expansion is an
+  * explicit flatMap (the reference does the same inside the window
+  * assigner), then one shuffle on (key, windowStart); the incremental
+  * fold keeps no per-window buffers. */
+final class SlidingWindowedDStream[K, T](ds: org.apache.spark.sql.Dataset[T], keyF: T => K,
+                                         tsMillis: T => Long, sizeMillis: Long, slideMillis: Long) {
+  def aggregate[A: Encoder, U: Encoder](zero: A)(fold: (A, T) => A)(
+      finish: (K, Long, A) => U)(implicit ke: Encoder[(K, Long)],
+                                 enc: Encoder[T]): DStream[U] = {
+    val (kf, tsf, size, slide) = (keyF, tsMillis, sizeMillis, slideMillis)
+    implicit val pairEnc: Encoder[((K, Long), T)] =
+      org.apache.spark.sql.Encoders.tuple(ke, enc)
+    val expanded = ds.flatMap { t =>
+      val ts = tsf(t)
+      val lastStart = ts - math.floorMod(ts, slide)
+      Iterator.iterate(lastStart)(_ - slide).takeWhile(_ > ts - size)
+        .map(s => ((kf(t), s), t))
+    }
+    new DStream(expanded.groupByKey(_._1).mapGroups((kw: (K, Long), it: Iterator[((K, Long), T)]) =>
+      finish(kw._1, kw._2, it.foldLeft(zero)((a, p) => fold(a, p._2)))))
   }
 }
 

@@ -69,6 +69,71 @@ class OpsSpec extends SparkTestBase {
     assert(main.collect().toSet == Set(2, 4) && side.collect().toSet == Set(1, 3, 5))
   }
 
+  test("connect().map/flatMap applies the per-side CoMap functions into one stream") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val a = env.fromElements(1, 2, 3)
+    val b = env.fromElements("xx", "yyy")
+    val m = a.connect(b).map(i => i * 10, str => str.length)
+    assert(m.collect().toSet == Set(10, 20, 30, 2, 3))
+    val fm = a.connect(b).flatMap(i => Seq(i, -i), str => Seq(str.length))
+    assert(fm.collect().toSet == Set(1, -1, 2, -2, 3, -3))  // 2,3 overlap lengths
+  }
+
+  test("rolling sum/min/max emit one updated value per record in order-key order") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    // (key, seq, value) — seq pins the fold order
+    val st = env.fromDataset(Seq(("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 7L),
+                                 ("b", 1L, 2L)).toDS()).keyBy(_._1)
+    assert(st.rollingSum(_._3, _._2).collect().sorted ==
+      Seq(("a", 5L), ("a", 8L), ("a", 15L), ("b", 2L)).sorted)
+    assert(st.rollingMin(_._3, _._2).collect().sorted ==
+      Seq(("a", 5L), ("a", 3L), ("a", 3L), ("b", 2L)).sorted)
+    assert(st.rollingMax(_._3, _._2).collect().sorted ==
+      Seq(("a", 5L), ("a", 5L), ("a", 7L), ("b", 2L)).sorted)
+    // rollingReduce carries the whole record (Flink reduce: per-record emission)
+    val red = st.rollingReduce(_._2)((a, b) => (b._1, b._2, a._3 + b._3)).collect()
+    assert(red.count(_._1 == "a") == 3 && red.contains(("a", ("a", 3L, 15L))))
+  }
+
+  test("sliding window assigns each record to size/slide overlapping windows") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    // size 10, slide 5: ts=7 → windows starting at 5 and 0; ts=12 → 10 and 5
+    val out = env.fromDataset(Seq(("k", 7L), ("k", 12L)).toDS())
+      .keyByWindowedSliding(_._1, _._2, 10L, 5L)
+      .aggregate(0L)((a, _) => a + 1)((k, w, n) => (k, w, n))
+      .collect().sorted
+    assert(out == Seq(("k", 0L, 1L), ("k", 5L, 2L), ("k", 10L, 1L)))
+  }
+
+  test("windowAll groups every record into one epoch-aligned non-keyed window") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val out = env.fromDataset(Seq(3L, 7L, 12L).toDS())
+      .windowAll(identity, 10L)
+      .aggregate(0L)((a, _) => a + 1)((_, w, n) => (w, n))
+      .collect().sorted
+    assert(out == Seq((0L, 2L), (10L, 1L)))
+  }
+
+  test("writeAsText/writeAsCsv round-trip through the filesystem") {
+    val s = spark
+    import s.implicits._
+    val env = new DataStreamEnv(s)
+    val dir = java.nio.file.Files.createTempDirectory("dstream_sink").toString
+    env.fromElements(1, 22, 333).writeAsText(s"$dir/txt")
+    assert(env.readTextFile(s"$dir/txt").collect().map(_.toInt).sorted == Seq(1, 22, 333))
+    env.fromDataset(Seq((1, "a"), (2, "b")).toDS()).writeAsCsv(s"$dir/csv")
+    val back = s.read.schema("f1 INT, f2 STRING").csv(s"$dir/csv")
+    assert(back.count() == 2)
+  }
+
   test("split/select routes records to every selected tag (1.12 OutputSelector)") {
     val s = spark
     import s.implicits._

@@ -343,4 +343,31 @@ class PlanSpec extends SparkTestBase {
     assert(!"Join".r.findFirstIn(pc).isDefined && !pc.contains("HashAggregate"),
       "chunk generation must stay a map-only pass")
   }
+
+  test("ZOrder.zorderBy: range-partitioned on the z-value, sorted inside partitions") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "orders")
+      .withColumn("x", (col("o_custkey") % 1024).cast("long"))
+      .withColumn("y", (col("o_orderkey") % 1024).cast("long"))
+    val p = graft.operators.ZOrder.zorderBy(df, col("x"), col("y"), 10, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"zorderBy must range-partition on the z-value so files cover disjoint z-ranges:\n$p")
+    assert(p.contains("Sort"), "zorderBy must sort within partitions for tight row groups")
+    assert(!"Join".r.findFirstIn(p).isDefined && !p.contains("Exchange hashpartitioning"),
+      "layout pass is one range exchange — no joins, no extra hash shuffle")
+  }
+
+  test("q_pipe_zorder_layout: layout audit is one hash agg over a scan — no global sort") {
+    val p = plan("q_pipe_zorder_layout")
+    assert(!"Join".r.findFirstIn(p).isDefined, "bucket audit must not join")
+    assert(!p.contains("Window"),
+      "bucket = z >> 14 is computed per-row; the audit needs no global row-numbering window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "two-phase agg expected")
+  }
+
+  test("q_datastream_sliding: window expansion is one keyed exchange, no join") {
+    val p = plan("q_datastream_sliding")
+    assert(!"Join".r.findFirstIn(p).isDefined, "sliding assigner is a flatMap, not a join")
+  }
 }
