@@ -122,9 +122,38 @@ object Round5Queries {
              MIN(z) AS zmin, MAX(z) AS zmax
       FROM zt GROUP BY 1 ORDER BY bucket"""))
 
+  /** KEYLESS band join (no equi key at all — every click paired with every
+    * purchase ≤10 min after it, across ALL users): the shape both engines
+    * plan as an O(|L|·|R|) nested-loop join. [[graft.operators.BandJoin]]
+    * bins the time axis at the band width so each left row explodes to ≤2
+    * bins and the band becomes a hash EQUI join on the bin id + residual
+    * filter — the 100 TB path. PlanSpec pins that no nested-loop/cartesian
+    * survives in the physical plan. */
+  val qJoinBandKeyless: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(hour(col("ts")).cast("long").as("chour"), unix_micros(col("ts")).as("cus"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("pus"))
+      graft.operators.BandJoin.bandJoin(c, p, "cus", "pus", 1L, 600000000L)
+        .groupBy(col("chour"))
+        .agg(count(lit(1)).as("n"), sum(col("pus") - col("cus")).as("lag_us"))
+        .orderBy(col("chour"))
+    },
+    oracle = Some("""
+      SELECT CAST(EXTRACT(HOUR FROM c.ts) AS BIGINT) AS chour, COUNT(*) AS n,
+             CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON epoch_us(p.ts) >= epoch_us(c.ts) + 1
+       AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+      GROUP BY 1 ORDER BY chour"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_datastream_rolling" -> qDatastreamRolling,
     "q_datastream_sliding" -> qDatastreamSliding,
     "q_pipe_zorder_layout" -> qPipeZorderLayout,
+    "q_join_band_keyless" -> qJoinBandKeyless,
   )
 }

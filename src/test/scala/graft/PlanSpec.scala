@@ -366,6 +366,14 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "two-phase agg expected")
   }
 
+  test("q_join_band_keyless: binned band join is a hash equi join — never nested-loop") {
+    val p = plan("q_join_band_keyless")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyless band must bin into an equi join, not O(n*m) nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected an equi join on the bin id")
+  }
+
   test("q_datastream_sliding: window expansion is one keyed exchange, no join") {
     val p = plan("q_datastream_sliding")
     assert(!"Join".r.findFirstIn(p).isDefined, "sliding assigner is a flatMap, not a join")
