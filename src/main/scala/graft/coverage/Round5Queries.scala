@@ -150,10 +150,83 @@ object Round5Queries {
        AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
       GROUP BY 1 ORDER BY chour"""))
 
+  /** Mergeable HyperLogLog rollup (Flajolet et al. 2007) — the OTHER half
+    * of the sketch story next to [[Pipeline8Queries.qPipeCmsHitters]]'s
+    * count-min: per-source 64-register sketches are built ONCE (the
+    * artifact a 100 TB pipeline stores per partition/day), and the corpus
+    * estimate comes from MERGING the stored sketches (elementwise max) —
+    * never re-scanning the data. All sketch math is integer: bucket and a
+    * 40-bit slice come from md5 hex slices, rho = 41 − bitlength(slice),
+    * S = Σ 2^(41−M[b]) stays < 2^47, and the raw HLL estimator
+    * α·m²·2^41/S is evaluated as one 64-bit integer division — so DuckDB
+    * rebuilds the registers AND the estimates bit-for-bit. Exact distinct
+    * counts ride along per scope to show the sketch error. (Raw estimator
+    * only — no small-range linear-counting correction; both engines
+    * compute the same uncorrected formula.) Demo: distinct orders per
+    * return flag — the per-flag order sets OVERLAP, so the merged 'ALL'
+    * estimate (14.7k true) is far below the per-flag sum (33k): exactly
+    * the question only a mergeable sketch answers without a re-scan. */
+  val qPipeHllRollup: Q = Q(
+    run = (s, dir) => {
+      val tok = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("source"), col("l_orderkey").cast("string").as("w"))
+        .select(col("source"), col("w"), md5(col("w")).as("hh"))
+        .select(col("source"), col("w"),
+          (conv(expr("substring(hh, 1, 2)"), 16, 10).cast("long") % 64).as("b"),
+          conv(expr("substring(hh, 3, 10)"), 16, 10).cast("long").as("z"))
+        .withColumn("rho",
+          when(col("z") === 0, lit(41L)).otherwise(lit(41L) - length(bin(col("z")))))
+      // the stored artifact: one 64-register sketch per source
+      val regs = tok.groupBy(col("source"), col("b")).agg(max(col("rho")).as("m"))
+      def estimate(r: org.apache.spark.sql.DataFrame, scopeCol: org.apache.spark.sql.Column) =
+        r.groupBy(scopeCol.as("scope"))
+          .agg(sum(expr("shiftleft(cast(1 as bigint), cast(41 - m as int))")).as("sp"),
+               count(lit(1)).as("nb"))
+          .select(col("scope"),
+            expr("(2904064 * shiftleft(cast(1 as bigint), 41)) div (1000 * (sp + (64 - nb) * shiftleft(cast(1 as bigint), 41)))").as("est"))
+      val srcEst = estimate(regs, col("source"))
+      // MERGE: union of sketches = elementwise max over the stored registers
+      val mergedEst = estimate(regs.groupBy(col("b")).agg(max(col("m")).as("m")), lit("ALL"))
+      val srcExact = tok.groupBy(col("source").as("scope"))
+        .agg(countDistinct(col("w")).as("exact"))
+      val allExact = tok.agg(countDistinct(col("w")).as("exact"))
+        .select(lit("ALL").as("scope"), col("exact"))
+      srcEst.union(mergedEst).join(srcExact.union(allExact), "scope")
+        .select(col("scope"), col("est"), col("exact"))
+        .orderBy(col("scope"))
+    },
+    oracle = Some("""
+      WITH tok AS (SELECT source, w, md5(w) AS hh FROM
+          (SELECT l_returnflag AS source, CAST(l_orderkey AS VARCHAR) AS w FROM lineitem)),
+      hz AS (SELECT source, w,
+                    ('0x' || substr(hh, 1, 2))::BIGINT % 64 AS b,
+                    ('0x' || substr(hh, 3, 10))::BIGINT AS z FROM tok),
+      rho AS (SELECT source, w, b,
+                     CASE WHEN z = 0 THEN 41 ELSE 41 - length(bin(z)) END AS rho FROM hz),
+      regs AS (SELECT source, b, MAX(rho) AS m FROM rho GROUP BY source, b),
+      src_est AS (SELECT source AS scope,
+                         (2904064 * (1::BIGINT << 41)) //
+                         (1000 * (SUM(1::BIGINT << CAST(41 - m AS INT))
+                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS est
+                  FROM regs GROUP BY source),
+      merged AS (SELECT b, MAX(m) AS m FROM regs GROUP BY b),
+      all_est AS (SELECT 'ALL' AS scope,
+                         (2904064 * (1::BIGINT << 41)) //
+                         (1000 * (SUM(1::BIGINT << CAST(41 - m AS INT))
+                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS est
+                  FROM merged),
+      src_exact AS (SELECT source AS scope, COUNT(DISTINCT w) AS exact FROM tok GROUP BY source),
+      all_exact AS (SELECT 'ALL' AS scope, COUNT(DISTINCT w) AS exact FROM tok),
+      est AS (SELECT * FROM src_est UNION ALL SELECT * FROM all_est),
+      ex AS (SELECT * FROM src_exact UNION ALL SELECT * FROM all_exact)
+      SELECT est.scope AS scope, est.est, ex.exact
+      FROM est JOIN ex ON est.scope = ex.scope ORDER BY scope"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_datastream_rolling" -> qDatastreamRolling,
     "q_datastream_sliding" -> qDatastreamSliding,
     "q_pipe_zorder_layout" -> qPipeZorderLayout,
     "q_join_band_keyless" -> qJoinBandKeyless,
+    "q_pipe_hll_rollup" -> qPipeHllRollup,
   )
 }
