@@ -222,11 +222,122 @@ object Round5Queries {
       SELECT est.scope AS scope, est.est, ex.exact
       FROM est JOIN ex ON est.scope = ex.scope ORDER BY scope"""))
 
+  /** Exact p50/p90/p99 of lineitem price WITHOUT a global sort — see
+    * [[graft.operators.TwoPassQuantile]]: histogram pass + target-bin
+    * re-scan. The oracle DOES the global sort (row_number over the whole
+    * relation) and reads the same ranks — proving the two-pass answer is
+    * the exact order statistic, not an approximation. */
+  val qPipeQuantile2pass: Q = Q(
+    run = (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.operators.TwoPassQuantile.exact(
+        s, li, "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)", 14,
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .orderBy(col("ql"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v FROM lineitem),
+      n AS (SELECT COUNT(*) AS cnt FROM t),
+      r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+      ks AS (SELECT 'p50' AS ql, (cnt * 1 + 2 - 1) // 2 AS k FROM n
+             UNION ALL SELECT 'p90', (cnt * 9 + 10 - 1) // 10 FROM n
+             UNION ALL SELECT 'p99', (cnt * 99 + 100 - 1) // 100 FROM n)
+      SELECT ks.ql AS ql, ks.k AS rank, r.v AS value
+      FROM ks JOIN r ON r.rn = ks.k ORDER BY ql"""))
+
+  /** Changelog DERIVATION from two keyed snapshots — the pass a pipeline
+    * runs when the upstream cannot emit CDC (the Debezium snapshot-diff
+    * role, complementing `CdcFormats`' wire-format family): one
+    * shuffle-on-key FULL OUTER join of snapshot A and B classifies every
+    * key into +I (new), -D (gone), or a -U/+U retraction pair (payload
+    * changed), emitting exactly the changelog `changelogJoin`/
+    * `RetractableTopN` consume. Keys are hash-partitioned once; no
+    * broadcast needed on either side at any scale. Snapshots are derived
+    * deterministically from orders (A: keys %5≠0 at list price; B: keys
+    * %7≠0 with a 1000-cent bump on %3==0) so both engines build the
+    * identical fixture. */
+  val qCdcSnapshotDiff: Q = Q(
+    run = (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+                expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)").as("c"))
+      val a = base.filter(col("k") % 5 =!= 0).select(col("k").as("ka"), col("c").as("ca"))
+      val b = base.filter(col("k") % 7 =!= 0)
+        .select(col("k").as("kb"),
+                when(col("k") % 3 === 0, col("c") + 1000).otherwise(col("c")).as("cb"))
+      val j = a.join(b, col("ka") === col("kb"), "full_outer")
+      val ins = j.filter(col("ka").isNull)
+        .select(lit("+I").as("op"), col("kb").as("k"), col("cb").as("cents"))
+      val del = j.filter(col("kb").isNull)
+        .select(lit("-D").as("op"), col("ka").as("k"), col("ca").as("cents"))
+      val upd = j.filter(col("ka").isNotNull && col("kb").isNotNull && col("ca") =!= col("cb"))
+      val ub = upd.select(lit("-U").as("op"), col("ka").as("k"), col("ca").as("cents"))
+      val ua = upd.select(lit("+U").as("op"), col("kb").as("k"), col("cb").as("cents"))
+      ins.union(del).union(ub).union(ua).orderBy(col("k"), col("op"))
+    },
+    oracle = Some("""
+      WITH base AS (SELECT o_orderkey AS k,
+                           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c FROM orders),
+      a AS (SELECT k, c FROM base WHERE k % 5 <> 0),
+      b AS (SELECT k, CASE WHEN k % 3 = 0 THEN c + 1000 ELSE c END AS c
+            FROM base WHERE k % 7 <> 0),
+      j AS (SELECT a.k AS ka, a.c AS ca, b.k AS kb, b.c AS cb
+            FROM a FULL OUTER JOIN b ON a.k = b.k)
+      SELECT '+I' AS op, kb AS k, cb AS cents FROM j WHERE ka IS NULL
+      UNION ALL SELECT '-D', ka, ca FROM j WHERE kb IS NULL
+      UNION ALL SELECT '-U', ka, ca FROM j WHERE ka IS NOT NULL AND kb IS NOT NULL AND ca <> cb
+      UNION ALL SELECT '+U', kb, cb FROM j WHERE ka IS NOT NULL AND kb IS NOT NULL AND ca <> cb
+      ORDER BY k, op"""))
+
+  /** Parquet SCHEMA EVOLUTION on read — the lakehouse reality that a 100 TB
+    * table's early files lack columns added later. Two generations are
+    * written under one root (gen=1 without the discount column, gen=2 with
+    * it); `mergeSchema` reconciles them into one superset schema with NULL
+    * fill, and the aggregate proves both generations' rows and the new
+    * column's partial coverage survive the merge. */
+  val qSinkSchemaEvolution: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/schevo_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                expr("CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)").as("price_c"),
+                expr("CAST(FLOOR(l_discount * 100.0) AS BIGINT)").as("disc_c"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("price_c"))
+        .write.mode("overwrite").parquet(s"$scratch/gen=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$scratch/gen=2")
+      s.read.option("mergeSchema", "true").option("basePath", scratch)
+        .parquet(s"$scratch/gen=1", s"$scratch/gen=2")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price_c")).as("price_sum"),
+             sum(coalesce(col("disc_c"), lit(0L))).as("disc_sum"),
+             count(col("disc_c")).as("disc_present"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT l_orderkey, l_returnflag,
+                         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+                         CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS disc_c
+                  FROM lineitem),
+      m AS (SELECT l_returnflag, price_c, NULL AS disc_c FROM li WHERE l_orderkey % 2 = 0
+            UNION ALL
+            SELECT l_returnflag, price_c, disc_c FROM li WHERE l_orderkey % 2 = 1)
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(price_c) AS BIGINT) AS price_sum,
+             CAST(SUM(COALESCE(disc_c, 0)) AS BIGINT) AS disc_sum,
+             COUNT(disc_c) AS disc_present
+      FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_datastream_rolling" -> qDatastreamRolling,
     "q_datastream_sliding" -> qDatastreamSliding,
     "q_pipe_zorder_layout" -> qPipeZorderLayout,
     "q_join_band_keyless" -> qJoinBandKeyless,
     "q_pipe_hll_rollup" -> qPipeHllRollup,
+    "q_pipe_quantile_2pass" -> qPipeQuantile2pass,
+    "q_cdc_snapshot_diff" -> qCdcSnapshotDiff,
+    "q_sink_schema_evolution" -> qSinkSchemaEvolution,
   )
 }
