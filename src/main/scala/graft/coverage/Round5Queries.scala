@@ -330,6 +330,44 @@ object Round5Queries {
              COUNT(disc_c) AS disc_present
       FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Ordered conversion FUNNEL (signup → first click after it → first
+    * purchase after that, per user) — the product-analytics pass that is
+    * CEP-shaped but aggregate-sized: each step is a keyed min over the
+    * events AFTER the previous step's timestamp, so the whole funnel is
+    * three hash aggs + two shuffle-on-user equi joins (user cardinality,
+    * not event cardinality, crosses the wire after step 1) — no per-user
+    * sort, no NFA state. Output: step survivor counts + total
+    * signup→purchase latency of full converters. */
+  val qPipeFunnel: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("t"),
+                unix_micros(col("ts")).as("us"))
+      val su = e.filter(col("t") === "signup").groupBy(col("u")).agg(min(col("us")).as("s_us"))
+      val cl = e.filter(col("t") === "click").join(su, "u")
+        .filter(col("us") > col("s_us"))
+        .groupBy(col("u"), col("s_us")).agg(min(col("us")).as("c_us"))
+      val pu = e.filter(col("t") === "purchase").join(cl, "u")
+        .filter(col("us") > col("c_us"))
+        .groupBy(col("u"), col("s_us")).agg(min(col("us")).as("p_us"))
+      val ns = su.agg(count(lit(1)).as("n_signup"))
+      val nc = cl.agg(count(lit(1)).as("n_click"))
+      val np = pu.agg(count(lit(1)).as("n_purchase"),
+                      coalesce(sum(col("p_us") - col("s_us")), lit(0L)).as("lag_us_sum"))
+      ns.crossJoin(nc).crossJoin(np)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events),
+      s AS (SELECT u, MIN(us) AS s_us FROM e WHERE t = 'signup' GROUP BY u),
+      c AS (SELECT e.u, MIN(s.s_us) AS s_us, MIN(e.us) AS c_us
+            FROM e JOIN s ON e.u = s.u AND e.us > s.s_us WHERE e.t = 'click' GROUP BY e.u),
+      p AS (SELECT e.u, MIN(c.s_us) AS s_us, MIN(e.us) AS p_us
+            FROM e JOIN c ON e.u = c.u AND e.us > c.c_us WHERE e.t = 'purchase' GROUP BY e.u)
+      SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+             (SELECT COUNT(*) FROM c) AS n_click,
+             (SELECT COUNT(*) FROM p) AS n_purchase,
+             (SELECT CAST(COALESCE(SUM(p_us - s_us), 0) AS BIGINT) FROM p) AS lag_us_sum"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_datastream_rolling" -> qDatastreamRolling,
     "q_datastream_sliding" -> qDatastreamSliding,
@@ -339,5 +377,6 @@ object Round5Queries {
     "q_pipe_quantile_2pass" -> qPipeQuantile2pass,
     "q_cdc_snapshot_diff" -> qCdcSnapshotDiff,
     "q_sink_schema_evolution" -> qSinkSchemaEvolution,
+    "q_pipe_funnel" -> qPipeFunnel,
   )
 }

@@ -374,6 +374,17 @@ class PlanSpec extends SparkTestBase {
       "expected an equi join on the bin id")
   }
 
+  test("q_pipe_quantile_2pass: no full-relation sort — window is bin-partitioned") {
+    val p = plan("q_pipe_quantile_2pass")
+    assert(p.contains("Window") && p.contains("partitionBy" ) || p.contains("windowspecdefinition"),
+      "expected the in-bin row_number window")
+    // the only rangepartitioning allowed is the final 3-row orderBy; the
+    // candidate path must be hash-partitioned by bin
+    assert("rangepartitioning".r.findAllIn(p).size <= 1,
+      s"two-pass quantile must not globally sort the relation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "3-row target table must broadcast")
+  }
+
   test("q_datastream_sliding: window expansion is one keyed exchange, no join") {
     val p = plan("q_datastream_sliding")
     assert(!"Join".r.findFirstIn(p).isDefined, "sliding assigner is a flatMap, not a join")
