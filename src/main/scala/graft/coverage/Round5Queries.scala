@@ -368,6 +368,44 @@ object Round5Queries {
              (SELECT COUNT(*) FROM p) AS n_purchase,
              (SELECT CAST(COALESCE(SUM(p_us - s_us), 0) AS BIGINT) FROM p) AS lag_us_sum"""))
 
+  /** Small-file COMPACTION (the OPTIMIZE / bin-packing rewrite every
+    * long-running ingestion needs: streaming sinks and partitioned writes
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * eventually dominates scans). The pass rewrites a directory at a
+    * target file count with `repartitionByRange` on the natural sort key —
+    * so compaction ALSO restores clustering (tight min/max stats), not
+    * just file counts. The query proves the rewrite end-to-end: 64-file
+    * fragmented input (require'd), ≤4-file compacted output (require'd),
+    * and the read-back aggregate hash-matches the never-fragmented
+    * oracle. */
+  val qPipeCompact: Q = Q(
+    run = (s, dir) => {
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+                expr("CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)").as("price_c"))
+      li.repartition(64).write.mode("overwrite").parquet(s"$scratch/frag")
+      def partFiles(p: String): Int =
+        new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+      require(partFiles(s"$scratch/frag") >= 32, "fixture must be fragmented")
+      s.read.parquet(s"$scratch/frag")
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$scratch/compact")
+      require(partFiles(s"$scratch/compact") <= 4,
+        "compaction must hit the target file count")
+      s.read.parquet(s"$scratch/compact")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_sum"),
+             min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_sum,
+             MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_datastream_rolling" -> qDatastreamRolling,
     "q_datastream_sliding" -> qDatastreamSliding,
@@ -378,5 +416,6 @@ object Round5Queries {
     "q_cdc_snapshot_diff" -> qCdcSnapshotDiff,
     "q_sink_schema_evolution" -> qSinkSchemaEvolution,
     "q_pipe_funnel" -> qPipeFunnel,
+    "q_pipe_compact" -> qPipeCompact,
   )
 }

@@ -134,6 +134,34 @@ class OpsSpec extends SparkTestBase {
     assert(back.count() == 2)
   }
 
+  test("BandJoin: symmetric and negative bands match the naive nested-loop result") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(0L, 10L, 25L, 100L).toDF("lv")
+    val r = Seq(-6L, 0L, 4L, 9L, 30L, 94L).toDF("rv")
+    def naive(lo: Long, hi: Long): Set[(Long, Long)] =
+      (for { a <- Seq(0L, 10L, 25L, 100L); b <- Seq(-6L, 0L, 4L, 9L, 30L, 94L)
+             if b >= a + lo && b <= a + hi } yield (a, b)).toSet
+    for ((lo, hi) <- Seq((0L, 5L), (-7L, 7L), (-10L, -1L), (3L, 3L))) {
+      val got = graft.operators.BandJoin.bandJoin(l, r, "lv", "rv", lo, hi)
+        .select("lv", "rv").as[(Long, Long)].collect().toSet
+      assert(got == naive(lo, hi), s"band [$lo,$hi]")
+    }
+  }
+
+  test("TwoPassQuantile: extreme ranks (min, max) and tie plateaus are exact") {
+    val s = spark
+    import s.implicits._
+    // heavy ties: 1..5 each repeated, plus outliers — plateau at p50
+    val df = (Seq.fill(40)(7L) ++ (1L to 10L) ++ Seq(1000L, 2000L)).toDF("v")
+    val out = graft.operators.TwoPassQuantile.exact(s, df, "v", 2,
+      Seq(("min", 1L, 52L), ("p50", 1L, 2L), ("max", 52L, 52L)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val sorted = (Seq.fill(40)(7L) ++ (1L to 10L) ++ Seq(1000L, 2000L)).sorted
+    assert(out("min") == sorted.head && out("max") == sorted.last &&
+      out("p50") == sorted(26 - 1)) // rank ceil(52/2)=26, 1-based
+  }
+
   test("split/select routes records to every selected tag (1.12 OutputSelector)") {
     val s = spark
     import s.implicits._
