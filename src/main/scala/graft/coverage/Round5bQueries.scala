@@ -1,0 +1,154 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics additions — three ops a production corpus/product
+  * pipeline runs constantly that the corpus did not yet cover:
+  *
+  *  - COHORT RETENTION (first-seen cohort × activity-offset matrix) — the
+  *    batch analog of the reference's keyed first-event state + windowed
+  *    distinct counts (ref flink-streaming-java KeyedStream + the SQL
+  *    distinct agg family, flink-table-planner-blink
+  *    stream/StreamExecGroupAggregate.java); here two hash aggregates
+  *    sharing one user_id exchange.
+  *  - TIME-SERIES GAP FILL + FORWARD FILL — Flink users hand-roll this with
+  *    a KeyedProcessFunction + event-time timers that fire per missing
+  *    interval (ref KeyedProcessOperator.java + timer service); declaratively
+  *    it is a per-key day spine (sequence+explode — generated IN the plan,
+  *    no driver loop) left-joined and filled with last-non-null over an
+  *    ordered window.
+  *  - EDIT-DISTANCE-VERIFIED NEAR-DUP — the missing verify stage of the
+  *    dedup family: cheap bucket candidates (equi join, never all-pairs)
+  *    then an exact Levenshtein check on a bounded prefix. Levenshtein is
+  *    codegen'd in Spark (stringExpressions.Levenshtein), O(p²) per pair on
+  *    the 128-char prefix, with pair count bounded by the band geometry.
+  */
+object Round5bQueries {
+
+  /** Cohort retention over `events`: cohort = user's first active day,
+    * cell = distinct users from that cohort active at each day offset.
+    *
+    * Plan: hash agg (min day per user, map-side partial) → shuffle-join back
+    * on user_id → hash agg on (cohort, offset) with a distinct-agg expand.
+    * Both aggs and the join key off the SAME user_id exchange; at 100 TB the
+    * only wide move is the user_id shuffle, and the output is
+    * |cohorts|×|offsets| — tiny. No window-over-all-events, no driver state. */
+  val qPipeCohortRetention: Q = Q(
+    run = (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+                datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+                  .cast("long").as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        FROM events),
+      first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+             COUNT(DISTINCT ev.user_id) AS active_users
+      FROM ev JOIN first f USING (user_id)
+      GROUP BY f.cohort_day, day_offset
+      ORDER BY f.cohort_day, day_offset"""))
+
+  /** Daily gap fill + forward fill per event_type. The event stream is
+    * sparsified (event_id % 37) so real gaps exist; the day spine is built
+    * per key from its own min/max via sequence()+explode INSIDE the plan
+    * (the spine never touches the driver), left-joined to the daily agg and
+    * forward-filled with last(ignoreNulls) over an ordered per-key window.
+    *
+    * Scale: spine size = keys × days (rows are cheap, generated post-agg);
+    * the window partitions by event_type only — fine because the per-key
+    * day count is bounded by the calendar, not the data volume. */
+  val qPipeGapFill: Q = Q(
+    run = (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .filter(expr("event_id % 37 = 0"))
+        .groupBy(col("event_type"),
+                 datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+                   .cast("long").as("day"))
+        .agg(sum(expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).as("val_c"))
+      val spine = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+                last(col("val_c"), ignoreNulls = true).over(w).as("val_fill"),
+                col("val_c").isNull.cast("int").as("was_gap"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS val_c
+        FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2),
+      spine AS (
+        SELECT event_type, UNNEST(range(d0, d1 + 1)) AS day
+        FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1)),
+      joined AS (
+        SELECT s.event_type, s.day, d.val_c
+        FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day)
+      SELECT event_type, day,
+             LAST_VALUE(val_c IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_fill,
+             CAST(val_c IS NULL AS INT) AS was_gap
+      FROM joined ORDER BY event_type, day"""))
+
+  /** Near-dup candidate pairs via (lang, source, 16-char length band)
+    * bucketing, verified with EXACT Levenshtein on the 128-char prefix and
+    * a relative threshold (dist·10 ≤ max prefix length). The join is a pure
+    * equi self-join on the band key — the planner never sees a cartesian —
+    * and the O(p²) verify runs only on in-bucket pairs (the band geometry
+    * caps pair count; prefix cap p=128 bounds per-pair cost). At 100 TB the
+    * band key would include the MinHash band from q_pipe_minhash_lsh; the
+    * verify stage is unchanged. */
+  val qPipeDedupEdit: Q = Q(
+    run = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 128).as("prefix"),
+                col("lang"), col("source"),
+                floor(col("n_chars") / lit(16.0)).cast("long").as("band"))
+      val a = d.toDF("doc_a", "pa", "lang", "source", "band")
+      val b = d.toDF("doc_b", "pb", "lang", "source", "band")
+      a.join(b, Seq("lang", "source", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+                levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
+                greatest(length(col("pa")), length(col("pb"))).cast("long").as("plen"))
+        .select(col("doc_a"), col("doc_b"), col("dist"),
+                (col("dist") * lit(10L) <= col("plen")).cast("int").as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 128) AS prefix, lang, source,
+               CAST(FLOOR(n_chars / 16.0) AS BIGINT) AS band
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist,
+             CAST(CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) * 10
+                   <= CAST(GREATEST(length(a.prefix), length(b.prefix)) AS BIGINT)
+                  AS INT) AS is_dup
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+       AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_pipe_cohort" -> qPipeCohortRetention,
+    "q_pipe_gap_fill" -> qPipeGapFill,
+    "q_pipe_dedup_edit" -> qPipeDedupEdit,
+  )
+}
