@@ -146,9 +146,98 @@ object Round5bQueries {
        AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b"""))
 
+  /** Weight-proportional sampling WITHOUT replacement, exactly, with pure
+    * integer math: replicate each doc into w units (w = ⌈n_chars/64⌉, via
+    * sequence+explode INSIDE the plan), give each unit a deterministic
+    * 60-bit hash, keep each doc's max unit hash, take the global top-25.
+    * This is the classic "simulate each unit" reduction of weighted
+    * sampling: P(doc in sample) is exactly the without-replacement
+    * probability for integer weights, and — unlike the Efraimidis–Spirakis
+    * u^(1/w) key — needs no transcendental math, so the oracle is
+    * bit-exact. Plan: explode (×≤8) → hash agg max per doc (map-side
+    * partial) → TakeOrdered 25. No global sort; the only shuffle carries
+    * one row per doc. */
+  val qPipeWeightedSample: Q = Q(
+    run = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+                greatest(lit(1L), floor(col("n_chars") / lit(64.0)).cast("long")).as("w"))
+      d.select(col("doc_id"), col("w"), explode(sequence(lit(1L), col("w"))).as("r"))
+        .select(col("doc_id"), col("w"),
+                graft.Queries.hashStr(
+                  concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string")))
+                  .as("uk"))
+        .groupBy(col("doc_id")).agg(max(col("w")).as("w"), max(col("uk")).as("unit_key"))
+        .orderBy(col("unit_key").desc, col("doc_id"))
+        .limit(25)
+    },
+    oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, GREATEST(1, CAST(FLOOR(n_chars / 64.0) AS BIGINT)) AS w
+        FROM documents),
+      u AS (SELECT doc_id, w, UNNEST(range(1, w + 1)) AS r FROM d),
+      k AS (SELECT doc_id, MAX(w) AS w,
+                   MAX(${graft.Queries.oHash("CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}) AS unit_key
+            FROM u GROUP BY doc_id)
+      SELECT doc_id, w, unit_key FROM k
+      ORDER BY unit_key DESC, doc_id LIMIT 25"""))
+
+  /** Session windows with BOTH a merge gap (30 min) and a MAX-DURATION cap
+    * (10 min sub-splits) — the two-knob sessionization Flink users build
+    * with a custom merging WindowAssigner + trigger (ref
+    * EventTimeSessionWindows/ProcessingTimeSessionWindows merge logic +
+    * DynamicEventTimeSessionWindows): gap-merge first, then split any
+    * session longer than the cap at fixed offsets from ITS OWN start.
+    * Declarative form: gap flags → running session counter → per-session
+    * start → integer-division sub-window, all µs integer math so the oracle
+    * is exact. Plan: one user_id exchange feeds the lag/sum windows, one
+    * (user, sess) exchange the start; the final agg is a hash agg. */
+  val qWindowSessionCapped: Q = Q(
+    run = (s, dir) => {
+      val w1 = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      val wc = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+                expr("CAST(FLOOR(value * 100.0) AS BIGINT)").as("val_c"))
+      ev.withColumn("new_sess",
+          when(lag(col("tsu"), 1).over(w1).isNull ||
+               col("tsu") - lag(col("tsu"), 1).over(w1) >= lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(wc))
+        .withColumn("sess_start",
+          min(col("tsu")).over(Window.partitionBy(col("user_id"), col("sess"))))
+        .withColumn("sub", expr("(tsu - sess_start) div 600000000"))
+        .groupBy(col("user_id"), col("sess"), col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("val_c")).as("val_sum"),
+             (max(col("tsu")) - min(col("tsu"))).as("span_us"))
+        .orderBy(col("user_id"), col("sess"), col("sub"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS val_c
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                         OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      s AS (
+        SELECT *, CAST(SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        FROM f),
+      t AS (SELECT *, MIN(tsu) OVER (PARTITION BY user_id, sess) AS sess_start FROM s)
+      SELECT user_id, sess, (tsu - sess_start) // 600000000 AS sub,
+             COUNT(*) AS n, CAST(SUM(val_c) AS BIGINT) AS val_sum,
+             MAX(tsu) - MIN(tsu) AS span_us
+      FROM t GROUP BY user_id, sess, (tsu - sess_start) // 600000000
+      ORDER BY user_id, sess, sub"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_pipe_cohort" -> qPipeCohortRetention,
     "q_pipe_gap_fill" -> qPipeGapFill,
     "q_pipe_dedup_edit" -> qPipeDedupEdit,
+    "q_pipe_weighted_sample" -> qPipeWeightedSample,
+    "q_window_session_capped" -> qWindowSessionCapped,
   )
 }
