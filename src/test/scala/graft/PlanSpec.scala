@@ -389,4 +389,41 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_datastream_sliding")
     assert(!"Join".r.findFirstIn(p).isDefined, "sliding assigner is a flatMap, not a join")
   }
+
+  test("q_pipe_dedup_edit: candidate pairs via band equi join, never all-pairs") {
+    val p = plan("q_pipe_dedup_edit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance verify must run on bucketed candidates only:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected an equi join on (lang, source, band)")
+  }
+
+  test("q_pipe_weighted_sample: unit explode + hash agg + TakeOrdered — no global sort, no join") {
+    val p = plan("q_pipe_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 must plan per-partition top-K, not a full orderBy")
+    assert(p.contains("Generate"), "unit replication must be an in-plan explode")
+    assert(!"Join".r.findFirstIn(p).isDefined, "weighted sampling needs no join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc max unit key must have a map-side partial")
+  }
+
+  test("q_pipe_gap_fill: day spine generated in-plan, joined on equi keys") {
+    val p = plan("q_pipe_gap_fill")
+    assert(p.contains("Generate"), "spine must come from sequence+explode inside the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spine join must be an equi join on (event_type, day)")
+  }
+
+  test("q_pipe_cohort: two hash aggs + user_id equi join — no cartesian, no window") {
+    val p = plan("q_pipe_cohort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "cohort min + cell agg both two-phase")
+  }
+
+  test("q_window_session_capped: pure window chain + hash agg — no join anywhere") {
+    val p = plan("q_window_session_capped")
+    assert(!"Join".r.findFirstIn(p).isDefined,
+      "gap+cap sessionization is windows over one keyed exchange, not a self-join")
+  }
 }
