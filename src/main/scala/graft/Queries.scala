@@ -100,5 +100,6 @@ object Queries {
     coverage.Tpcds4Queries.all ++ coverage.Pipeline5Queries.all ++ coverage.Tpcds5Queries.all ++
     coverage.TableApiQueries.all ++ coverage.CdcQueries.all ++ coverage.InventoryQueries.all ++
     coverage.Sql2Queries.all ++ coverage.Pipeline6Queries.all ++ coverage.Pipeline7Queries.all ++
-    coverage.Pipeline8Queries.all ++ coverage.Round5Queries.all ++ coverage.Round5bQueries.all
+    coverage.Pipeline8Queries.all ++ coverage.Round5Queries.all ++
+    coverage.Round5bQueries.all ++ coverage.Round6Queries.all
 }

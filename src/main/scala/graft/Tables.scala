@@ -16,14 +16,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default
-    // (DuckDB reads it natively): read nanos as long, convert to µs
-    // timestamps (fixture data carries no sub-µs precision).
+    // events.ts physical type has varied across fixture generations:
+    // TIMESTAMP(NANOS) (Spark refuses by default → read nanos-as-long and
+    // convert) vs TIMESTAMP(MICROS) without TZ (Spark reads TIMESTAMP_NTZ).
+    // Branch on the schema actually read rather than assuming one, and
+    // normalize to the session-TZ TimestampType the query corpus expects
+    // (the session TZ is pinned to UTC in Verify/Bench/specs, so NTZ→TZ
+    // is a value-preserving relabel).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   /** Register every fixture table as a temp view named after the table.

@@ -80,17 +80,17 @@ object Pipeline8Queries {
       qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
       scored AS (
         SELECT qt.qid, tf.doc_id,
-               SUM(CAST(FLOOR(
+               CAST(SUM(CAST(FLOOR(
                  CAST(CAST(FLOOR(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
                       * 1000000.0) AS BIGINT) AS DOUBLE)
                  * (tf.tf * 2.2)
                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))))
-               ) AS BIGINT)) AS score
+               ) AS BIGINT)) AS BIGINT) AS score
         FROM tf JOIN qt ON qt.term = tf.term
                 JOIN dfq ON dfq.term = tf.term
                 JOIN dl ON dl.doc_id = tf.doc_id, st
         GROUP BY qt.qid, tf.doc_id)
-      SELECT qid, rank, doc_id, score FROM (
+      SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score FROM (
         SELECT qid, doc_id, score,
                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         FROM scored)
@@ -223,22 +223,23 @@ object Pipeline8Queries {
           FROM t) WHERE LEAST(32, n - pe.start + 1) >= 8),
       tok AS (SELECT doc_id, start, md5(unnest(cw)) AS hh FROM ch),
       cemb AS (SELECT doc_id, start, d,
-                      SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
-                          % 2001 - 1000) AS cv FROM (
+                      CAST(SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
+                          % 2001 - 1000) AS BIGINT) AS cv FROM (
           SELECT doc_id, start, hh, unnest(generate_series(0, 7)) AS d FROM tok)
         GROUP BY doc_id, start, d),
       q(qid, qtext) AS (VALUES (0, 'spark window join stream'),
                                (1, 'customer order merge sort'),
                                (2, 'hash table scan filter')),
       qtok AS (SELECT qid, md5(unnest(string_split(qtext, ' '))) AS hh FROM q),
-      qemb AS (SELECT qid, d, SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
-                                  % 2001 - 1000) AS qv FROM (
+      qemb AS (SELECT qid, d, CAST(SUM(('0x' || substr(hh, CAST(d * 4 + 1 AS INT), 4))::BIGINT
+                                  % 2001 - 1000) AS BIGINT) AS qv FROM (
           SELECT qid, hh, unnest(generate_series(0, 7)) AS d FROM qtok)
         GROUP BY qid, d),
-      scored AS (SELECT qemb.qid, cemb.doc_id, cemb.start, SUM(cemb.cv * qemb.qv) AS score
+      scored AS (SELECT qemb.qid, cemb.doc_id, cemb.start,
+                        CAST(SUM(cemb.cv * qemb.qv) AS BIGINT) AS score
                  FROM cemb JOIN qemb ON qemb.d = cemb.d
                  GROUP BY qemb.qid, cemb.doc_id, cemb.start)
-      SELECT qid, rank, doc_id, start, score FROM (
+      SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, start, score FROM (
         SELECT qid, doc_id, start, score,
                row_number() OVER (PARTITION BY qid
                  ORDER BY score DESC, doc_id, start) AS rank

@@ -45,7 +45,7 @@ object Round5Queries {
       WITH t AS (SELECT o_orderpriority AS p, o_orderkey AS k,
                         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS c
                  FROM orders WHERE o_orderkey % 11 = 0)
-      SELECT p AS prio, 'sum' AS leg, SUM(c) OVER (PARTITION BY p ORDER BY k) AS val FROM t
+      SELECT p AS prio, 'sum' AS leg, CAST(SUM(c) OVER (PARTITION BY p ORDER BY k) AS BIGINT) AS val FROM t
       UNION ALL
       SELECT p, 'min', MIN(c) OVER (PARTITION BY p ORDER BY k) FROM t
       UNION ALL
@@ -205,15 +205,15 @@ object Round5Queries {
                      CASE WHEN z = 0 THEN 41 ELSE 41 - length(bin(z)) END AS rho FROM hz),
       regs AS (SELECT source, b, MAX(rho) AS m FROM rho GROUP BY source, b),
       src_est AS (SELECT source AS scope,
-                         (2904064 * (1::BIGINT << 41)) //
+                         CAST((2904064 * (1::BIGINT << 41)) //
                          (1000 * (SUM(1::BIGINT << CAST(41 - m AS INT))
-                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS est
+                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS BIGINT) AS est
                   FROM regs GROUP BY source),
       merged AS (SELECT b, MAX(m) AS m FROM regs GROUP BY b),
       all_est AS (SELECT 'ALL' AS scope,
-                         (2904064 * (1::BIGINT << 41)) //
+                         CAST((2904064 * (1::BIGINT << 41)) //
                          (1000 * (SUM(1::BIGINT << CAST(41 - m AS INT))
-                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS est
+                                  + (64 - COUNT(*)) * (1::BIGINT << 41))) AS BIGINT) AS est
                   FROM merged),
       src_exact AS (SELECT source AS scope, COUNT(DISTINCT w) AS exact FROM tok GROUP BY source),
       all_exact AS (SELECT 'ALL' AS scope, COUNT(DISTINCT w) AS exact FROM tok),

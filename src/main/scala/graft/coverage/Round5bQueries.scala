@@ -106,24 +106,24 @@ object Round5bQueries {
              CAST(val_c IS NULL AS INT) AS was_gap
       FROM joined ORDER BY event_type, day"""))
 
-  /** Near-dup candidate pairs via (lang, source, 16-char length band)
-    * bucketing, verified with EXACT Levenshtein on the 128-char prefix and
-    * a relative threshold (dist·10 ≤ max prefix length). The join is a pure
-    * equi self-join on the band key — the planner never sees a cartesian —
-    * and the O(p²) verify runs only on in-bucket pairs (the band geometry
-    * caps pair count; prefix cap p=128 bounds per-pair cost). At 100 TB the
-    * band key would include the MinHash band from q_pipe_minhash_lsh; the
-    * verify stage is unchanged. */
+  /** Near-dup candidate pairs from the MinHash-LSH band join
+    * ([[PipelineQueries.minhashPairs]] — docs pair ONLY when a 4-row band
+    * signature collides), verified with EXACT Levenshtein on the 128-char
+    * prefix and a relative threshold (dist·10 ≤ max prefix length). The
+    * candidate stage is the sub-quadratic banded bucket join (no length
+    * boundary to straddle, no skewed (lang, source) population to go
+    * quadratic — band keys are hash-uniform); the O(p²) verify runs only
+    * on colliding pairs, p=128 bounds per-pair cost. This is exactly the
+    * candidate→verify split a 100 TB near-dup pass uses. */
   val qPipeDedupEdit: Q = Q(
     run = (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 128).as("prefix"),
-                col("lang"), col("source"),
-                floor(col("n_chars") / lit(16.0)).cast("long").as("band"))
-      val a = d.toDF("doc_a", "pa", "lang", "source", "band")
-      val b = d.toDF("doc_b", "pb", "lang", "source", "band")
-      a.join(b, Seq("lang", "source", "band"))
-        .filter(col("doc_a") < col("doc_b"))
+      val pre = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 128).as("prefix"))
+      val a = pre.toDF("doc_a", "pa")
+      val b = pre.toDF("doc_b", "pb")
+      PipelineQueries.minhashPairs(s, dir)
+        .toDF("doc_a", "doc_b")
+        .join(a, "doc_a").join(b, "doc_b")
         .select(col("doc_a"), col("doc_b"),
                 levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
                 greatest(length(col("pa")), length(col("pb"))).cast("long").as("plen"))
@@ -131,19 +131,15 @@ object Round5bQueries {
                 (col("dist") * lit(10L) <= col("plen")).cast("int").as("is_dup"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    oracle = Some("""
-      WITH d AS (
-        SELECT doc_id, substr(text, 1, 128) AS prefix, lang, source,
-               CAST(FLOOR(n_chars / 16.0) AS BIGINT) AS band
-        FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    oracle = Some(s"""
+      WITH ${PipelineQueries.oMinhashCtes},
+      pre AS (SELECT doc_id, substr(text, 1, 128) AS prefix FROM documents)
+      SELECT p.d1 AS doc_a, p.d2 AS doc_b,
              CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist,
              CAST(CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) * 10
                    <= CAST(GREATEST(length(a.prefix), length(b.prefix)) AS BIGINT)
                   AS INT) AS is_dup
-      FROM d a JOIN d b
-        ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
-       AND a.doc_id < b.doc_id
+      FROM pairs p JOIN pre a ON a.doc_id = p.d1 JOIN pre b ON b.doc_id = p.d2
       ORDER BY doc_a, doc_b"""))
 
   /** Weight-proportional sampling WITHOUT replacement, exactly, with pure

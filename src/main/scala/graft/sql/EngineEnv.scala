@@ -72,6 +72,8 @@ final class EngineEnv(val spark: SparkSession) {
   // SqlAlterTableAddConstraint.java, SqlAlterTableDropConstraint.java
   private val alterViewRenameRe =
     """(?is)ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val alterViewSetRe =
+    """(?is)ALTER\s+VIEW\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
   private val alterViewAsRe = """(?is)ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val alterDbRe = """(?is)ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)\s*""".r
   // column DDL — ref ddl/SqlAddReplaceColumns.java, SqlChangeColumn.java
@@ -425,6 +427,12 @@ final class EngineEnv(val spark: SparkSession) {
     dbProps.getOrElse(s"$cat.$db", Map.empty)
   }
 
+  private val viewProps = scala.collection.mutable.Map[String, Map[String, String]]()
+  /** Properties set via ALTER VIEW ... SET (ref SqlAlterViewProperties);
+    * views carry no connector spec, so these are pure catalog metadata. */
+  def viewProperties(name: String): Map[String, String] =
+    viewProps.getOrElse(keyOf(name), Map.empty)
+
   private val observations =
     scala.collection.mutable.Map[String, org.apache.spark.sql.Observation]()
   private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -639,6 +647,12 @@ final class EngineEnv(val spark: SparkSession) {
       spark.catalog.dropTempView(viewOf(from))
       df.createOrReplaceTempView(viewOf(to))
       views -= keyOf(from); views += keyOf(to)
+      spark.emptyDataFrame
+    case alterViewSetRe(name, props) => // SqlAlterViewProperties
+      if (!views.contains(keyOf(name)))
+        throw new IllegalArgumentException(s"unknown view '$name'")
+      viewProps(keyOf(name)) =
+        viewProps.getOrElse(keyOf(name), Map.empty) ++ parseOptions(props)
       spark.emptyDataFrame
     case alterViewAsRe(name, query) => // SqlAlterViewAs
       sqlQuery(query).createOrReplaceTempView(viewOf(name))

@@ -72,10 +72,18 @@ object StreamOps {
   def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$table.parquet"
-    val stream = s.readStream.schema(s.read.parquet(path).schema).parquet(fileAsDir(path))
-    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos, convert (see Tables.load)
-    if (table == "events") stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else stream
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(fileAsDir(path))
+    // events.ts physical type varies by fixture generation — normalize to
+    // session-TZ TimestampType by the schema actually read (see Tables.load)
+    if (table == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      schema("ts").dataType match {
+        case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => stream
+      }
+    } else stream
   }
 
   /** Run a streaming DataFrame to completion into a memory sink; return the

@@ -143,6 +143,24 @@ class CdcSpec extends SparkTestBase {
     assert(ex.getMessage != null || ex.getCause != null) // job failed, not silent
   }
 
+  test("canal permissive mode counts dropped malformed messages; strict mode throws") {
+    val s = spark
+    import s.implicits._
+    val wire = Seq(
+      """{"data":[{"k":1,"v":10}],"type":"INSERT"}""",
+      """not json at all""",
+      """{"data":[{"k":2,"v":20}],"type":"BOGUS-OP"}""", // unknown op
+      """{"data":[{"k":3,"v":30}],"type":"DELETE"}""").toDF("json")
+    val obs = org.apache.spark.sql.Observation("cdc_canal_malformed_spec")
+    val parsed = CdcFormats.canal(wire, "json", payload, malformedObs = Some(obs))
+    assert(parsed.count() == 2) // INSERT + DELETE survive
+    assert(obs.get("malformed") == 2L && obs.get("messages") == 4L)
+    val ex = intercept[Exception] {
+      CdcFormats.canal(wire, "json", payload, strict = true).count()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
+
   test("EngineEnv surfaces the malformed counter and the strict option on CDC tables") {
     val s = spark
     import s.implicits._

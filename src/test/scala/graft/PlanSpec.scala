@@ -390,12 +390,12 @@ class PlanSpec extends SparkTestBase {
     assert(!"Join".r.findFirstIn(p).isDefined, "sliding assigner is a flatMap, not a join")
   }
 
-  test("q_pipe_dedup_edit: candidate pairs via band equi join, never all-pairs") {
+  test("q_pipe_dedup_edit: candidate pairs via LSH band equi join, never all-pairs") {
     val p = plan("q_pipe_dedup_edit")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"edit-distance verify must run on bucketed candidates only:\n$p")
+      s"edit-distance verify must run on LSH-bucketed candidates only:\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      "expected an equi join on (lang, source, band)")
+      "expected an equi join on the MinHash (band, bkey) signature")
   }
 
   test("q_pipe_weighted_sample: unit explode + hash agg + TakeOrdered — no global sort, no join") {

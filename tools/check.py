@@ -62,7 +62,21 @@ def main():
             print(f"{'PASS' if ok else 'FAIL'} {name}: rows-only ({len(spark_df)} rows)")
             npass += ok; nfail += (not ok); continue
         try:
-            oracle_df = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # Type audit: the driver's hash is TYPE-sensitive. DuckDB SUM(BIGINT)
+            # → HUGEINT and bare VALUES ints → INTEGER both hash-mismatch a
+            # Spark BIGINT even when every value is identical (repo convention:
+            # always CAST, Queries.scala:16). Catch the leak here, mechanically.
+            tyerr = []
+            for cname, ty in zip(rel.columns, [str(t) for t in rel.types]):
+                if ty in ("HUGEINT", "UHUGEINT"):
+                    tyerr.append(f"col {cname}: oracle {ty} (uncast SUM?) — CAST to BIGINT")
+                elif ty in ("INTEGER", "SMALLINT", "TINYINT") and cname in spark_df.columns \
+                        and str(spark_df[cname].dtype) == "int64":
+                    tyerr.append(f"col {cname}: oracle {ty} vs spark BIGINT — CAST to BIGINT")
+            if tyerr:
+                print(f"FAIL {name}: TYPE {'; '.join(tyerr)}"); nfail += 1; continue
+            oracle_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); nfail += 1; continue
         err = compare(name, spark_df, oracle_df)
