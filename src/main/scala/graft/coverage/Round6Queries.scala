@@ -66,6 +66,98 @@ object Round6Queries {
       SELECT 'view' AS leg, n, total_c FROM agg WHERE o_orderstatus = 'P'
       ORDER BY leg"""))
 
+  /** Bucketed co-located join, oracle-gated (ref Flink's pre-partitioned /
+    * reinterpretAsKeyedStream co-located input contract; Spark twin:
+    * `bucketBy` tables whose SortMergeJoin needs NO Exchange on either
+    * side). Both fact and dim are written bucketed 8× on the join key;
+    * the query REQUIRES in-plan that no hash-partition exchange survives
+    * (broadcast disabled for the probe), then aggregates the join — the
+    * aggregate must equal the plain-join oracle, proving the co-located
+    * layout changed the plan, not the answer. At 100 TB this is the
+    * shuffle-free repeated-join layout: pay the partitioned write once,
+    * join for free every run after. */
+  val qJoinBucketed: Q = Q(
+    run = (s, dir) => {
+      val suf = san(dir)
+      val names = Seq(s"orders_bkt_$suf", s"customer_bkt_$suf")
+      names.foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      Tables.load(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(names.head)
+      Tables.load(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(names.last)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(names.head)
+          .join(s.table(names.last), col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must be exchange-free:\n$plan")
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
+          .orderBy(col("c_mktsegment"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+    oracle = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Exchange/partitioning family, oracle-gated (ref DataStream.rebalance:
+    * 520 / rescale:557 / global:575 / partitionCustom:388) — the facade's
+    * redistribution ops must move rows without creating, dropping, or
+    * duplicating them, and partitionCustom must land EVERY row in the
+    * partition the user function picked. Leg 'chain' pipes a subset
+    * through rebalance→rescale→global and counts; leg 'custom' partitions
+    * by o_orderkey % 5, reads back `spark_partition_id()`, REQUIRES zero
+    * rows in a wrong partition, and emits per-partition counts (equal to
+    * the oracle's GROUP BY o_orderkey % 5 — only true if routing is
+    * exact). */
+  val qDatastreamExchange: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val env = new graft.datastream.DataStreamEnv(s)
+      val base = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderkey % 3 = 0"))
+        .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
+        .as[(Long, String)]
+      val chainN = env.fromDataset(base)
+        .rebalance(7).rescale(3).global().ds.toDF("k", "p")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("chain").as("leg"), lit(-1).as("pid"), col("n"))
+      val routed = env.fromDataset(base)
+        .partitionCustom(5)(t => (t._1 % 5).toInt).ds.toDF("k", "p")
+        .withColumn("pid", spark_partition_id())
+      val custom = routed
+        .withColumn("ok", (col("pid") === pmod(col("k"), lit(5)).cast("int")).cast("long"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("n"), min(col("ok")).as("all_ok"))
+      val rows = custom.collect()
+      require(rows.forall(_.getAs[Long]("all_ok") == 1L),
+        "partitionCustom routed a row to the wrong partition")
+      custom.select(lit("custom").as("leg"), col("pid"), col("n"))
+        .unionAll(chainN)
+        .orderBy(col("leg"), col("pid"))
+    },
+    oracle = Some("""
+      WITH sub AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT 'chain' AS leg, -1 AS pid, COUNT(*) AS n FROM sub
+      UNION ALL
+      SELECT 'custom' AS leg, CAST(k % 5 AS INT) AS pid, COUNT(*) AS n
+      FROM sub GROUP BY 2
+      ORDER BY leg, pid"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
-    "q_sql_alter_set" -> qSqlAlterSet)
+    "q_sql_alter_set" -> qSqlAlterSet,
+    "q_join_bucketed" -> qJoinBucketed,
+    "q_datastream_exchange" -> qDatastreamExchange)
 }
