@@ -136,20 +136,27 @@ object PipelineQueries {
   /** The (doc_id, band, bkey) LSH band table behind [[minhashPairs]] —
     * also the keyed input of the STREAMING near-dup gate
     * ([[graft.streaming.StreamOps.streamingLshDedup]]). */
-  private[coverage] def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 16-seed MinHash signature (doc_id, mh0..mh15) — the wide
+    * frame behind [[minhashBands]]; also the estimator input of the
+    * calibration query (Round6Queries). */
+  private[coverage] def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(docs(s, dir))
     val p = 2147483647L
     // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
     // rows (partial agg applies): 16× less shuffle volume than exploding a
     // seed dimension, same math as the oracle
     val seeds = 0 until 16
-    val sig = sh
+    sh
       .withColumn("h0", hashStr(col("sh")) % p)
       .groupBy(col("doc_id"))
       .agg(seeds.map(sd =>
         min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
         seeds.tail.map(sd =>
           min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
+  }
+
+  private[coverage] def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

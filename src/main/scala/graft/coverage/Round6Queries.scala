@@ -156,8 +156,109 @@ object Round6Queries {
       FROM sub GROUP BY 2
       ORDER BY leg, pid"""))
 
+  /** Incremental-corpus near-dup dedup: a NEW delta batch (doc_id % 5 = 0,
+    * the "today's crawl" stand-in) is deduped against the EXISTING corpus
+    * (the other 80%) by joining the delta's MinHash band keys against the
+    * corpus band index — never against corpus text. This is the 100 TB
+    * ingestion pattern: the corpus-side band index is a persisted,
+    * append-only table keyed by (band, bkey); each new batch shuffles only
+    * its own 4 band rows/doc against it, so daily dedup cost scales with
+    * the DELTA, not the corpus. Output: every delta doc with status
+    * 'new'/'dup' and the smallest colliding corpus doc (or -1). */
+  val qPipeIncrementalDedup: Q = Q(
+    run = (s, dir) => {
+      val bands = PipelineQueries.minhashBands(s, dir)
+      val delta = bands.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val corpus = bands.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val hits = delta.as("d")
+        .join(corpus.as("c"),
+          col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+        .groupBy(col("d.doc_id").as("doc_id"))
+        .agg(min(col("c.doc_id")).as("match_id"))
+      Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .select(col("doc_id")).distinct()
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                when(col("match_id").isNull, "new").otherwise("dup").as("status"),
+                coalesce(col("match_id"), lit(-1L)).as("match_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH ${PipelineQueries.oMinhashCtes},
+      d AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 5 = 0),
+      c AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 5 <> 0),
+      hits AS (SELECT d.doc_id, MIN(c.doc_id) AS match_id
+               FROM d JOIN c ON d.band = c.band AND d.bkey = c.bkey
+               GROUP BY d.doc_id),
+      alld AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0)
+      SELECT a.doc_id,
+             CASE WHEN h.match_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+             COALESCE(h.match_id, -1) AS match_id
+      FROM alld a LEFT JOIN hits h ON h.doc_id = a.doc_id
+      ORDER BY a.doc_id"""))
+
+  /** MinHash estimator calibration: for every LSH-colliding pair, the
+    * ESTIMATED similarity (matching seeds / 16) next to the EXACT shingle
+    * Jaccard in integer ppm — the query a pipeline owner runs to pick the
+    * band geometry / dedup threshold before burning a 100 TB pass. The
+    * exact side joins shingles ONLY for colliding pairs (candidate-bounded,
+    * never all-pairs); ppm = inter·10⁶ div union keeps both engines
+    * bit-identical (no float division). */
+  val qPipeMinhashCalibration: Q = Q(
+    run = (s, dir) => {
+      val pairs = PipelineQueries.minhashPairs(s, dir) // (d1, d2)
+      val sig = PipelineQueries.minhashSig(s, dir)
+      val m16 = (0 until 16)
+        .map(i => (col(s"a.mh$i") === col(s"b.mh$i")).cast("long"))
+        .reduce(_ + _)
+      val est = pairs
+        .join(sig.as("a"), col("d1") === col("a.doc_id"))
+        .join(sig.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"), m16.as("m16"))
+      val sh = PipelineQueries.shingledOf(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), graft.Queries.hashStr(col("sh")).as("shid"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.shid") === col("sb.shid"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("d1", "d2"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .select(col("d1"), col("d2"), col("m16"),
+                expr("inter * 1000000 div (s1 + s2 - inter)").as("jac_ppm"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH ${PipelineQueries.oMinhashCtes},
+      m AS (SELECT p.d1, p.d2,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS m16
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.d1
+            JOIN sig b ON b.doc_id = p.d2 AND b.seed = a.seed
+            GROUP BY p.d1, p.d2),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+      iv AS (SELECT p.d1, p.d2, COUNT(*) AS inter
+             FROM pairs p
+             JOIN sh a ON a.doc_id = p.d1
+             JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
+             GROUP BY p.d1, p.d2)
+      SELECT m.d1, m.d2, m.m16,
+             CAST(COALESCE(iv.inter, 0) * 1000000
+                  // (s1.s + s2.s - COALESCE(iv.inter, 0)) AS BIGINT) AS jac_ppm
+      FROM m
+      LEFT JOIN iv ON iv.d1 = m.d1 AND iv.d2 = m.d2
+      JOIN sz s1 ON s1.doc_id = m.d1
+      JOIN sz s2 ON s2.doc_id = m.d2
+      ORDER BY m.d1, m.d2"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_alter_set" -> qSqlAlterSet,
     "q_join_bucketed" -> qJoinBucketed,
-    "q_datastream_exchange" -> qDatastreamExchange)
+    "q_datastream_exchange" -> qDatastreamExchange,
+    "q_pipe_incremental_dedup" -> qPipeIncrementalDedup,
+    "q_pipe_minhash_calibration" -> qPipeMinhashCalibration)
 }

@@ -398,6 +398,19 @@ class PlanSpec extends SparkTestBase {
       "expected an equi join on the MinHash (band, bkey) signature")
   }
 
+  test("q_pipe_incremental_dedup: delta dedups against the corpus band INDEX, never all-pairs") {
+    val p = plan("q_pipe_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta×corpus must be a (band, bkey) equi join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q_pipe_minhash_calibration: exact-Jaccard side is candidate-bounded equi joins only") {
+    val p = plan("q_pipe_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration must never scan all doc pairs:\n$p")
+  }
+
   test("q_pipe_weighted_sample: unit explode + hash agg + TakeOrdered — no global sort, no join") {
     val p = plan("q_pipe_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
