@@ -2,6 +2,8 @@ package graft.coverage
 
 import graft.{Q, Tables}
 import graft.sql.EngineEnv
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 DDL coverage: table/view property mutation read-back.
@@ -255,10 +257,144 @@ object Round6Queries {
       JOIN sz s2 ON s2.doc_id = m.d2
       ORDER BY m.d1, m.d2"""))
 
+  /** Near-dup cluster canonicalization with a QUALITY keep-policy: inside
+    * each connected component of MinHash-colliding docs, keep the LONGEST
+    * member (n_chars DESC, doc_id ASC tie-break) rather than the smallest
+    * id — the keep-best policy real corpus dedup uses (the best copy of a
+    * boilerplate-wrapped page is the fullest one). Components come from
+    * the O(log n) large-star/small-star contraction; the keeper election
+    * is ONE window over the cluster key. Singletons keep themselves. */
+  val qPipeDedupKeepBest: Q = Q(
+    run = (s, dir) => {
+      val pairs = PipelineQueries.minhashPairs(s, dir)
+      val comp = graft.operators.GraphOps.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val withCluster = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      withCluster
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("keeper_id", first(col("doc_id")).over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("n_chars").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("cluster"), col("keeper_id"),
+                (col("rn") === 1).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE
+      ${PipelineQueries.oMinhashCtes},
+      bi AS (SELECT d1 AS v, d2 AS u FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(v, u) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM bi)
+        UNION
+        SELECT r.v, bi.u FROM reach r JOIN bi ON r.u = bi.v),
+      comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+      wc AS (SELECT d.doc_id, d.n_chars, COALESCE(comp.c, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN comp ON comp.v = d.doc_id),
+      rk AS (SELECT doc_id, cluster,
+                    row_number() OVER (PARTITION BY cluster
+                                       ORDER BY n_chars DESC, doc_id) AS rn,
+                    first_value(doc_id) OVER (PARTITION BY cluster
+                                              ORDER BY n_chars DESC, doc_id) AS keeper_id
+             FROM wc)
+      SELECT doc_id, cluster, keeper_id, (rn = 1) AS kept
+      FROM rk ORDER BY doc_id"""))
+
+  /** IVF ANN with TRAINED centroids: the coarse quantizer is the k-means
+    * from q_pipe_kmeans (k=4, 2 integer Lloyd rounds) instead of raw seed
+    * vectors — closing the "real IVF trains k-means" caveat documented on
+    * q_pipe_ann_ivf. Everything stays in micro-unit integer space (squared
+    * L2 on quantized coords), so training, assignment, probe selection and
+    * candidate ranking are bit-stable on any cluster. Plan: centroids
+    * (4×64 longs) broadcast at every step; assignment and probes are
+    * map-side argmins; the candidate scan touches only the 2 probed lists
+    * per query (nprobe/nlist of the corpus at scale). */
+  val qPipeAnnIvfTrained: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qe"))
+      def dist2: Column = expr(
+        "aggregate(zip_with(qe, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dd"), col("cid"))
+      // train: one Lloyd update from the first-4 seeds (same math, same
+      // oracle CTEs as q_pipe_kmeans)
+      val c0 = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("cid"), col("qe").as("ce")))
+      val a1 = e.crossJoin(c0).withColumn("dd", dist2)
+        .withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qe"))
+      val c1 = broadcast(a1
+        .select(col("cid"), posexplode(col("qe")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", floor(col("sv").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), p -> p.cv)").as("ce")))
+      // assign the corpus to trained lists; probe the 2 nearest lists per query
+      val assign = e.crossJoin(c1).withColumn("dd", dist2)
+        .withColumn("rn", row_number().over(byDist)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qe"))
+      val probes = e.filter(col("vec_id").between(100, 109))
+        .crossJoin(c1).withColumn("dd", dist2)
+        .withColumn("rn", row_number().over(byDist)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid"), col("qe").as("qqe"))
+      val cd2 = expr(
+        "aggregate(zip_with(qqe, qe, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid"))
+        .withColumn("d2", cd2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("d2"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+             FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qe AS ce FROM e WHERE vec_id < 4),
+      a1 AS (SELECT vec_id, cid, qe FROM (
+        SELECT e.vec_id, c0.cid, e.qe,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   d -> (e.qe[d] - c0.ce[d]) * (e.qe[d] - c0.ce[d]))) ASC, c0.cid) AS rn
+        FROM e, c0) WHERE rn = 1),
+      cs AS (SELECT cid, d, CAST(SUM(qe[d]) AS BIGINT) AS sv, COUNT(*) AS n
+             FROM a1, generate_series(1, 64) g(d) GROUP BY cid, d),
+      c1 AS (SELECT cid, list(CAST(FLOOR(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS ce
+             FROM cs GROUP BY cid),
+      asg AS (SELECT vec_id, cid, qe FROM (
+        SELECT e.vec_id, c1.cid, e.qe,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   d -> (e.qe[d] - c1.ce[d]) * (e.qe[d] - c1.ce[d]))) ASC, c1.cid) AS rn
+        FROM e, c1) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid, qe AS qqe FROM (
+        SELECT e.vec_id, c1.cid, e.qe,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   d -> (e.qe[d] - c1.ce[d]) * (e.qe[d] - c1.ce[d]))) ASC, c1.cid) AS rn
+        FROM e, c1 WHERE e.vec_id BETWEEN 100 AND 109) WHERE rn <= 2),
+      cand AS (SELECT p.qid, p.qqe, a.vec_id AS cv, a.qe
+               FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+      dd AS (SELECT qid, cv,
+                    CAST(list_sum(list_transform(generate_series(1, 64),
+                      d -> (qqe[d] - qe[d]) * (qqe[d] - qe[d]))) AS BIGINT) AS d2
+             FROM cand)
+      SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY d2, cv) AS rn,
+             cv AS cid, d2
+      FROM dd QUALIFY rn <= 3 ORDER BY qid, rn"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_alter_set" -> qSqlAlterSet,
     "q_join_bucketed" -> qJoinBucketed,
     "q_datastream_exchange" -> qDatastreamExchange,
     "q_pipe_incremental_dedup" -> qPipeIncrementalDedup,
-    "q_pipe_minhash_calibration" -> qPipeMinhashCalibration)
+    "q_pipe_minhash_calibration" -> qPipeMinhashCalibration,
+    "q_pipe_dedup_keep_best" -> qPipeDedupKeepBest,
+    "q_pipe_ann_ivf_trained" -> qPipeAnnIvfTrained)
 }
