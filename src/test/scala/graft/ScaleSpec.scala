@@ -153,6 +153,21 @@ class ScaleSpec extends SparkTestBase {
     assert(run("2") == run("32"))
   }
 
+  test("incremental dedup + keep-best canonicalization are partitioning-invariant") {
+    // the round-6 dedup pair composes MinHash bands, an iterative CC, and
+    // a window election — each individually order-sensitive if written
+    // wrong; identical output at 2 and 32 shuffle partitions pins the
+    // whole chain to deterministic integer/tie-broken math
+    val run = (name: String, parts: String) => {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("q_pipe_incremental_dedup", "2") == run("q_pipe_incremental_dedup", "32"))
+    assert(run("q_pipe_dedup_keep_best", "2") == run("q_pipe_dedup_keep_best", "32"))
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val s = spark
     import s.implicits._
