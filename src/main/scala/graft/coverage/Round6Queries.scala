@@ -389,6 +389,154 @@ object Round6Queries {
              cv AS cid, d2
       FROM dd QUALIFY rn <= 3 ORDER BY qid, rn"""))
 
+  /** Deterministic multi-epoch shuffle manifest — what a training data
+    * loader needs from the corpus: for each epoch, a REPRODUCIBLE global
+    * permutation, materialized as (epoch, shard, position) addresses. The
+    * permutation key is a per-epoch salted hash (no RNG state — replays
+    * bit-identically on any cluster), the shard is the key's low bits, and
+    * the position is a row_number INSIDE (epoch, shard) only — per-shard
+    * windows, never a global sort. At 100 TB each epoch is one hash
+    * shuffle into shards and a per-shard sort of ~|corpus|/n_shards rows. */
+  val qPipeEpochShuffle: Q = Q(
+    run = (s, dir) => {
+      val n_shards = 4
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+        .withColumn("hk", graft.Queries.hashStr(
+          concat(lit("ep"), col("epoch"), lit("_"), col("doc_id"))))
+        .withColumn("shard", pmod(col("hk"), lit(n_shards.toLong)))
+      d.withColumn("pos", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("hk"), col("doc_id"))))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+    oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, epoch,
+               ${graft.Queries.oHash("'ep' || epoch || '_' || doc_id")} AS hk
+        FROM documents CROSS JOIN generate_series(0, 2) g(epoch)),
+      sh AS (SELECT doc_id, epoch, hk, hk % 4 AS shard FROM d)
+      SELECT epoch, shard,
+             row_number() OVER (PARTITION BY epoch, shard ORDER BY hk, doc_id) AS pos,
+             doc_id
+      FROM sh ORDER BY epoch, shard, pos"""))
+
+  /** Corpus drift report (PSI): compares the delta slice (doc_id % 5 = 0,
+    * the incremental-ingest batch) against the standing corpus on two
+    * axes — source share and length decile — and scores each bucket's
+    * Population Stability Index contribution in micro-units:
+    * (p−q)·ln(p/q) with shares in ppm (floored at 1 ppm so empty buckets
+    * stay finite) and ln floor-quantized exactly like q_pipe_bm25's idf
+    * (the cross-engine-libm contract). The whole report
+    * is two hash aggregates + a broadcast of ~20 bucket rows; at 100 TB
+    * the monitoring cost is one scan. */
+  val qPipeDriftPsi: Q = Q(
+    run = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("side", when(pmod(col("doc_id"), lit(5L)) === 0L, "delta").otherwise("corpus"))
+      val bucketed = d.select(col("side"),
+          concat(lit("src:"), col("source")).as("bucket"))
+        .unionAll(d.select(col("side"),
+          concat(lit("len:"), least(floor(col("n_chars") / lit(200.0)).cast("long"), lit(9L)))
+            .as("bucket")))
+      val counts = bucketed.groupBy(col("bucket"), col("side"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("side") === "delta", col("n")).otherwise(0L)).as("nd"),
+             sum(when(col("side") === "corpus", col("n")).otherwise(0L)).as("nc"))
+      val tot = counts.agg(sum(col("nd")).as("td"), sum(col("nc")).as("tc"))
+      counts.crossJoin(broadcast(tot))
+        // shares in ppm, floored at 1 ppm so ln stays finite on empty buckets
+        .withColumn("p", expr("GREATEST((nd * 1000000) DIV td, 1)"))
+        .withColumn("q", expr("GREATEST((nc * 1000000) DIV tc, 1)"))
+        .withColumn("psi_u", expr(
+          "(p - q) * CAST(FLOOR(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE)) * 1000000.0) AS BIGINT) DIV 1000000"))
+        .select(col("bucket"), col("nd"), col("nc"), col("p"), col("q"), col("psi_u"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, source, n_chars,
+                        CASE WHEN doc_id % 5 = 0 THEN 'delta' ELSE 'corpus' END AS side
+                 FROM documents),
+      b AS (SELECT side, 'src:' || source AS bucket FROM d
+            UNION ALL
+            SELECT side, 'len:' || LEAST(CAST(FLOOR(n_chars / 200.0) AS BIGINT), 9) FROM d),
+      counts AS (SELECT bucket,
+                        CAST(SUM(CASE WHEN side = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                        CAST(SUM(CASE WHEN side = 'corpus' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                 FROM b GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS td, CAST(SUM(nc) AS BIGINT) AS tc FROM counts),
+      pq AS (SELECT bucket, nd, nc,
+                    GREATEST((nd * 1000000) // td, 1) AS p,
+                    GREATEST((nc * 1000000) // tc, 1) AS q
+             FROM counts, tot)
+      SELECT bucket, nd, nc, p, q,
+             CAST((p - q) * CAST(FLOOR(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  // 1000000 AS BIGINT) AS psi_u
+      FROM pq ORDER BY bucket"""))
+
+  /** Manifest-versioned table with TIME-TRAVEL reads — the lakehouse
+    * contract (Delta/Iceberg-style) re-expressed minimally: every commit
+    * writes its data to immutable directories and a manifest file listing
+    * the directories visible at that version; a reader pins a version by
+    * reading that manifest ONLY. Commits: v1 appends the F slice, v2
+    * appends O, v3 OVERWRITES with P (a new manifest referencing only new
+    * files — old data untouched). The final leg re-reads v1 AFTER v3
+    * committed: snapshot isolation means the overwrite cannot change it.
+    * Manifest size is file-count metadata (the bounded driver-side state
+    * every real table format carries); data access stays distributed. */
+  val qPipeTimeTravel: Q = Q(
+    run = (s, dir) => {
+      val root = java.nio.file.Paths.get(
+        graft.streaming.StreamOps.scratchRoot + s"/ttv_${san(dir)}")
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(root)
+      val orders = Tables.load(s, dir, "orders")
+      def commit(version: Int, status: String, base: Seq[String]): Seq[String] = {
+        val d = s"$root/data_v$version"
+        orders.filter(col("o_orderstatus") === status)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        val visible = base :+ d
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/manifest_$version.txt"),
+          visible.mkString("\n"))
+        visible
+      }
+      val v1 = commit(1, "F", Nil)
+      val v2 = commit(2, "O", v1)
+      commit(3, "P", Nil) // OVERWRITE: manifest references only the new dir
+      def asOf(version: Int, leg: String) = {
+        val dirs = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$root/manifest_$version.txt")).split("\n")
+        s.read.parquet(dirs.toIndexedSeq: _*)
+          .agg(count(lit(1)).as("n"),
+               sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
+          .select(lit(leg).as("leg"), col("n"), col("total_c"))
+      }
+      asOf(1, "v1").unionAll(asOf(2, "v2")).unionAll(asOf(3, "v3"))
+        .unionAll(asOf(1, "v1_after_v3")) // isolation: unchanged by the overwrite
+        .orderBy(col("leg"))
+    },
+    oracle = Some("""
+      WITH agg AS (
+        SELECT o_orderstatus AS st, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders GROUP BY o_orderstatus)
+      SELECT 'v1' AS leg, n, total_c FROM agg WHERE st = 'F'
+      UNION ALL
+      SELECT 'v2', CAST((SELECT SUM(n) FROM agg WHERE st IN ('F','O')) AS BIGINT),
+             CAST((SELECT SUM(total_c) FROM agg WHERE st IN ('F','O')) AS BIGINT)
+      UNION ALL
+      SELECT 'v3', n, total_c FROM agg WHERE st = 'P'
+      UNION ALL
+      SELECT 'v1_after_v3', n, total_c FROM agg WHERE st = 'F'
+      ORDER BY leg"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_alter_set" -> qSqlAlterSet,
     "q_join_bucketed" -> qJoinBucketed,
@@ -396,5 +544,8 @@ object Round6Queries {
     "q_pipe_incremental_dedup" -> qPipeIncrementalDedup,
     "q_pipe_minhash_calibration" -> qPipeMinhashCalibration,
     "q_pipe_dedup_keep_best" -> qPipeDedupKeepBest,
-    "q_pipe_ann_ivf_trained" -> qPipeAnnIvfTrained)
+    "q_pipe_ann_ivf_trained" -> qPipeAnnIvfTrained,
+    "q_pipe_epoch_shuffle" -> qPipeEpochShuffle,
+    "q_pipe_drift_psi" -> qPipeDriftPsi,
+    "q_pipe_time_travel" -> qPipeTimeTravel)
 }
