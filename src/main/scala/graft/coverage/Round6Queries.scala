@@ -537,8 +537,149 @@ object Round6Queries {
       SELECT 'v1_after_v3', n, total_c FROM agg WHERE st = 'F'
       ORDER BY leg"""))
 
+  /** SQL-client session properties, oracle-gated (ref flink-sql-client
+    * SetOperation/ResetOperation): `SET 'k' = 'v'` records a property
+    * (bare-key spelling accepted too), bare `SET` lists them, `RESET`
+    * clears. Two keys are FUNCTIONAL, mapped onto live Spark conf —
+    * table.exec.resource.default-parallelism → spark.sql.shuffle
+    * .partitions and table.local-time-zone → session timeZone — and
+    * RESET must restore the conf captured at SET time. Legs prove the
+    * listing, the live conf effect, the restore (≠ 7 afterwards — the
+    * session default is never 7), and the empty listing after RESET. */
+  val qSqlSetReset: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val e = new EngineEnv(s)
+      e.executeSql("SET 'table.local-time-zone' = 'UTC'")
+      e.executeSql("SET table.exec.resource.default-parallelism = 7")
+      val listing = e.executeSql("SET")
+        .select(lit("prop").as("leg"), col("key").as("k"), col("value").as("v"))
+      val live = Seq(("conf", "spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))).toDF("leg", "k", "v")
+      e.executeSql("RESET 'table.exec.resource.default-parallelism'")
+      val restored = Seq(("restored", "shuffle.partitions.ne7",
+        (s.conf.get("spark.sql.shuffle.partitions") != "7").toString)).toDF("leg", "k", "v")
+      e.executeSql("RESET")
+      val empty = Seq(("empty", "n_props",
+        e.executeSql("SET").count().toString)).toDF("leg", "k", "v")
+      listing.unionAll(live).unionAll(restored).unionAll(empty)
+        .orderBy(col("leg"), col("k"))
+    },
+    oracle = Some("""
+      SELECT * FROM (VALUES
+        ('conf', 'spark.sql.shuffle.partitions', '7'),
+        ('empty', 'n_props', '0'),
+        ('prop', 'table.exec.resource.default-parallelism', '7'),
+        ('prop', 'table.local-time-zone', 'UTC'),
+        ('restored', 'shuffle.partitions.ne7', 'true')
+      ) AS t(leg, k, v) ORDER BY leg, k"""))
+
+  /** Dataset card — the per-source datasheet a corpus release ships with:
+    * doc/token counts, length stats, language mix (top language + its
+    * permille share), and exact-dup rate (docs sharing a 10-word-prefix
+    * signature), all from ONE scan + two hash aggregates. Integer ratios
+    * (permille) keep every engine bit-identical. At 100 TB this is the
+    * cheapest full-corpus report that exists — nothing here shuffles more
+    * than (source) and (source, lang) keyed partials. */
+  val qPipeDatasetCard: Q = Q(
+    run = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("sig", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("sig")).as("n_uniq"))
+      val topLang = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nl"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("nl").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("nl"))
+      base.join(topLang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+                col("min_chars"), col("max_chars"),
+                expr("nl * 1000 DIV n_docs").as("top_lang_permille"), col("top_lang"),
+                expr("(n_docs - n_uniq) * 1000 DIV n_docs").as("dup_permille"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT source, lang, n_chars,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                        md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS sig
+                 FROM documents),
+      base AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                      COUNT(DISTINCT sig) AS n_uniq
+               FROM d GROUP BY source),
+      tl AS (SELECT source, lang AS top_lang, nl FROM (
+               SELECT source, lang, COUNT(*) AS nl,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY COUNT(*) DESC, lang) AS rn
+               FROM d GROUP BY source, lang) WHERE rn = 1)
+      SELECT base.source, n_docs, n_tokens, min_chars, max_chars,
+             nl * 1000 // n_docs AS top_lang_permille, top_lang,
+             (n_docs - n_uniq) * 1000 // n_docs AS dup_permille
+      FROM base JOIN tl ON tl.source = base.source
+      ORDER BY base.source"""))
+
+  /** Leakage-safe train/test split: near-dup docs must land on the SAME
+    * side (else test answers leak into train via paraphrases). The split
+    * key is the near-dup CLUSTER id (connected component of MinHash
+    * collisions; singleton docs are their own cluster), gated by one
+    * deterministic hash — duplicates co-travel by construction. The audit
+    * leg counts colliding pairs whose members were separated: it must be
+    * ZERO, and the oracle proves it. Per-side doc counts round out the
+    * report. */
+  val qPipeClusterSplit: Q = Q(
+    run = (s, dir) => {
+      val pairs = PipelineQueries.minhashPairs(s, dir)
+      val comp = graft.operators.GraphOps.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val assigned = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("side", when(
+          pmod(graft.Queries.hashStr(concat(lit("split_"), col("cluster"))), lit(10L)) < 8L,
+          "train").otherwise("test"))
+      val sides = assigned.groupBy(col("side")).agg(count(lit(1)).as("n"))
+        .select(col("side").as("leg"), col("n"))
+      val a = assigned.select(col("doc_id").as("d1"), col("side").as("s1"))
+      val b = assigned.select(col("doc_id").as("d2"), col("side").as("s2"))
+      val leaked = pairs.join(a, "d1").join(b, "d2")
+        .filter(col("s1") =!= col("s2"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("leaked_pairs").as("leg"), col("n"))
+      sides.unionAll(leaked).orderBy(col("leg"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE
+      ${PipelineQueries.oMinhashCtes},
+      bi AS (SELECT d1 AS v, d2 AS u FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(v, u) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM bi)
+        UNION
+        SELECT r.v, bi.u FROM reach r JOIN bi ON r.u = bi.v),
+      comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+      asg AS (SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster,
+                     CASE WHEN ${graft.Queries.oHash("'split_' || COALESCE(comp.c, d.doc_id)")} % 10 < 8
+                          THEN 'train' ELSE 'test' END AS side
+              FROM documents d LEFT JOIN comp ON comp.v = d.doc_id),
+      sides AS (SELECT side AS leg, COUNT(*) AS n FROM asg GROUP BY side),
+      leaked AS (SELECT 'leaked_pairs' AS leg, COUNT(*) AS n
+                 FROM pairs p JOIN asg a ON a.doc_id = p.d1
+                              JOIN asg b ON b.doc_id = p.d2
+                 WHERE a.side <> b.side)
+      SELECT leg, n FROM sides UNION ALL SELECT leg, n FROM leaked
+      ORDER BY leg"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_alter_set" -> qSqlAlterSet,
+    "q_sql_set_reset" -> qSqlSetReset,
+    "q_pipe_dataset_card" -> qPipeDatasetCard,
+    "q_pipe_cluster_split" -> qPipeClusterSplit,
     "q_join_bucketed" -> qJoinBucketed,
     "q_datastream_exchange" -> qDatastreamExchange,
     "q_pipe_incremental_dedup" -> qPipeIncrementalDedup,

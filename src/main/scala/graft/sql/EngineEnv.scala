@@ -122,6 +122,13 @@ final class EngineEnv(val spark: SparkSession) {
   private val showCatRe = """(?is)SHOW\s+CATALOGS\s*""".r
   private val showCurrentCatRe = """(?is)SHOW\s+CURRENT\s+CATALOG\s*""".r
   private val showCurrentDbRe = """(?is)SHOW\s+CURRENT\s+DATABASE\s*""".r
+  // sql-client SET/RESET — ref SetOperation/ResetOperation (quoted and
+  // bare key spellings both accepted, as the client does)
+  private val setPropRe =
+    """(?is)SET\s+'?([\w.\-]+)'?\s*=\s*'?([^';]*?)'?\s*""".r
+  private val setShowRe = """(?is)SET\s*""".r
+  private val resetPropRe = """(?is)RESET\s+'?([\w.\-]+)'?\s*""".r
+  private val resetAllRe = """(?is)RESET\s*""".r
 
   /** The balanced `(...)` starting at `open`, honoring '…' string literals
     * (so a DECIMAL(10,2) column or a ')' inside an option value never
@@ -433,6 +440,25 @@ final class EngineEnv(val spark: SparkSession) {
   def viewProperties(name: String): Map[String, String] =
     viewProps.getOrElse(keyOf(name), Map.empty)
 
+  // SQL-client session properties — ref flink-table/flink-sql-client
+  // SetOperation/ResetOperation (`SET 'k' = 'v'` / bare `SET` listing /
+  // `RESET ['k']`). Two keys map onto live Spark session conf (the rest
+  // are recorded verbatim); RESET restores the conf captured at SET time.
+  private val sessionProps = scala.collection.mutable.LinkedHashMap[String, String]()
+  private val sessionPropUndo = scala.collection.mutable.Map[String, String]()
+  private val sparkConfOf = Map(
+    "table.exec.resource.default-parallelism" -> "spark.sql.shuffle.partitions",
+    "table.local-time-zone" -> "spark.sql.session.timeZone")
+  private def applySessionProp(k: String, v: String): Unit =
+    sparkConfOf.get(k).foreach { sk =>
+      if (!sessionPropUndo.contains(k)) sessionPropUndo(k) = spark.conf.get(sk)
+      spark.conf.set(sk, v)
+    }
+  private def unapplySessionProp(k: String): Unit =
+    sparkConfOf.get(k).foreach { sk =>
+      sessionPropUndo.remove(k).foreach(prev => spark.conf.set(sk, prev))
+    }
+
   private val observations =
     scala.collection.mutable.Map[String, org.apache.spark.sql.Observation]()
   private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -662,6 +688,22 @@ final class EngineEnv(val spark: SparkSession) {
       if (!catalogs.get(cat).exists(_(db)))
         throw new IllegalArgumentException(s"unknown database '$n'")
       dbProps(s"$cat.$db") = dbProps.getOrElse(s"$cat.$db", Map.empty) ++ parseOptions(props)
+      spark.emptyDataFrame
+    // sql-client session properties (SetOperation / ResetOperation)
+    case setPropRe(k, v) =>
+      sessionProps(k) = v
+      applySessionProp(k, v)
+      spark.emptyDataFrame
+    case setShowRe() => // bare SET: list the session properties
+      import spark.implicits._
+      sessionProps.toSeq.sortBy(_._1).toDF("key", "value")
+    case resetPropRe(k) =>
+      sessionProps.remove(k)
+      unapplySessionProp(k)
+      spark.emptyDataFrame
+    case resetAllRe() =>
+      sessionProps.keys.toSeq.foreach(unapplySessionProp)
+      sessionProps.clear()
       spark.emptyDataFrame
     // column DDL (ref SqlAddReplaceColumns / SqlChangeColumn): updates the
     // DECLARED column list — the payload schema of wire-format (CDC)
