@@ -170,8 +170,16 @@ object Round6Queries {
   val qPipeIncrementalDedup: Q = Q(
     run = (s, dir) => {
       val bands = PipelineQueries.minhashBands(s, dir)
+      // the corpus band index is PERSISTED (index-build day, amortized over
+      // every later delta); the measured join reads it back columnar
+      // instead of recomputing corpus signatures — without this the plan
+      // shingles the whole corpus twice (the delta-side doc_id filter
+      // pushes to the scan, so the two subtrees can't share an exchange)
+      val idxDir = graft.streaming.StreamOps.scratchRoot + s"/incdedup_idx_${san(dir)}"
+      bands.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        .write.mode("overwrite").parquet(idxDir)
+      val corpus = s.read.parquet(idxDir)
       val delta = bands.filter(pmod(col("doc_id"), lit(5L)) === 0L)
-      val corpus = bands.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
       val hits = delta.as("d")
         .join(corpus.as("c"),
           col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
