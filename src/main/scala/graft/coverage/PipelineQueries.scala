@@ -136,18 +136,22 @@ object PipelineQueries {
   /** The (doc_id, band, bkey) LSH band table behind [[minhashPairs]] —
     * also the keyed input of the STREAMING near-dup gate
     * ([[graft.streaming.StreamOps.streamingLshDedup]]). */
-  /** Per-doc 16-seed MinHash signature (doc_id, mh0..mh15) — the wide
-    * frame behind [[minhashBands]]; also the estimator input of the
-    * calibration query (Round6Queries). */
-  private[coverage] def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(docs(s, dir))
+  /** (doc_id, shid) 60-bit shingle-hash ids — the STAGEABLE artifact the
+    * signature/exact-Jaccard passes share (real pipelines materialize it;
+    * recomputing it per consumer would re-shingle raw text each time). */
+  private[coverage] def shingleIds(s: SparkSession, dir: String): DataFrame =
+    shingled(docs(s, dir)).select(col("doc_id"), hashStr(col("sh")).as("shid"))
+
+  /** 16-seed signature from shingle ids: h0 = shid mod p (identical to
+    * hashing the string directly — shid IS hashStr(sh)), then all 16
+    * minhashes as 16 min-aggregates over the UN-exploded rows (partial agg
+    * applies): 16× less shuffle volume than exploding a seed dimension,
+    * same math as the oracle. */
+  private[coverage] def sigFromShingleIds(ids: DataFrame): DataFrame = {
     val p = 2147483647L
-    // all 16 minhashes as 16 min-aggregates over the UN-exploded shingle
-    // rows (partial agg applies): 16× less shuffle volume than exploding a
-    // seed dimension, same math as the oracle
     val seeds = 0 until 16
-    sh
-      .withColumn("h0", hashStr(col("sh")) % p)
+    ids
+      .withColumn("h0", col("shid") % p)
       .groupBy(col("doc_id"))
       .agg(seeds.map(sd =>
         min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")).head,
@@ -155,15 +159,23 @@ object PipelineQueries {
           min(((col("h0") * (2 * sd + 1)) + (sd * 12345 + 7)) % p).as(s"mh$sd")): _*)
   }
 
-  private[coverage] def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
+  /** Per-doc 16-seed MinHash signature (doc_id, mh0..mh15) — the wide
+    * frame behind [[minhashBands]]; also the estimator input of the
+    * calibration query (Round6Queries). */
+  private[coverage] def minhashSig(s: SparkSession, dir: String): DataFrame =
+    sigFromShingleIds(shingleIds(s, dir))
+
+  /** 4×4 LSH band keys from a signature frame. */
+  private[coverage] def bandsFromSig(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bkey"))): _*))
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-  }
+
+  private[coverage] def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandsFromSig(minhashSig(s, dir))
 
   private[coverage] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(s, dir)

@@ -217,8 +217,24 @@ object Round6Queries {
     * bit-identical (no float division). */
   val qPipeMinhashCalibration: Q = Q(
     run = (s, dir) => {
-      val pairs = PipelineQueries.minhashPairs(s, dir) // (d1, d2)
-      val sig = PipelineQueries.minhashSig(s, dir)
+      // stage the two shared artifacts ONCE (shingle ids, then signatures
+      // derived from the staged ids): every later consumer — band
+      // self-join, per-side estimator join, per-pair exact-Jaccard join —
+      // reads them back columnar instead of re-shingling raw text. Without
+      // this the plan carries SIX shingle chains (measured); with it, one.
+      val scratch = graft.streaming.StreamOps.scratchRoot + s"/calib_${san(dir)}"
+      PipelineQueries.shingleIds(s, dir)
+        .write.mode("overwrite").parquet(s"$scratch/sh")
+      val sh = s.read.parquet(s"$scratch/sh")
+      PipelineQueries.sigFromShingleIds(sh)
+        .write.mode("overwrite").parquet(s"$scratch/sig")
+      val sig = s.read.parquet(s"$scratch/sig")
+      val bands = PipelineQueries.bandsFromSig(sig)
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
       val m16 = (0 until 16)
         .map(i => (col(s"a.mh$i") === col(s"b.mh$i")).cast("long"))
         .reduce(_ + _)
@@ -226,8 +242,6 @@ object Round6Queries {
         .join(sig.as("a"), col("d1") === col("a.doc_id"))
         .join(sig.as("b"), col("d2") === col("b.doc_id"))
         .select(col("d1"), col("d2"), m16.as("m16"))
-      val sh = PipelineQueries.shingledOf(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), graft.Queries.hashStr(col("sh")).as("shid"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = pairs
         .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
@@ -643,7 +657,11 @@ object Round6Queries {
     * report. */
   val qPipeClusterSplit: Q = Q(
     run = (s, dir) => {
-      val pairs = PipelineQueries.minhashPairs(s, dir)
+      // the pair list feeds BOTH the components pass and the leak audit —
+      // stage it once so the shingle→signature→band chain runs once
+      val pairsDir = graft.streaming.StreamOps.scratchRoot + s"/clsplit_${san(dir)}/pairs"
+      PipelineQueries.minhashPairs(s, dir).write.mode("overwrite").parquet(pairsDir)
+      val pairs = s.read.parquet(pairsDir)
       val comp = graft.operators.GraphOps.connectedComponents(
         pairs.select(col("d1").as("src"), col("d2").as("dst")))
       val assigned = Tables.load(s, dir, "documents").select(col("doc_id"))
