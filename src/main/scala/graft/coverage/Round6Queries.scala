@@ -95,19 +95,27 @@ object Round6Queries {
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(names.head)
       Tables.load(s, dir, "customer").write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(names.last)
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = s.table(names.head)
-          .join(s.table(names.last), col("o_custkey") === col("c_custkey"))
-        val plan = joined.queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange hashpartitioning"),
-          s"bucketed join must be exchange-free:\n$plan")
-        joined.groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"),
-               sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
-          .orderBy(col("c_mktsegment"))
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // SHUFFLE_MERGE hint instead of a session conf: the hint rides the
+      // logical plan into every (re)planning — including AQE's — so the
+      // plan the harness executes and benches is the one the require
+      // proves (a conf restored in a finally block is gone by the time a
+      // lazily-returned frame plans)
+      val joined = s.table(names.head).hint("merge")
+        .join(s.table(names.last), col("o_custkey") === col("c_custkey"))
+      val out = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
+        .orderBy(col("c_mktsegment"))
+      // require on the RETURNED frame's plan: sort-merge over the bucketed
+      // scans with no hash-partition exchange on either join key (the
+      // aggregate's own mktsegment exchange is expected and allowed)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join must plan as SortMergeJoin:\n$plan")
+      require(!plan.contains("hashpartitioning(o_custkey") &&
+              !plan.contains("hashpartitioning(c_custkey"),
+        s"bucketed join must be exchange-free on the join keys:\n$plan")
+      out
     },
     oracle = Some("""
       SELECT c_mktsegment, COUNT(*) AS n_orders,
@@ -223,9 +231,14 @@ object Round6Queries {
       // reads them back columnar instead of re-shingling raw text. Without
       // this the plan carries SIX shingle chains (measured); with it, one.
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/calib_${san(dir)}"
-      PipelineQueries.shingleIds(s, dir)
+      // stage RAW (doc_id, sh) strings, not 60-bit shid, so the 'exact'
+      // side is exact by construction (a cross-doc shid collision between
+      // distinct shingles can never inflate inter); signatures derive
+      // from the staged strings via a map-side hash — still one shingling
+      PipelineQueries.shingledOf(Tables.load(s, dir, "documents"))
         .write.mode("overwrite").parquet(s"$scratch/sh")
-      val sh = s.read.parquet(s"$scratch/sh")
+      val shStr = s.read.parquet(s"$scratch/sh")
+      val sh = shStr.select(col("doc_id"), graft.Queries.hashStr(col("sh")).as("shid"))
       PipelineQueries.sigFromShingleIds(sh)
         .write.mode("overwrite").parquet(s"$scratch/sig")
       val sig = s.read.parquet(s"$scratch/sig")
@@ -242,10 +255,10 @@ object Round6Queries {
         .join(sig.as("a"), col("d1") === col("a.doc_id"))
         .join(sig.as("b"), col("d2") === col("b.doc_id"))
         .select(col("d1"), col("d2"), m16.as("m16"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sizes = shStr.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = pairs
-        .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.shid") === col("sb.shid"))
+        .join(shStr.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(shStr.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       est
         .join(inter, Seq("d1", "d2"), "left")
@@ -500,9 +513,9 @@ object Round6Queries {
 
   /** Manifest-versioned table with TIME-TRAVEL reads — the lakehouse
     * contract (Delta/Iceberg-style) re-expressed minimally: every commit
-    * writes its data to immutable directories and a manifest file listing
-    * the directories visible at that version; a reader pins a version by
-    * reading that manifest ONLY. Commits: v1 appends the F slice, v2
+    * writes its data as immutable files (in parallel, one per task) and a
+    * manifest listing the exact files visible at that version; a reader
+    * pins a version by reading that manifest ONLY. Commits: v1 appends the F slice, v2
     * appends O, v3 OVERWRITES with P (a new manifest referencing only new
     * files — old data untouched). The final leg re-reads v1 AFTER v3
     * committed: snapshot isolation means the overwrite cannot change it.
@@ -519,11 +532,22 @@ object Round6Queries {
       }
       java.nio.file.Files.createDirectories(root)
       val orders = Tables.load(s, dir, "orders")
+      // commits are MULTI-WRITER (no coalesce(1) single-task funnel — at
+      // 100 TB a commit is written by every task in parallel); the
+      // manifest pins the exact FILE set the commit produced, so a later
+      // writer landing files in the same tree can never change a pinned
+      // version's visible data
       def commit(version: Int, status: String, base: Seq[String]): Seq[String] = {
         val d = s"$root/data_v$version"
         orders.filter(col("o_orderstatus") === status)
-          .coalesce(1).write.mode("overwrite").parquet(d)
-        val visible = base :+ d
+          .repartition(4).write.mode("overwrite").parquet(d)
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+          .iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        require(files.size > 1,
+          s"commit v$version must be written by >1 task, got ${files.size} file(s)")
+        val visible = base ++ files
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$root/manifest_$version.txt"),
           visible.mkString("\n"))
@@ -531,11 +555,11 @@ object Round6Queries {
       }
       val v1 = commit(1, "F", Nil)
       val v2 = commit(2, "O", v1)
-      commit(3, "P", Nil) // OVERWRITE: manifest references only the new dir
+      commit(3, "P", Nil) // OVERWRITE: manifest references only the new files
       def asOf(version: Int, leg: String) = {
-        val dirs = java.nio.file.Files.readString(
+        val files = java.nio.file.Files.readString(
           java.nio.file.Paths.get(s"$root/manifest_$version.txt")).split("\n")
-        s.read.parquet(dirs.toIndexedSeq: _*)
+        s.read.parquet(files.toIndexedSeq: _*)
           .agg(count(lit(1)).as("n"),
                sum(expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
           .select(lit(leg).as("leg"), col("n"), col("total_c"))
@@ -566,12 +590,18 @@ object Round6Queries {
     * table.exec.resource.default-parallelism → spark.sql.shuffle
     * .partitions and table.local-time-zone → session timeZone — and
     * RESET must restore the conf captured at SET time. Legs prove the
-    * listing, the live conf effect, the restore (≠ 7 afterwards — the
-    * session default is never 7), and the empty listing after RESET. */
+    * listing, the live conf effect, the restore (equal to the ambient
+    * value snapshotted before the SET), and the empty listing after
+    * RESET. */
   val qSqlSetReset: Q = Q(
     run = (s, dir) => {
       import s.implicits._
       val e = new EngineEnv(s)
+      // capture the ambient conf BEFORE the SET: the restore leg asserts
+      // equality with this snapshot, not inequality with a magic literal
+      // (a harness that happens to run with shuffle partitions = 7 must
+      // not fail the query spuriously)
+      val ambient = s.conf.get("spark.sql.shuffle.partitions")
       e.executeSql("SET 'table.local-time-zone' = 'UTC'")
       e.executeSql("SET table.exec.resource.default-parallelism = 7")
       val listing = e.executeSql("SET")
@@ -579,8 +609,8 @@ object Round6Queries {
       val live = Seq(("conf", "spark.sql.shuffle.partitions",
         s.conf.get("spark.sql.shuffle.partitions"))).toDF("leg", "k", "v")
       e.executeSql("RESET 'table.exec.resource.default-parallelism'")
-      val restored = Seq(("restored", "shuffle.partitions.ne7",
-        (s.conf.get("spark.sql.shuffle.partitions") != "7").toString)).toDF("leg", "k", "v")
+      val restored = Seq(("restored", "shuffle.partitions.restored",
+        (s.conf.get("spark.sql.shuffle.partitions") == ambient).toString)).toDF("leg", "k", "v")
       e.executeSql("RESET")
       val empty = Seq(("empty", "n_props",
         e.executeSql("SET").count().toString)).toDF("leg", "k", "v")
@@ -593,7 +623,7 @@ object Round6Queries {
         ('empty', 'n_props', '0'),
         ('prop', 'table.exec.resource.default-parallelism', '7'),
         ('prop', 'table.local-time-zone', 'UTC'),
-        ('restored', 'shuffle.partitions.ne7', 'true')
+        ('restored', 'shuffle.partitions.restored', 'true')
       ) AS t(leg, k, v) ORDER BY leg, k"""))
 
   /** Dataset card — the per-source datasheet a corpus release ships with:

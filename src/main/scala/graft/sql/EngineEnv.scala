@@ -124,8 +124,12 @@ final class EngineEnv(val spark: SparkSession) {
   private val showCurrentDbRe = """(?is)SHOW\s+CURRENT\s+DATABASE\s*""".r
   // sql-client SET/RESET — ref SetOperation/ResetOperation (quoted and
   // bare key spellings both accepted, as the client does)
+  // key and value are each EITHER fully quoted OR a bare token — never a
+  // half-quoted mix, so `SET 'k' = v'` and values that would be silently
+  // truncated (embedded quote/semicolon in a bare value) fail the match
+  // and error as malformed instead of recording a mangled property
   private val setPropRe =
-    """(?is)SET\s+'?([\w.\-]+)'?\s*=\s*'?([^';]*?)'?\s*""".r
+    """(?is)SET\s+(?:'([\w.\-]+)'|([\w.\-]+))\s*=\s*(?:'([^']*)'|([^'\s;][^';]*?))\s*""".r
   private val setShowRe = """(?is)SET\s*""".r
   private val resetPropRe = """(?is)RESET\s+'?([\w.\-]+)'?\s*""".r
   private val resetAllRe = """(?is)RESET\s*""".r
@@ -690,7 +694,9 @@ final class EngineEnv(val spark: SparkSession) {
       dbProps(s"$cat.$db") = dbProps.getOrElse(s"$cat.$db", Map.empty) ++ parseOptions(props)
       spark.emptyDataFrame
     // sql-client session properties (SetOperation / ResetOperation)
-    case setPropRe(k, v) =>
+    case setPropRe(kq, kb, vq, vb) =>
+      val k = Option(kq).getOrElse(kb)
+      val v = Option(vq).getOrElse(vb)
       sessionProps(k) = v
       applySessionProp(k, v)
       spark.emptyDataFrame
