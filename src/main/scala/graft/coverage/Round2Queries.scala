@@ -17,14 +17,14 @@ object Round2Queries {
   private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
   /** Co-purchase graph (same edge build as q_graph_components). */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+  private[coverage] def coEdges(s: SparkSession, dir: String): DataFrame = {
     val p = ev(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), window(col("ts"), "10 minutes").getField("start").as("d")).distinct()
     p.as("a").join(p.as("b"), col("a.d") === col("b.d") && col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("src"), col("b.user_id").as("dst")).distinct()
   }
 
-  private val oBi = """
+  private[coverage] val oBi = """
     e AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
           FROM (SELECT DISTINCT user_id, time_bucket(INTERVAL '10 minutes', ts) AS d
                 FROM events WHERE event_type = 'purchase') a

@@ -1,0 +1,243 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import graft.sql.EngineEnv
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Round-7 hardening additions — the four remaining spec-gated rows driven
+  * through real oracles (metric groups, temporal sort, proc-time timers)
+  * plus the persistent catalog and Gelly label propagation.
+  */
+object Round7Queries {
+
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Metric groups, oracle-gated — ref AbstractMetricGroup / the operator
+    * `Counter`s every reference connector registers (e.g. the
+    * deserialization-error counters of the CDC formats). Spark spelling:
+    * `Dataset.observe` attaches a CollectMetrics node whose aggregates the
+    * completed action publishes — the engine-owned, zero-extra-pass way to
+    * count what a scan saw (the reference's metric reporters poll the same
+    * numbers out-of-band). Two observed legs: a permissive maxwell-json
+    * CDC parse (malformed/messages — o_orderkey%7∈{0,1} corrupted by
+    * construction) and a plain lineitem scan (rows + quantity sum). The
+    * observed counters are emitted AS RESULT ROWS so the oracle
+    * hash-checks the metric values themselves. */
+  val qMetricsObserve: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val payload = new StructType()
+        .add("k", LongType).add("c", LongType).add("cents", LongType)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+                col("o_custkey").cast("long").as("c"),
+                expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      val m = col("k") % 7
+      val json = when(m === 0, concat(lit("garbage "), col("k"))) // not JSON
+        .when(m === 1, to_json(struct( // unknown op
+          struct(col("k"), col("c"), col("cents")).as("data"), lit("bogus-op").as("type"))))
+        .otherwise(to_json(struct(
+          struct(col("k"), col("c"), col("cents")).as("data"),
+          when(m === 2, "delete").otherwise("insert").as("type"))))
+      val cdcObs = org.apache.spark.sql.Observation(
+        s"metrics_cdc_${obsSeq.incrementAndGet()}")
+      val parsed = graft.sources.CdcFormats.maxwell(
+        base.select(json.as("json")), "json", payload, malformedObs = Some(cdcObs))
+      val survived = parsed.count() // the action that completes the CDC observation
+      val scanObs = org.apache.spark.sql.Observation(
+        s"metrics_scan_${obsSeq.incrementAndGet()}")
+      Tables.load(s, dir, "lineitem")
+        .observe(scanObs, count(lit(1)).as("rows"),
+                 sum(expr("cast(floor(l_quantity) as bigint)")).as("qty"))
+        .count()
+      Seq(
+        ("cdc.malformed", cdcObs.get("malformed").asInstanceOf[Long]),
+        ("cdc.messages", cdcObs.get("messages").asInstanceOf[Long]),
+        ("cdc.survived", survived),
+        ("scan.qty", scanObs.get("qty").asInstanceOf[Long]),
+        ("scan.rows", scanObs.get("rows").asInstanceOf[Long]))
+        .toDF("metric", "value").orderBy(col("metric"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT o_orderkey % 7 AS m FROM orders)
+      SELECT 'cdc.malformed' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM b WHERE m IN (0, 1)
+      UNION ALL SELECT 'cdc.messages', COUNT(*) FROM b
+      UNION ALL SELECT 'cdc.survived', COUNT(*) FROM b WHERE m >= 2
+      UNION ALL SELECT 'scan.qty', CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) FROM lineitem
+      UNION ALL SELECT 'scan.rows', COUNT(*) FROM lineitem
+      ORDER BY metric"""))
+
+  /** Event-time temporal sort, oracle-gated — ref RowTimeSortOperator /
+    * StreamExecTemporalSort via [[StreamOps.temporalSort]]. Three staged
+    * micro-batches (event_id mod 3) make the flush schedule non-trivial:
+    * during batch k the watermark is the ms-truncated max event time of
+    * batches < k, a key flushes only in batches where it HAS data, and the
+    * per-key emission counter `seq` pins the emitted ORDER itself (flush
+    * batch, then event time, then id) — the part a row-set compare alone
+    * could never check. Rows above the final watermark stay in state,
+    * exactly as the reference's pending buffer would. */
+  val qStreamTemporalSort: Q = Q(
+    run = (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val srcDir = StreamOps.stageBatches(s, s"tsort_${san(dir)}",
+        (0 until 3).map(b => e.filter(pmod(col("event_id"), lit(3)) === b)))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamOps.runToMemory(s, StreamOps.temporalSort(s, stream), OutputMode.Update())
+        .orderBy(col("user_id"), col("seq"))
+    },
+    oracle = Some("""
+      WITH src AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                          event_id % 3 AS b
+                   FROM events),
+      wmv AS (SELECT k, (SELECT COALESCE((MAX(ts_us) // 1000) * 1000, -1)
+                         FROM src WHERE b < k) AS w
+              FROM generate_series(0, 2) g(k)),
+      kb AS (SELECT DISTINCT user_id, b FROM src),
+      fl AS (SELECT s.user_id, s.event_id, s.ts_us, MIN(kb.b) AS fb
+             FROM src s
+             JOIN kb ON kb.user_id = s.user_id AND kb.b >= s.b
+             JOIN wmv ON wmv.k = kb.b
+             WHERE s.ts_us <= wmv.w
+             GROUP BY s.user_id, s.event_id, s.ts_us)
+      SELECT user_id, event_id, ts_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY fb, ts_us, event_id) AS BIGINT) AS seq
+      FROM fl ORDER BY user_id, seq"""))
+
+  /** Processing-time timers, oracle-gated — ref KeyedProcessFunction
+    * .registerProcessingTimeTimer / onTimer via
+    * [[StreamOps.procTimeDebounceInjected]]: the proc-time clock is the
+    * staged batch stamp (`pt` = batch index 0..5 — the arrival-stamp
+    * idiom of q_stream_over_proc_rows), so the debounce schedule replays
+    * bit-identically. A key has data in batch b iff event_id%8 = b ≤ 5
+    * and (user_id+b)%3 ≠ 0 (deterministic gaps); the timer re-arms at
+    * pt+2 on every data batch and fires when a later invocation's clock
+    * reaches it — so flush groups are maximal data-batch runs with gaps
+    * < 2, fired at last_batch+2, which is exactly the oracle's
+    * LAG/session-gap grouping. A final all-keys tick batch (pt=100) makes
+    * the end-of-stream timers observable. */
+  val qStreamProcDebounce: Q = Q(
+    run = (s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"))
+      def batch(b: Int) = base
+        .filter(pmod(col("event_id"), lit(8)) === b &&
+                pmod(col("user_id") + lit(b), lit(3)) =!= 0)
+        .select(col("user_id"), lit(b.toLong).as("pt"), lit(0L).as("is_tick"))
+      val tick = base.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(100L).as("pt"), lit(1L).as("is_tick"))
+      val srcDir = StreamOps.stageBatches(s, s"debounce_${san(dir)}",
+        (0 until 6).map(batch) :+ tick)
+      val stream = s.readStream.schema(tick.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamOps.runToMemory(s,
+          StreamOps.procTimeDebounceInjected(s, stream, duration = 2L), OutputMode.Update())
+        .orderBy(col("user_id"), col("fired_at"))
+    },
+    oracle = Some("""
+      WITH raw AS (SELECT user_id, event_id % 8 AS b FROM events),
+      d AS (SELECT user_id, b, COUNT(*) AS nb FROM raw
+            WHERE b <= 5 AND (user_id + b) % 3 <> 0 GROUP BY user_id, b),
+      g AS (SELECT user_id, b, nb,
+                   CASE WHEN b - LAG(b) OVER (PARTITION BY user_id ORDER BY b) >= 2
+                        THEN 1 ELSE 0 END AS brk
+            FROM d),
+      grp AS (SELECT user_id, b, nb,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY b) AS gid
+              FROM g)
+      SELECT user_id, MAX(b) + 2 AS fired_at, CAST(SUM(nb) AS BIGINT) AS n
+      FROM grp GROUP BY user_id, gid
+      ORDER BY user_id, fired_at"""))
+
+  /** Persistent catalog — the HiveCatalog role (ref flink-connector-hive
+    * HiveCatalog.java) on the DDL-commit-log spelling: env A declares a
+    * table + a derived view against a durable catalog dir, every
+    * session-level trace is then ERASED, and a freshly constructed env B
+    * over the same dir must restore both purely from the replayed log —
+    * the metadata legs (SHOW TABLES / SHOW VIEWS through B) and the data
+    * leg (the view's aggregate read through B) only hash-match if the
+    * catalog actually survived. */
+  val qSqlCatalogPersist: Q = Q(
+    run = (s, dir) => {
+      val wh = StreamOps.scratchRoot + s"/catalog_${san(dir)}"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val a = new EngineEnv(s, Some(wh))
+      a.executeSql(s"""
+        CREATE TABLE persist_t (o_orderkey BIGINT, o_custkey BIGINT,
+          o_orderstatus STRING, o_totalprice DOUBLE
+        ) WITH ('connector'='filesystem', 'path'='$dir/orders.parquet', 'format'='parquet')""")
+      a.executeSql("""
+        CREATE VIEW persist_v AS SELECT o_orderstatus AS st, COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        FROM persist_t GROUP BY o_orderstatus""")
+      // erase env A's session-level traces: only B's replay of the durable
+      // commit log can bring the objects back
+      s.catalog.dropTempView("persist_t")
+      s.catalog.dropTempView("persist_v")
+      val b = new EngineEnv(s, Some(wh))
+      val tLeg = b.executeSql("SHOW TABLES")
+        .filter(col("table_name") === "persist_t")
+        .select(lit("table_listed").as("leg"), col("table_name").as("k"), lit(1L).as("v"))
+      val vLeg = b.executeSql("SHOW VIEWS")
+        .filter(col("view_name") === "persist_v")
+        .select(lit("view_listed").as("leg"), col("view_name").as("k"), lit(1L).as("v"))
+      val data = b.sqlQuery("SELECT st, n, total_c FROM persist_v")
+      tLeg.unionAll(vLeg)
+        .unionAll(data.select(lit("data_n").as("leg"), col("st").as("k"), col("n").as("v")))
+        .unionAll(data.select(lit("data_cents").as("leg"), col("st").as("k"), col("total_c").as("v")))
+        .orderBy(col("leg"), col("k"))
+    },
+    oracle = Some("""
+      WITH agg AS (SELECT o_orderstatus AS st, COUNT(*) AS n,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+                   FROM orders GROUP BY 1)
+      SELECT 'table_listed' AS leg, 'persist_t' AS k, CAST(1 AS BIGINT) AS v
+      UNION ALL SELECT 'view_listed', 'persist_v', 1
+      UNION ALL SELECT 'data_n', st, n FROM agg
+      UNION ALL SELECT 'data_cents', st, total_c FROM agg
+      ORDER BY leg, k"""))
+
+  /** Gelly label propagation — ref flink-gelly-library/.../library/
+    * LabelPropagation.java via [[graft.operators.GraphOps
+    * .labelPropagation]] on the co-purchase graph. 3 synchronous rounds;
+    * the oracle unrolls the same 3 rounds as chained CTEs (most-frequent
+    * neighbor label, min tie-break — deterministic both sides). */
+  val qGraphLabelProp: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .labelPropagation(Round2Queries.coEdges(s, dir), iters = 3)
+      .orderBy(col("v")),
+    oracle = Some {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT lv, label FROM (
+           |  SELECT nb.u AS lv, l.label, COUNT(*) AS c,
+           |         row_number() OVER (PARTITION BY nb.u
+           |                            ORDER BY COUNT(*) DESC, l.label) AS rn
+           |  FROM bi nb JOIN r${i - 1} l ON l.lv = nb.v
+           |  GROUP BY nb.u, l.label) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH ${Round2Queries.oBi},
+      r0 AS (SELECT DISTINCT u AS lv, u AS label FROM bi),
+      $rounds
+      SELECT lv AS v, label FROM r3 ORDER BY v"""
+    })
+
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
+    "q_metrics_observe" -> qMetricsObserve,
+    "q_stream_temporal_sort" -> qStreamTemporalSort,
+    "q_stream_proc_debounce" -> qStreamProcDebounce,
+    "q_sql_catalog_persist" -> qSqlCatalogPersist,
+    "q_graph_label_prop" -> qGraphLabelProp)
+}

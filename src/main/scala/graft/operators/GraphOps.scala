@@ -191,6 +191,41 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Community detection by synchronous label propagation — the Gelly
+    * library LabelPropagation analog (flink-gelly-library/.../library/
+    * LabelPropagation.java): every vertex starts labeled with its own id;
+    * each round it adopts the most frequent label among its neighbors'
+    * PREVIOUS-round labels (tie → smallest label — deterministic where the
+    * reference leaves ties to hash order). Fixed round count like the
+    * reference's maxIterations. Each round is ONE join of the (static,
+    * checkpointed) bi-directed edge list against the |V|-row label frame +
+    * one (v, label) partial-agg shuffle + a per-vertex top-1 window — no
+    * all-pairs step, hub cost bounded by degree. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val bi = edges.select(col("src").as("v"), col("dst").as("n"))
+        .union(edges.select(col("dst").as("v"), col("src").as("n")))
+        .filter(col("v") =!= col("n")).distinct().localCheckpoint()
+      var labels = bi.select(col("v")).distinct()
+        .select(col("v").as("lv"), col("v").as("label")).localCheckpoint()
+      val byFreq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("c").desc, col("label"))
+      (1 to iters).foreach { i =>
+        labels = bi
+          .join(broadcast(labels), col("n") === col("lv")) // |V|-row frame, like pageRank's scores
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byFreq))
+          .filter(col("rn") === 1)
+          .select(col("v").as("lv"), col("label"))
+        if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint()
+      }
+      labels.select(col("lv").as("v"), col("label"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

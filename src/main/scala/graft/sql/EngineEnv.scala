@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   * Only the connectors our environment can honor are implemented
   * (filesystem, datagen — SURVEY §2.1); kafka/jdbc/… would slot in as
   * additional cases with zero changes to the query path.
+  *
+  * `catalogDir`: when set, the env is backed by a PERSISTENT catalog (the
+  * HiveCatalog role — ref flink-connector-hive HiveCatalog.java — minus
+  * Hive): every successful catalog-mutating statement (CREATE/ALTER/DROP/
+  * USE) is appended to a durable DDL commit log under the directory, and
+  * a fresh env constructed over the same directory replays the log —
+  * tables, views, databases, catalogs, and functions survive the session
+  * instead of being re-declared every run (the GenericInMemoryCatalog →
+  * persistent upgrade). Session properties (SET/RESET) and DML stay
+  * session-scoped, as in the reference.
   */
-final class EngineEnv(val spark: SparkSession) {
+final class EngineEnv(val spark: SparkSession, val catalogDir: Option[String] = None) {
 
   // the reference TableEnvironment exposes every built-in unconditionally
   // (BuiltInFunctionDefinitions loads with the env) — register the Flink-
@@ -539,12 +549,37 @@ final class EngineEnv(val spark: SparkSession) {
     catalog(keyOf(name)) = spec
   }
 
+  // ------------------------------------------------ persistent catalog log
+  // one Base64 line per catalog-mutating statement (newline-safe; DDL is
+  // frequently multi-line); replayed in order by the constructor epilogue
+  private val ddlLogPath: Option[java.nio.file.Path] = catalogDir.map { d =>
+    val p = java.nio.file.Paths.get(d)
+    java.nio.file.Files.createDirectories(p)
+    p.resolve("catalog_ddl.log")
+  }
+  private val persistableRe = """(?is)(CREATE|ALTER|DROP|USE)\b.*""".r
+  private def persistDdl(sql: String): Unit =
+    ddlLogPath.foreach { p =>
+      if (persistableRe.matches(sql.trim))
+        java.nio.file.Files.writeString(p,
+          java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8")) + "\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+
   /** DDL + commands — ref flink-sql-parser/.../ddl statement classes
     * (SqlCreateTable/SqlCreateTableLike/SqlAlterTableRename/
     * SqlAlterTableOptions/SqlCreateFunction/SqlCreateDatabase/…) mapped
     * onto the Spark temp catalog. Returns an empty DataFrame for DDL
-    * (like the reference's TableResult for CREATE). */
-  def executeSql(sql: String): DataFrame = sql.trim match {
+    * (like the reference's TableResult for CREATE). Catalog-mutating
+    * statements are appended to the DDL commit log AFTER succeeding (a
+    * failed statement never pollutes the durable catalog). */
+  def executeSql(sql: String): DataFrame = {
+    val out = executeSqlImpl(sql)
+    persistDdl(sql)
+    out
+  }
+
+  private def executeSqlImpl(sql: String): DataFrame = sql.trim match {
     case createHeadRe(ifNotExists, name, tail) =>
       // IF NOT EXISTS on an existing registration is a NO-OP (SqlCreateTable
       // semantics — ADVICE r2), not a silent replace
@@ -1209,6 +1244,17 @@ final class EngineEnv(val spark: SparkSession) {
     * .java:30 / internal/StatementSetImpl.java: buffered INSERTs submitted
     * together by one execute() and cleared afterwards. */
   def createStatementSet(): StatementSet = new StatementSet(this)
+
+  // constructor epilogue: replay the persistent catalog's DDL commit log
+  // (runs after every val above is initialized). Replays through
+  // executeSqlImpl, so replayed statements are never re-appended.
+  ddlLogPath.filter(java.nio.file.Files.exists(_)).foreach { p =>
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala.foreach { line =>
+      if (line.nonEmpty)
+        executeSqlImpl(new String(java.util.Base64.getDecoder.decode(line), "UTF-8"))
+    }
+  }
 }
 
 /** A batch of INSERT statements executed as one submission — ref

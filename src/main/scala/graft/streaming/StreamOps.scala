@@ -458,14 +458,17 @@ object StreamOps {
       .toDF()
   }
 
-  case class SortState(buf: List[(Long, Long, Long)]) // (tsMicros, eventId, vc)
-  case class SortOut(user_id: Long, event_id: Long, ts_us: Long)
+  case class SortState(buf: List[(Long, Long, Long)], nextSeq: Long) // buf: (tsMicros, eventId, vc)
+  case class SortOut(user_id: Long, event_id: Long, ts_us: Long, seq: Long)
 
   /** Event-time temporal sort — ref RowTimeSortOperator / StreamExecTemporalSort
     * (SURVEY §2.9): buffer per key, flush rows at or below the current
     * watermark in event-time order each batch (the watermark IS the timer,
     * ref WatermarkAssignerOperator). State holds only the above-watermark
-    * tail. */
+    * tail. `seq` is the per-key EMISSION counter (assigned in flush order),
+    * so the emitted order itself is part of the result contract — the
+    * oracle reconstructs it from the watermark cutoffs (flush batch, then
+    * event time, then id). */
   def temporalSort(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
     events
@@ -479,11 +482,56 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)], state: GroupState[SortState]) => {
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val all = state.getOption.map(_.buf).getOrElse(Nil) ++
+          val st = state.getOption.getOrElse(SortState(Nil, 1L))
+          val all = st.buf ++
             it.map(e => (e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000, e._2, e._4))
           val (ripe, tail) = all.partition(_._1 <= wm)
-          state.update(SortState(tail))
-          ripe.sortBy(e => (e._1, e._2)).iterator.map(e => SortOut(key, e._2, e._1))
+          val ordered = ripe.sortBy(e => (e._1, e._2))
+          state.update(SortState(tail, st.nextSeq + ordered.size))
+          ordered.iterator.zipWithIndex.map { case (e, i) =>
+            SortOut(key, e._2, e._1, st.nextSeq + i) }
+        })
+      .toDF()
+  }
+
+  case class DebounceState(n: Long, deadline: Long)
+  case class DebounceOut(user_id: Long, fired_at: Long, n: Long)
+
+  /** Injected-clock processing-time debounce — the DETERMINISTIC spelling
+    * of [[procTimeDebounce]] (ref KeyedProcessFunction
+    * .registerProcessingTimeTimer/onTimer): the proc-time clock is the
+    * per-row `pt` stamp assigned at ingestion (the same arrival-stamp
+    * idiom as [[procTimeOverAgg]] — a wall-clock ms stamp in production, a
+    * staged batch stamp in tests/oracles). Per key: every data batch
+    * buffers its rows and RE-ARMS the timer at `pt + duration`; when a
+    * later invocation's clock reaches the armed deadline the buffered
+    * count flushes stamped with the DEADLINE (the time the timer fired,
+    * not the arrival that observed it). Rows with `is_tick` = 1 only
+    * advance the clock (the timer-service tick making end-of-stream
+    * flushes observable in a batch-driven harness). */
+  def procTimeDebounceInjected(s: SparkSession, events: DataFrame, duration: Long): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long").as("_1"), col("pt").cast("long").as("_2"),
+              col("is_tick").cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long)], state: GroupState[DebounceState]) => {
+          val rows = it.toIndexedSeq
+          val t = rows.map(_._2).max // the invocation's clock
+          var out = List.empty[DebounceOut]
+          var st = state.getOption.getOrElse(DebounceState(0L, Long.MaxValue))
+          if (st.deadline <= t) { // onTimer fired (at its deadline) before this batch
+            out = DebounceOut(key, st.deadline, st.n) :: out
+            st = DebounceState(0L, Long.MaxValue)
+          }
+          val data = rows.filter(_._3 == 0L)
+          if (data.nonEmpty) // buffer + re-arm (debounce: every batch pushes the deadline)
+            st = DebounceState(st.n + data.size, t + duration)
+          if (st.n == 0L && st.deadline == Long.MaxValue) state.remove()
+          else state.update(st)
+          out.reverseIterator
         })
       .toDF()
   }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.GraphOps
+import graft.sql.EngineEnv
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-7 operator specs: Gelly label propagation, the injected-clock
+  * processing-time debounce, and the persistent (DDL-commit-log) catalog. */
+class Round7Spec extends SparkTestBase {
+
+  test("label propagation merges dense communities and resists the bridge") {
+    val s = spark
+    import s.implicits._
+    // two 4-cliques {1..4} and {10..13} joined by one bridge edge 4-10: by
+    // round 3 each clique is uniformly on its min label and the single
+    // bridge vote can never outweigh the three in-clique neighbors (a
+    // triangle would NOT resist — 1 bridge vote ties 2 in-clique votes and
+    // min-tie-break leaks the lower label across, which is faithful LP)
+    def clique(vs: Seq[Long]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((4L, 10L))).toDF("src", "dst")
+    val labels = GraphOps.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(labels(_) == 10L))
+  }
+
+  test("injected-clock debounce flushes at the armed deadline and re-arms on data") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.procTimeDebounceInjected(
+        s, in.toDF().toDF("user_id", "pt", "is_tick"), duration = 2L)
+      .writeStream.format("memory").queryName("deb_t").outputMode("update").start()
+    in.addData((1L, 0L, 0L), (1L, 0L, 0L)) // clock 0: two rows buffer, deadline 2
+    q.processAllAvailable()
+    in.addData((1L, 1L, 0L)) // clock 1 < deadline: buffer + re-arm to 3
+    q.processAllAvailable()
+    in.addData((1L, 4L, 0L)) // clock 4 ≥ 3: timer fires AT 3 with n=3, then re-arms to 6
+    q.processAllAvailable()
+    in.addData((1L, 100L, 1L)) // tick: fires the pending timer at its deadline 6
+    q.processAllAvailable()
+    val out = s.table("deb_t").as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    q.stop()
+    assert(out == Seq((1L, 3L, 3L), (1L, 6L, 1L)))
+  }
+
+  test("persistent catalog replays CREATE and honors a later DROP") {
+    val s = spark
+    val wh = StreamOps.scratchRoot + "/catalog_spec"
+    val root = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val a = new EngineEnv(s, Some(wh))
+    a.executeSql(s"""CREATE TABLE spec_pt (o_orderkey BIGINT, o_orderstatus STRING
+      ) WITH ('connector'='filesystem', 'path'='$sfDir/orders.parquet', 'format'='parquet')""")
+    s.catalog.dropTempView("spec_pt")
+    val b = new EngineEnv(s, Some(wh))
+    assert(b.sqlQuery("SELECT COUNT(*) AS n FROM spec_pt").head().getLong(0) > 0)
+    // a DROP is itself a logged commit: env C must NOT see the table
+    b.executeSql("DROP TABLE spec_pt")
+    val c = new EngineEnv(s, Some(wh))
+    assert(!c.executeSql("SHOW TABLES").collect().map(_.getString(0)).contains("spec_pt"))
+    // session properties are NOT persistent (reference: sql-client scoped)
+    val d = new EngineEnv(s, Some(wh))
+    d.executeSql("SET 'k1' = 'v1'")
+    assert(new EngineEnv(s, Some(wh)).executeSql("SET").count() == 0)
+  }
+}

@@ -326,9 +326,10 @@ class StreamingSpec extends SparkTestBase {
     assert(s.table("tsort_t").count() == 0) // watermark still behind — all buffered
     in.addData(Raw(1, 13, "a", 100, 0.0)) // advances watermark to 80s
     q.processAllAvailable()
-    val flushed = s.table("tsort_t").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    val rows2 = s.table("tsort_t").as[(Long, Long, Long, Long)].collect().sortBy(_._4)
     q.stop()
-    assert(flushed == Seq(11L, 10L, 12L)) // event-time order, ts<=watermark only
+    assert(rows2.map(_._2).toSeq == Seq(11L, 10L, 12L)) // event-time order, ts<=watermark only
+    assert(rows2.map(_._4).toSeq == Seq(1L, 2L, 3L)) // per-key emission counter
   }
 
   test("processing-time timers fire after the wall-clock duration (onTimer flush)") {
