@@ -234,10 +234,79 @@ object Round7Queries {
       SELECT lv AS v, label FROM r3 ORDER BY v"""
     })
 
+  /** Gelly JaccardIndex — ref flink-gelly-library/.../similarity/
+    * JaccardIndex.java via [[graft.operators.GraphOps.jaccardIndex]] on
+    * the co-purchase graph (integer-ppm scores both sides). */
+  val qGraphJaccardIndex: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .jaccardIndex(Round2Queries.coEdges(s, dir))
+      .orderBy(col("u"), col("w")),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      pr AS (SELECT a.u AS u, b.u AS w, COUNT(*) AS inter
+             FROM bi a JOIN bi b ON a.v = b.v AND a.u < b.u
+             GROUP BY a.u, b.u)
+      SELECT pr.u, pr.w, pr.inter,
+             pr.inter * 1000000 // (d1.dg + d2.dg - pr.inter) AS jac_ppm
+      FROM pr JOIN deg d1 ON d1.u = pr.u JOIN deg d2 ON d2.u = pr.w
+      ORDER BY 1, 2"""))
+
+  /** Gelly AdamicAdar — ref flink-gelly-library/.../similarity/
+    * AdamicAdar.java via [[graft.operators.GraphOps.adamicAdar]]
+    * (floor-quantized ln weights, the BM25-idf cross-engine contract). */
+  val qGraphAdamicAdar: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .adamicAdar(Round2Queries.coEdges(s, dir))
+      .orderBy(col("u"), col("w")),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      tri AS (SELECT a.u AS u, b.u AS w, a.v AS c
+              FROM bi a JOIN bi b ON a.v = b.v AND a.u < b.u),
+      wt AS (SELECT tri.u, tri.w,
+                    1000000000000 // CAST(FLOOR(ln(CAST(dg AS DOUBLE)) * 1000000.0) AS BIGINT) AS contrib
+             FROM tri JOIN deg ON deg.u = tri.c)
+      SELECT u, w, CAST(SUM(contrib) AS BIGINT) AS aa_micro
+      FROM wt GROUP BY u, w ORDER BY u, w"""))
+
+  /** Gelly HITS — ref flink-gelly-library/.../linkanalysis/HITS.java via
+    * [[graft.operators.GraphOps.hits]]: 4 rounds on the canonically
+    * directed co-purchase edges, max-normalized integer scores; the
+    * oracle unrolls the same 4 rounds (8 half-steps) as chained CTEs. */
+  val qGraphHits: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .hits(Round2Queries.coEdges(s, dir), iters = 4)
+      .orderBy(col("v")),
+    oracle = Some {
+      // MATERIALIZED is load-bearing: every round CTE is referenced twice
+      // (scalar MAX + join) and feeds the next round — DuckDB's default
+      // inlining would re-evaluate the early rounds 2^8 times
+      val rounds = (1 to 4).map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT e.dst AS v, CAST(SUM(h${i - 1}.s) AS BIGINT) AS s
+           |  FROM e JOIN h${i - 1} ON h${i - 1}.v = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (SELECT verts.v, COALESCE(a${i}r.s, 0) * 1000000 // (SELECT MAX(s) FROM a${i}r) AS s
+           |  FROM verts LEFT JOIN a${i}r ON a${i}r.v = verts.v),
+           |h${i}r AS MATERIALIZED (SELECT e.src AS v, CAST(SUM(a$i.s) AS BIGINT) AS s
+           |  FROM e JOIN a$i ON a$i.v = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (SELECT verts.v, COALESCE(h${i}r.s, 0) * 1000000 // (SELECT MAX(s) FROM h${i}r) AS s
+           |  FROM verts LEFT JOIN h${i}r ON h${i}r.v = verts.v)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH ${Round2Queries.oBi},
+      verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      h0 AS MATERIALIZED (SELECT v, 1000000::BIGINT AS s FROM verts),
+      $rounds
+      SELECT verts.v, h4.s AS hub_ppm, a4.s AS auth_ppm
+      FROM verts JOIN h4 ON h4.v = verts.v JOIN a4 ON a4.v = verts.v
+      ORDER BY 1"""
+    })
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_metrics_observe" -> qMetricsObserve,
     "q_stream_temporal_sort" -> qStreamTemporalSort,
     "q_stream_proc_debounce" -> qStreamProcDebounce,
     "q_sql_catalog_persist" -> qSqlCatalogPersist,
-    "q_graph_label_prop" -> qGraphLabelProp)
+    "q_graph_label_prop" -> qGraphLabelProp,
+    "q_graph_jaccard_index" -> qGraphJaccardIndex,
+    "q_graph_adamic_adar" -> qGraphAdamicAdar,
+    "q_graph_hits" -> qGraphHits)
 }

@@ -226,6 +226,92 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Vertex-similarity Jaccard index — ref flink-gelly-library/.../
+    * similarity/JaccardIndex.java: for every vertex pair sharing ≥1
+    * neighbor, |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| (in integer ppm — floor division
+    * keeps every engine bit-identical). Pair generation is the
+    * common-neighbor self-join (shuffle keyed on the SHARED neighbor), so
+    * cost is Σ deg(c)² over vertices, never an all-pairs product — the
+    * same inverted-index shape as the dedup family; Gelly's documented
+    * hub mitigation (degree-cap the shared vertex) applies unchanged. */
+  def jaccardIndex(edges: DataFrame): DataFrame = {
+    val nb = edges.select(col("src").as("v"), col("dst").as("n"))
+      .union(edges.select(col("dst").as("v"), col("src").as("n")))
+      .filter(col("v") =!= col("n")).distinct()
+    val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    nb.as("a").join(nb.as("b"),
+        col("a.n") === col("b.n") && col("a.v") < col("b.v"))
+      .groupBy(col("a.v").as("u"), col("b.v").as("w"))
+      .agg(count(lit(1)).as("inter"))
+      .join(deg.select(col("v").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("v").as("w"), col("dg").as("dw")), "w")
+      .select(col("u"), col("w"), col("inter"),
+        expr("inter * 1000000 DIV (du + dw - inter)").as("jac_ppm"))
+  }
+
+  /** Adamic-Adar vertex similarity — ref flink-gelly-library/.../
+    * similarity/AdamicAdar.java: Σ over common neighbors c of
+    * 1/ln(deg(c)), rare shared neighbors weighing more. Determinism: the
+    * per-neighbor weight is 10¹² div floor(ln(deg)·10⁶) — the ln is
+    * floor-quantized to micro-units BEFORE the division (the same
+    * cross-engine-libm contract as the BM25 idf), so the shuffled sums
+    * hash-match a serial oracle. Same common-neighbor join shape as
+    * [[jaccardIndex]]; deg(c) ≥ 2 by construction so the weight is always
+    * finite. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val nb = edges.select(col("src").as("v"), col("dst").as("n"))
+      .union(edges.select(col("dst").as("v"), col("src").as("n")))
+      .filter(col("v") =!= col("n")).distinct()
+    val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    nb.as("a").join(nb.as("b"),
+        col("a.n") === col("b.n") && col("a.v") < col("b.v"))
+      .select(col("a.v").as("u"), col("b.v").as("w"), col("a.n").as("c"))
+      .join(deg.select(col("v").as("c"), col("dg")), "c")
+      .withColumn("contrib", expr(
+        "1000000000000 DIV CAST(FLOOR(ln(CAST(dg AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .groupBy(col("u"), col("w")).agg(sum(col("contrib")).as("aa_micro"))
+  }
+
+  /** HITS hubs-and-authorities — ref flink-gelly-library/.../linkanalysis/
+    * HITS.java, on the canonically DIRECTED edge list (src → dst):
+    * auth ← Σ hub(in-neighbors), hub ← Σ auth(out-neighbors), each
+    * re-normalized to max = 10⁶ by integer floor division every half-round
+    * (the reference L2-normalizes; max-normalization keeps the fixed point
+    * structure and stays bit-stable in integers). Fixed round count; every
+    * half-round is one join of the static edge list against the |V|-row
+    * score frame + a 1-row max broadcast — the pageRank loop shape. */
+  def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val e = edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+        .distinct().localCheckpoint()
+      // raw = keyed sums over vertices WITH in/out edges; the full frame
+      // re-joins verts with 0-fill, then normalizes by the raw max
+      def step(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+        val raw = e.join(broadcast(scores), col(joinKey) === col("sv"))
+          .groupBy(col(outKey).as("rv")).agg(sum(col("s")).as("rs"))
+        val mx = raw.agg(max(col("rs")).as("mx"))
+        verts.join(raw, col("v") === col("rv"), "left")
+          .crossJoin(broadcast(mx))
+          .select(col("v").as("sv"),
+            expr("COALESCE(rs, 0) * 1000000 DIV mx").as("s"))
+      }
+      var hub = verts.select(col("v").as("sv"), lit(1000000L).as("s")).localCheckpoint()
+      var auth = hub
+      (1 to iters).foreach { i =>
+        auth = step(hub, "src", "dst")
+        hub = step(auth, "dst", "src")
+        if (i % 2 == 0 || i == iters) { auth = auth.localCheckpoint(); hub = hub.localCheckpoint() }
+      }
+      hub.select(col("sv").as("v"), col("s").as("hub_ppm"))
+        .join(auth.select(col("sv").as("v"), col("s").as("auth_ppm")), "v")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
