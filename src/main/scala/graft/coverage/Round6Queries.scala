@@ -151,6 +151,7 @@ object Round6Queries {
       val custom = routed
         .withColumn("ok", (col("pid") === pmod(col("k"), lit(5)).cast("int")).cast("long"))
         .groupBy(col("pid")).agg(count(lit(1)).as("n"), min(col("ok")).as("all_ok"))
+        .cache() // the audit collect below and the returned union share one run
       val rows = custom.collect()
       require(rows.forall(_.getAs[Long]("all_ok") == 1L),
         "partitionCustom routed a row to the wrong partition")
