@@ -300,6 +300,30 @@ object Round7Queries {
       ORDER BY 1"""
     })
 
+  /** Gelly local clustering coefficient — ref flink-gelly-library/.../
+    * clustering/undirected/LocalClusteringCoefficient.java via
+    * [[graft.operators.GraphOps.localClusteringCoefficient]] (triangle
+    * corners credited per vertex over C(deg,2), integer ppm). */
+  val qGraphClusteringCoeff: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .localClusteringCoefficient(Round2Queries.coEdges(s, dir))
+      .orderBy(col("v")),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      tri3 AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM e e1 JOIN e e2 ON e1.dst = e2.src
+               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+      tv AS (SELECT v, COUNT(*) AS tri FROM (
+               SELECT a AS v FROM tri3 UNION ALL SELECT b FROM tri3
+               UNION ALL SELECT c FROM tri3)
+             GROUP BY v)
+      SELECT deg.u AS v, deg.dg AS degree, COALESCE(tv.tri, CAST(0 AS BIGINT)) AS tri,
+             CASE WHEN deg.dg >= 2
+                  THEN 2 * COALESCE(tv.tri, 0) * 1000000 // (deg.dg * (deg.dg - 1))
+                  ELSE CAST(0 AS BIGINT) END AS cc_ppm
+      FROM deg LEFT JOIN tv ON tv.v = deg.u
+      ORDER BY 1"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_metrics_observe" -> qMetricsObserve,
     "q_stream_temporal_sort" -> qStreamTemporalSort,
@@ -308,5 +332,6 @@ object Round7Queries {
     "q_graph_label_prop" -> qGraphLabelProp,
     "q_graph_jaccard_index" -> qGraphJaccardIndex,
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
-    "q_graph_hits" -> qGraphHits)
+    "q_graph_hits" -> qGraphHits,
+    "q_graph_clustering_coeff" -> qGraphClusteringCoeff)
 }

@@ -312,6 +312,25 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Local clustering coefficient — ref flink-gelly-library/.../clustering/
+    * undirected/LocalClusteringCoefficient.java: per vertex,
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)) in integer ppm (0 for degree-1
+    * vertices). Composes the [[triangles]] enumeration (each triangle
+    * credits all three corners) with [[degrees]] — one extra explode +
+    * keyed agg over the triangle list, no new join shape. */
+  def localClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    degrees(edges)
+      .join(tri, Seq("v"), "left")
+      .na.fill(0L, Seq("tri"))
+      .select(col("v"), col("degree"), col("tri"),
+        when(col("degree") >= 2,
+          expr("2 * tri * 1000000 DIV (degree * (degree - 1))"))
+          .otherwise(0L).as("cc_ppm"))
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

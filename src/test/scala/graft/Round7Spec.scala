@@ -27,6 +27,38 @@ class Round7Spec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L, 13L).forall(labels(_) == 10L))
   }
 
+  test("jaccard index / adamic-adar / clustering coefficient on a known square+diagonal") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4 plus diagonal 1-3: Γ(1)={2,3,4}, Γ(3)={1,2,4},
+    // Γ(2)=Γ(4)={1,3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("src", "dst")
+    val ji = GraphOps.jaccardIndex(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ji((2L, 4L)) == (2L, 1000000L)) // identical neighborhoods {1,3}
+    assert(ji((1L, 3L)) == (2L, 500000L))  // {2,4} of union {1,2,3,4}
+    val lnq = (d: Long) => math.floor(math.log(d.toDouble) * 1e6).toLong
+    val aa = GraphOps.adamicAdar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // common neighbors of (2,4) are 1 and 3, both degree 3
+    assert(aa((2L, 4L)) == 2 * (1000000000000L / lnq(3L)))
+    val cc = GraphOps.localClusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cc(1L) == (3L, 2L, 666666L)) // triangles 123 & 134 over C(3,2)=3
+    assert(cc(2L) == (2L, 1L, 1000000L)) // one triangle over C(2,2)=1
+  }
+
+  test("hits separates hubs from authorities on a directed star") {
+    val s = spark
+    import s.implicits._
+    // 1→{2,3,4}: vertex 1 is the only hub, 2/3/4 are pure authorities
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val m = GraphOps.hits(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == (1000000L, 0L))
+    assert(Seq(2L, 3L, 4L).forall(m(_) == (0L, 1000000L)))
+  }
+
   test("injected-clock debounce flushes at the armed deadline and re-arms on data") {
     val s = spark
     import s.implicits._
@@ -71,5 +103,13 @@ class Round7Spec extends SparkTestBase {
     val d = new EngineEnv(s, Some(wh))
     d.executeSql("SET 'k1' = 'v1'")
     assert(new EngineEnv(s, Some(wh)).executeSql("SET").count() == 0)
+    // CREATE FUNCTION persists too: drop the session alias out-of-band,
+    // a fresh env's replay must restore it
+    d.executeSql("CREATE FUNCTION spec_fn AS 'upper'")
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("spec_fn"))
+    val f = new EngineEnv(s, Some(wh))
+    assert(f.sqlQuery("SELECT spec_fn('ab') AS x").head().getString(0) == "AB")
   }
 }
