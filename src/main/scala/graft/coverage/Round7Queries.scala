@@ -218,21 +218,11 @@ object Round7Queries {
     run = (s, dir) => graft.operators.GraphOps
       .labelPropagation(Round2Queries.coEdges(s, dir), iters = 3)
       .orderBy(col("v")),
-    oracle = Some {
-      val rounds = (1 to 3).map { i =>
-        s"""r$i AS (SELECT lv, label FROM (
-           |  SELECT nb.u AS lv, l.label, COUNT(*) AS c,
-           |         row_number() OVER (PARTITION BY nb.u
-           |                            ORDER BY COUNT(*) DESC, l.label) AS rn
-           |  FROM bi nb JOIN r${i - 1} l ON l.lv = nb.v
-           |  GROUP BY nb.u, l.label) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""
+    oracle = Some(s"""
       WITH ${Round2Queries.oBi},
       r0 AS (SELECT DISTINCT u AS lv, u AS label FROM bi),
-      $rounds
-      SELECT lv AS v, label FROM r3 ORDER BY v"""
-    })
+      ${lpRoundsCte(3)}
+      SELECT lv AS v, label FROM r3 ORDER BY v"""))
 
   /** Gelly JaccardIndex — ref flink-gelly-library/.../similarity/
     * JaccardIndex.java via [[graft.operators.GraphOps.jaccardIndex]] on
@@ -324,6 +314,66 @@ object Round7Queries {
       FROM deg LEFT JOIN tv ON tv.v = deg.u
       ORDER BY 1"""))
 
+  private def lpRoundsCte(n: Int): String = (1 to n).map { i =>
+    s"""r$i AS (SELECT lv, label FROM (
+       |  SELECT nb.u AS lv, l.label, COUNT(*) AS c,
+       |         row_number() OVER (PARTITION BY nb.u
+       |                            ORDER BY COUNT(*) DESC, l.label) AS rn
+       |  FROM bi nb JOIN r${i - 1} l ON l.lv = nb.v
+       |  GROUP BY nb.u, l.label) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** Gelly CommunityDetection (Leung et al.) — ref flink-gelly/.../library/
+    * CommunityDetection.java via [[graft.operators.GraphOps
+    * .communityDetection]]: 3 score-attenuated rounds, integer micro-unit
+    * scores; the oracle unrolls the identical vote → top-1 → rescore
+    * chain (MATERIALIZED — each round is referenced twice). */
+  val qGraphCommunity: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .communityDetection(Round2Queries.coEdges(s, dir), iters = 3)
+      .orderBy(col("v")),
+    oracle = Some {
+      val rounds = (1 to 3).map { k =>
+        s"""s$k AS MATERIALIZED (SELECT nb.u AS v, l.label,
+           |    CAST(SUM(l.score) AS BIGINT) AS ts, CAST(MAX(l.score) AS BIGINT) AS ms
+           |  FROM bi nb JOIN c${k - 1} l ON l.lv = nb.v GROUP BY nb.u, l.label),
+           |p$k AS MATERIALIZED (SELECT v, label, ms FROM (
+           |  SELECT v, label, ms, row_number() OVER (PARTITION BY v
+           |    ORDER BY ts DESC, label) AS rn FROM s$k) WHERE rn = 1),
+           |c$k AS MATERIALIZED (SELECT p.v AS lv, p.label,
+           |    CASE WHEN p.label = c.label THEN p.ms
+           |         ELSE p.ms - (500000 // $k) END AS score
+           |  FROM p$k p JOIN c${k - 1} c ON c.lv = p.v)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH ${Round2Queries.oBi},
+      c0 AS MATERIALIZED (SELECT DISTINCT u AS lv, u AS label,
+                                 1000000::BIGINT AS score FROM bi),
+      $rounds
+      SELECT lv AS v, label, score AS score_micro FROM c3 ORDER BY 1"""
+    })
+
+  /** Gelly Summarization — ref flink-gelly/.../library/Summarization.java
+    * via [[graft.operators.GraphOps.summarize]]: the co-purchase graph
+    * condensed over its 3-round label-propagation communities —
+    * (label, label) edge-group counts, self-groups = intra-community
+    * density. */
+  val qGraphSummarize: Q = Q(
+    run = (s, dir) => {
+      val edges = Round2Queries.coEdges(s, dir)
+      val labels = graft.operators.GraphOps.labelPropagation(edges, iters = 3)
+      graft.operators.GraphOps.summarize(edges, labels)
+        .orderBy(col("src_label"), col("dst_label"))
+    },
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      r0 AS (SELECT DISTINCT u AS lv, u AS label FROM bi),
+      ${lpRoundsCte(3)}
+      SELECT LEAST(a.label, b.label) AS src_label,
+             GREATEST(a.label, b.label) AS dst_label, COUNT(*) AS n_edges
+      FROM e JOIN r3 a ON a.lv = e.src JOIN r3 b ON b.lv = e.dst
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_metrics_observe" -> qMetricsObserve,
     "q_stream_temporal_sort" -> qStreamTemporalSort,
@@ -333,5 +383,7 @@ object Round7Queries {
     "q_graph_jaccard_index" -> qGraphJaccardIndex,
     "q_graph_adamic_adar" -> qGraphAdamicAdar,
     "q_graph_hits" -> qGraphHits,
-    "q_graph_clustering_coeff" -> qGraphClusteringCoeff)
+    "q_graph_clustering_coeff" -> qGraphClusteringCoeff,
+    "q_graph_community" -> qGraphCommunity,
+    "q_graph_summarize" -> qGraphSummarize)
 }

@@ -226,6 +226,68 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Community detection (Leung et al., arXiv:0808.2633) — ref
+    * flink-gelly/.../library/CommunityDetection.java:49: label propagation
+    * with hop-attenuated SCORES. Per synchronous round k each vertex sends
+    * (label, score) to its neighbors, adopts the label with the highest
+    * summed received score (tie → smallest label, the reference's ordered
+    * TreeMap + strict-> walk), and re-scores to the highest SINGLE received
+    * score of that label, minus delta/k iff the label changed
+    * (VertexLabelUpdater.updateVertex:151-171). Scores live in integer
+    * micro-units (score₀ = 10⁶, attenuation = 500000 div k — the same
+    * floor-quantization contract as pageRank), so 1000 executors
+    * hash-match a serial oracle. Per round: one broadcast join of the
+    * static edge list against the |V|-row state + one (v, label) partial
+    * agg + one top-1 window — the LP loop shape plus a prev-label join. */
+  def communityDetection(edges: DataFrame, iters: Int = 3,
+                         deltaMicro: Long = 500000L): DataFrame = {
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val bi = edges.select(col("src").as("v"), col("dst").as("n"))
+        .union(edges.select(col("dst").as("v"), col("src").as("n")))
+        .filter(col("v") =!= col("n")).distinct().localCheckpoint()
+      var st = bi.select(col("v")).distinct()
+        .select(col("v").as("lv"), col("v").as("label"), lit(1000000L).as("score"))
+        .localCheckpoint()
+      val byVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("ts").desc, col("label"))
+      (1 to iters).foreach { k =>
+        val picked = bi
+          .join(broadcast(st), col("n") === col("lv")) // neighbor's (label, score) flows in
+          .groupBy(col("v"), col("label"))
+          .agg(sum(col("score")).as("ts"), max(col("score")).as("ms"))
+          .withColumn("rn", row_number().over(byVote)).filter(col("rn") === 1)
+        st = picked
+          .join(st.select(col("lv"), col("label").as("prev")), col("v") === col("lv"))
+          .select(col("v").as("lv"), col("label"),
+            when(col("label") === col("prev"), col("ms"))
+              .otherwise(col("ms") - lit(deltaMicro / k)).as("score"))
+        if (k % 2 == 0 || k == iters) st = st.localCheckpoint()
+      }
+      st.select(col("lv").as("v"), col("label"), col("score").as("score_micro"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Graph summarization — ref flink-gelly/.../library/Summarization.java:
+    * condense a labeled graph to one vertex per label (with member count)
+    * and one edge per (label, label) group (with edge count); self-group
+    * edges record intra-community density. Two broadcast joins of the
+    * |V|-row label frame + one keyed agg — the coarsening every
+    * community-level analysis starts from. Returns the summarized EDGE
+    * list (src_label ≤ dst_label canonical). */
+  def summarize(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l = broadcast(labels.select(col("v"), col("label")))
+    edges
+      .join(l.select(col("v").as("src"), col("label").as("sl")), "src")
+      .join(l.select(col("v").as("dst"), col("label").as("dl")), "dst")
+      .select(least(col("sl"), col("dl")).as("src_label"),
+              greatest(col("sl"), col("dl")).as("dst_label"))
+      .groupBy(col("src_label"), col("dst_label"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Vertex-similarity Jaccard index — ref flink-gelly-library/.../
     * similarity/JaccardIndex.java: for every vertex pair sharing ≥1
     * neighbor, |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| (in integer ppm — floor division
