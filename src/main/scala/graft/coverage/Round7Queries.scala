@@ -374,6 +374,134 @@ object Round7Queries {
       FROM e JOIN r3 a ON a.lv = e.src JOIN r3 b ON b.lv = e.dst
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Gelly VertexMetrics — ref flink-gelly/.../library/metric/undirected/
+    * VertexMetrics.java via [[graft.operators.GraphOps.vertexMetrics]]:
+    * the 1-row (|V|, |E|, avg-degree ppm, Σ C(d,2) triplets, max degree,
+    * max per-vertex triplets) graph statistic. */
+  val qGraphVertexMetrics: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .vertexMetrics(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi}
+      SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+             CAST(SUM(dg) AS BIGINT) // 2 AS edge_count,
+             CAST(SUM(dg) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS avg_degree_ppm,
+             CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS triplet_count,
+             CAST(MAX(dg) AS BIGINT) AS max_degree,
+             CAST(MAX(dg * (dg - 1) // 2) AS BIGINT) AS max_triplets
+      FROM deg"""))
+
+  /** Gelly EdgeMetrics — ref flink-gelly/.../library/metric/undirected/
+    * EdgeMetrics.java via [[graft.operators.GraphOps.edgeMetrics]]: per
+    * vertex, lc = #neighbors above it in the (degree, id) order; triangle
+    * triplets C(lc,2), rectangle triplets C(lc,2)+lc·(d−lc); 1-row sums
+    * and maxima. */
+  val qGraphEdgeMetrics: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .edgeMetrics(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      lcs AS (SELECT bi.u AS lv, MAX(du.dg) AS d,
+                     CAST(SUM(CASE WHEN du.dg < dv.dg
+                                     OR (du.dg = dv.dg AND bi.u < bi.v)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS lc
+              FROM bi JOIN deg du ON du.u = bi.u JOIN deg dv ON dv.u = bi.v
+              GROUP BY bi.u),
+      pv AS (SELECT lc * (lc - 1) // 2 AS tt,
+                    lc * (lc - 1) // 2 + lc * (d - lc) AS rt FROM lcs)
+      SELECT CAST(SUM(tt) AS BIGINT) AS triangle_triplet_count,
+             CAST(SUM(rt) AS BIGINT) AS rectangle_triplet_count,
+             CAST(MAX(tt) AS BIGINT) AS max_triangle_triplets,
+             CAST(MAX(rt) AS BIGINT) AS max_rectangle_triplets
+      FROM pv"""))
+
+  /** Gelly GlobalClusteringCoefficient — ref flink-gelly/.../library/
+    * clustering/undirected/GlobalClusteringCoefficient.java via
+    * [[graft.operators.GraphOps.globalClusteringCoefficient]]: closed
+    * triplets (3 per triangle) over all triplets, floor ppm. */
+  val qGraphGlobalCc: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .globalClusteringCoefficient(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      tri3 AS (SELECT e1.src AS a FROM e e1
+               JOIN e e2 ON e1.dst = e2.src
+               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+      tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntri FROM tri3),
+      tp AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS triplet_count FROM deg)
+      SELECT tp.triplet_count, 3 * tc.ntri AS triangle_count,
+             3 * tc.ntri * 1000000 // tp.triplet_count AS gcc_ppm
+      FROM tp, tc"""))
+
+  /** Gelly AverageClusteringCoefficient — ref flink-gelly/.../library/
+    * clustering/undirected/AverageClusteringCoefficient.java via
+    * [[graft.operators.GraphOps.averageClusteringCoefficient]]: mean of
+    * the per-vertex ppm LCC scores (quantize-then-sum keeps the mean
+    * order-independent). */
+  val qGraphAvgCc: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .averageClusteringCoefficient(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      tri3 AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM e e1 JOIN e e2 ON e1.dst = e2.src
+               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+      tv AS (SELECT v, COUNT(*) AS tri FROM (
+               SELECT a AS v FROM tri3 UNION ALL SELECT b FROM tri3
+               UNION ALL SELECT c FROM tri3)
+             GROUP BY v),
+      lcc AS (SELECT deg.u AS v,
+                     CASE WHEN deg.dg >= 2
+                          THEN 2 * COALESCE(tv.tri, 0) * 1000000 // (deg.dg * (deg.dg - 1))
+                          ELSE CAST(0 AS BIGINT) END AS cc_ppm
+              FROM deg LEFT JOIN tv ON tv.v = deg.u)
+      SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+             CAST(SUM(cc_ppm) AS BIGINT) AS sum_cc_ppm,
+             CAST(SUM(cc_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS acc_ppm
+      FROM lcc"""))
+
+  /** Gelly TriadicCensus — ref flink-gelly/.../library/clustering/
+    * undirected/TriadicCensus.java via [[graft.operators.GraphOps
+    * .triadicCensus]]: closed-form triad counts from (n, e, triplets,
+    * triangles); DECIMAL(38,0) columns mirror the reference's BigInteger
+    * (C(n,3) leaves long range at ~3.8M vertices). Oracle arithmetic runs
+    * in HUGEINT and casts the 4 results. */
+  val qGraphTriadicCensus: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .triadicCensus(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      tri3 AS (SELECT e1.src AS a FROM e e1
+               JOIN e e2 ON e1.dst = e2.src
+               JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(dg) AS HUGEINT) // 2 AS ec,
+                   CAST(SUM(dg * (dg - 1) // 2) AS HUGEINT) AS t
+            FROM deg),
+      tc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS tri FROM tri3)
+      SELECT CAST(n * (n - 1) * (n - 2) // 6
+                  - (ec * (n - 2) - 2 * (t - 3 * tri) - 3 * tri)
+                  - (t - 3 * tri) - tri AS DECIMAL(38,0)) AS triads0,
+             CAST(ec * (n - 2) - 2 * (t - 3 * tri) - 3 * tri AS DECIMAL(38,0)) AS triads1,
+             CAST(t - 3 * tri AS DECIMAL(38,0)) AS triads2,
+             CAST(tri AS DECIMAL(38,0)) AS triads3
+      FROM m, tc"""))
+
+  /** Gelly ChecksumHashCode — ref flink-gelly/.../library/metric/
+    * ChecksumHashCode.java via [[graft.operators.GraphOps
+    * .checksumHashCode]]: order-independent (count, XOR-folded 60-bit
+    * md5) signatures of the vertex and edge sets. */
+  val qGraphChecksum: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .checksumHashCode(Round2Queries.coEdges(s, dir)),
+    oracle = Some(s"""
+      WITH ${Round2Queries.oBi},
+      verts AS (SELECT DISTINCT u AS v FROM bi)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS vertex_count,
+             (SELECT BIT_XOR(${graft.Queries.oHash("CAST(v AS VARCHAR)")}) FROM verts) AS vertex_checksum,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_count,
+             (SELECT BIT_XOR(${graft.Queries.oHash("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) FROM e) AS edge_checksum"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_metrics_observe" -> qMetricsObserve,
     "q_stream_temporal_sort" -> qStreamTemporalSort,
@@ -385,5 +513,11 @@ object Round7Queries {
     "q_graph_hits" -> qGraphHits,
     "q_graph_clustering_coeff" -> qGraphClusteringCoeff,
     "q_graph_community" -> qGraphCommunity,
-    "q_graph_summarize" -> qGraphSummarize)
+    "q_graph_summarize" -> qGraphSummarize,
+    "q_graph_vertex_metrics" -> qGraphVertexMetrics,
+    "q_graph_edge_metrics" -> qGraphEdgeMetrics,
+    "q_graph_global_cc" -> qGraphGlobalCc,
+    "q_graph_avg_cc" -> qGraphAvgCc,
+    "q_graph_triadic_census" -> qGraphTriadicCensus,
+    "q_graph_checksum" -> qGraphChecksum)
 }

@@ -393,6 +393,124 @@ object GraphOps {
           .otherwise(0L).as("cc_ppm"))
   }
 
+  /** Undirected vertex metrics — ref flink-gelly/.../library/metric/
+    * undirected/VertexMetrics.java: vertex count, edge count, average
+    * degree, triplet count Σ C(d,2), maximum degree, maximum per-vertex
+    * triplets, in one row. The average degree is floor-quantized to ppm
+    * (the reference reports a double; integer micro-units keep 1000
+    * executors hash-identical to a serial oracle). Cost: one map-side
+    * partial degree agg + a 1-row global agg — no joins at all, the
+    * cheapest full-graph statistic there is. */
+  def vertexMetrics(edges: DataFrame): DataFrame =
+    degrees(edges).agg(
+      count(lit(1)).as("vertex_count"),
+      expr("CAST(SUM(degree) AS BIGINT) DIV 2").as("edge_count"),
+      expr("CAST(SUM(degree) AS BIGINT) * 1000000 DIV COUNT(*)").as("avg_degree_ppm"),
+      expr("CAST(SUM(degree * (degree - 1) DIV 2) AS BIGINT)").as("triplet_count"),
+      max(col("degree")).as("max_degree"),
+      expr("MAX(degree * (degree - 1) DIV 2)").as("max_triplets"))
+
+  /** Undirected edge metrics — ref flink-gelly/.../library/metric/
+    * undirected/EdgeMetrics.java: per vertex v let lc(v) = #neighbors
+    * ranked ABOVE v in the (degree, id) total order (EdgeStats.map:
+    * d(s)<d(t) or tie-break on id); triangle triplets = C(lc,2) and
+    * rectangle triplets = C(lc,2) + lc·(d−lc) — the triplet partition
+    * every order-aware triangle/rectangle enumeration opens with. Returns
+    * the 1-row (sum, sum, max, max). Cost: the symmetric neighbor list
+    * joined twice against the |V|-row degree frame (both broadcastable) +
+    * one keyed agg + one global agg. */
+  def edgeMetrics(edges: DataFrame): DataFrame = {
+    val nb = edges.select(col("src").as("v"), col("dst").as("n"))
+      .union(edges.select(col("dst").as("v"), col("src").as("n")))
+    val deg = degrees(edges)
+    val perV = nb
+      .join(broadcast(deg.select(col("v"), col("degree").as("dv"))), "v")
+      .join(broadcast(deg.select(col("v").as("n"), col("degree").as("dn"))), "n")
+      .groupBy(col("v"))
+      .agg(first(col("dv")).as("d"),
+        sum(when(col("dv") < col("dn") ||
+          (col("dv") === col("dn") && col("v") < col("n")), 1L).otherwise(0L)).as("lc"))
+    perV
+      .select(expr("lc * (lc - 1) DIV 2").as("tt"),
+        expr("lc * (lc - 1) DIV 2 + lc * (d - lc)").as("rt"))
+      .agg(expr("CAST(SUM(tt) AS BIGINT)").as("triangle_triplet_count"),
+        expr("CAST(SUM(rt) AS BIGINT)").as("rectangle_triplet_count"),
+        max(col("tt")).as("max_triangle_triplets"),
+        max(col("rt")).as("max_rectangle_triplets"))
+  }
+
+  /** Global clustering coefficient — ref flink-gelly/.../library/
+    * clustering/undirected/GlobalClusteringCoefficient.java: number of
+    * closed triplets (3 per listed triangle) over the number of triplets,
+    * as the 1-row (triplet_count, triangle_count, gcc_ppm). Composes
+    * [[triangles]] (count only) with the [[vertexMetrics]] degree agg;
+    * gcc is floor ppm — same integer contract as the rest of the family. */
+  def globalClusteringCoefficient(edges: DataFrame): DataFrame =
+    vertexMetrics(edges).select(col("triplet_count"))
+      .crossJoin(broadcast(triangles(edges).agg(count(lit(1)).as("ntri"))))
+      .select(col("triplet_count"),
+        expr("3 * ntri").as("triangle_count"),
+        expr("3 * ntri * 1000000 DIV triplet_count").as("gcc_ppm"))
+
+  /** Average clustering coefficient — ref flink-gelly/.../library/
+    * clustering/undirected/AverageClusteringCoefficient.java: the mean of
+    * [[localClusteringCoefficient]] over all vertices (reference sums
+    * doubles; we sum the already-quantized ppm scores and floor-divide —
+    * order-independent, hash-stable). One extra 1-row agg over the LCC
+    * frame. */
+  def averageClusteringCoefficient(edges: DataFrame): DataFrame =
+    localClusteringCoefficient(edges).agg(
+      count(lit(1)).as("vertex_count"),
+      expr("CAST(SUM(cc_ppm) AS BIGINT)").as("sum_cc_ppm"),
+      expr("CAST(SUM(cc_ppm) AS BIGINT) DIV COUNT(*)").as("acc_ppm"))
+
+  /** Undirected triadic census — ref flink-gelly/.../library/clustering/
+    * undirected/TriadicCensus.java: counts of vertex triples with 3, 2,
+    * 1, 0 connecting edges, derived in closed form from (n, e, triplets,
+    * triangles) exactly as the reference's BigInteger arithmetic
+    * (TriadicCensus.getResult:79-124): t3 = triangles, t2 = triplets −
+    * 3·t3, t1 = e·(n−2) − 2·t2 − 3·t3, t0 = C(n,3) − t1 − t2 − t3. All
+    * four columns are DECIMAL(38,0) — C(n,3) overflows a long at n ≈ 3.8M
+    * vertices, well inside 100 TB graph sizes (the reference reaches for
+    * BigInteger for the same reason). Cost: [[vertexMetrics]] + a
+    * triangle count — two 1-row aggregates. */
+  def triadicCensus(edges: DataFrame): DataFrame =
+    vertexMetrics(edges)
+      .crossJoin(broadcast(triangles(edges).agg(count(lit(1)).as("ntri"))))
+      .select(
+        expr("CAST(vertex_count AS DECIMAL(38,0))").as("n"),
+        expr("CAST(edge_count AS DECIMAL(38,0))").as("e"),
+        expr("CAST(triplet_count AS DECIMAL(38,0))").as("t"),
+        expr("CAST(ntri AS DECIMAL(38,0))").as("tri"))
+      .select(
+        expr("CAST(n * (n - 1) * (n - 2) / 6 AS DECIMAL(38,0))").as("cn3"),
+        expr("CAST(e * (n - 2) - 2 * (t - 3 * tri) - 3 * tri AS DECIMAL(38,0))").as("t1"),
+        expr("CAST(t - 3 * tri AS DECIMAL(38,0))").as("t2"),
+        expr("CAST(tri AS DECIMAL(38,0))").as("t3"))
+      .select(
+        expr("CAST(cn3 - t1 - t2 - t3 AS DECIMAL(38,0))").as("triads0"),
+        col("t1").as("triads1"), col("t2").as("triads2"), col("t3").as("triads3"))
+
+  /** Graph checksum — ref flink-gelly/.../library/metric/ChecksumHashCode
+    * .java: an order-independent (count, hash-aggregate) signature of the
+    * vertex and edge sets, for cheap cross-run equality checks. The
+    * reference sums Java hashCodes; we XOR-fold a 60-bit md5 of the
+    * canonical string form instead — BIT_XOR is overflow-free at any
+    * cardinality and identical in every engine (a sum of 2⁶⁰-range hashes
+    * overflows a long past ~8 rows). Two map-side-only 1-row aggs. */
+  def checksumHashCode(edges: DataFrame): DataFrame = {
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val vAgg = edges.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+      .select(h(col("v")).as("vh"))
+      .agg(count(lit(1)).as("vertex_count"),
+        expr("BIT_XOR(vh)").as("vertex_checksum"))
+    val eAgg = edges
+      .select(h(concat(col("src").cast("string"), lit(":"), col("dst").cast("string"))).as("eh"))
+      .agg(count(lit(1)).as("edge_count"), expr("BIT_XOR(eh)").as("edge_checksum"))
+    vAgg.crossJoin(eAgg)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

@@ -48,6 +48,35 @@ class Round7Spec extends SparkTestBase {
     assert(cc(2L) == (2L, 1L, 1000000L)) // one triangle over C(2,2)=1
   }
 
+  test("metric family on the known square+diagonal") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4 + diagonal 1-3: d=(3,2,3,2), triangles 123 & 134
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("src", "dst")
+    val vm = GraphOps.vertexMetrics(edges).head()
+    assert((vm.getLong(0), vm.getLong(1), vm.getLong(2), vm.getLong(3),
+      vm.getLong(4), vm.getLong(5)) == ((4L, 5L, 2500000L, 8L, 3L, 3L)))
+    // (degree, id) order: 2 < 4 < 1 < 3 → lc = (1, 2, 0, 2)
+    val em = GraphOps.edgeMetrics(edges).head()
+    assert((em.getLong(0), em.getLong(1), em.getLong(2), em.getLong(3)) ==
+      ((2L, 4L, 1L, 2L)))
+    val g = GraphOps.globalClusteringCoefficient(edges).head()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == ((8L, 6L, 750000L)))
+    val a = GraphOps.averageClusteringCoefficient(edges).head()
+    // lcc ppm = (666666, 1000000, 666666, 1000000)
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == ((4L, 3333332L, 833333L)))
+    val tcRow = GraphOps.triadicCensus(edges).head()
+    val tc = (0 to 3).map(i => tcRow.getDecimal(i).longValueExact())
+    assert(tc == Seq(0L, 0L, 2L, 2L)) // C(4,3)=4 triads: two 2-edge, two 3-edge
+    val ck1 = GraphOps.checksumHashCode(edges).head()
+    assert(ck1.getLong(0) == 4L && ck1.getLong(2) == 5L)
+    val ck2 = GraphOps.checksumHashCode(edges).head()
+    assert(ck1 == ck2) // signature is a pure function of the graph
+    val ck3 = GraphOps.checksumHashCode(
+      edges.unionAll(Seq((2L, 4L)).toDF("src", "dst"))).head()
+    assert(ck3.getLong(3) != ck1.getLong(3)) // one more edge flips the fold
+  }
+
   test("hits separates hubs from authorities on a directed star") {
     val s = spark
     import s.implicits._
