@@ -502,6 +502,106 @@ object Round7Queries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_count,
              (SELECT BIT_XOR(${graft.Queries.oHash("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) FROM e) AS edge_checksum"""))
 
+  /** Rate streaming datagen, oracle-gated — ref flink-streaming-java/.../
+    * source/datagen/DataGeneratorSource.java (+ the SQL datagen connector
+    * this repo gates as q_sql_datagen): a live source emitting the
+    * deterministic value sequence 0,1,2,… at a configured rate. Spark's
+    * `rate` format IS this operator; its DATA contract (the value column
+    * is a gapless 0-based sequence) is machine-checkable even though
+    * arrival timestamps are wall-clock: run live until values 0..999 have
+    * all arrived, keep exactly that prefix, and aggregate per value%10
+    * bucket — count/min/max/sum per bucket are pure functions of the
+    * sequence, hash-matched against a DuckDB range(1000) oracle. */
+  val qStreamRateSource: Q = Q(
+    run = (s, _) => {
+      val name = s"graft_rate_${obsSeq.incrementAndGet()}"
+      val q = s.readStream.format("rate")
+        .option("rowsPerSecond", "5000").option("numPartitions", "2").load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var mx = -1L
+        while (mx < 999L && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          val r = s.table(name).agg(max(col("value"))).head()
+          mx = if (r.isNullAt(0)) -1L else r.getLong(0)
+          if (mx < 999L) Thread.sleep(50)
+        }
+      } finally q.stop()
+      val out = s.table(name).filter(col("value") < 1000)
+        .groupBy((col("value") % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"), sum(col("value")).as("vsum"))
+        .orderBy(col("bucket")).collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
+        new StructType().add("bucket", LongType).add("cnt", LongType)
+          .add("vmin", LongType).add("vmax", LongType).add("vsum", LongType))
+    },
+    oracle = Some("""
+      SELECT v % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+             CAST(SUM(v) AS BIGINT) AS vsum
+      FROM range(1000) t(v) GROUP BY 1 ORDER BY 1"""))
+
+  /** socketTextStream, oracle-gated — ref StreamExecutionEnvironment
+    * .socketTextStream:989 (SocketTextStreamFunction): the line-oriented
+    * debug socket source. The query is the SERVER: it feeds every
+    * nation name through a loopback socket, Spark's `socket` source
+    * connects as the client (via the DataStreamEnv facade), and the
+    * streamed word count is hash-checked against DuckDB tokenizing the
+    * same nation table — the full source path (connect, line framing,
+    * UTF-8 decode) is on the gated path, not just a spec. */
+  val qStreamSocketSource: Q = Q(
+    run = (s, dir) => {
+      val names = Tables.load(s, dir, "nation")
+        .select(col("n_name")).collect().map(_.getString(0)).toSeq
+      val expected = names.iterator.flatMap(_.split(" ")).size.toLong
+      val server = new java.net.ServerSocket(0, 1,
+        java.net.InetAddress.getLoopbackAddress)
+      val writer = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          names.foreach(out.println)
+          out.flush()
+          Thread.sleep(30000) // query side stops first; keep the pipe open
+          sock.close()
+        } catch { case _: Throwable => () }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val name = s"graft_sock_${obsSeq.incrementAndGet()}"
+      val env = new graft.datastream.DataStreamEnv(s)
+      implicit val se: org.apache.spark.sql.Encoder[String] =
+        org.apache.spark.sql.Encoders.STRING
+      val counts = env.socketTextStream("localhost", server.getLocalPort)
+        .flatMap(_.split(" ").toSeq).ds
+        .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var total = 0L
+        while (total < expected && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          val r = s.table(name).agg(sum(col("cnt"))).head()
+          total = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (total < expected) Thread.sleep(50)
+        }
+      } finally { q.stop(); server.close() }
+      val out = s.table(name).orderBy(col("word")).collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
+        new StructType().add("word", org.apache.spark.sql.types.StringType)
+          .add("cnt", LongType))
+    },
+    oracle = Some("""
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(n_name, ' ')) AS w FROM nation)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_metrics_observe" -> qMetricsObserve,
     "q_stream_temporal_sort" -> qStreamTemporalSort,
@@ -519,5 +619,7 @@ object Round7Queries {
     "q_graph_global_cc" -> qGraphGlobalCc,
     "q_graph_avg_cc" -> qGraphAvgCc,
     "q_graph_triadic_census" -> qGraphTriadicCensus,
-    "q_graph_checksum" -> qGraphChecksum)
+    "q_graph_checksum" -> qGraphChecksum,
+    "q_stream_rate_source" -> qStreamRateSource,
+    "q_stream_socket_source" -> qStreamSocketSource)
 }
