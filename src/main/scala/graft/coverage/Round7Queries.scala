@@ -502,6 +502,139 @@ object Round7Queries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_count,
              (SELECT BIT_XOR(${graft.Queries.oHash("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) FROM e) AS edge_checksum"""))
 
+  /** Gelly Graph-API structural transforms — ref flink-gelly/.../graph/
+    * Graph.java (reverse:1441, getUndirected:1069, subgraph:924,
+    * union:1769, difference:1789, intersect:1813) via
+    * [[graft.operators.GraphOps.GGraph]]: six transforms applied to the
+    * co-purchase graph, each summarized as (op, |V|, |E| with multiset
+    * multiplicity, XOR edge-set signature) so the oracle hash-checks the
+    * exact resulting vertex AND edge sets of every transform. */
+  val qGraphTransforms: Q = Q(
+    run = (s, dir) => {
+      import graft.operators.GraphOps.GGraph
+      val g = GGraph.fromEdges(Round2Queries.coEdges(s, dir))
+      val a = g.subgraph(v => v % 3 =!= 0, (sc, dc) => (sc + dc) % 2 === 0)
+      val b = g.filterOnEdges((sc, dc) => sc % 5 < dc % 5)
+      val ops: Seq[(String, GGraph)] = Seq(
+        "reverse" -> g.reverse,
+        "undirected" -> g.getUndirected,
+        "subgraph" -> a,
+        "union" -> a.union(b),
+        "difference" -> g.difference(GGraph.fromEdges(a.edges)),
+        "intersect" -> a.intersect(b))
+      val h = graft.Queries.hashStr(concat(
+        col("src").cast("string"), lit(":"), col("dst").cast("string")))
+      ops.map { case (tag, gg) =>
+        gg.vertices.agg(count(lit(1)).as("n_vertices"))
+          .crossJoin(gg.edges.select(h.as("eh"))
+            .agg(count(lit(1)).as("n_edges"), expr("BIT_XOR(eh)").as("esig")))
+          .select(lit(tag).as("op"), col("n_vertices"), col("n_edges"), col("esig"))
+      }.reduce(_ unionAll _).orderBy(col("op"))
+    },
+    oracle = Some {
+      val eh = graft.Queries.oHash("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+      s"""
+      WITH ${Round2Queries.oBi},
+      verts AS (SELECT DISTINCT u AS v FROM bi),
+      a_v AS (SELECT v FROM verts WHERE v % 3 <> 0),
+      a_e AS (SELECT src, dst FROM e
+              WHERE src % 3 <> 0 AND dst % 3 <> 0 AND (src + dst) % 2 = 0),
+      b_e AS (SELECT src, dst FROM e WHERE src % 5 < dst % 5),
+      ae_v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM a_e
+                                       UNION ALL SELECT dst FROM a_e)),
+      rev_e AS (SELECT dst AS src, src AS dst FROM e),
+      und_e AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      un_v AS (SELECT v FROM a_v UNION SELECT v FROM verts),
+      un_e AS (SELECT src, dst FROM a_e UNION ALL SELECT src, dst FROM b_e),
+      df_v AS (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM ae_v)),
+      df_e AS (SELECT src, dst FROM e WHERE src NOT IN (SELECT v FROM ae_v)
+                                        AND dst NOT IN (SELECT v FROM ae_v)),
+      in_e AS (SELECT src, dst FROM a_e INTERSECT SELECT src, dst FROM b_e),
+      in_v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM in_e
+                                       UNION ALL SELECT dst FROM in_e))
+      SELECT 'reverse' AS op, (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rev_e) AS n_edges,
+             (SELECT BIT_XOR($eh) FROM rev_e) AS esig
+      UNION ALL SELECT 'undirected', (SELECT CAST(COUNT(*) AS BIGINT) FROM verts),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM und_e), (SELECT BIT_XOR($eh) FROM und_e)
+      UNION ALL SELECT 'subgraph', (SELECT CAST(COUNT(*) AS BIGINT) FROM a_v),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a_e), (SELECT BIT_XOR($eh) FROM a_e)
+      UNION ALL SELECT 'union', (SELECT CAST(COUNT(*) AS BIGINT) FROM un_v),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM un_e), (SELECT BIT_XOR($eh) FROM un_e)
+      UNION ALL SELECT 'difference', (SELECT CAST(COUNT(*) AS BIGINT) FROM df_v),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM df_e), (SELECT BIT_XOR($eh) FROM df_e)
+      UNION ALL SELECT 'intersect', (SELECT CAST(COUNT(*) AS BIGINT) FROM in_v),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM in_e), (SELECT BIT_XOR($eh) FROM in_e)
+      ORDER BY 1"""
+    })
+
+  /** Gelly BipartiteGraph projections — ref flink-gelly/.../graph/
+    * bipartite/BipartiteGraph.java (projectionTopSimple:130,
+    * projectionBottomSimple:182, projectionTopFull:234,
+    * projectionBottomFull:308) via [[graft.operators.GraphOps
+    * .BipartiteGraph]]: the purchase events ARE a (window, user, count)
+    * bipartite incidence; all four projections are summarized as (proj,
+    * multigraph |E|, distinct pair count, value sum, multiset hash-sum
+    * signature) — the signature includes the connecting vertex for the
+    * Full variants, so simple-vs-full semantics are hash-distinguished. */
+  val qGraphBipartite: Q = Q(
+    run = (s, dir) => {
+      import graft.operators.GraphOps.BipartiteGraph
+      val be = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          unix_timestamp(window(col("ts"), "10 minutes").getField("start")).as("top"),
+          col("user_id").as("bottom"))
+        .agg(count(lit(1)).as("value"))
+      val bg = BipartiteGraph(be)
+      def sig(cols: Seq[String]) = sum(pmod(graft.Queries.hashStr(
+        concat_ws(":", cols.map(c => col(c).cast("string")): _*)), lit(1000003L)))
+      def summarize(tag: String, df: org.apache.spark.sql.DataFrame,
+                    hashCols: Seq[String]) =
+        df.agg(count(lit(1)).as("n_edges"),
+            expr("CAST(COUNT(DISTINCT src, dst) AS BIGINT)").as("n_pairs"),
+            expr("CAST(SUM(v1 + v2) AS BIGINT)").as("vsum"),
+            sig(hashCols).as("sig"))
+          .select(lit(tag).as("proj"), col("n_edges"), col("n_pairs"),
+            col("vsum"), col("sig"))
+      val simpleCols = Seq("src", "dst", "v1", "v2")
+      val fullCols = Seq("src", "dst", "via", "v1", "v2")
+      Seq(
+        summarize("top_simple", bg.projectionTopSimple, simpleCols),
+        summarize("bottom_simple", bg.projectionBottomSimple, simpleCols),
+        summarize("top_full", bg.projectionTopFull, fullCols),
+        summarize("bottom_full", bg.projectionBottomFull, fullCols))
+        .reduce(_ unionAll _).orderBy(col("proj"))
+    },
+    oracle = Some {
+      def oSig(cols: String*) = s"CAST(SUM((${graft.Queries.oHash(
+        cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ':' || "))}) % 1000003) AS BIGINT)"
+      s"""
+      WITH p AS (SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS top,
+                        user_id AS bottom, CAST(COUNT(*) AS BIGINT) AS value
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      ts_p AS (SELECT a.top AS src, b.top AS dst, a.bottom AS via,
+                      a.value AS v1, b.value AS v2
+               FROM p a JOIN p b ON a.bottom = b.bottom AND a.top <> b.top),
+      bs_p AS (SELECT a.bottom AS src, b.bottom AS dst, a.top AS via,
+                      a.value AS v1, b.value AS v2
+               FROM p a JOIN p b ON a.top = b.top AND a.bottom <> b.bottom)
+      SELECT 'bottom_full' AS proj, CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(COUNT(DISTINCT (src, dst)) AS BIGINT) AS n_pairs,
+             CAST(SUM(v1 + v2) AS BIGINT) AS vsum,
+             ${oSig("src", "dst", "via", "v1", "v2")} AS sig FROM bs_p
+      UNION ALL SELECT 'bottom_simple', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (src, dst)) AS BIGINT), CAST(SUM(v1 + v2) AS BIGINT),
+             ${oSig("src", "dst", "v1", "v2")} FROM bs_p
+      UNION ALL SELECT 'top_full', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (src, dst)) AS BIGINT), CAST(SUM(v1 + v2) AS BIGINT),
+             ${oSig("src", "dst", "via", "v1", "v2")} FROM ts_p
+      UNION ALL SELECT 'top_simple', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (src, dst)) AS BIGINT), CAST(SUM(v1 + v2) AS BIGINT),
+             ${oSig("src", "dst", "v1", "v2")} FROM ts_p
+      ORDER BY 1"""
+    })
+
   /** Rate streaming datagen, oracle-gated — ref flink-streaming-java/.../
     * source/datagen/DataGeneratorSource.java (+ the SQL datagen connector
     * this repo gates as q_sql_datagen): a live source emitting the
@@ -621,5 +754,7 @@ object Round7Queries {
     "q_graph_triadic_census" -> qGraphTriadicCensus,
     "q_graph_checksum" -> qGraphChecksum,
     "q_stream_rate_source" -> qStreamRateSource,
-    "q_stream_socket_source" -> qStreamSocketSource)
+    "q_stream_socket_source" -> qStreamSocketSource,
+    "q_graph_transforms" -> qGraphTransforms,
+    "q_graph_bipartite" -> qGraphBipartite)
 }

@@ -511,6 +511,100 @@ object GraphOps {
     vAgg.crossJoin(eAgg)
   }
 
+  /** Thin Gelly Graph-API facade — ref flink-gelly/.../graph/Graph.java's
+    * structural transform surface, re-expressed as two DataFrames
+    * (vertices: `v`; edges: `src`,`dst`) so every transform is a
+    * declarative filter/join Catalyst can push down and reorder:
+    * - reverse (Graph.reverse:1441) / getUndirected (:1069 — regular +
+    *   reversed edge MULTISET, duplicates retained like the reference's
+    *   flatMap)
+    * - subgraph / filterOnVertices / filterOnEdges (:924-983 — vertex
+    *   predicate keeps edges whose BOTH endpoints survive, exactly the
+    *   reference's two joins against the filtered vertex set)
+    * - union (:1769 — vertices distinct-unioned, edges multiset-unioned)
+    * - difference (:1789 → removeVertices — drop the other graph's vertex
+    *   SET and every incident edge)
+    * - intersect distinctEdges=true (:1813 — distinct common edges, output
+    *   vertices rebuilt from the surviving endpoints)
+    * At scale each transform is either a map-side filter or an equi-join
+    * against a |V|-row frame (broadcastable); nothing here shuffles the
+    * edge list more than once. */
+  case class GGraph(vertices: DataFrame, edges: DataFrame) {
+    import org.apache.spark.sql.Column
+    def reverse: GGraph =
+      GGraph(vertices, edges.select(col("dst").as("src"), col("src").as("dst")))
+    def getUndirected: GGraph =
+      GGraph(vertices, edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst"))))
+    def subgraph(vPred: Column => Column, ePred: (Column, Column) => Column): GGraph = {
+      val fv = vertices.filter(vPred(col("v")))
+      val fe = edges
+        .join(broadcast(fv.select(col("v").as("src"))), "src")
+        .join(broadcast(fv.select(col("v").as("dst"))), "dst")
+        .filter(ePred(col("src"), col("dst")))
+        .select(col("src"), col("dst"))
+      GGraph(fv, fe)
+    }
+    def filterOnVertices(vPred: Column => Column): GGraph =
+      subgraph(vPred, (_, _) => lit(true))
+    def filterOnEdges(ePred: (Column, Column) => Column): GGraph =
+      GGraph(vertices, edges.filter(ePred(col("src"), col("dst"))))
+    def union(other: GGraph): GGraph =
+      GGraph(vertices.unionAll(other.vertices).distinct(),
+        edges.unionAll(other.edges))
+    def difference(other: GGraph): GGraph = {
+      val rv = other.vertices
+      GGraph(
+        vertices.join(broadcast(rv.withColumnRenamed("v", "rv")),
+          col("v") === col("rv"), "left_anti"),
+        edges.join(broadcast(rv.select(col("v").as("src"))), Seq("src"), "left_anti")
+          .join(broadcast(rv.select(col("v").as("dst"))), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+    }
+    def intersect(other: GGraph): GGraph = {
+      val common = edges.intersect(other.edges)
+      GGraph.fromEdges(common)
+    }
+  }
+
+  object GGraph {
+    /** Graph.fromDataSet's edge-only spelling: vertices = distinct endpoints. */
+    def fromEdges(edges: DataFrame): GGraph =
+      GGraph(edges.select(explode(array(col("src"), col("dst"))).as("v")).distinct(),
+        edges)
+  }
+
+  /** Bipartite graph + projections — ref flink-gelly/.../graph/bipartite/
+    * BipartiteGraph.java: edges are (top, bottom, value) incidences;
+    * projectionTopSimple (:130) self-joins on the BOTTOM id and emits one
+    * DIRECTED top-pair edge per shared bottom vertex carrying both edge
+    * values (a multigraph — both orientations, one edge per connecting
+    * vertex, exactly the reference's FlatJoin); projectionBottomSimple
+    * (:182) is the mirror on the TOP id; the Full variants (:234, :308)
+    * additionally carry the connecting vertex on every projected edge.
+    * Each projection is ONE equi-join keyed on the shared-side vertex —
+    * the inverted-index shape, cost Σ deg(shared)², never |top|×|bottom|;
+    * Gelly's documented hub mitigation (cap the shared side's degree)
+    * applies unchanged at 100 TB. */
+  case class BipartiteGraph(edges: DataFrame) {
+    private def proj(key: String, out: String, via: Boolean): DataFrame = {
+      val base = edges.as("a").join(edges.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col(s"a.$out") =!= col(s"b.$out"))
+        .select(col(s"a.$out").as("src"), col(s"b.$out").as("dst"),
+          col(s"a.$key").as("via"),
+          col("a.value").as("v1"), col("b.value").as("v2"))
+      if (via) base else base.drop("via")
+    }
+    /** Top vertices connected via every shared bottom vertex. */
+    def projectionTopSimple: DataFrame = proj("bottom", "top", via = false)
+    /** Bottom vertices connected via every shared top vertex. */
+    def projectionBottomSimple: DataFrame = proj("top", "bottom", via = false)
+    /** Top projection keeping the connecting bottom vertex per edge. */
+    def projectionTopFull: DataFrame = proj("bottom", "top", via = true)
+    /** Bottom projection keeping the connecting top vertex per edge. */
+    def projectionBottomFull: DataFrame = proj("top", "bottom", via = true)
+  }
+
   /** Triangle count per enumeration (a<b<c with all three edges present). */
   def triangles(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("src").as("a"), col("dst").as("b"))

@@ -77,6 +77,46 @@ class Round7Spec extends SparkTestBase {
     assert(ck3.getLong(3) != ck1.getLong(3)) // one more edge flips the fold
   }
 
+  test("GGraph structural transforms on the square+diagonal") {
+    val s = spark
+    import s.implicits._
+    val g = GraphOps.GGraph.fromEdges(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("src", "dst"))
+    assert(g.vertices.count() == 4 && g.edges.count() == 5)
+    assert(g.reverse.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 1L), (3L, 2L), (4L, 3L), (4L, 1L), (3L, 1L)))
+    assert(g.getUndirected.edges.count() == 10) // multiset: regular + reversed
+    val sub = g.subgraph(v => v <= 3, (_, _) => org.apache.spark.sql.functions.lit(true))
+    assert(sub.vertices.count() == 3 && sub.edges.count() == 3) // 12, 23, 13
+    val onlyEven = g.filterOnEdges((a, b) => (a + b) % 2 === 0)
+    assert(onlyEven.vertices.count() == 4) // vertices untouched
+    assert(onlyEven.edges.count() == 1)    // endpoint sums 3,5,7,5,4 → only 1-3
+    val diff = g.difference(GraphOps.GGraph.fromEdges(Seq((3L, 4L)).toDF("src", "dst")))
+    assert(diff.vertices.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(diff.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L))) // every edge touching 3 or 4 removed
+    val inter = sub.intersect(onlyEven)
+    assert(inter.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L)))
+  }
+
+  test("bipartite projections on a known 2x2 incidence") {
+    val s = spark
+    import s.implicits._
+    // t1-u1(v=1), t1-u2(v=2), t2-u2(v=3)
+    val bg = GraphOps.BipartiteGraph(
+      Seq((10L, 1L, 1L), (10L, 2L, 2L), (20L, 2L, 3L)).toDF("top", "bottom", "value"))
+    val ts = bg.projectionTopSimple.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ts == Set((10L, 20L, 2L, 3L), (20L, 10L, 3L, 2L))) // via shared u2
+    val bs = bg.projectionBottomSimple.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bs == Set((1L, 2L, 1L, 2L), (2L, 1L, 2L, 1L))) // via shared t1
+    val bf = bg.projectionBottomFull.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bf == Set((1L, 2L, 10L), (2L, 1L, 10L))) // connecting top retained
+  }
+
   test("hits separates hubs from authorities on a directed star") {
     val s = spark
     import s.implicits._

@@ -7,6 +7,10 @@ set -e
 cd /root/repo
 SF1=${1:-/dev/shm/graft/sf1}
 QUERIES="q1_pricing_summary,q_tpch_q3,q_tpch_q6,q_tpch_q17,q_tpch_q18,q_tpch_q21,q_tpch_q2,q_topn_per_group,q_graph_pagerank,q_graph_components,q_graph_sssp,q_pipe_minhash_lsh,q_pipe_jaccard,q_pipe_cluster_split,q_pipe_dedup_keep_best,q_pipe_incremental_dedup,q_pipe_minhash_calibration,q_pipe_simhash,q_pipe_ppjoin,q_pipe_ann_brute,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_rag_e2e,q_pipe_epoch_shuffle,q_pipe_dataset_card"
+# round-7 session-2 broadening: the common-neighbor-join graph family, the
+# NFA/MATCH_RECOGNIZE engines, heavy TPC-H/DS shapes, the remaining
+# shuffle-heavy dedup passes, and the e2e corpus compose — 45 total
+QUERIES="$QUERIES,q_graph_triangles,q_graph_jaccard_index,q_graph_adamic_adar,q_graph_hits,q_graph_community,q_graph_clustering_coeff,q_graph_label_prop,q_graph_triadic_census,q_sql_mr_multi_partition,q_sql_mr_skip_to_last,q_cep_funnel,q_cep_timeout,q_tpch_q9,q_tpch_q13,q_ds_weekly_yoy,q_ds_distinct_over,q_pipe_semdedup,q_pipe_line_dedup,q_pipe_contain_dedup,q_pipe_e2e_c4"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
