@@ -635,6 +635,283 @@ object Round7Queries {
       ORDER BY 1"""
     })
 
+  /** Directed co-purchase graph: within each shared 10-minute window the
+    * EARLIER first-purchaser points at the later one (ties by id), so
+    * both orientations of a pair can appear across windows — a genuine
+    * mixed-dyad directed simple graph over the same support as
+    * [[Round2Queries.coEdges]]. */
+  private def dirEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = Tables.load(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("u"),
+        window(col("ts"), "10 minutes").getField("start").as("d"))
+      .agg(min(col("ts")).as("mt"))
+    p.as("a").join(p.as("b"),
+        col("a.d") === col("b.d") && col("a.u") =!= col("b.u") &&
+        (col("a.mt") < col("b.mt") ||
+         (col("a.mt") === col("b.mt") && col("a.u") < col("b.u"))))
+      .select(col("a.u").as("src"), col("b.u").as("dst")).distinct()
+  }
+
+  /** Oracle CTEs mirroring [[dirEdges]] + the dyad/degree/triangle frames
+    * of the directed family (spliced into each directed-graph oracle). */
+  private val oDir = s"""
+    pw AS (SELECT user_id AS u, time_bucket(INTERVAL '10 minutes', ts) AS d,
+                  MIN(ts) AS mt
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    de AS (SELECT DISTINCT a.u AS src, b.u AS dst
+           FROM pw a JOIN pw b ON a.d = b.d AND a.u <> b.u
+            AND (a.mt < b.mt OR (a.mt = b.mt AND a.u < b.u))),
+    dy AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS w,
+                  CAST(MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS f,
+                  CAST(MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS BIGINT) AS r
+           FROM de GROUP BY 1, 2),
+    dd AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree,
+                  CAST(SUM(o) AS BIGINT) AS out_degree,
+                  CAST(SUM(i) AS BIGINT) AS in_degree
+           FROM (SELECT u AS v, f AS o, r AS i FROM dy
+                 UNION ALL SELECT w, r, f FROM dy)
+           GROUP BY v),
+    tl AS (SELECT ab.u AS a, ab.w AS b, bc.w AS c,
+                  ab.f AS fab, ab.r AS rab, bc.f AS fbc, bc.r AS rbc,
+                  ac.f AS fac, ac.r AS rac
+           FROM dy ab JOIN dy bc ON ab.w = bc.u
+                      JOIN dy ac ON ab.u = ac.u AND bc.w = ac.w)"""
+
+  /** Directed triangle listing with triad types — ref flink-gelly/.../
+    * clustering/directed/TriangleListing.java via [[graft.operators
+    * .GraphOps.directedTriangleListing]]: each triangle of the directed
+    * co-purchase graph with its three 2-bit dyad masks and
+    * Holland–Leinhardt type; the oracle evaluates the IDENTICAL
+    * classification CASE over the same dyad joins. */
+  val qGraphDirTriangles: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .directedTriangleListing(dirEdges(s, dir))
+      .orderBy(col("a"), col("b"), col("c")),
+    oracle = Some(s"""
+      WITH $oDir
+      SELECT a, b, c, fab, rab, fbc, rbc, fac, rac,
+             ${graft.operators.GraphOps.triadTypeExpr} AS ttype
+      FROM tl ORDER BY a, b, c"""))
+
+  /** Directed local clustering coefficient — ref flink-gelly/.../
+    * clustering/directed/LocalClusteringCoefficient.java via
+    * [[graft.operators.GraphOps.directedLocalClusteringCoefficient]]:
+    * per vertex, DIRECTED edges among its neighbors over degree·(degree−1)
+    * ordered pairs, floor ppm. */
+  val qGraphDirLcc: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .directedLocalClusteringCoefficient(dirEdges(s, dir))
+      .orderBy(col("v")),
+    oracle = Some(s"""
+      WITH $oDir,
+      nb AS (SELECT u AS v, w AS n FROM dy UNION ALL SELECT w, u FROM dy),
+      trie AS (SELECT nbx.v, CAST(COUNT(*) AS BIGINT) AS tri
+               FROM de e JOIN nb nbx ON nbx.n = e.src
+                         JOIN nb nby ON nby.v = nbx.v AND nby.n = e.dst
+               GROUP BY nbx.v)
+      SELECT dd.v, dd.degree, COALESCE(trie.tri, CAST(0 AS BIGINT)) AS tri,
+             CASE WHEN dd.degree >= 2
+                  THEN COALESCE(trie.tri, 0) * 1000000 // (dd.degree * (dd.degree - 1))
+                  ELSE CAST(0 AS BIGINT) END AS cc_ppm
+      FROM dd LEFT JOIN trie ON trie.v = dd.v
+      ORDER BY 1"""))
+
+  /** Directed vertex metrics — ref flink-gelly/.../metric/directed/
+    * VertexMetrics.java via [[graft.operators.GraphOps
+    * .directedVertexMetrics]]: |V|, unidirectional/bidirectional edge
+    * counts, Σ C(d,2) triplets, degree/out/in/triplet maxima. */
+  val qGraphDirMetrics: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .directedVertexMetrics(dirEdges(s, dir)),
+    oracle = Some(s"""
+      WITH $oDir
+      SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+             CAST(SUM(2 * degree - out_degree - in_degree) AS BIGINT) // 2
+               AS unidirectional_edge_count,
+             CAST(SUM(out_degree + in_degree - degree) AS BIGINT) // 2
+               AS bidirectional_edge_count,
+             CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS triplet_count,
+             CAST(MAX(degree) AS BIGINT) AS max_degree,
+             CAST(MAX(out_degree) AS BIGINT) AS max_out_degree,
+             CAST(MAX(in_degree) AS BIGINT) AS max_in_degree,
+             CAST(MAX(degree * (degree - 1) // 2) AS BIGINT) AS max_triplets
+      FROM dd"""))
+
+  /** Directed global + average clustering coefficient — ref flink-gelly/
+    * .../clustering/directed/{Global,Average}ClusteringCoefficient.java
+    * via [[graft.operators.GraphOps.directedGlobalAvgClustering]]. */
+  val qGraphDirGccAcc: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .directedGlobalAvgClustering(dirEdges(s, dir)),
+    oracle = Some(s"""
+      WITH $oDir,
+      nb AS (SELECT u AS v, w AS n FROM dy UNION ALL SELECT w, u FROM dy),
+      trie AS (SELECT nbx.v, CAST(COUNT(*) AS BIGINT) AS tri
+               FROM de e JOIN nb nbx ON nbx.n = e.src
+                         JOIN nb nby ON nby.v = nbx.v AND nby.n = e.dst
+               GROUP BY nbx.v),
+      lcc AS (SELECT dd.v,
+                     CASE WHEN dd.degree >= 2
+                          THEN COALESCE(trie.tri, 0) * 1000000 // (dd.degree * (dd.degree - 1))
+                          ELSE CAST(0 AS BIGINT) END AS cc_ppm
+              FROM dd LEFT JOIN trie ON trie.v = dd.v),
+      la AS (SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+                    CAST(SUM(cc_ppm) AS BIGINT) AS sum_cc_ppm,
+                    CAST(SUM(cc_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS acc_ppm
+             FROM lcc),
+      tp AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS triplet_count FROM dd),
+      tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntri FROM tl)
+      SELECT la.vertex_count, la.sum_cc_ppm, la.acc_ppm, tp.triplet_count,
+             3 * tc.ntri AS triangle_count,
+             3 * tc.ntri * 1000000 // tp.triplet_count AS gcc_ppm
+      FROM la, tp, tc"""))
+
+  /** Directed triadic census — ref flink-gelly/.../clustering/directed/
+    * TriadicCensus.java via [[graft.operators.GraphOps
+    * .directedTriadicCensus]]: all 16 Holland–Leinhardt triad types from
+    * the per-vertex out-only/in-only/bidirectional decomposition + typed
+    * triangle counts, closed-form; DECIMAL(38,0) (HUGEINT oracle
+    * arithmetic). */
+  val qGraphDirCensus: Q = Q(
+    run = (s, dir) => graft.operators.GraphOps
+      .directedTriadicCensus(dirEdges(s, dir)),
+    oracle = Some(s"""
+      WITH $oDir,
+      vs AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                    CAST(SUM(s + t) AS HUGEINT) // 2 AS uni,
+                    CAST(SUM(b) AS HUGEINT) // 2 AS bi,
+                    CAST(SUM(s * (s - 1) // 2) AS HUGEINT) AS p021d,
+                    CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS p021u,
+                    CAST(SUM(s * t) AS HUGEINT) AS p021c,
+                    CAST(SUM(t * b) AS HUGEINT) AS p111d,
+                    CAST(SUM(s * b) AS HUGEINT) AS p111u,
+                    CAST(SUM(b * (b - 1) // 2) AS HUGEINT) AS p201
+             FROM (SELECT degree - in_degree AS s, degree - out_degree AS t,
+                          out_degree + in_degree - degree AS b FROM dd)),
+      ty AS (SELECT ${graft.operators.GraphOps.triadTypeExpr} AS ttype FROM tl),
+      ts AS (SELECT CAST(COALESCE(SUM(CASE WHEN ttype = '030t' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c030t,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '030c' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c030c,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '120d' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c120d,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '120u' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c120u,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '120c' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c120c,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '210' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c210,
+                    CAST(COALESCE(SUM(CASE WHEN ttype = '300' THEN 1 ELSE 0 END), 0) AS HUGEINT) AS c300
+             FROM ty),
+      adj AS (SELECT n, uni, bi,
+                     p201 - 3 * c300 - c210 AS t201,
+                     p111d - c210 - c120c - 2 * c120d AS t111d,
+                     p111u - c210 - c120c - 2 * c120u AS t111u,
+                     p021c - c120c - 3 * c030c - c030t AS t021c,
+                     p021u - c120u - c030t AS t021u,
+                     p021d - c120d - c030t AS t021d,
+                     c030t, c030c, c120d, c120u, c120c, c210, c300
+              FROM vs, ts),
+      fin AS (SELECT *,
+                     bi * (n - 2) - t111d - t111u - 2 * t201
+                       - c120d - c120u - c120c - 2 * c210 - 3 * c300 AS t102,
+                     uni * (n - 2) - 2 * t021d - 2 * t021u - 2 * t021c
+                       - t111d - t111u - 3 * c030t - 3 * c030c
+                       - 2 * c120d - 2 * c120u - 2 * c120c - c210 AS t012,
+                     n * (n - 1) * (n - 2) // 6 AS cn3
+              FROM adj)
+      SELECT CAST(cn3 - t012 - t102 - t021d - t021u - t021c - t111d - t111u
+                  - c030t - c030c - t201 - c120d - c120u - c120c - c210 - c300
+                  AS DECIMAL(38,0)) AS t003,
+             CAST(t012 AS DECIMAL(38,0)) AS t012, CAST(t102 AS DECIMAL(38,0)) AS t102,
+             CAST(t021d AS DECIMAL(38,0)) AS t021d, CAST(t021u AS DECIMAL(38,0)) AS t021u,
+             CAST(t021c AS DECIMAL(38,0)) AS t021c, CAST(t111d AS DECIMAL(38,0)) AS t111d,
+             CAST(t111u AS DECIMAL(38,0)) AS t111u, CAST(c030t AS DECIMAL(38,0)) AS t030t,
+             CAST(c030c AS DECIMAL(38,0)) AS t030c, CAST(t201 AS DECIMAL(38,0)) AS t201,
+             CAST(c120d AS DECIMAL(38,0)) AS t120d, CAST(c120u AS DECIMAL(38,0)) AS t120u,
+             CAST(c120c AS DECIMAL(38,0)) AS t120c, CAST(c210 AS DECIMAL(38,0)) AS t210,
+             CAST(c300 AS DECIMAL(38,0)) AS t300
+      FROM fin"""))
+
+  /** Gelly deterministic graph generators — ref flink-gelly/.../graph/
+    * generator/ (CirculantGraph:147, CompleteGraph:58, EchoGraph:77,
+    * GridGraph:126 + its Cycle/Path/Hypercube spellings, StarGraph,
+    * SingletonEdgeGraph, EmptyGraph) via [[graft.operators.GraphOps
+    * .Generators]]: ten fixed configurations, each summarized as (gen,
+    * |V|, directed |E|, min/max out-degree over ALL vertices, XOR edge
+    * signature) and hash-checked against DuckDB rebuilding the same edge
+    * sets in closed form from range(). */
+  val qGraphGenerators: Q = Q(
+    run = (s, _) => {
+      val G = graft.operators.GraphOps.Generators
+      val h = graft.Queries.hashStr(concat(
+        col("src").cast("string"), lit(":"), col("dst").cast("string")))
+      def row(tag: String, n: Long, e: org.apache.spark.sql.DataFrame) = {
+        val deg = s.range(n).select(col("id").as("v"))
+          .join(e.groupBy(col("src").as("v")).agg(count(lit(1)).as("od")),
+            Seq("v"), "left")
+          .na.fill(0L, Seq("od"))
+          .agg(min(col("od")).as("min_out"), max(col("od")).as("max_out"))
+        val es = e.select(h.as("eh"))
+          .agg(count(lit(1)).as("n_edges"), expr("BIT_XOR(eh)").as("esig"))
+        deg.crossJoin(es).select(lit(tag).as("gen"), lit(n).as("n_vertices"),
+          col("n_edges"), col("min_out"), col("max_out"), col("esig"))
+      }
+      Seq(
+        row("complete6", 6, G.complete(s, 6)),
+        row("circulant10_23", 10, G.circulant(s, 10, Seq((2L, 2L)))),
+        row("echo10_3", 10, G.echo(s, 10, 3)),
+        row("cycle8", 8, G.cycle(s, 8)),
+        row("path7", 7, G.path(s, 7)),
+        row("star9", 9, G.star(s, 9)),
+        row("hypercube4", 16, G.hypercube(s, 4)),
+        row("grid3x4w", 12, G.grid(s, Seq((3L, false), (4L, true)))),
+        row("singleton5", 10, G.singletonEdge(s, 5)),
+        row("empty5", 5, G.empty(s)))
+        .reduce(_ unionAll _).orderBy(col("gen"))
+    },
+    oracle = Some {
+      def oGen(tag: String, n: Int, cte: String) = s"""
+        SELECT '$tag' AS gen, CAST($n AS BIGINT) AS n_vertices,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM $cte) AS n_edges,
+          (SELECT CAST(MIN(COALESCE(d.od, 0)) AS BIGINT) FROM range($n) v(i)
+            LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+                       FROM $cte GROUP BY src) d ON d.src = v.i) AS min_out,
+          (SELECT CAST(MAX(COALESCE(d.od, 0)) AS BIGINT) FROM range($n) v(i)
+            LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+                       FROM $cte GROUP BY src) d ON d.src = v.i) AS max_out,
+          (SELECT BIT_XOR(${graft.Queries.oHash(
+            "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}) FROM $cte) AS esig"""
+      s"""
+      WITH
+      ge_complete AS (SELECT i AS src, (i + o) % 6 AS dst
+                      FROM range(6) a(i), range(1, 6) b(o)),
+      ge_circ AS (SELECT i AS src, (i + o) % 10 AS dst
+                  FROM range(10) a(i), range(2, 4) b(o)),
+      ge_echo AS (SELECT i AS src, (i + o) % 10 AS dst
+                  FROM range(10) a(i), range(4, 7) b(o)),
+      ge_cycle AS (SELECT i AS src, (i + 1) % 8 AS dst FROM range(8) a(i)
+                   UNION ALL SELECT i, (i + 7) % 8 FROM range(8) a(i)),
+      ge_path AS (SELECT i AS src, i + 1 AS dst FROM range(6) a(i)
+                  UNION ALL SELECT i, i - 1 FROM range(1, 7) a(i)),
+      ge_star AS (SELECT CAST(0 AS BIGINT) AS src, i AS dst FROM range(1, 9) a(i)
+                  UNION ALL SELECT i, CAST(0 AS BIGINT) FROM range(1, 9) a(i)),
+      ge_hc AS (SELECT i AS src, xor(i, 1 << k) AS dst
+                FROM range(16) a(i), range(4) b(k)),
+      ge_grid AS (SELECT i AS src, i - 4 AS dst FROM range(12) a(i) WHERE (i // 4) % 3 > 0
+                  UNION ALL SELECT i, i + 4 FROM range(12) a(i) WHERE (i // 4) % 3 < 2
+                  UNION ALL SELECT i, i - 1 FROM range(12) a(i) WHERE i % 4 > 0
+                  UNION ALL SELECT i, i + 3 FROM range(12) a(i) WHERE i % 4 = 0
+                  UNION ALL SELECT i, i + 1 FROM range(12) a(i) WHERE i % 4 < 3
+                  UNION ALL SELECT i, i - 3 FROM range(12) a(i) WHERE i % 4 = 3),
+      ge_single AS (SELECT 2 * i AS src, 2 * i + 1 AS dst FROM range(5) a(i)
+                    UNION ALL SELECT 2 * i + 1, 2 * i FROM range(5) a(i)),
+      ge_empty AS (SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst
+                   WHERE 1 = 0)
+      ${Seq(
+        oGen("complete6", 6, "ge_complete"), oGen("circulant10_23", 10, "ge_circ"),
+        oGen("echo10_3", 10, "ge_echo"), oGen("cycle8", 8, "ge_cycle"),
+        oGen("path7", 7, "ge_path"), oGen("star9", 9, "ge_star"),
+        oGen("hypercube4", 16, "ge_hc"), oGen("grid3x4w", 12, "ge_grid"),
+        oGen("singleton5", 10, "ge_single"), oGen("empty5", 5, "ge_empty"))
+        .mkString("\nUNION ALL")}
+      ORDER BY 1"""
+    })
+
   /** Rate streaming datagen, oracle-gated — ref flink-streaming-java/.../
     * source/datagen/DataGeneratorSource.java (+ the SQL datagen connector
     * this repo gates as q_sql_datagen): a live source emitting the
@@ -756,5 +1033,11 @@ object Round7Queries {
     "q_stream_rate_source" -> qStreamRateSource,
     "q_stream_socket_source" -> qStreamSocketSource,
     "q_graph_transforms" -> qGraphTransforms,
-    "q_graph_bipartite" -> qGraphBipartite)
+    "q_graph_bipartite" -> qGraphBipartite,
+    "q_graph_dir_triangles" -> qGraphDirTriangles,
+    "q_graph_dir_lcc" -> qGraphDirLcc,
+    "q_graph_dir_metrics" -> qGraphDirMetrics,
+    "q_graph_dir_gcc_acc" -> qGraphDirGccAcc,
+    "q_graph_dir_census" -> qGraphDirCensus,
+    "q_graph_generators" -> qGraphGenerators)
 }

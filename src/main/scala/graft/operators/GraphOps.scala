@@ -511,6 +511,283 @@ object GraphOps {
     vAgg.crossJoin(eAgg)
   }
 
+  // ------------- directed clustering family — ref clustering/directed/*,
+  // metric/directed/* (the directed twins of the undirected analytics
+  // above; a DIRECTED simple edge list may carry both orientations of a
+  // pair, so every statistic decomposes per vertex into out-only /
+  // in-only / bidirectional neighbor counts)
+
+  /** Canonical dyad list: one row per connected unordered pair (u<w) with
+    * direction flags f (u→w present) and r (w→u present) — the 2-bit
+    * edge-direction mask the reference's directed TriangleListing threads
+    * through its joins (clustering/directed/TriangleListing.java:82). One
+    * keyed agg over the edge list. */
+  def dyads(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst")).distinct()
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w"),
+        (col("src") < col("dst")).cast("long").as("isf"))
+      .groupBy(col("u"), col("w"))
+      .agg(max(col("isf")).as("f"), max(lit(1L) - col("isf")).as("r"))
+
+  /** Per-vertex directed degrees — ref asm/degree/annotate/directed/
+    * VertexDegrees.java: degree = distinct NEIGHBORS (not edges),
+    * out/in-degree = distinct out/in edges; bidirectional = out+in−degree. */
+  def directedDegrees(edges: DataFrame): DataFrame = {
+    val d = dyads(edges)
+    d.select(col("u").as("v"), col("f").as("o"), col("r").as("i"))
+      .unionAll(d.select(col("w").as("v"), col("r").as("o"), col("f").as("i")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("degree"),
+        expr("CAST(SUM(o) AS BIGINT)").as("out_degree"),
+        expr("CAST(SUM(i) AS BIGINT)").as("in_degree"))
+  }
+
+  /** Directed vertex metrics — ref metric/directed/VertexMetrics.java:
+    * |V|, unidirectional and bidirectional edge counts (per-vertex sums
+    * halved, as the reference), triplets Σ C(degree,2), maximum
+    * degree/out/in/triplets. */
+  def directedVertexMetrics(edges: DataFrame): DataFrame =
+    directedDegrees(edges).agg(
+      count(lit(1)).as("vertex_count"),
+      expr("CAST(SUM(2 * degree - out_degree - in_degree) AS BIGINT) DIV 2")
+        .as("unidirectional_edge_count"),
+      expr("CAST(SUM(out_degree + in_degree - degree) AS BIGINT) DIV 2")
+        .as("bidirectional_edge_count"),
+      expr("CAST(SUM(degree * (degree - 1) DIV 2) AS BIGINT)").as("triplet_count"),
+      max(col("degree")).as("max_degree"),
+      max(col("out_degree")).as("max_out_degree"),
+      max(col("in_degree")).as("max_in_degree"),
+      expr("MAX(degree * (degree - 1) DIV 2)").as("max_triplets"))
+
+  /** The Holland–Leinhardt triad-type label of one triangle's three dyad
+    * masks (a<b<c; fab = a→b present, etc.) — the Batagelj–Mrvar bitmask
+    * classification of clustering/directed/TriadicCensus.java:218
+    * expressed structurally: by mutual-dyad count, then by the third
+    * vertex's orientation (120d both asym edges leave it / 120u both
+    * enter / 120c chain), and for all-asymmetric triangles 030c iff the
+    * edges form a cycle. */
+  val triadTypeExpr: String = """
+    CASE
+      WHEN fab*rab + fbc*rbc + fac*rac = 3 THEN '300'
+      WHEN fab*rab + fbc*rbc + fac*rac = 2 THEN '210'
+      WHEN fab*rab + fbc*rbc + fac*rac = 1 THEN
+        CASE WHEN fab*rab = 1 THEN
+               CASE WHEN rbc + rac = 2 THEN '120d'
+                    WHEN rbc + rac = 0 THEN '120u' ELSE '120c' END
+             WHEN fbc*rbc = 1 THEN
+               CASE WHEN fab + fac = 2 THEN '120d'
+                    WHEN fab + fac = 0 THEN '120u' ELSE '120c' END
+             ELSE
+               CASE WHEN rab + fbc = 2 THEN '120d'
+                    WHEN rab + fbc = 0 THEN '120u' ELSE '120c' END
+        END
+      ELSE CASE WHEN fab + fac = 1 AND rab + fbc = 1 AND rac + rbc = 1
+                THEN '030c' ELSE '030t' END
+    END"""
+
+  /** Directed triangle listing — ref clustering/directed/
+    * TriangleListing.java: triangles (a<b<c) of the underlying simple
+    * graph, each carrying its three 2-bit dyad masks and the resulting
+    * Holland–Leinhardt triad type (one of 030t/030c/120d/120u/120c/210/
+    * 300). Same two-join enumeration as [[triangles]], over the dyad
+    * frame. */
+  def directedTriangleListing(edges: DataFrame): DataFrame = {
+    val dy = dyads(edges)
+    val ab = dy.select(col("u").as("a"), col("w").as("b"),
+      col("f").as("fab"), col("r").as("rab"))
+    val bc = dy.select(col("u").as("b2"), col("w").as("c2"),
+      col("f").as("fbc"), col("r").as("rbc"))
+    val ac = dy.select(col("u").as("a3"), col("w").as("c3"),
+      col("f").as("fac"), col("r").as("rac"))
+    ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c2") === col("c3"))
+      .select(col("a"), col("b"), col("c2").as("c"),
+        col("fab"), col("rab"), col("fbc"), col("rbc"), col("fac"), col("rac"))
+      .withColumn("ttype", expr(triadTypeExpr))
+  }
+
+  /** Directed local clustering coefficient — ref clustering/directed/
+    * LocalClusteringCoefficient.java: per vertex, the number of DIRECTED
+    * edges between its (direction-agnostic) neighbors over the
+    * degree·(degree−1) ordered neighbor pairs, floor ppm. The edge-
+    * between-neighbors count is the inverted-index join e(x→y) ⋈ nb(v,x)
+    * ⋈ nb(v,y) — cost Σ over edges of the endpoints' co-neighborhood,
+    * never all-pairs. */
+  def directedLocalClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val dy = dyads(edges)
+    val nb = dy.select(col("u").as("v"), col("w").as("n"))
+      .unionAll(dy.select(col("w").as("v"), col("u").as("n")))
+    val e = edges.filter(col("src") =!= col("dst")).distinct()
+    val tri = e.select(col("src").as("x"), col("dst").as("y"))
+      .join(nb.select(col("v"), col("n").as("x")), "x")
+      .join(nb.select(col("v").as("v2"), col("n").as("y2")),
+        col("v") === col("v2") && col("y") === col("y2"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    directedDegrees(edges)
+      .join(tri, Seq("v"), "left").na.fill(0L, Seq("tri"))
+      .select(col("v"), col("degree"), col("tri"),
+        when(col("degree") >= 2,
+          expr("tri * 1000000 DIV (degree * (degree - 1))"))
+          .otherwise(0L).as("cc_ppm"))
+  }
+
+  /** Directed global + average clustering coefficient — ref clustering/
+    * directed/GlobalClusteringCoefficient.java (closed triplets = 3 per
+    * listed triangle over Σ C(d,2) triplets — the reference counts each
+    * triangle once regardless of its internal directions) and
+    * AverageClusteringCoefficient.java (mean of the per-vertex directed
+    * ppm scores), in one row. */
+  def directedGlobalAvgClustering(edges: DataFrame): DataFrame = {
+    val lcc = directedLocalClusteringCoefficient(edges).agg(
+      count(lit(1)).as("vertex_count"),
+      expr("CAST(SUM(cc_ppm) AS BIGINT)").as("sum_cc_ppm"),
+      expr("CAST(SUM(cc_ppm) AS BIGINT) DIV COUNT(*)").as("acc_ppm"))
+    val tp = directedVertexMetrics(edges).select(col("triplet_count"))
+    val tc = directedTriangleListing(edges).agg(count(lit(1)).as("ntri"))
+    lcc.crossJoin(broadcast(tp)).crossJoin(broadcast(tc))
+      .select(col("vertex_count"), col("sum_cc_ppm"), col("acc_ppm"),
+        col("triplet_count"), expr("3 * ntri").as("triangle_count"),
+        expr("3 * ntri * 1000000 DIV triplet_count").as("gcc_ppm"))
+  }
+
+  /** Directed triadic census — ref clustering/directed/TriadicCensus
+    * .java: all 16 Holland–Leinhardt triad types, from the per-vertex
+    * (out-only s, in-only t, bidirectional b) neighbor decomposition
+    * (VertexDegreesHelper:287 — 021d=C(s,2), 021u=C(t,2), 021c=s·t,
+    * 111d=t·b, 111u=s·b, 201=C(b,2)) and the typed triangle counts, via
+    * the reference's exact closed-form deductions (getResult:103-180).
+    * DECIMAL(38,0) columns — the reference's BigInteger range. */
+  def directedTriadicCensus(edges: DataFrame): DataFrame = {
+    val per = directedDegrees(edges).select(
+      expr("degree - in_degree").as("s"),
+      expr("degree - out_degree").as("t"),
+      expr("out_degree + in_degree - degree").as("b"))
+    val vstats = per.agg(
+      count(lit(1)).as("n"),
+      expr("CAST(SUM(s + t) AS BIGINT) DIV 2").as("uni"),
+      expr("CAST(SUM(b) AS BIGINT) DIV 2").as("bi"),
+      expr("CAST(SUM(s * (s - 1) DIV 2) AS BIGINT)").as("p021d"),
+      expr("CAST(SUM(t * (t - 1) DIV 2) AS BIGINT)").as("p021u"),
+      expr("CAST(SUM(s * t) AS BIGINT)").as("p021c"),
+      expr("CAST(SUM(t * b) AS BIGINT)").as("p111d"),
+      expr("CAST(SUM(s * b) AS BIGINT)").as("p111u"),
+      expr("CAST(SUM(b * (b - 1) DIV 2) AS BIGINT)").as("p201"))
+    // conditional aggregation, not pivot: a global agg always yields its
+    // 1 row even on a triangle-free graph
+    val tstats = directedTriangleListing(edges).agg(
+      expr("COALESCE(SUM(CASE WHEN ttype = '030t' THEN 1 ELSE 0 END), 0)").as("c030t"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '030c' THEN 1 ELSE 0 END), 0)").as("c030c"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '120d' THEN 1 ELSE 0 END), 0)").as("c120d"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '120u' THEN 1 ELSE 0 END), 0)").as("c120u"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '120c' THEN 1 ELSE 0 END), 0)").as("c120c"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '210' THEN 1 ELSE 0 END), 0)").as("c210"),
+      expr("COALESCE(SUM(CASE WHEN ttype = '300' THEN 1 ELSE 0 END), 0)").as("c300"))
+    vstats.crossJoin(broadcast(tstats))
+      .selectExpr(
+        "CAST(n AS DECIMAL(38,0)) AS n", "CAST(uni AS DECIMAL(38,0)) AS uni",
+        "CAST(bi AS DECIMAL(38,0)) AS bi",
+        "p021d", "p021u", "p021c", "p111d", "p111u", "p201",
+        "c030t", "c030c", "c120d", "c120u", "c120c", "c210", "c300")
+      .selectExpr(
+        "n", "uni", "bi",
+        "CAST(p201 - 3 * c300 - c210 AS DECIMAL(38,0)) AS t201",
+        "CAST(p111d - c210 - c120c - 2 * c120d AS DECIMAL(38,0)) AS t111d",
+        "CAST(p111u - c210 - c120c - 2 * c120u AS DECIMAL(38,0)) AS t111u",
+        "CAST(p021c - c120c - 3 * c030c - c030t AS DECIMAL(38,0)) AS t021c",
+        "CAST(p021u - c120u - c030t AS DECIMAL(38,0)) AS t021u",
+        "CAST(p021d - c120d - c030t AS DECIMAL(38,0)) AS t021d",
+        "CAST(c030t AS DECIMAL(38,0)) AS t030t", "CAST(c030c AS DECIMAL(38,0)) AS t030c",
+        "CAST(c120d AS DECIMAL(38,0)) AS t120d", "CAST(c120u AS DECIMAL(38,0)) AS t120u",
+        "CAST(c120c AS DECIMAL(38,0)) AS t120c", "CAST(c210 AS DECIMAL(38,0)) AS t210",
+        "CAST(c300 AS DECIMAL(38,0)) AS t300")
+      .selectExpr(
+        "t021d", "t021u", "t021c", "t111d", "t111u", "t201",
+        "t030t", "t030c", "t120d", "t120u", "t120c", "t210", "t300",
+        """CAST(bi * (n - 2) - t111d - t111u - 2 * t201
+           - t120d - t120u - t120c - 2 * t210 - 3 * t300 AS DECIMAL(38,0)) AS t102""",
+        """CAST(uni * (n - 2) - 2 * t021d - 2 * t021u - 2 * t021c
+           - t111d - t111u - 3 * t030t - 3 * t030c
+           - 2 * t120d - 2 * t120u - 2 * t120c - t210 AS DECIMAL(38,0)) AS t012""",
+        "CAST(n * (n - 1) * (n - 2) / 6 AS DECIMAL(38,0)) AS cn3")
+      .selectExpr(
+        """CAST(cn3 - t012 - t102 - t021d - t021u - t021c - t111d - t111u
+           - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300
+           AS DECIMAL(38,0)) AS t003""",
+        "t012", "t102", "t021d", "t021u", "t021c", "t111d", "t111u",
+        "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300")
+  }
+
+  /** Deterministic graph generators — ref flink-gelly/.../graph/
+    * generator/ (all classes). Each emits the reference's exact DIRECTED edge
+    * multiset from a `spark.range` seed (no data read, no shuffle — the
+    * edge list is born partitioned by vertex ranges, which is the whole
+    * point of generator-based benchmarking at 100 TB):
+    * - circulant (CirculantGraph.java:147 — edge (i, (i+j) mod n) per
+    *   configured positive offset j; no implicit reverses, so symmetry
+    *   holds exactly when the offset set is closed under negation)
+    * - complete = circulant 1..n−1 (CompleteGraph.java:58); echo =
+    *   circulant range((n−d+1)/2, d) (EchoGraph.java:77)
+    * - grid (GridGraph.java:126 — row-major lattice; per dimension each
+    *   vertex links both lattice neighbors, wrapping only when the
+    *   dimension has size > 2, the reference's addDimension guard);
+    *   cycle/path/hypercube are its 1-dim-wrap / 1-dim / d×size-2
+    *   spellings (CycleGraph/PathGraph/HypercubeGraph.java)
+    * - star (StarGraph.java — center 0 ↔ every leaf, both directions),
+    *   singleton edges (SingletonEdgeGraph.java — disjoint pairs, both
+    *   directions), empty (EmptyGraph.java). RMat is the one generator
+    *   left out: PRNG-parameterized, not cross-engine deterministic. */
+  object Generators {
+    import org.apache.spark.sql.SparkSession
+
+    def circulant(spark: SparkSession, n: Long, ranges: Seq[(Long, Long)]): DataFrame = {
+      val offs = ranges.flatMap { case (o, len) => o until (o + len) }
+      spark.range(n).select(col("id").as("src"),
+        explode(array(offs.map(j => (col("id") + lit(j)) % lit(n)): _*)).as("dst"))
+    }
+    def complete(spark: SparkSession, n: Long): DataFrame =
+      circulant(spark, n, Seq((1L, n - 1)))
+    def echo(spark: SparkSession, n: Long, d: Long): DataFrame =
+      circulant(spark, n, Seq(((n - d + 1) / 2, d)))
+
+    def grid(spark: SparkSession, dims: Seq[(Long, Boolean)]): DataFrame = {
+      val n = dims.map(_._1).product
+      val v = spark.range(n)
+      val parts = dims.zipWithIndex.flatMap { case ((s, wrapRaw), k) =>
+        val inc = dims.drop(k + 1).map(_._1).product
+        val wrap = wrapRaw && s > 2 // GridGraph.addDimension:77 guard
+        val idx = (col("id") / inc).cast("long") % s
+        Seq(
+          v.filter(idx > 0).select(col("id").as("src"), (col("id") - inc).as("dst")),
+          v.filter(idx < s - 1).select(col("id").as("src"), (col("id") + inc).as("dst"))) ++
+        (if (wrap) Seq(
+          v.filter(idx === 0).select(col("id").as("src"),
+            (col("id") + inc * (s - 1)).as("dst")),
+          v.filter(idx === s - 1).select(col("id").as("src"),
+            (col("id") - inc * (s - 1)).as("dst")))
+         else Nil)
+      }
+      parts.reduce(_ unionAll _)
+    }
+    def cycle(spark: SparkSession, n: Long): DataFrame = grid(spark, Seq((n, true)))
+    def path(spark: SparkSession, n: Long): DataFrame = grid(spark, Seq((n, false)))
+    def hypercube(spark: SparkSession, d: Long): DataFrame =
+      grid(spark, Seq.fill(d.toInt)((2L, false)))
+
+    def star(spark: SparkSession, n: Long): DataFrame = {
+      val leaves = spark.range(1, n)
+      leaves.select(lit(0L).as("src"), col("id").as("dst"))
+        .unionAll(leaves.select(col("id").as("src"), lit(0L).as("dst")))
+    }
+    def singletonEdge(spark: SparkSession, pairs: Long): DataFrame = {
+      val p = spark.range(pairs)
+      p.select((col("id") * 2).as("src"), (col("id") * 2 + 1).as("dst"))
+        .unionAll(p.select((col("id") * 2 + 1).as("src"), (col("id") * 2).as("dst")))
+    }
+    def empty(spark: SparkSession): DataFrame =
+      spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+  }
+
   /** Thin Gelly Graph-API facade — ref flink-gelly/.../graph/Graph.java's
     * structural transform surface, re-expressed as two DataFrames
     * (vertices: `v`; edges: `src`,`dst`) so every transform is a

@@ -117,6 +117,62 @@ class Round7Spec extends SparkTestBase {
     assert(bf == Set((1L, 2L, 10L), (2L, 1L, 10L))) // connecting top retained
   }
 
+  test("directed clustering family on a known mixed-dyad graph") {
+    val s = spark
+    import s.implicits._
+    // 1<->2 mutual; 1->3, 3->2 asymmetric; 4->1 pendant
+    // degrees (d,out,in): 1:(3,2,2) 2:(2,1,2) 3:(2,1,1) 4:(1,1,0)
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (4L, 1L)).toDF("src", "dst")
+    val dd = GraphOps.directedDegrees(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(dd == Map(1L -> (3L, 2L, 2L), 2L -> (2L, 1L, 2L),
+      3L -> (2L, 1L, 1L), 4L -> (1L, 1L, 0L)))
+    val vm = GraphOps.directedVertexMetrics(e).head()
+    // uni {13,32,41}=3, bi {12}=1, triplets 3+1+1+0=5
+    assert((vm.getLong(0), vm.getLong(1), vm.getLong(2), vm.getLong(3),
+      vm.getLong(4), vm.getLong(5), vm.getLong(6), vm.getLong(7)) ==
+      ((4L, 3L, 1L, 5L, 3L, 2L, 2L, 3L)))
+    val tl = GraphOps.directedTriangleListing(e).collect()
+    assert(tl.length == 1)
+    assert((tl(0).getLong(0), tl(0).getLong(1), tl(0).getLong(2),
+      tl(0).getString(9)) == ((1L, 2L, 3L, "120c"))) // 1<->2 mutual, 3 chains
+    val lcc = GraphOps.directedLocalClusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // v1: edge 3->2 among {2,3,4} -> 1/6; v2: 1->3 among {1,3} -> 1/2;
+    // v3: 1<->2 among {1,2} -> 2/2; v4: degree 1 -> 0
+    assert(lcc == Map(1L -> (1L, 166666L), 2L -> (1L, 500000L),
+      3L -> (2L, 1000000L), 4L -> (0L, 0L)))
+    val g = GraphOps.directedGlobalAvgClustering(e).head()
+    // sum_cc = 1666666, acc = 416666; triplets 5, triangles 3, gcc 600000
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+      g.getLong(4), g.getLong(5)) == ((4L, 1666666L, 416666L, 5L, 3L, 600000L)))
+    val cen = GraphOps.directedTriadicCensus(e).head()
+    val counts = (0 to 15).map(i => cen.getDecimal(i).longValueExact())
+    // hand census of the 4 triads: {123}=120c, {124}=111d, {134}=021c, {234}=012
+    assert(counts == Seq(0L, 1L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
+  }
+
+  test("graph generators emit the reference edge sets") {
+    val s = spark
+    val G = GraphOps.Generators
+    assert(G.complete(s, 6).count() == 30)   // 6 vertices x offsets 1..5
+    assert(G.cycle(s, 8).count() == 16)      // both directions around the ring
+    assert(G.path(s, 7).count() == 12)
+    assert(G.star(s, 9).count() == 16)       // 8 leaves x 2 directions
+    val hc = G.hypercube(s, 4)
+    assert(hc.count() == 64)                 // 16 vertices x 4 dimensions
+    assert(hc.filter(expr("bit_count(src ^ dst) != 1")).count() == 0) // one-bit flips only
+    val grid = G.grid(s, Seq((3L, false), (4L, true)))
+    assert(grid.count() == 40)               // 16 lattice + 24 wrap-dim edges
+    val gset = grid.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gset.size == 40 && gset.forall { case (a, b) => gset((b, a)) })
+    assert(G.singletonEdge(s, 5).count() == 10)
+    assert(G.empty(s).count() == 0)
+    // echo(10,3) offsets {4,5,6} are closed under negation mod 10 → symmetric
+    val eset = G.echo(s, 10, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eset.size == 30 && eset.forall { case (a, b) => eset((b, a)) })
+  }
+
   test("hits separates hubs from authorities on a directed star") {
     val s = spark
     import s.implicits._
