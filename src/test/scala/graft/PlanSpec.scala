@@ -439,4 +439,23 @@ class PlanSpec extends SparkTestBase {
     assert(!"Join".r.findFirstIn(p).isDefined,
       "gap+cap sessionization is windows over one keyed exchange, not a self-join")
   }
+
+  test("graph family: no cartesian products in any new round-7 plan") {
+    // BNLJ appears only as the 1-row scalar-broadcast crossJoin idiom in
+    // these plans (summary rows), never a data-sized product — the hard
+    // no-go is CartesianProduct
+    Seq("q_graph_transforms", "q_graph_bipartite", "q_graph_dir_lcc",
+        "q_graph_dir_census", "q_graph_edge_metrics", "q_graph_generators")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"),
+          s"$q must never plan a data-sized cartesian")
+      }
+  }
+
+  test("q_graph_bipartite: projections are shared-vertex equi-joins") {
+    val p = plan("q_graph_bipartite")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -11,6 +11,9 @@ QUERIES="q1_pricing_summary,q_tpch_q3,q_tpch_q6,q_tpch_q17,q_tpch_q18,q_tpch_q21
 # NFA/MATCH_RECOGNIZE engines, heavy TPC-H/DS shapes, the remaining
 # shuffle-heavy dedup passes, and the e2e corpus compose — 45 total
 QUERIES="$QUERIES,q_graph_triangles,q_graph_jaccard_index,q_graph_adamic_adar,q_graph_hits,q_graph_community,q_graph_clustering_coeff,q_graph_label_prop,q_graph_triadic_census,q_sql_mr_multi_partition,q_sql_mr_skip_to_last,q_cep_funnel,q_cep_timeout,q_tpch_q9,q_tpch_q13,q_ds_weekly_yoy,q_ds_distinct_over,q_pipe_semdedup,q_pipe_line_dedup,q_pipe_contain_dedup,q_pipe_e2e_c4"
+# session-2b: the directed clustering family + bipartite projections (the
+# newest join-heavy graph additions) — 49 total
+QUERIES="$QUERIES,q_graph_dir_lcc,q_graph_dir_census,q_graph_transforms,q_graph_bipartite"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
