@@ -912,6 +912,51 @@ object Round7Queries {
       ORDER BY 1"""
     })
 
+  /** FLIP-39 ML Pipeline — ref flink-ml-parent/flink-ml-api/.../api/
+    * {Pipeline,Estimator,Transformer}.java + flink-ml-lib's
+    * MultivariateGaussian (diagonal case) via [[graft.ml.Pipeline]]:
+    * clip-Transformer → DiagGaussianEstimator fit on the quantized
+    * embedding components (each Estimator fit on the data as transformed
+    * by prior stages — the reference's Pipeline.fit contract), then the
+    * fitted PipelineModel scores every vector; result = the 20 lowest
+    * quantized log-densities (the anomaly tail). The oracle re-derives
+    * the identical floor-semantics integer stats and ln contract. */
+  val qMlPipeline: Q = Q(
+    run = (s, dir) => {
+      val long = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("d"),
+          floor(col("col").cast("double") * 10000.0).cast("long").as("q"))
+      val model = new graft.ml.Pipeline(Seq(
+        graft.ml.ClipTransformer("q", -8000L, 8000L),
+        graft.ml.DiagGaussianEstimator("d", "q"))).fit(long)
+      model.transform(long)
+        .groupBy(col("vec_id"))
+        .agg(expr("CAST(SUM(contrib) AS BIGINT)").as("logdens_micro"))
+        .orderBy(col("logdens_micro"), col("vec_id")).limit(20)
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, d,
+               GREATEST(LEAST(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000.0) AS BIGINT),
+                              8000), -8000) AS q
+        FROM embeddings, generate_series(1, 64) g(d)),
+      st AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s,
+                    CAST(SUM(q * q) AS BIGINT) AS ss
+             FROM q GROUP BY d),
+      pm AS (SELECT d, s // n AS mean_q,
+                    (ss - 2 * (s // n) * s + n * (s // n) * (s // n)) // n AS var_q
+             FROM st),
+      pm2 AS (SELECT d, mean_q, var_q,
+                     CAST(FLOOR(ln(CAST(var_q AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnvar_micro
+              FROM pm),
+      sc AS (SELECT q.vec_id,
+                    -((q.q - pm2.mean_q) * (q.q - pm2.mean_q) * 1000000 // (2 * pm2.var_q))
+                      - pm2.lnvar_micro // 2 AS contrib
+             FROM q JOIN pm2 ON pm2.d = q.d)
+      SELECT vec_id, CAST(SUM(contrib) AS BIGINT) AS logdens_micro
+      FROM sc GROUP BY vec_id ORDER BY logdens_micro, vec_id LIMIT 20"""))
+
   /** Rate streaming datagen, oracle-gated — ref flink-streaming-java/.../
     * source/datagen/DataGeneratorSource.java (+ the SQL datagen connector
     * this repo gates as q_sql_datagen): a live source emitting the
@@ -1039,5 +1084,6 @@ object Round7Queries {
     "q_graph_dir_metrics" -> qGraphDirMetrics,
     "q_graph_dir_gcc_acc" -> qGraphDirGccAcc,
     "q_graph_dir_census" -> qGraphDirCensus,
-    "q_graph_generators" -> qGraphGenerators)
+    "q_graph_generators" -> qGraphGenerators,
+    "q_ml_pipeline" -> qMlPipeline)
 }

@@ -173,6 +173,31 @@ class Round7Spec extends SparkTestBase {
     assert(eset.size == 30 && eset.forall { case (a, b) => eset((b, a)) })
   }
 
+  test("ML pipeline: fit/transform chain and JSON round-trip") {
+    val s = spark
+    import s.implicits._
+    // two dims: d=1 constant-ish spread, d=2 wider; values in micro units
+    val df = Seq(
+      (1L, 1L, 100L), (2L, 1L, 200L), (3L, 1L, 300L), (4L, 1L, 9000L),
+      (1L, 2L, -500L), (2L, 2L, 500L), (3L, 2L, 1500L), (4L, 2L, 2500L))
+      .toDF("vec_id", "d", "q")
+    val model = new graft.ml.Pipeline(Seq(
+      graft.ml.ClipTransformer("q", -8000L, 8000L),
+      graft.ml.DiagGaussianEstimator("d", "q"))).fit(df)
+    // clip caps 9000 -> 8000 BEFORE the fit (estimator sees transformed data)
+    val gm = model.stages(1).asInstanceOf[graft.ml.DiagGaussianModel]
+    val d1 = gm.stats.find(_._1 == 1L).get
+    assert(d1._2 == (100L + 200L + 300L + 8000L) / 4) // mean over clipped values
+    val scored = model.transform(df)
+      .groupBy($"vec_id").agg(expr("CAST(SUM(contrib) AS BIGINT)").as("ld"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the clipped outlier vector 4 is the least dense
+    assert(scored(4L) == scored.values.min)
+    // JSON round-trip reproduces the exact scores without refitting
+    val reloaded = graft.ml.DiagGaussianModel.fromJsonParams(gm.jsonParams)
+    assert(reloaded == gm)
+  }
+
   test("hits separates hubs from authorities on a directed star") {
     val s = spark
     import s.implicits._
