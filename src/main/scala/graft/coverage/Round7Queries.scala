@@ -957,6 +957,37 @@ object Round7Queries {
       SELECT vec_id, CAST(SUM(contrib) AS BIGINT) AS logdens_micro
       FROM sc GROUP BY vec_id ORDER BY logdens_micro, vec_id LIMIT 20"""))
 
+  /** Hadoop SequenceFile roundtrip — ref flink-formats/flink-sequence-file/
+    * .../SequenceFileWriterFactory.java (the bulk writer the reference's
+    * StreamingFileSink uses for SequenceFiles) + its read path through the
+    * Hadoop-compat inputs: write (LongWritable, Text) records through
+    * Spark's native Hadoop SequenceFile bridge, read them back, parse and
+    * aggregate against the source-parquet oracle — the roundtrip equality
+    * IS the format check. The RDD hop is the Writable bridge only; all
+    * relational work stays in DataFrames. */
+  val qSinkRoundtripSeqfile: Q = Q(
+    run = (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_sink/${san(dir)}/nation_seq"
+      graft.streaming.StreamOps.wipeDir(out)
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          concat_ws("|", col("n_name"), col("n_regionkey").cast("string")).as("v"))
+        .as[(Long, String)].rdd.saveAsSequenceFile(out)
+      s.sparkContext.sequenceFile[Long, String](out).toDF("k", "v")
+        .select(col("k"), split(col("v"), "\\|").getItem(0).as("n_name"),
+          split(col("v"), "\\|").getItem(1).cast("long").as("n_regionkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          expr("CAST(SUM(k) AS BIGINT)").as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    },
+    oracle = Some("""
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n,
+             MIN(n_name) AS first_name,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY 1 ORDER BY 1"""))
+
   /** Rate streaming datagen, oracle-gated — ref flink-streaming-java/.../
     * source/datagen/DataGeneratorSource.java (+ the SQL datagen connector
     * this repo gates as q_sql_datagen): a live source emitting the
@@ -1085,5 +1116,6 @@ object Round7Queries {
     "q_graph_dir_gcc_acc" -> qGraphDirGccAcc,
     "q_graph_dir_census" -> qGraphDirCensus,
     "q_graph_generators" -> qGraphGenerators,
-    "q_ml_pipeline" -> qMlPipeline)
+    "q_ml_pipeline" -> qMlPipeline,
+    "q_sink_roundtrip_seqfile" -> qSinkRoundtripSeqfile)
 }
