@@ -152,6 +152,70 @@ class Round7Spec extends SparkTestBase {
     assert(counts == Seq(0L, 1L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
   }
 
+  test("directed triadic census matches brute-force enumeration on a 30-vertex LCG graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random directed graph: ~1/7 of ordered pairs
+    val n = 30
+    def has(i: Long, j: Long): Boolean =
+      i != j && (i * 2654435761L + j * 40503L) % 7 == 0
+    val edges = (for { i <- 0L until n; j <- 0L until n if has(i, j) }
+      yield (i, j)).toDF("src", "dst")
+    // brute force: classify all C(30,3) triads from the raw 6 booleans
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n) {
+      val (ab, ba, bc, cb, ac, ca) =
+        (has(a, b), has(b, a), has(b, c), has(c, b), has(a, c), has(c, a))
+      def dyad(f: Boolean, r: Boolean) = (f, r) match {
+        case (true, true) => 'm'; case (false, false) => 'n'; case _ => 'a'
+      }
+      val ds = Seq(dyad(ab, ba), dyad(bc, cb), dyad(ac, ca))
+      val (m, asym) = (ds.count(_ == 'm'), ds.count(_ == 'a'))
+      // out-degree of each vertex within the triad (asym edges only)
+      def outOnly(f: Boolean, r: Boolean) = if (f && !r) 1 else 0
+      val outA = outOnly(ab, ba) + outOnly(ac, ca)
+      val outB = outOnly(ba, ab) + outOnly(bc, cb)
+      val outC = outOnly(ca, ac) + outOnly(cb, bc)
+      val t = (m, asym) match {
+        case (0, 0) => "t003"
+        case (0, 1) => "t012"
+        case (1, 0) => "t102"
+        case (2, 0) => "t201"
+        case (2, 1) => "t210"
+        case (3, 0) => "t300"
+        case (0, 2) => // one vertex touches both asym edges; orient by it
+          if (Seq(outA, outB, outC).contains(2)) "t021d"
+          else { // the 2-degree vertex in the asym subgraph:
+            val degA = Seq((ab || ba), (ac || ca)).count(identity)
+            val degB = Seq((ab || ba), (bc || cb)).count(identity)
+            val z = if (degA == 2) outA else if (degB == 2) outB else outC
+            if (z == 0) "t021u" else "t021c"
+          }
+        case (1, 1) => // asym edge next to the mutual dyad: does it point at it?
+          val into =
+            if (dyad(ab, ba) == 'm') (ca && !ac) || (cb && !bc)
+            else if (dyad(bc, cb) == 'm') (ab && !ba) || (ac && !ca)
+            else (ba && !ab) || (bc && !cb)
+          if (into) "t111d" else "t111u"
+        case (0, 3) =>
+          if (outA == 1 && outB == 1 && outC == 1) "t030c" else "t030t"
+        case (1, 2) =>
+          val z = if (dyad(ab, ba) == 'm') outC else if (dyad(bc, cb) == 'm') outA else outB
+          if (z == 2) "t120d" else if (z == 0) "t120u" else "t120c"
+        case other => fail(s"impossible dyad profile $other")
+      }
+      counts(t) += 1
+    }
+    val cen = GraphOps.directedTriadicCensus(edges).head()
+    val names = Seq("t003", "t012", "t102", "t021d", "t021u", "t021c", "t111d",
+      "t111u", "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300")
+    val got = names.zipWithIndex.map { case (nm, i) =>
+      nm -> cen.getDecimal(i).longValueExact() }.toMap
+    names.foreach(nm => assert(got(nm) == counts(nm),
+      s"$nm: closed-form ${got(nm)} vs brute-force ${counts(nm)}"))
+    assert(got.values.sum == n.toLong * (n - 1) * (n - 2) / 6)
+  }
+
   test("graph generators emit the reference edge sets") {
     val s = spark
     val G = GraphOps.Generators
