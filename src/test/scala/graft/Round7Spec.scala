@@ -216,6 +216,42 @@ class Round7Spec extends SparkTestBase {
     assert(got.values.sum == n.toLong * (n - 1) * (n - 2) / 6)
   }
 
+  test("vertex/edge metrics match brute-force decomposition on an LCG graph") {
+    val s = spark
+    import s.implicits._
+    // undirected 40-vertex pseudo-random graph, canonical a<b edges
+    val n = 40
+    val edges = (for { a <- 0L until n; b <- a + 1 until n
+                       if (a * 2654435761L + b * 40503L) % 5 == 0 }
+      yield (a, b)).toDF("src", "dst")
+    val em = GraphOps.edgeMetrics(edges).head()
+    val nTri = GraphOps.triangles(edges).count()
+    // brute-force the reference decomposition: per vertex, lc = neighbors
+    // ranked above it in (degree, id) order; tt = C(lc,2) is the CANDIDATE
+    // wedge count of the order-aware triangle enumeration (≥ triangles)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nb = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    es.foreach { case (a, b) => nb(a) += b; nb(b) += a }
+    val deg = nb.map { case (v, s) => v -> s.size.toLong }
+    def above(v: Long, u: Long) = deg(u) > deg(v) || (deg(u) == deg(v) && u > v)
+    val per = nb.keys.toSeq.map { v =>
+      val lc = nb(v).count(above(v, _)).toLong
+      val d = deg(v)
+      (lc * (lc - 1) / 2, lc * (lc - 1) / 2 + lc * (d - lc))
+    }
+    assert(em.getLong(0) == per.map(_._1).sum)
+    assert(em.getLong(1) == per.map(_._2).sum)
+    assert(em.getLong(2) == per.map(_._1).max)
+    assert(em.getLong(3) == per.map(_._2).max)
+    assert(em.getLong(0) >= nTri) // wedge candidates bound the triangles
+    val vm = GraphOps.vertexMetrics(edges).head()
+    assert(vm.getLong(1) == es.length)                // edge_count
+    assert(vm.getLong(3) == deg.values.map(d => d * (d - 1) / 2).sum) // triplets
+    // global cc consistency: triangle_count = 3 × listing
+    val g = GraphOps.globalClusteringCoefficient(edges).head()
+    assert(g.getLong(1) == 3 * nTri && g.getLong(0) == vm.getLong(3))
+  }
+
   test("graph generators emit the reference edge sets") {
     val s = spark
     val G = GraphOps.Generators
