@@ -430,7 +430,9 @@ object Round7Queries {
       tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntri FROM tri3),
       tp AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS triplet_count FROM deg)
       SELECT tp.triplet_count, 3 * tc.ntri AS triangle_count,
-             3 * tc.ntri * 1000000 // tp.triplet_count AS gcc_ppm
+             CASE WHEN tp.triplet_count > 0
+                  THEN 3 * tc.ntri * 1000000 // tp.triplet_count
+                  ELSE CAST(0 AS BIGINT) END AS gcc_ppm
       FROM tp, tc"""))
 
   /** Gelly AverageClusteringCoefficient — ref flink-gelly/.../library/
@@ -463,9 +465,11 @@ object Round7Queries {
   /** Gelly TriadicCensus — ref flink-gelly/.../library/clustering/
     * undirected/TriadicCensus.java via [[graft.operators.GraphOps
     * .triadicCensus]]: closed-form triad counts from (n, e, triplets,
-    * triangles); DECIMAL(38,0) columns mirror the reference's BigInteger
-    * (C(n,3) leaves long range at ~3.8M vertices). Oracle arithmetic runs
-    * in HUGEINT and casts the 4 results. */
+    * triangles); arithmetic is exact DECIMAL(38,0)/HUGEINT (the
+    * reference's BigInteger range) on both sides, with the 4 results
+    * projected to BIGINT — guarded Spark-side by censusLong's
+    * raise_error, DuckDB-side by its overflow-checked HUGEINT→BIGINT
+    * cast — so the representation is hash-stable across engines. */
   val qGraphTriadicCensus: Q = Q(
     run = (s, dir) => graft.operators.GraphOps
       .triadicCensus(Round2Queries.coEdges(s, dir)),
@@ -481,10 +485,10 @@ object Round7Queries {
       tc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS tri FROM tri3)
       SELECT CAST(n * (n - 1) * (n - 2) // 6
                   - (ec * (n - 2) - 2 * (t - 3 * tri) - 3 * tri)
-                  - (t - 3 * tri) - tri AS DECIMAL(38,0)) AS triads0,
-             CAST(ec * (n - 2) - 2 * (t - 3 * tri) - 3 * tri AS DECIMAL(38,0)) AS triads1,
-             CAST(t - 3 * tri AS DECIMAL(38,0)) AS triads2,
-             CAST(tri AS DECIMAL(38,0)) AS triads3
+                  - (t - 3 * tri) - tri AS BIGINT) AS triads0,
+             CAST(ec * (n - 2) - 2 * (t - 3 * tri) - 3 * tri AS BIGINT) AS triads1,
+             CAST(t - 3 * tri AS BIGINT) AS triads2,
+             CAST(tri AS BIGINT) AS triads3
       FROM m, tc"""))
 
   /** Gelly ChecksumHashCode — ref flink-gelly/.../library/metric/
@@ -763,15 +767,18 @@ object Round7Queries {
       tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntri FROM tl)
       SELECT la.vertex_count, la.sum_cc_ppm, la.acc_ppm, tp.triplet_count,
              3 * tc.ntri AS triangle_count,
-             3 * tc.ntri * 1000000 // tp.triplet_count AS gcc_ppm
+             CASE WHEN tp.triplet_count > 0
+                  THEN 3 * tc.ntri * 1000000 // tp.triplet_count
+                  ELSE CAST(0 AS BIGINT) END AS gcc_ppm
       FROM la, tp, tc"""))
 
   /** Directed triadic census — ref flink-gelly/.../clustering/directed/
     * TriadicCensus.java via [[graft.operators.GraphOps
     * .directedTriadicCensus]]: all 16 Holland–Leinhardt triad types from
     * the per-vertex out-only/in-only/bidirectional decomposition + typed
-    * triangle counts, closed-form; DECIMAL(38,0) (HUGEINT oracle
-    * arithmetic). */
+    * triangle counts, closed-form; exact DECIMAL(38,0)/HUGEINT
+    * arithmetic with guarded BIGINT projection on both sides (the
+    * hash-stable representation). */
   val qGraphDirCensus: Q = Q(
     run = (s, dir) => graft.operators.GraphOps
       .directedTriadicCensus(dirEdges(s, dir)),
@@ -816,15 +823,15 @@ object Round7Queries {
               FROM adj)
       SELECT CAST(cn3 - t012 - t102 - t021d - t021u - t021c - t111d - t111u
                   - c030t - c030c - t201 - c120d - c120u - c120c - c210 - c300
-                  AS DECIMAL(38,0)) AS t003,
-             CAST(t012 AS DECIMAL(38,0)) AS t012, CAST(t102 AS DECIMAL(38,0)) AS t102,
-             CAST(t021d AS DECIMAL(38,0)) AS t021d, CAST(t021u AS DECIMAL(38,0)) AS t021u,
-             CAST(t021c AS DECIMAL(38,0)) AS t021c, CAST(t111d AS DECIMAL(38,0)) AS t111d,
-             CAST(t111u AS DECIMAL(38,0)) AS t111u, CAST(c030t AS DECIMAL(38,0)) AS t030t,
-             CAST(c030c AS DECIMAL(38,0)) AS t030c, CAST(t201 AS DECIMAL(38,0)) AS t201,
-             CAST(c120d AS DECIMAL(38,0)) AS t120d, CAST(c120u AS DECIMAL(38,0)) AS t120u,
-             CAST(c120c AS DECIMAL(38,0)) AS t120c, CAST(c210 AS DECIMAL(38,0)) AS t210,
-             CAST(c300 AS DECIMAL(38,0)) AS t300
+                  AS BIGINT) AS t003,
+             CAST(t012 AS BIGINT) AS t012, CAST(t102 AS BIGINT) AS t102,
+             CAST(t021d AS BIGINT) AS t021d, CAST(t021u AS BIGINT) AS t021u,
+             CAST(t021c AS BIGINT) AS t021c, CAST(t111d AS BIGINT) AS t111d,
+             CAST(t111u AS BIGINT) AS t111u, CAST(c030t AS BIGINT) AS t030t,
+             CAST(c030c AS BIGINT) AS t030c, CAST(t201 AS BIGINT) AS t201,
+             CAST(c120d AS BIGINT) AS t120d, CAST(c120u AS BIGINT) AS t120u,
+             CAST(c120c AS BIGINT) AS t120c, CAST(c210 AS BIGINT) AS t210,
+             CAST(c300 AS BIGINT) AS t300
       FROM fin"""))
 
   /** Gelly deterministic graph generators — ref flink-gelly/.../graph/
@@ -945,7 +952,7 @@ object Round7Queries {
                     CAST(SUM(q * q) AS BIGINT) AS ss
              FROM q GROUP BY d),
       pm AS (SELECT d, s // n AS mean_q,
-                    (ss - 2 * (s // n) * s + n * (s // n) * (s // n)) // n AS var_q
+                    GREATEST(1, (ss - 2 * (s // n) * s + n * (s // n) * (s // n)) // n) AS var_q
              FROM st),
       pm2 AS (SELECT d, mean_q, var_q,
                      CAST(FLOOR(ln(CAST(var_q AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnvar_micro

@@ -85,7 +85,10 @@ final case class DiagGaussianEstimator(keyCol: String, valCol: String) extends E
       .map { r =>
         val (k, n, s, ss) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
         val m = s / n // truncating division — BOTH Spark DIV and DuckDB // truncate toward zero
-        val varQ = (ss - 2 * m * s + n * m * m) / n // numerator ≥ 0, truncate = floor
+        // numerator ≥ 0, truncate = floor; clamp ≥ 1 so a zero-variance
+        // (constant) dimension neither divides by zero in transform nor
+        // sends ln(var) to -∞ — the integer analog of a variance floor
+        val varQ = math.max(1L, (ss - 2 * m * s + n * m * m) / n)
         (k, m, varQ)
       }.toSeq.sortBy(_._1)
     DiagGaussianModel(keyCol, valCol, rows)

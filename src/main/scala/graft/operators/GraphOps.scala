@@ -423,9 +423,11 @@ object GraphOps {
     val nb = edges.select(col("src").as("v"), col("dst").as("n"))
       .union(edges.select(col("dst").as("v"), col("src").as("n")))
     val deg = degrees(edges)
+    // no broadcast hint: the degree frame is |V| rows — beyond broadcast
+    // range on a real graph. AQE broadcasts it when it is actually small.
     val perV = nb
-      .join(broadcast(deg.select(col("v"), col("degree").as("dv"))), "v")
-      .join(broadcast(deg.select(col("v").as("n"), col("degree").as("dn"))), "n")
+      .join(deg.select(col("v"), col("degree").as("dv")), "v")
+      .join(deg.select(col("v").as("n"), col("degree").as("dn")), "n")
       .groupBy(col("v"))
       .agg(first(col("dv")).as("d"),
         sum(when(col("dv") < col("dn") ||
@@ -444,13 +446,17 @@ object GraphOps {
     * closed triplets (3 per listed triangle) over the number of triplets,
     * as the 1-row (triplet_count, triangle_count, gcc_ppm). Composes
     * [[triangles]] (count only) with the [[vertexMetrics]] degree agg;
-    * gcc is floor ppm — same integer contract as the rest of the family. */
+    * gcc is floor ppm — same integer contract as the rest of the family.
+    * A wedge-free graph (triplet_count = 0) reports gcc_ppm = 0, the
+    * integer stand-in for the reference's 0/0 = NaN — guarded so both
+    * engines agree instead of NULL-vs-error diverging. */
   def globalClusteringCoefficient(edges: DataFrame): DataFrame =
     vertexMetrics(edges).select(col("triplet_count"))
       .crossJoin(broadcast(triangles(edges).agg(count(lit(1)).as("ntri"))))
       .select(col("triplet_count"),
         expr("3 * ntri").as("triangle_count"),
-        expr("3 * ntri * 1000000 DIV triplet_count").as("gcc_ppm"))
+        expr("CASE WHEN triplet_count > 0 THEN 3 * ntri * 1000000 DIV triplet_count " +
+          "ELSE CAST(0 AS BIGINT) END").as("gcc_ppm"))
 
   /** Average clustering coefficient — ref flink-gelly/.../library/
     * clustering/undirected/AverageClusteringCoefficient.java: the mean of
@@ -469,11 +475,14 @@ object GraphOps {
     * 1, 0 connecting edges, derived in closed form from (n, e, triplets,
     * triangles) exactly as the reference's BigInteger arithmetic
     * (TriadicCensus.getResult:79-124): t3 = triangles, t2 = triplets −
-    * 3·t3, t1 = e·(n−2) − 2·t2 − 3·t3, t0 = C(n,3) − t1 − t2 − t3. All
-    * four columns are DECIMAL(38,0) — C(n,3) overflows a long at n ≈ 3.8M
-    * vertices, well inside 100 TB graph sizes (the reference reaches for
-    * BigInteger for the same reason). Cost: [[vertexMetrics]] + a
-    * triangle count — two 1-row aggregates. */
+    * 3·t3, t1 = e·(n−2) − 2·t2 − 3·t3, t0 = C(n,3) − t1 − t2 − t3.
+    * Arithmetic runs in DECIMAL(38,0) — exact, the reference's BigInteger
+    * range — and the four outputs are projected to BIGINT through
+    * [[censusLong]]: C(n,3) leaves long range at n ≈ 3.8M vertices, and
+    * past that the guarded cast fails loudly instead of wrapping (BIGINT
+    * keeps the output representation engine-stable; DECIMAL(38,0) renders
+    * differently across engines). Cost: [[vertexMetrics]] + a triangle
+    * count — two 1-row aggregates. */
   def triadicCensus(edges: DataFrame): DataFrame =
     vertexMetrics(edges)
       .crossJoin(broadcast(triangles(edges).agg(count(lit(1)).as("ntri"))))
@@ -488,8 +497,22 @@ object GraphOps {
         expr("CAST(t - 3 * tri AS DECIMAL(38,0))").as("t2"),
         expr("CAST(tri AS DECIMAL(38,0))").as("t3"))
       .select(
-        expr("CAST(cn3 - t1 - t2 - t3 AS DECIMAL(38,0))").as("triads0"),
-        col("t1").as("triads1"), col("t2").as("triads2"), col("t3").as("triads3"))
+        expr(censusLong("cn3 - t1 - t2 - t3")).as("triads0"),
+        expr(censusLong("t1")).as("triads1"),
+        expr(censusLong("t2")).as("triads2"),
+        expr(censusLong("t3")).as("triads3"))
+
+  /** Guarded DECIMAL(38,0)→BIGINT projection for census statistics: the
+    * decimal arithmetic upstream is exact; this cast refuses (raise_error,
+    * not silent wraparound) once a count exceeds 2^63−1 — which for C(n,3)
+    * means n ≳ 3.8M vertices, the same range boundary that pushes the
+    * reference onto BigInteger. Below the boundary BIGINT is the
+    * hash-stable representation every engine renders identically. */
+  private def censusLong(c: String): String =
+    s"CASE WHEN ABS(CAST(($c) AS DECIMAL(38,0))) > CAST(9223372036854775807 AS DECIMAL(38,0)) " +
+      "THEN CAST(RAISE_ERROR('graft: triadic census count exceeds BIGINT range " +
+      "(graph beyond ~3.8M vertices; widen to decimal output)') AS BIGINT) " +
+      s"ELSE CAST(($c) AS BIGINT) END"
 
   /** Graph checksum — ref flink-gelly/.../library/metric/ChecksumHashCode
     * .java: an order-independent (count, hash-aggregate) signature of the
@@ -648,7 +671,9 @@ object GraphOps {
     lcc.crossJoin(broadcast(tp)).crossJoin(broadcast(tc))
       .select(col("vertex_count"), col("sum_cc_ppm"), col("acc_ppm"),
         col("triplet_count"), expr("3 * ntri").as("triangle_count"),
-        expr("3 * ntri * 1000000 DIV triplet_count").as("gcc_ppm"))
+        // triplet_count=0 → 0, the integer stand-in for the reference's NaN
+        expr("CASE WHEN triplet_count > 0 THEN 3 * ntri * 1000000 DIV triplet_count " +
+          "ELSE CAST(0 AS BIGINT) END").as("gcc_ppm"))
   }
 
   /** Directed triadic census — ref clustering/directed/TriadicCensus
@@ -657,7 +682,8 @@ object GraphOps {
     * (VertexDegreesHelper:287 — 021d=C(s,2), 021u=C(t,2), 021c=s·t,
     * 111d=t·b, 111u=s·b, 201=C(b,2)) and the typed triangle counts, via
     * the reference's exact closed-form deductions (getResult:103-180).
-    * DECIMAL(38,0) columns — the reference's BigInteger range. */
+    * Arithmetic in DECIMAL(38,0) (the reference's BigInteger range),
+    * outputs projected to BIGINT via the guarded [[censusLong]] cast. */
   def directedTriadicCensus(edges: DataFrame): DataFrame = {
     val per = directedDegrees(edges).select(
       expr("degree - in_degree").as("s"),
@@ -711,11 +737,11 @@ object GraphOps {
            - 2 * t120d - 2 * t120u - 2 * t120c - t210 AS DECIMAL(38,0)) AS t012""",
         "CAST(n * (n - 1) * (n - 2) / 6 AS DECIMAL(38,0)) AS cn3")
       .selectExpr(
-        """CAST(cn3 - t012 - t102 - t021d - t021u - t021c - t111d - t111u
-           - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300
-           AS DECIMAL(38,0)) AS t003""",
-        "t012", "t102", "t021d", "t021u", "t021c", "t111d", "t111u",
-        "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300")
+        ((censusLong("""cn3 - t012 - t102 - t021d - t021u - t021c - t111d - t111u
+           - t030t - t030c - t201 - t120d - t120u - t120c - t210 - t300""") + " AS t003") +:
+          Seq("t012", "t102", "t021d", "t021u", "t021c", "t111d", "t111u",
+            "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300")
+            .map(c => censusLong(c) + s" AS $c")): _*)
   }
 
   /** Deterministic graph generators — ref flink-gelly/.../graph/
@@ -756,7 +782,9 @@ object GraphOps {
       val parts = dims.zipWithIndex.flatMap { case ((s, wrapRaw), k) =>
         val inc = dims.drop(k + 1).map(_._1).product
         val wrap = wrapRaw && s > 2 // GridGraph.addDimension:77 guard
-        val idx = (col("id") / inc).cast("long") % s
+        // integer DIV, not double `/`: ids past 2^53 would round through
+        // the double and land in the wrong lattice row
+        val idx = expr(s"id DIV $inc") % s
         Seq(
           v.filter(idx > 0).select(col("id").as("src"), (col("id") - inc).as("dst")),
           v.filter(idx < s - 1).select(col("id").as("src"), (col("id") + inc).as("dst"))) ++
@@ -804,7 +832,8 @@ object GraphOps {
     * - intersect distinctEdges=true (:1813 — distinct common edges, output
     *   vertices rebuilt from the surviving endpoints)
     * At scale each transform is either a map-side filter or an equi-join
-    * against a |V|-row frame (broadcastable); nothing here shuffles the
+    * against a |V|-row frame (unhinted — AQE broadcasts it when small,
+    * degrades to a shuffle join when not); nothing here shuffles the
     * edge list more than once. */
   case class GGraph(vertices: DataFrame, edges: DataFrame) {
     import org.apache.spark.sql.Column
@@ -814,10 +843,12 @@ object GraphOps {
       GGraph(vertices, edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst"))))
     def subgraph(vPred: Column => Column, ePred: (Column, Column) => Column): GGraph = {
+      // no broadcast hints on the |V|-row filtered vertex frame: at graph
+      // scale it exceeds broadcast range; AQE broadcasts when small enough
       val fv = vertices.filter(vPred(col("v")))
       val fe = edges
-        .join(broadcast(fv.select(col("v").as("src"))), "src")
-        .join(broadcast(fv.select(col("v").as("dst"))), "dst")
+        .join(fv.select(col("v").as("src")), "src")
+        .join(fv.select(col("v").as("dst")), "dst")
         .filter(ePred(col("src"), col("dst")))
         .select(col("src"), col("dst"))
       GGraph(fv, fe)
@@ -830,12 +861,12 @@ object GraphOps {
       GGraph(vertices.unionAll(other.vertices).distinct(),
         edges.unionAll(other.edges))
     def difference(other: GGraph): GGraph = {
-      val rv = other.vertices
+      val rv = other.vertices // |V| rows — anti-join unhinted, AQE decides
       GGraph(
-        vertices.join(broadcast(rv.withColumnRenamed("v", "rv")),
+        vertices.join(rv.withColumnRenamed("v", "rv"),
           col("v") === col("rv"), "left_anti"),
-        edges.join(broadcast(rv.select(col("v").as("src"))), Seq("src"), "left_anti")
-          .join(broadcast(rv.select(col("v").as("dst"))), Seq("dst"), "left_anti")
+        edges.join(rv.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(rv.select(col("v").as("dst")), Seq("dst"), "left_anti")
           .select(col("src"), col("dst")))
     }
     def intersect(other: GGraph): GGraph = {

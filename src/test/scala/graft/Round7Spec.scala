@@ -66,7 +66,7 @@ class Round7Spec extends SparkTestBase {
     // lcc ppm = (666666, 1000000, 666666, 1000000)
     assert((a.getLong(0), a.getLong(1), a.getLong(2)) == ((4L, 3333332L, 833333L)))
     val tcRow = GraphOps.triadicCensus(edges).head()
-    val tc = (0 to 3).map(i => tcRow.getDecimal(i).longValueExact())
+    val tc = (0 to 3).map(tcRow.getLong)
     assert(tc == Seq(0L, 0L, 2L, 2L)) // C(4,3)=4 triads: two 2-edge, two 3-edge
     val ck1 = GraphOps.checksumHashCode(edges).head()
     assert(ck1.getLong(0) == 4L && ck1.getLong(2) == 5L)
@@ -147,7 +147,7 @@ class Round7Spec extends SparkTestBase {
     assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
       g.getLong(4), g.getLong(5)) == ((4L, 1666666L, 416666L, 5L, 3L, 600000L)))
     val cen = GraphOps.directedTriadicCensus(e).head()
-    val counts = (0 to 15).map(i => cen.getDecimal(i).longValueExact())
+    val counts = (0 to 15).map(cen.getLong)
     // hand census of the 4 triads: {123}=120c, {124}=111d, {134}=021c, {234}=012
     assert(counts == Seq(0L, 1L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
   }
@@ -210,7 +210,7 @@ class Round7Spec extends SparkTestBase {
     val names = Seq("t003", "t012", "t102", "t021d", "t021u", "t021c", "t111d",
       "t111u", "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300")
     val got = names.zipWithIndex.map { case (nm, i) =>
-      nm -> cen.getDecimal(i).longValueExact() }.toMap
+      nm -> cen.getLong(i) }.toMap
     names.foreach(nm => assert(got(nm) == counts(nm),
       s"$nm: closed-form ${got(nm)} vs brute-force ${counts(nm)}"))
     assert(got.values.sum == n.toLong * (n - 1) * (n - 2) / 6)

@@ -71,6 +71,12 @@ def main():
             for cname, ty in zip(rel.columns, [str(t) for t in rel.types]):
                 if ty in ("HUGEINT", "UHUGEINT"):
                     tyerr.append(f"col {cname}: oracle {ty} (uncast SUM?) — CAST to BIGINT")
+                elif ty.startswith("DECIMAL") and ty.endswith(",0)"):
+                    # integral-valued DECIMAL is the r7 census hazard: both
+                    # engines agree on values but render the decimal
+                    # representation differently in the driver's hash.
+                    tyerr.append(f"col {cname}: oracle {ty} (integral decimal) — "
+                                 "CAST to BIGINT (guarded) or VARCHAR on BOTH sides")
                 elif ty in ("INTEGER", "SMALLINT", "TINYINT") and cname in spark_df.columns \
                         and str(spark_df[cname].dtype) == "int64":
                     tyerr.append(f"col {cname}: oracle {ty} vs spark BIGINT — CAST to BIGINT")
