@@ -1,0 +1,678 @@
+package graft.coverage
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Verbatim TPC-DS dialect-fidelity corpus — VERDICT r7 next-round #3.
+  *
+  * The reference gates correctness on the 103 official TPC-DS queries run
+  * as unmodified SQL text (ref flink-end-to-end-tests/flink-tpcds-test/
+  * .../TpcdsTestProgram.java:77-86). This module runs 15 of those queries
+  * BYTE-FOR-BYTE (the public TPC-DS benchmark text, qualified templates)
+  * through [[graft.sql.EngineEnv.sqlQuery]], and the DuckDB oracle runs
+  * the SAME verbatim text — so parser/dialect corners (comma joins,
+  * INTERVAL arithmetic, rollup+grouping() windows, nested WITH, decimal
+  * literals, substr, OR-of-AND residuals) are exercised as real query
+  * text rather than hand-translated shapes (TPCDS_MAP.md covers the rest
+  * of the 103 as planner-mechanic shapes).
+  *
+  * The TPC-DS star schema is HOSTED on the TPC-H-ish fixtures as derived
+  * views: store_sales = lineitem ⋈ orders, item = part, store = supplier,
+  * customer/address/demographics = customer, date_dim = the distinct
+  * (order ∪ ship) dates shifted +36 months so the official queries'
+  * literal year filters (1998-2001) land inside the fixtures' 1995-2001 span.
+  * The Spark temp views and the DuckDB CTEs are dialect twins generated
+  * from ONE column-derivation template (only the four date functions
+  * differ per engine — verified value-identical conventions: dayname
+  * 'Sunday' text, Sunday=0 dow, add_months leap handling, epoch day
+  * counts). Every money column is an integral-valued DOUBLE (floor-
+  * quantized cents-free dollars) so verbatim SUM/AVG/ratio aggregates are
+  * order-independent and bit-identical across engines — the corpus-wide
+  * float contract (Queries.dsum) applied at the SCHEMA level because the
+  * query text cannot be touched.
+  *
+  * Scale: the fact view is a single lineitem⋈orders equi-join (the same
+  * shuffle the TPC-H corpus carries); every dimension is small enough for
+  * AQE to broadcast, exactly how the official kit's dimensions behave.
+  */
+object TpcdsVerbatimQueries {
+
+  /** The engine-divergent spellings; everything else in the view template
+    * is shared text. Values are verified identical cross-engine. */
+  private final case class Dialect(
+    tbl: String => String,             // fixture base-table spelling
+    str: String,                       // string type token
+    shift: String => String,           // date → date + 36 months
+    days: String => String,            // date → days since 1970-01-05
+    dayName: String => String,         // date → 'Sunday'-style name
+    dow: String => String)             // date → day-of-week, Sunday = 0
+
+  private val sparkDialect = Dialect(t => s"th_$t", "STRING",
+    d => s"add_months($d, 36)",
+    d => s"datediff($d, DATE '1970-01-05')",
+    d => s"date_format($d, 'EEEE')",
+    d => s"(dayofweek($d) - 1)")
+
+  private val duckDialect = Dialect(t => s"main.$t", "VARCHAR",
+    d => s"CAST($d + INTERVAL 36 MONTH AS DATE)",
+    d => s"($d - DATE '1970-01-05')",
+    d => s"dayname($d)",
+    d => s"dayofweek($d)")
+
+  /** One derivation template, instantiated per engine. Order matters for
+    * the DuckDB WITH-list (later CTEs may reference earlier ones). */
+  private def viewSql(t: Dialect): Seq[(String, String)] = {
+    import t._
+    val dateSk = (d: String) =>
+      s"CAST(EXTRACT(YEAR FROM $d) * 512 + EXTRACT(MONTH FROM $d) * 32 + EXTRACT(DAY FROM $d) AS BIGINT)"
+    Seq(
+      "date_dim" -> s"""
+        SELECT ${dateSk("d")} AS d_date_sk,
+               d AS d_date,
+               CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS d_year,
+               CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS d_moy,
+               CAST(EXTRACT(DAY FROM d) AS BIGINT) AS d_dom,
+               CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS BIGINT) AS d_month_seq,
+               CAST(FLOOR(${days("d")} / 7) AS BIGINT) AS d_week_seq,
+               ${dayName("d")} AS d_day_name,
+               CAST(${dow("d")} AS BIGINT) AS d_dow,
+               CAST(CAST((EXTRACT(MONTH FROM d) + 2) / 3 AS BIGINT) AS BIGINT) AS d_qoy
+        FROM (SELECT DISTINCT ${shift("d0")} AS d FROM
+               (SELECT CAST(o_orderdate AS DATE) AS d0 FROM ${tbl("orders")}
+                UNION SELECT CAST(l_shipdate AS DATE) FROM ${tbl("lineitem")}) u) dts""",
+      "store_sales" -> s"""
+        SELECT ${dateSk("sd")} AS ss_sold_date_sk,
+               CAST(l_partkey AS BIGINT) AS ss_item_sk,
+               CAST(o_custkey AS BIGINT) AS ss_customer_sk,
+               CAST(o_custkey AS BIGINT) AS ss_cdemo_sk,
+               CAST(o_custkey AS BIGINT) AS ss_hdemo_sk,
+               CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS ss_addr_sk,
+               CAST(l_suppkey % 12 + 1 AS BIGINT) AS ss_store_sk,
+               CAST(l_partkey % 30 + 1 AS BIGINT) AS ss_promo_sk,
+               CAST(l_orderkey AS BIGINT) AS ss_ticket_number,
+               CAST(l_quantity AS DOUBLE) AS ss_quantity,
+               CAST(FLOOR(up / 10) AS DOUBLE) AS ss_sales_price,
+               CAST(FLOOR(up / 9) AS DOUBLE) AS ss_list_price,
+               CAST(FLOOR(up / 12) AS DOUBLE) AS ss_wholesale_cost,
+               CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS ss_ext_sales_price,
+               CAST(FLOOR(up / 9) * l_quantity AS DOUBLE) AS ss_ext_list_price,
+               CAST(FLOOR(up / 12) * l_quantity AS DOUBLE) AS ss_ext_wholesale_cost,
+               CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS ss_ext_discount_amt,
+               CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS ss_coupon_amt,
+               CAST(FLOOR(l_tax * 100) * l_quantity AS DOUBLE) AS ss_ext_tax,
+               CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS ss_net_profit,
+               CAST((FLOOR(up / 10) - FLOOR(l_discount * 100)) * l_quantity AS DOUBLE) AS ss_net_paid
+        FROM (SELECT l.*, ${shift("CAST(o_orderdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey, nc.ncust
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              CROSS JOIN (SELECT COUNT(*) AS ncust FROM ${tbl("customer")}) nc) fact""",
+      "item" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS i_item_sk,
+               'ITEM' || lpad(CAST(p_partkey AS $str), 8, '0') AS i_item_id,
+               p_name || ' ' || CAST(p_partkey AS $str) AS i_item_desc,
+               CAST(p_partkey % 40 + 1 AS BIGINT) AS i_brand_id,
+               'Brand#' || CAST(p_partkey % 40 + 1 AS $str) AS i_brand,
+               CAST(p_partkey % 200 AS BIGINT) AS i_manufact_id,
+               'Mfg#' || CAST(p_partkey % 200 AS $str) AS i_manufact,
+               CAST(p_partkey % 100 AS BIGINT) AS i_manager_id,
+               CAST(p_partkey % 10 + 1 AS BIGINT) AS i_category_id,
+               CASE p_partkey % 10 WHEN 0 THEN 'Sports' WHEN 1 THEN 'Books'
+                    WHEN 2 THEN 'Home' WHEN 3 THEN 'Electronics' WHEN 4 THEN 'Jewelry'
+                    WHEN 5 THEN 'Men' WHEN 6 THEN 'Music' WHEN 7 THEN 'Shoes'
+                    WHEN 8 THEN 'Toys' ELSE 'Women' END AS i_category,
+               CAST(p_partkey % 4 + 1 AS BIGINT) AS i_class_id,
+               'class' || CAST(p_partkey % 4 + 1 AS $str) AS i_class,
+               CAST(1 + p_partkey % 99 AS DOUBLE) AS i_current_price,
+               CAST(1 + p_partkey % 73 AS DOUBLE) AS i_wholesale_cost
+        FROM ${tbl("part")}""",
+      "store" -> s"""
+        SELECT CAST(s_suppkey AS BIGINT) AS s_store_sk,
+               'S' || lpad(CAST(s_suppkey AS $str), 4, '0') AS s_store_id,
+               'store_' || CAST(s_suppkey AS $str) AS s_store_name,
+               CASE s_suppkey % 4 WHEN 0 THEN 'TN' WHEN 1 THEN 'TN'
+                    WHEN 2 THEN 'OH' ELSE 'TX' END AS s_state,
+               CASE s_suppkey % 5 WHEN 0 THEN 'Fairview' WHEN 1 THEN 'Midway'
+                    WHEN 2 THEN 'Salem' WHEN 3 THEN 'Concord'
+                    ELSE 'Clinton' END AS s_city,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'Williamson County'
+                    ELSE 'Other County' END AS s_county,
+               CAST(-5 AS DOUBLE) AS s_gmt_offset,
+               CAST(200 + (s_suppkey * 7) % 100 AS BIGINT) AS s_number_employees,
+               lpad(CAST(10000 + (s_suppkey * 37) % 89999 AS $str), 5, '0') AS s_zip
+        FROM ${tbl("supplier")} WHERE s_suppkey <= 12""",
+      "customer" -> s"""
+        SELECT CAST(c_custkey AS BIGINT) AS c_customer_sk,
+               'C' || lpad(CAST(c_custkey AS $str), 8, '0') AS c_customer_id,
+               'First' || CAST(c_custkey % 97 AS $str) AS c_first_name,
+               c_name AS c_last_name,
+               CASE c_custkey % 4 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+                    WHEN 2 THEN 'Dr.' ELSE 'Ms.' END AS c_salutation,
+               CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+               CAST(c_custkey AS BIGINT) AS c_current_addr_sk
+        FROM ${tbl("customer")}""",
+      "customer_address" -> s"""
+        SELECT CAST(c_custkey AS BIGINT) AS ca_address_sk,
+               'city_' || CAST(c_custkey % 30 AS $str) AS ca_city,
+               CASE c_custkey % 12 WHEN 0 THEN 'TX' WHEN 1 THEN 'OH' WHEN 2 THEN 'OR'
+                    WHEN 3 THEN 'NM' WHEN 4 THEN 'KY' WHEN 5 THEN 'VA' WHEN 6 THEN 'MS'
+                    WHEN 7 THEN 'CA' WHEN 8 THEN 'MN' WHEN 9 THEN 'CO' WHEN 10 THEN 'TN'
+                    ELSE 'GA' END AS ca_state,
+               'United States' AS ca_country,
+               lpad(CAST(10000 + (c_custkey * 17) % 89999 AS $str), 5, '0') AS ca_zip,
+               CAST(-5 AS DOUBLE) AS ca_gmt_offset
+        FROM ${tbl("customer")}""",
+      "household_demographics" -> s"""
+        SELECT CAST(c_custkey AS BIGINT) AS hd_demo_sk,
+               CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
+               CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count,
+               CASE c_custkey % 4 WHEN 0 THEN '>10000' WHEN 1 THEN 'Unknown'
+                    WHEN 2 THEN '501-1000' ELSE '0-500' END AS hd_buy_potential
+        FROM ${tbl("customer")}""",
+      "customer_demographics" -> s"""
+        SELECT CAST(c_custkey AS BIGINT) AS cd_demo_sk,
+               CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+               CASE c_custkey % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'W'
+                    WHEN 3 THEN 'D' ELSE 'U' END AS cd_marital_status,
+               CASE c_custkey % 7 WHEN 0 THEN 'College' WHEN 1 THEN 'Advanced Degree'
+                    WHEN 2 THEN '2 yr Degree' WHEN 3 THEN '4 yr Degree'
+                    WHEN 4 THEN 'Primary' WHEN 5 THEN 'Secondary'
+                    ELSE 'Unknown' END AS cd_education_status
+        FROM ${tbl("customer")}""")
+  }
+
+  /** Register the hosted TPC-DS schema as Spark temp views over `dir`. */
+  def register(s: SparkSession, dir: String): Unit = {
+    // fixtures registered under a th_ prefix so the hosted TPC-DS view
+    // names (customer, ...) cannot collide with their own base tables
+    Seq("lineitem", "orders", "part", "supplier", "customer")
+      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"th_$t"))
+    viewSql(sparkDialect).foreach { case (n, sql) =>
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS $sql")
+    }
+  }
+
+  /** DuckDB oracle = the same verbatim text with the schema CTEs
+    * prepended (merging into the query's own WITH list when present). */
+  private def oracleFor(query: String): String = {
+    val ctes = viewSql(duckDialect)
+      .map { case (n, sql) => s"$n AS ($sql)" }.mkString(",\n")
+    val t = query.trim
+    if (t.take(4).equalsIgnoreCase("with")) s"WITH $ctes,\n${t.drop(4)}"
+    else s"WITH $ctes\n$t"
+  }
+
+  private def mk(qtext: String): Q = Q(
+    run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
+    oracle = Some(oracleFor(qtext)))
+
+  private val q3: String =
+"""select  dt.d_year 
+       ,item.i_brand_id brand_id 
+       ,item.i_brand brand
+       ,sum(ss_ext_sales_price) sum_agg
+ from  date_dim dt 
+      ,store_sales
+      ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+   and store_sales.ss_item_sk = item.i_item_sk
+   and item.i_manufact_id = 128
+   and dt.d_moy=11
+ group by dt.d_year
+      ,item.i_brand
+      ,item.i_brand_id
+ order by dt.d_year
+         ,sum_agg desc
+         ,brand_id
+ limit 100"""
+
+  private val q13: String =
+"""select avg(ss_quantity)
+       ,avg(ss_ext_sales_price)
+       ,avg(ss_ext_wholesale_cost)
+       ,sum(ss_ext_wholesale_cost)
+ from store_sales
+     ,store
+     ,customer_demographics
+     ,household_demographics
+     ,customer_address
+     ,date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2001
+ and((ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'M'
+  and cd_education_status = 'Advanced Degree'
+  and ss_sales_price between 100.00 and 150.00
+  and hd_dep_count = 3   
+     )or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and ss_sales_price between 50.00 and 100.00   
+  and hd_dep_count = 1
+     ) or 
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'W'
+  and cd_education_status = '2 yr Degree'
+  and ss_sales_price between 150.00 and 200.00 
+  and hd_dep_count = 1  
+     ))
+ and((ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('TX', 'OH', 'TX')
+  and ss_net_profit between 100 and 200  
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('OR', 'NM', 'KY')
+  and ss_net_profit between 150 and 300  
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('VA', 'TX', 'MS')
+  and ss_net_profit between 50 and 250  
+     ))"""
+
+  private val q19: String =
+"""select  i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item,customer,customer_address,store
+ where d_date_sk = ss_sold_date_sk
+   and ss_item_sk = i_item_sk
+   and i_manager_id=8
+   and d_moy=11
+   and d_year=1998
+   and ss_customer_sk = c_customer_sk 
+   and c_current_addr_sk = ca_address_sk
+   and substr(ca_zip,1,5) <> substr(s_zip,1,5) 
+   and ss_store_sk = s_store_sk 
+ group by i_brand
+      ,i_brand_id
+      ,i_manufact_id
+      ,i_manufact
+ order by ext_price desc
+         ,i_brand
+         ,i_brand_id
+         ,i_manufact_id
+         ,i_manufact
+limit 100 """
+
+  private val q73: String =
+"""select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag 
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk  
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and date_dim.d_dom between 1 and 2 
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'Unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and case when household_demographics.hd_vehicle_count > 0 then 
+             cast(household_demographics.hd_dep_count as decimal(7, 2))/ cast(household_demographics.hd_vehicle_count as decimal(7, 2)) else null end > 1
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Franklin Parish','Bronx County','Orange County')
+    group by ss_ticket_number,ss_customer_sk) dj,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 1 and 5
+    order by cnt desc, c_last_name asc"""
+
+  private val q36: String =
+"""select  
+    sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+ 	partition by grouping(i_category)+grouping(i_class),
+ 	case when grouping(i_class) = 0 then i_category end 
+ 	order by sum(ss_net_profit)/sum(ss_ext_sales_price) asc) as rank_within_parent
+ from
+    store_sales
+   ,date_dim       d1
+   ,item
+   ,store
+ where
+    d1.d_year = 2001 
+ and d1.d_date_sk = ss_sold_date_sk
+ and i_item_sk  = ss_item_sk 
+ and s_store_sk  = ss_store_sk
+ and s_state in ('TN','TN','TN','TN','TN','TN','TN','TN')
+ group by rollup(i_category,i_class)
+ order by
+   lochierarchy desc
+  ,case when lochierarchy = 0 then i_category end
+  ,rank_within_parent
+  limit 100"""
+
+  private val q42: String =
+"""select  dt.d_year
+ 	,item.i_category_id
+ 	,item.i_category
+ 	,sum(ss_ext_sales_price)
+ from 	date_dim dt
+ 	,store_sales
+ 	,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+ 	and store_sales.ss_item_sk = item.i_item_sk
+ 	and item.i_manager_id = 1  	
+ 	and dt.d_moy=11
+ 	and dt.d_year=2000
+ group by 	dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+ order by       sum(ss_ext_sales_price) desc,dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+limit 100 """
+
+  private val q43: String =
+"""select  s_store_name, s_store_id,
+        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+ from date_dim, store_sales, store
+ where d_date_sk = ss_sold_date_sk and
+       s_store_sk = ss_store_sk and
+       s_gmt_offset = -5 and
+       d_year = 2000 
+ group by s_store_name, s_store_id
+ order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales
+ limit 100"""
+
+  private val q48: String =
+"""select sum (ss_quantity)
+ from store_sales, store, customer_demographics, customer_address, date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2000
+ and
+ (
+  (
+   cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'M'
+   and
+   cd_education_status = '4 yr Degree'
+   and
+   ss_sales_price between 100.00 and 150.00
+   )
+ or
+  (
+  cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'D'
+   and
+   cd_education_status = '2 yr Degree'
+   and
+   ss_sales_price between 50.00 and 100.00
+  )
+ or
+ (
+  cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'S'
+   and
+   cd_education_status = 'College'
+   and
+   ss_sales_price between 150.00 and 200.00
+ )
+ )
+ and
+ (
+  (
+  ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('CO', 'OH', 'TX')
+  and ss_net_profit between 0 and 2000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('OR', 'MN', 'KY')
+  and ss_net_profit between 150 and 3000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('VA', 'CA', 'MS')
+  and ss_net_profit between 50 and 25000
+  )
+ )"""
+
+  private val q52: String =
+"""select  dt.d_year
+ 	,item.i_brand_id brand_id
+ 	,item.i_brand brand
+ 	,sum(ss_ext_sales_price) ext_price
+ from date_dim dt
+     ,store_sales
+     ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+    and store_sales.ss_item_sk = item.i_item_sk
+    and item.i_manager_id = 1
+    and dt.d_moy=11
+    and dt.d_year=2000
+ group by dt.d_year
+ 	,item.i_brand
+ 	,item.i_brand_id
+ order by dt.d_year
+ 	,ext_price desc
+ 	,brand_id
+limit 100 """
+
+  private val q55: String =
+"""select  i_brand_id brand_id, i_brand brand,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item
+ where d_date_sk = ss_sold_date_sk
+ 	and ss_item_sk = i_item_sk
+ 	and i_manager_id=28
+ 	and d_moy=11
+ 	and d_year=1999
+ group by i_brand, i_brand_id
+ order by ext_price desc, i_brand_id
+limit 100 """
+
+  private val q59: String =
+"""with wss as 
+ (select d_week_seq,
+        ss_store_sk,
+        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+ from store_sales,date_dim
+ where d_date_sk = ss_sold_date_sk
+ group by d_week_seq,ss_store_sk
+ )
+  select  s_store_name1,s_store_id1,d_week_seq1
+       ,sun_sales1/sun_sales2,mon_sales1/mon_sales2
+       ,tue_sales1/tue_sales2,wed_sales1/wed_sales2,thu_sales1/thu_sales2
+       ,fri_sales1/fri_sales2,sat_sales1/sat_sales2
+ from
+ (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1
+        ,s_store_id s_store_id1,sun_sales sun_sales1
+        ,mon_sales mon_sales1,tue_sales tue_sales1
+        ,wed_sales wed_sales1,thu_sales thu_sales1
+        ,fri_sales fri_sales1,sat_sales sat_sales1
+  from wss,store,date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and 
+        d_month_seq between 1212 and 1212 + 11) y,
+ (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2
+        ,s_store_id s_store_id2,sun_sales sun_sales2
+        ,mon_sales mon_sales2,tue_sales tue_sales2
+        ,wed_sales wed_sales2,thu_sales thu_sales2
+        ,fri_sales fri_sales2,sat_sales sat_sales2
+  from wss,store,date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and 
+        d_month_seq between 1212+ 12 and 1212 + 23) x
+ where s_store_id1=s_store_id2
+   and d_week_seq1=d_week_seq2-52
+ order by s_store_name1,s_store_id1,d_week_seq1
+limit 100"""
+
+  private val q65: String =
+"""select 
+	s_store_name,
+	i_item_desc,
+	sc.revenue,
+	i_current_price,
+	i_wholesale_cost,
+	i_brand
+ from store, item,
+     (select ss_store_sk, avg(revenue) as ave
+ 	from
+ 	    (select  ss_store_sk, ss_item_sk, 
+ 		     sum(ss_sales_price) as revenue
+ 		from store_sales, date_dim
+ 		where ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11
+ 		group by ss_store_sk, ss_item_sk) sa
+ 	group by ss_store_sk) sb,
+     (select  ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+ 	from store_sales, date_dim
+ 	where ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11
+ 	group by ss_store_sk, ss_item_sk) sc
+ where sb.ss_store_sk = sc.ss_store_sk and 
+       sc.revenue <= 0.1 * sb.ave and
+       s_store_sk = sc.ss_store_sk and
+       i_item_sk = sc.ss_item_sk
+ order by s_store_name, i_item_desc
+limit 100"""
+
+  private val q68: String =
+"""select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,extended_price
+       ,extended_tax
+       ,list_price
+ from (select ss_ticket_number
+             ,ss_customer_sk
+             ,ca_city bought_city
+             ,sum(ss_ext_sales_price) extended_price 
+             ,sum(ss_ext_list_price) list_price
+             ,sum(ss_ext_tax) extended_tax 
+       from store_sales
+           ,date_dim
+           ,store
+           ,household_demographics
+           ,customer_address 
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_store_sk = store.s_store_sk  
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        and date_dim.d_dom between 1 and 2 
+        and (household_demographics.hd_dep_count = 4 or
+             household_demographics.hd_vehicle_count= 3)
+        and date_dim.d_year in (1999,1999+1,1999+2)
+        and store.s_city in ('Fairview','Midway')
+       group by ss_ticket_number
+               ,ss_customer_sk
+               ,ss_addr_sk,ca_city) dn
+      ,customer
+      ,customer_address current_addr
+ where ss_customer_sk = c_customer_sk
+   and customer.c_current_addr_sk = current_addr.ca_address_sk
+   and current_addr.ca_city <> bought_city
+   and bought_city is not null
+ order by c_last_name
+         ,ss_ticket_number
+ limit 100"""
+
+  private val q79: String =
+"""select 
+  c_last_name,c_first_name,substr(s_city,1,30),ss_ticket_number,amt,profit
+  from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,store.s_city
+          ,sum(ss_coupon_amt) amt
+          ,sum(ss_net_profit) profit
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk  
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and (household_demographics.hd_dep_count = 6 or household_demographics.hd_vehicle_count > 2)
+    and date_dim.d_dow = 1
+    and date_dim.d_year in (1999,1999+1,1999+2) 
+    and store.s_number_employees between 200 and 295
+    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,store.s_city) ms,customer
+    where ss_customer_sk = c_customer_sk
+ order by c_last_name,c_first_name,substr(s_city,1,30), profit
+limit 100"""
+
+  private val q98: String =
+"""select i_item_id
+      ,i_item_desc 
+      ,i_category 
+      ,i_class 
+      ,i_current_price
+      ,sum(ss_ext_sales_price) as itemrevenue 
+      ,sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over
+          (partition by i_class) as revenueratio
+from	
+	store_sales
+    	,item 
+    	,date_dim
+where 
+	ss_item_sk = i_item_sk 
+  	and i_category in ('Sports', 'Books', 'Home')
+  	and ss_sold_date_sk = d_date_sk
+	and d_date between cast('1999-02-22' as date) 
+				and (cast('1999-02-22' as date) + INTERVAL '30' day)
+group by 
+	i_item_id
+        ,i_item_desc 
+        ,i_category
+        ,i_class
+        ,i_current_price
+order by 
+	i_category
+        ,i_class
+        ,i_item_id
+        ,i_item_desc
+        ,revenueratio"""
+
+  val all: Map[String, Q] = Map(
+    "q_tpcds_v3" -> mk(q3),
+    "q_tpcds_v13" -> mk(q13),
+    "q_tpcds_v19" -> mk(q19),
+    "q_tpcds_v73" -> mk(q73),
+    "q_tpcds_v36" -> mk(q36),
+    "q_tpcds_v42" -> mk(q42),
+    "q_tpcds_v43" -> mk(q43),
+    "q_tpcds_v48" -> mk(q48),
+    "q_tpcds_v52" -> mk(q52),
+    "q_tpcds_v55" -> mk(q55),
+    "q_tpcds_v59" -> mk(q59),
+    "q_tpcds_v65" -> mk(q65),
+    "q_tpcds_v68" -> mk(q68),
+    "q_tpcds_v79" -> mk(q79),
+    "q_tpcds_v98" -> mk(q98))
+}

@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-fixture generator (VERDICT r7 next-round item 6): writes a
+  * HOSTILE variant of an SF dir with the same schemas but the edge cases
+  * the benign generator never emits, so the whole corpus can be re-proven
+  * against inputs that stress null handling, empty inputs, degenerate
+  * strings, and boundary timestamps. Both engines (Spark query + DuckDB
+  * oracle) read the SAME hostile files, so the gate still compares
+  * apples to apples — what the run flushes out is real brittleness
+  * (crashes, null-key divergence, div-by-zero, head()-on-empty), not
+  * fixture drift.
+  *
+  * Hostile classes injected (deterministic, keyed by surrogate-id mod):
+  *  - EMPTY TABLE: region is written with 0 rows (empty-input joins and
+  *    aggregates across the TPC-H family);
+  *  - SINGLE-ROW TABLE: nation keeps exactly one row (dangling FKs from
+  *    customer/supplier — inner joins must DROP, outer joins must NULL);
+  *  - 1-CHAR / EMPTY STRINGS: c_name='X', p_name='P', o_orderpriority='',
+  *    p_type='' on sampled rows (tokenizers, LIKE scans, split paths);
+  *  - NULLS in optional columns: c_mktsegment, events.event_type,
+  *    events.props, documents.text (null group keys, null JSON access,
+  *    null-text dedup/shingling);
+  *  - EPOCH-BOUNDARY TIMESTAMPS: o_orderdate / l_shipdate / events.ts
+  *    set to 1970-01-01 00:00:00 on sampled rows (window arithmetic,
+  *    date_sk derivations, negative-free day counts at the origin);
+  *  - ZERO / DEGENERATE NUMERICS: o_totalprice=0, l_extendedprice=1 with
+  *    l_quantity=1 and 0 discount/tax (floor-quantization floors at 0 —
+  *    but the TPC-H invariant l_quantity ≥ 1 is KEPT: a 0 quantity is
+  *    invalid input, not an edge case);
+  *  - DEGENERATE VECTORS: all-zero and all-constant embeddings (cosine
+  *    normalization guards, zero-variance dimensions);
+  *  - DEGENERATE DOCUMENTS: empty text, 1-char text, null text (empty
+  *    shingle sets through the whole MinHash/SimHash/LSH family).
+  */
+object HostileGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "/dev/shm/graft/hostile0.01"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.streaming.StreamOps.scratchRoot + "/local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    val epoch = "TIMESTAMP '1970-01-01 00:00:00'"
+
+    write(t("region").limit(0), "region")                      // EMPTY table
+    write(t("nation").filter(col("n_nationkey") === 0), "nation") // single row
+
+    write(t("customer")
+      .withColumn("c_name", when(col("c_custkey") % 97 === 0, lit("X")).otherwise(col("c_name")))
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 89 === 0, lit(null: String)).otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 97 === 0, lit(0.0)).otherwise(col("c_acctbal"))), "customer")
+
+    write(t("supplier")
+      .withColumn("s_name", when(col("s_suppkey") % 13 === 0, lit("S")).otherwise(col("s_name")))
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 13 === 0, lit(0.0)).otherwise(col("s_acctbal"))), "supplier")
+
+    write(t("part")
+      .withColumn("p_name", when(col("p_partkey") % 97 === 0, lit("P")).otherwise(col("p_name")))
+      .withColumn("p_type", when(col("p_partkey") % 97 === 0, lit("")).otherwise(col("p_type")))
+      .withColumn("p_size", when(col("p_partkey") % 97 === 0, lit(0)).otherwise(col("p_size")))
+      .withColumn("p_retailprice",
+        when(col("p_partkey") % 97 === 0, lit(0.0)).otherwise(col("p_retailprice"))), "part")
+
+    write(t("orders")
+      .withColumn("o_orderdate",
+        when(col("o_orderkey") % 101 === 0, expr(epoch)).otherwise(col("o_orderdate")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 101 === 0, lit("")).otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, lit(0.0)).otherwise(col("o_totalprice"))), "orders")
+
+    write(t("lineitem")
+      .withColumn("l_shipdate",
+        when(col("l_orderkey") % 101 === 0, expr(epoch)).otherwise(col("l_shipdate")))
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 101 === 0, lit(1.0)).otherwise(col("l_quantity")))
+      .withColumn("l_extendedprice",
+        when(col("l_orderkey") % 101 === 0, lit(1.0)).otherwise(col("l_extendedprice")))
+      .withColumn("l_discount",
+        when(col("l_orderkey") % 101 === 0, lit(0.0)).otherwise(col("l_discount")))
+      .withColumn("l_tax",
+        when(col("l_orderkey") % 101 === 0, lit(0.0)).otherwise(col("l_tax"))), "lineitem")
+
+    // events.ts physical type varies by fixture generation — mutate via a
+    // same-type epoch value so the schema byte-layout is preserved
+    val ev = t("events")
+    val epochTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(0L)
+      case dt => expr(epoch).cast(dt)
+    }
+    write(ev
+      .withColumn("ts", when(col("event_id") % 89 === 0, epochTs).otherwise(col("ts")))
+      .withColumn("event_type",
+        when(col("event_id") % 83 === 0, lit(null: String)).otherwise(col("event_type")))
+      .withColumn("props",
+        when(col("event_id") % 79 === 0, lit(null: String)).otherwise(col("props"))), "events")
+
+    val docs = t("documents")
+    val hostileText = when(col("doc_id") % 53 === 0, lit(""))
+      .when(col("doc_id") % 53 === 1, lit("a"))
+      .when(col("doc_id") % 53 === 2, lit(null: String))
+      .otherwise(col("text"))
+    write(docs
+      .withColumn("text", hostileText)
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+
+    val emb = t("embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    write(emb
+      .withColumn("embedding",
+        when(col("vec_id") % 47 === 0,
+          expr(s"transform(sequence(1, $dim), j -> CAST(0.0 AS FLOAT))"))
+        .when(col("vec_id") % 47 === 1,
+          expr(s"transform(sequence(1, $dim), j -> CAST(0.5 AS FLOAT))"))
+        .otherwise(col("embedding"))), "embeddings")
+
+    println(s"wrote hostile variant of $src to $out")
+    spark.stop()
+  }
+}

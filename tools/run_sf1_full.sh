@@ -1,0 +1,26 @@
+#!/bin/bash
+# Full-corpus sf1 scale-up bench (VERDICT r7 next-round item 5): generate
+# the 10x fixtures from sf0.1 via graft.tools.ScaleGen (reused if already
+# present), then run the ENTIRE query corpus through graft.Bench at BOTH
+# sf0.1 and sf1 in the same host window, leaving the raw JSON lines in
+# /tmp for tools/sf1_report.py to merge into BENCH_r8_sf1.json.
+set -e
+cd /root/repo
+SF1=${1:-/dev/shm/graft/sf1}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
+if [ ! -d "$SF1/lineitem.parquet" ]; then
+  $RUN -Xmx8g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF1" 10 1>&2
+fi
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  $RUN -Xmx10g graft.Bench 2>/tmp/sf01_full_err.log | tail -1 > /tmp/sf01_full.json
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 \
+  $RUN -Xmx10g graft.Bench 2>/tmp/sf1_full_err.log | tail -1 > /tmp/sf1_full.json
+echo "done: /tmp/sf01_full.json /tmp/sf1_full.json"
