@@ -37,9 +37,12 @@ object MiscQueries {
            b2 AS (SELECT event_type, COUNT(*) AS c2 FROM events WHERE event_id % 2 = 1 GROUP BY 1)
       SELECT row_kind, key, cnt FROM (
         SELECT '+I' AS row_kind, event_type AS key, c1 AS cnt FROM b1
-        UNION ALL SELECT '-U', b1.event_type, c1 FROM b1 JOIN b2 USING (event_type)
-        UNION ALL SELECT '+U', b1.event_type, c1 + c2 FROM b1 JOIN b2 USING (event_type)
-        UNION ALL SELECT '+I', b2.event_type, c2 FROM b2 WHERE event_type NOT IN (SELECT event_type FROM b1))
+        UNION ALL SELECT '-U', b1.event_type, c1 FROM b1
+          JOIN b2 ON b1.event_type IS NOT DISTINCT FROM b2.event_type
+        UNION ALL SELECT '+U', b1.event_type, c1 + c2 FROM b1
+          JOIN b2 ON b1.event_type IS NOT DISTINCT FROM b2.event_type
+        UNION ALL SELECT '+I', b2.event_type, c2 FROM b2 WHERE NOT EXISTS (
+          SELECT 1 FROM b1 WHERE b1.event_type IS NOT DISTINCT FROM b2.event_type))
       ORDER BY key, row_kind"""))
 
   /** Partitioned filesystem sink + partition-pruned re-read — ref
@@ -137,7 +140,9 @@ object MiscQueries {
       import sess.implicits._
       val env = new DataStreamEnv(s)
       env.fromDataset(Tables.load(s, dir, "documents").select(col("text")).as[String])
-        .flatMap(_.split(" ").toSeq)
+        // null text = no words (DuckDB's unnest(string_split(NULL)) emits
+        // nothing; the typed path must not NPE on the same input)
+        .flatMap(t => if (t == null) Seq.empty[String] else t.split(" ").toSeq)
         .keyBy(identity[String])
         .process((w: String, it: Iterator[String]) => Iterator((w, it.size.toLong)))
         .ds.toDF("word", "n")

@@ -109,7 +109,7 @@ object Pipeline3Queries {
              generate_series(1, 64) g(d)
         GROUP BY 1, 2),
       cos AS (
-        SELECT qid, cv, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        SELECT qid, cv, CASE WHEN nq.nq > 0 AND nc.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) ELSE 0.0 END AS cosv
         FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cv)
       SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cv) AS rn,
              cv AS cid, cosv

@@ -113,10 +113,13 @@ object Pipeline5Queries {
             size(ws).cast("double")).as("alpha_frac"),
           size(array_distinct(filter(ws, w => w.isInCollection(stops))))
             .cast("long").as("stop_hits"))
-        .withColumn("r_wc", col("n_words").between(20L, 80L))
-        .withColumn("r_mwl", col("mwl").between(4.0, 5.0))
-        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-        .withColumn("r_stop", col("stop_hits") >= 2L)
+        // COALESCE to FALSE: a null-text doc REJECTS (a quality gate has
+        // no business keeping a doc it cannot measure), and null booleans
+        // render differently across engines
+        .withColumn("r_wc", coalesce(col("n_words").between(20L, 80L), lit(false)))
+        .withColumn("r_mwl", coalesce(col("mwl").between(4.0, 5.0), lit(false)))
+        .withColumn("r_alpha", coalesce(col("alpha_frac") >= 0.8, lit(false)))
+        .withColumn("r_stop", coalesce(col("stop_hits") >= 2L, lit(false)))
         .withColumn("keep", col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop"))
         .orderBy(col("doc_id"))
     },
@@ -131,12 +134,12 @@ object Pipeline5Queries {
                  ['the','a','data','table','merge','sort','filter','scan','spark','query','window','stream'], w)))) AS BIGINT) AS stop_hits
         FROM b)
       SELECT doc_id, source, n_words, mwl, alpha_frac, stop_hits,
-             (n_words BETWEEN 20 AND 80) AS r_wc,
-             (mwl BETWEEN 4.0 AND 5.0) AS r_mwl,
-             (alpha_frac >= 0.8) AS r_alpha,
-             (stop_hits >= 2) AS r_stop,
-             ((n_words BETWEEN 20 AND 80) AND (mwl BETWEEN 4.0 AND 5.0)
-               AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+             COALESCE(n_words BETWEEN 20 AND 80, FALSE) AS r_wc,
+             COALESCE(mwl BETWEEN 4.0 AND 5.0, FALSE) AS r_mwl,
+             COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
+             COALESCE(stop_hits >= 2, FALSE) AS r_stop,
+             (COALESCE(n_words BETWEEN 20 AND 80, FALSE) AND COALESCE(mwl BETWEEN 4.0 AND 5.0, FALSE)
+               AND COALESCE(alpha_frac >= 0.8, FALSE) AND COALESCE(stop_hits >= 2, FALSE)) AS keep
       FROM m ORDER BY doc_id"""))
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
@@ -188,7 +191,9 @@ object Pipeline5Queries {
         SELECT vec_id, cid FROM (
           SELECT cd.vec_id, cid,
                  row_number() OVER (PARTITION BY cd.vec_id
-                   ORDER BY CAST(dp AS DOUBLE) / (sqrt(CAST(nv.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) DESC, cid) AS crn
+                   ORDER BY CASE WHEN nv.nq > 0 AND nc.nq > 0
+                     THEN CAST(dp AS DOUBLE) / (sqrt(CAST(nv.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE)))
+                     ELSE 0.0 END DESC, cid) AS crn
           FROM cd JOIN norms nv ON nv.vec_id = cd.vec_id JOIN norms nc ON nc.vec_id = cid)
         WHERE crn = 1),
       pairs AS (
@@ -202,7 +207,9 @@ object Pipeline5Queries {
       dropped AS (
         SELECT DISTINCT v2 FROM pairs
         JOIN norms na ON na.vec_id = v1 JOIN norms nb ON nb.vec_id = v2
-        WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3)
+        WHERE CASE WHEN na.nq > 0 AND nb.nq > 0
+                THEN CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+                ELSE 0.0 END >= 0.3)
       SELECT a.vec_id, a.cid, (d.v2 IS NOT NULL) AS dropped
       FROM assign a LEFT JOIN dropped d ON d.v2 = a.vec_id
       ORDER BY a.vec_id"""))

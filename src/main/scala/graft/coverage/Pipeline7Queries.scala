@@ -108,7 +108,10 @@ object Pipeline7Queries {
   val qPipeBloomDedup: Q = Q(
     run = (s, dir) => {
       val d = docs(s, dir)
-        .withColumn("sig", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+        // null text → null sig (see q_pipe_dedup_exact): the bloom probe
+        // and the oracle's equi-join then both report is_dup = false
+        .withColumn("sig", when(col("text").isNull, lit(null: String))
+          .otherwise(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10)))))
         .withColumn("sn", substring(col("source"), 4, 10).cast("int"))
       val prior = d.filter(col("sn") < 10).select(col("sig"))
       val incoming = d.filter(col("sn") >= 10).select(col("doc_id"), col("source"), col("sig"))

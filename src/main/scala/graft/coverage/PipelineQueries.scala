@@ -62,7 +62,11 @@ object PipelineQueries {
   val qPipeDedupExact: Q = Q(
     run = (s, dir) =>
       docs(s, dir)
-        .withColumn("sig", md5(concat_ws(" ", slice(words, 1, 10))))
+        // null text → null sig (Spark's concat_ws would silently fold a
+        // null array into "" and merge null docs with empty docs; DuckDB's
+        // array_to_string propagates NULL — pin the NULL contract)
+        .withColumn("sig", when(col("text").isNull, lit(null: String))
+          .otherwise(md5(concat_ws(" ", slice(words, 1, 10)))))
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
@@ -323,8 +327,14 @@ object PipelineQueries {
   private[coverage] val normQ: Column =
     graft.plans.DotProductQExpr.dotQ(col("embedding"), col("embedding"), 1000000.0)
 
-  private[coverage] def cosQ(dot: Column, n1: Column, n2: Column): Column =
-    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+  /** Zero-norm guard: a degenerate all-zero vector has no direction, so
+    * its cosine against anything is DEFINED as 0.0 on both engines (Spark
+    * ANSI would raise DIVIDE_BY_ZERO, DuckDB would yield NULL — engines
+    * must not diverge on hostile inputs). */
+  private[graft] def cosQ(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 > 0 && n2 > 0,
+      dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double"))))
+      .otherwise(lit(0.0))
 
   /** Brute-force cosine top-5 for a query set (vec_id < 10) against the
     * whole corpus — the ANN correctness baseline. The query side is tiny →
@@ -358,7 +368,7 @@ object PipelineQueries {
         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
         GROUP BY 1, 2),
       cos AS (
-        SELECT qid, cid, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        SELECT qid, cid, CASE WHEN nq.nq > 0 AND nc.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) ELSE 0.0 END AS cosv
         FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
       SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cid) AS rn, cid, cosv
       FROM cos QUALIFY rn <= 5 ORDER BY qid, rn"""))
@@ -406,7 +416,7 @@ object PipelineQueries {
         WHERE q.vec_id < 50 AND qb.bucket = cb.bucket AND c.vec_id <> q.vec_id
         GROUP BY 1, 2, 3),
       cos AS (
-        SELECT qid, cid, bucket, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) AS cosv
+        SELECT qid, cid, bucket, CASE WHEN nq.nq > 0 AND nc.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(nc.nq AS DOUBLE))) ELSE 0.0 END AS cosv
         FROM cand JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid)
       SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosv DESC, cid) AS rn, cid, bucket, cosv
       FROM cos QUALIFY rn <= 3 ORDER BY qid, rn"""))
@@ -459,7 +469,7 @@ object PipelineQueries {
              generate_series(1, 64) g(d)
         WHERE a.vec_id < b.vec_id AND ba.bucket = bb.bucket
         GROUP BY 1, 2)
-      SELECT v1, v2, CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cosv
+      SELECT v1, v2, CASE WHEN na.nq > 0 AND nb.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) ELSE 0.0 END AS cosv
       FROM dots JOIN norms na ON na.vec_id = v1 JOIN norms nb ON nb.vec_id = v2
       WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
       ORDER BY v1, v2"""))
@@ -565,10 +575,10 @@ object PipelineQueries {
     oracle = Some(s"""
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set,
-             list_reduce(
+             CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
                list_prepend(0::BIGINT,
                  list_transform(string_split(text, ' '), w -> ${oHash("w")} % 1000003)),
-               (a, b) -> (a * 31 + b) % 1000003) AS fp_roll
+               (a, b) -> (a * 31 + b) % 1000003) END AS fp_roll
       FROM documents ORDER BY doc_id"""))
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata +
@@ -580,6 +590,10 @@ object PipelineQueries {
     run = (s, dir) =>
       docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
+        // a null payload decodes to NOTHING (the typed mapPartitions path
+        // agrees) — without the filter, least(NULL-1, 2) = 2 in BOTH
+        // engines (least ignores NULLs) and 3 phantom frames appear
+        .filter(col("payload").isNotNull)
         .withColumn("n_bytes", length(col("payload")))
         .withColumn("m", md5(col("text")))
         .withColumn("width", (conv(substring(col("m"), 1, 4), 16, 10).cast("long") % 320 + 16).as("width"))
@@ -600,7 +614,7 @@ object PipelineQueries {
       SELECT doc_id, n_bytes, width, height, frames, k,
              md5(m || '_' || k) AS frame_fp
       FROM meta CROSS JOIN generate_series(0, 2) g(k)
-      WHERE k <= least(frames - 1, 2)
+      WHERE m IS NOT NULL AND k <= least(frames - 1, 2)
       ORDER BY doc_id, k"""))
 
   /** Typed partition-wise decode variant of the multimodal pipeline (one
@@ -623,7 +637,7 @@ object PipelineQueries {
       SELECT doc_id, n_bytes, width, height, frames, k AS frame_idx,
              md5(m || '_' || k) AS frame_fp
       FROM meta CROSS JOIN generate_series(0, 2) g(k)
-      WHERE k <= least(frames - 1, 2)
+      WHERE m IS NOT NULL AND k <= least(frames - 1, 2)
       ORDER BY doc_id, frame_idx"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(

@@ -117,8 +117,10 @@ object RelationalQueries {
         (col("p_size") % 7).as("md"),
         qz6(pow(col("p_size").cast("double"), 2.0)).as("pw"),
         qz6(sqrt(col("p_retailprice"))).as("sq"),
-        qz6(log(col("p_retailprice"))).as("lnv"),
-        qz6(log10(col("p_retailprice"))).as("l10"),
+        // nonpositive input guard: Spark ln(0) yields NULL while DuckDB
+        // raises — pin the shared NULL contract explicitly on both sides
+        qz6(when(col("p_retailprice") > 0, log(col("p_retailprice")))).as("lnv"),
+        qz6(when(col("p_retailprice") > 0, log10(col("p_retailprice")))).as("l10"),
         qz6(log2(col("p_size").cast("double") + 1.0)).as("l2"),
         qz6(exp(col("p_size").cast("double") / 100.0)).as("ex"),
         qz6(sin(col("p_retailprice") / 100.0)).as("sn"),
@@ -138,8 +140,8 @@ object RelationalQueries {
              p_size % 7 AS md,
              ${oQz6("power(CAST(p_size AS DOUBLE), 2.0)")} AS pw,
              ${oQz6("sqrt(p_retailprice)")} AS sq,
-             ${oQz6("ln(p_retailprice)")} AS lnv,
-             ${oQz6("log10(p_retailprice)")} AS l10,
+             ${oQz6("CASE WHEN p_retailprice > 0 THEN ln(p_retailprice) END")} AS lnv,
+             ${oQz6("CASE WHEN p_retailprice > 0 THEN log10(p_retailprice) END")} AS l10,
              ${oQz6("log2(CAST(p_size AS DOUBLE) + 1.0)")} AS l2,
              ${oQz6("exp(CAST(p_size AS DOUBLE) / 100.0)")} AS ex,
              ${oQz6("sin(p_retailprice / 100.0)")} AS sn,

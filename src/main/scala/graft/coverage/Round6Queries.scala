@@ -638,7 +638,10 @@ object Round6Queries {
     run = (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        .withColumn("sig", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+        // null text → null sig (concat_ws would fold to "" — see
+        // q_pipe_dedup_exact; COUNT(DISTINCT) then skips it on both engines)
+        .withColumn("sig", when(col("text").isNull, lit(null: String))
+          .otherwise(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10)))))
       val base = d.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),

@@ -183,61 +183,13 @@ object Round8Queries {
       FROM agg WHERE fired_run > 0
       ORDER BY src, win_start_min"""))
 
-  /** Degree-capped triangle count with exact hub residual — the mitigation
-    * the graph family header documents for the enumeration family's Σdeg²
-    * hub hazard (ref Gelly TriangleListing's sort-by-degree optimization,
-    * flink-gelly/.../library/clustering/undirected/TriangleListing.java).
-    *
-    * 1. rank-orient every edge low→high by (degree, id): the compact-
-    *    forward orientation bounds every vertex's rank OUT-degree at
-    *    O(√E) regardless of its raw in-degree, so wedge generation never
-    *    squares a hub.
-    * 2. split wedge CENTERS at `cap` rank-out-degree: the ≤cap bulk flows
-    *    through one pair-join; the few >cap hubs take an isolated
-    *    residual pass (the stage where a cluster would salt or let AQE
-    *    split skewed partitions, without touching the bulk path).
-    * Both passes are exact and disjoint (each triangle is charged to its
-    * unique minimum-rank vertex), so light + heavy equals the plain
-    * uncapped enumeration — which is exactly what the oracle computes. */
-  def trianglesCapped(edges: DataFrame, cap: Long): DataFrame = {
-    val deg = graft.operators.GraphOps.degrees(edges)
-    val ed = edges
-      .join(deg.select(col("v").as("src"), col("degree").as("dsrc")), "src")
-      .join(deg.select(col("v").as("dst"), col("degree").as("ddst")), "dst")
-    val fwd = col("dsrc") < col("ddst") ||
-      (col("dsrc") === col("ddst") && col("src") < col("dst"))
-    val orient = ed.select(
-      when(fwd, col("src")).otherwise(col("dst")).as("lo"),
-      when(fwd, col("dst")).otherwise(col("src")).as("hi"),
-      when(fwd, col("ddst")).otherwise(col("dsrc")).as("dhi"))
-    val od = orient.groupBy(col("lo")).agg(count(lit(1)).as("od"))
-    val tagged = orient.join(od, "lo")
-    def close(part: DataFrame): DataFrame = {
-      val x = part.select(col("lo"), col("hi").as("b"), col("dhi").as("db"))
-      val y = part.select(col("lo").as("lo2"), col("hi").as("c"), col("dhi").as("dc"))
-      x.join(y, col("lo") === col("lo2") &&
-          (col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c"))))
-        .join(orient.select(col("lo").as("b3"), col("hi").as("c3")),
-          col("b") === col("b3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("n"))
-    }
-    val light = close(tagged.filter(col("od") <= cap))
-    val heavy = close(tagged.filter(col("od") > cap))
-    val hubs = od.filter(col("od") > cap).agg(count(lit(1)).as("hub_count"))
-    light.select(col("n").as("light_triangles"))
-      .crossJoin(heavy.select(col("n").as("heavy_triangles")))
-      .crossJoin(hubs)
-      .select(lit(cap).as("cap"), col("hub_count"),
-        col("light_triangles"), col("heavy_triangles"),
-        (col("light_triangles") + col("heavy_triangles")).as("triangle_count"))
-  }
 
   /** The oracle computes triangle_count by the PLAIN uncapped enumeration
     * and the light/heavy split by an independent SQL spelling of the same
     * decomposition — so the gate proves capped == uncapped, the judge's
     * identical-answer-below-the-cap contract. */
   val qGraphTrianglesCapped: Q = Q(
-    run = (s, dir) => trianglesCapped(Round2Queries.coEdges(s, dir), cap = 4L),
+    run = (s, dir) => graft.operators.GraphOps.trianglesCapped(Round2Queries.coEdges(s, dir), cap = 4L),
     oracle = Some(s"""
       WITH ${Round2Queries.oBi},
       tri3 AS (SELECT e1.src AS a FROM e e1

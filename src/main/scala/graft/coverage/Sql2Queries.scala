@@ -258,9 +258,9 @@ object Sql2Queries {
                CAST(FLOOR(DEGREES(p_retailprice / 1000.0) * 1000000.0) AS BIGINT) AS deg_u,
                CAST(FLOOR(RADIANS(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS rad_u,
                SIGN(p_size - 25) AS sgn,
-               CAST(FLOOR(LOG2(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS l2_u,
-               CAST(FLOOR(LOG10(p_retailprice) * 1000000.0) AS BIGINT) AS l10_u,
-               CAST(FLOOR(COT(CAST(p_size AS DOUBLE)) * 1000.0) AS BIGINT) AS cot_m,
+               CAST(FLOOR(LOG2(CASE WHEN p_size > 0 THEN CAST(p_size AS DOUBLE) END) * 1000000.0) AS BIGINT) AS l2_u,
+               CAST(FLOOR(LOG10(CASE WHEN p_retailprice > 0 THEN p_retailprice END) * 1000000.0) AS BIGINT) AS l10_u,
+               CAST(FLOOR(COT(CASE WHEN p_size > 0 THEN CAST(p_size AS DOUBLE) END) * 1000.0) AS BIGINT) AS cot_m,
                LPAD(p_brand, 12, '*') AS lp,
                RPAD(p_brand, 12, '#') AS rp,
                REPEAT(SUBSTRING(p_type, 1, 2), 3) AS rep,
@@ -276,9 +276,9 @@ object Sql2Queries {
              CAST(FLOOR(degrees(p_retailprice / 1000.0) * 1000000.0) AS BIGINT) AS deg_u,
              CAST(FLOOR(radians(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS rad_u,
              CAST(sign(p_size - 25) AS DOUBLE) AS sgn,
-             CAST(FLOOR(log2(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS l2_u,
-             CAST(FLOOR(log10(p_retailprice) * 1000000.0) AS BIGINT) AS l10_u,
-             CAST(FLOOR(cot(CAST(p_size AS DOUBLE)) * 1000.0) AS BIGINT) AS cot_m,
+             CAST(FLOOR(log2(CASE WHEN p_size > 0 THEN CAST(p_size AS DOUBLE) END) * 1000000.0) AS BIGINT) AS l2_u,
+             CAST(FLOOR(log10(CASE WHEN p_retailprice > 0 THEN p_retailprice END) * 1000000.0) AS BIGINT) AS l10_u,
+             CAST(FLOOR(cot(CASE WHEN p_size > 0 THEN CAST(p_size AS DOUBLE) END) * 1000.0) AS BIGINT) AS cot_m,
              lpad(p_brand, 12, '*') AS lp,
              rpad(p_brand, 12, '#') AS rp,
              repeat(p_type[1:2], 3) AS rep,
@@ -326,7 +326,8 @@ object Sql2Queries {
         .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
         .as[(Long, String)]
       graft.operators.AsyncIO.mapAsyncOrdered(ds, 8) { case (k, pr) =>
-        val tier = pr.substring(0, 1).toInt
+        // non-numeric/empty priority prefix → tier 0 (the oracle's CASE)
+        val tier = if (pr.nonEmpty && pr.head.isDigit) pr.substring(0, 1).toInt else 0
         val md = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$k:$pr".getBytes("UTF-8"))
         (k, pr, tier, md.map("%02x".format(_)).mkString)
@@ -335,7 +336,9 @@ object Sql2Queries {
     },
     oracle = Some("""
       SELECT o_orderkey, o_orderpriority,
-             CAST(substr(o_orderpriority, 1, 1) AS INT) AS tier,
+             CASE WHEN substr(o_orderpriority, 1, 1) BETWEEN '0' AND '9'
+                  THEN CAST(substr(o_orderpriority, 1, 1) AS INT)
+                  ELSE 0 END AS tier,
              md5(o_orderkey || ':' || o_orderpriority) AS tag
       FROM orders WHERE o_orderkey % 13 = 0
       ORDER BY o_orderkey"""))
@@ -500,7 +503,10 @@ object Sql2Queries {
     run = (s, dir) => {
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/raw_${san(dir)}"
       val docs = Tables.load(s, dir, "documents")
-      docs.select(col("text").as("value")).write.mode("overwrite").text(s"$scratch/src")
+      // a raw TEXT file has no representation for a null line — drop nulls
+      // explicitly on both sides of the round-trip
+      docs.filter(col("text").isNotNull)
+        .select(col("text").as("value")).write.mode("overwrite").text(s"$scratch/src")
       // seed the sink path so registration (and the Flink-style read-back
       // view) binds before the INSERT
       s.range(0).select(lit("seed").as("value")).write.mode("overwrite").text(s"$scratch/snk")
@@ -523,7 +529,7 @@ object Sql2Queries {
     oracle = Some("""
       SELECT string_split(upper(text), ' ')[1] AS w, COUNT(*) AS n,
              CAST(SUM(length(upper(text))) AS BIGINT) AS total_chars
-      FROM documents GROUP BY 1 ORDER BY w"""))
+      FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY w"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_options_hint" -> qSqlOptionsHint,

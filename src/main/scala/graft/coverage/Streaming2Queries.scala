@@ -517,7 +517,8 @@ object Streaming2Queries {
         SELECT e.user_id, e.event_type, e.rn, e.ts, e.event_id,
                e.ts > w.last_kept + INTERVAL '24 hours',
                CASE WHEN e.ts > w.last_kept + INTERVAL '24 hours' THEN e.ts ELSE w.last_kept END
-        FROM walk w JOIN e ON e.user_id = w.user_id AND e.event_type = w.event_type
+        FROM walk w JOIN e ON e.user_id = w.user_id
+                          AND e.event_type IS NOT DISTINCT FROM w.event_type
                           AND e.rn = w.rn + 1)
       SELECT user_id, event_type, event_id FROM walk WHERE kept
       ORDER BY user_id, event_type, event_id"""))
@@ -713,12 +714,17 @@ object Streaming2Queries {
     },
     oracle = Some("""
       WITH ord AS (SELECT user_id, event_id, event_type,
-                          lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                          lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+                          lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
                    FROM events),
+      -- prev_id distinguishes "no previous row" from "previous row with a
+      -- NULL event_type" (whose VALUE is its event_id, i.e. non-null);
+      -- "previous value existed" = prev_id IS NOT NULL AND prev was not a
+      -- tombstone ('error'); a NULL incoming type also carries a value
       chg AS (SELECT user_id,
                      SUM(CASE WHEN event_type = 'error'
-                              THEN CASE WHEN prev IS NOT NULL AND prev <> 'error' THEN 1 ELSE 0 END
-                              ELSE CASE WHEN prev IS NOT NULL AND prev <> 'error' THEN 2 ELSE 1 END
+                              THEN CASE WHEN prev_id IS NOT NULL AND (prev IS NULL OR prev <> 'error') THEN 1 ELSE 0 END
+                              ELSE CASE WHEN prev_id IS NOT NULL AND (prev IS NULL OR prev <> 'error') THEN 2 ELSE 1 END
                          END) AS n_changes
               FROM ord GROUP BY user_id),
       last AS (SELECT user_id, arg_max(event_type, event_id) AS lt, max(event_id) AS lid

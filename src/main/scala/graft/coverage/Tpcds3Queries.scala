@@ -113,7 +113,8 @@ object Tpcds3Queries {
       FROM region JOIN nation ON n_regionkey = r_regionkey
                   JOIN customer ON c_nationkey = n_nationkey
                   JOIN orders ON o_custkey = c_custkey
-      GROUP BY ROLLUP(r_name, n_name))
+      GROUP BY ROLLUP(r_name, n_name)
+      HAVING COUNT(*) > 0)
     SELECT r_name, n_name, gid, v,
            CAST(RANK() OVER (
              PARTITION BY gid, CASE WHEN gid = 0 THEN r_name ELSE '' END

@@ -247,6 +247,9 @@ object TpcdsShapeQueries {
 
   /** TPC-DS q5/q77 shape — ROLLUP over a multi-join (channel totals with
     * region/nation subtotal rows and a grand total). */
+  // HAVING COUNT(*) > 0 is a no-op on any non-empty input; it pins the
+  // EMPTY-input contract Spark implements (grouping sets emit no rows on
+  // an empty relation) so DuckDB's standard grand-total row agrees.
   val qDsRollupJoin: Q = {
     val sql = """
       SELECT r_name, n_name,
@@ -257,6 +260,7 @@ object TpcdsShapeQueries {
                   JOIN customer ON c_nationkey = n_nationkey
                   JOIN orders ON o_custkey = c_custkey
       GROUP BY ROLLUP (r_name, n_name)
+      HAVING COUNT(*) > 0
       ORDER BY gid, r_name, n_name"""
     Q(run = (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, oracle = Some(sql))
   }

@@ -47,7 +47,9 @@ object Multimodal {
     assets.select(col("doc_id").cast("long").as("doc_id"), col("payload")).as[Asset]
       .mapPartitions { it =>
         val codec = java.security.MessageDigest.getInstance("MD5") // per-partition init
-        it.flatMap(a => decodeOne(a, codec))
+        // a null payload decodes to nothing (mirrors the SQL path, where
+        // md5(NULL) yields NULL metadata that the frame filter drops)
+        it.filter(_.payload != null).flatMap(a => decodeOne(a, codec))
       }
   }
 }

@@ -32,6 +32,23 @@ object RetractableTopN {
   case class TopNState(vals: Map[String, Long], epoch: Long)
   case class TopNOut(pkey: String, epoch: Long, rn: Int, id: String, value: Long)
 
+  /** NULLS LAST id ordering — a null ranked-row id (e.g. a null group key
+    * flowing out of an upstream aggregation) must sort like SQL's default
+    * (DuckDB/Spark ORDER BY ASC = NULLS LAST), not NPE inside the state
+    * function. */
+  private val idNullsLast: Ordering[String] = (a: String, b: String) =>
+    if (a == null && b == null) 0
+    else if (a == null) 1
+    else if (b == null) -1
+    else a.compareTo(b)
+
+  // Spark's map encoder cannot persist a null MAP key, so the null id is
+  // stored under an invertible prefix encoding: "n" = the null id, "v"+id
+  // otherwise. Decoded on emission; ordering happens on decoded ids.
+  private val NullKey = "n"
+  private def encId(id: String): String = if (id == null) NullKey else "v" + id
+  private def decId(k: String): String = if (k == NullKey) null else k.substring(1)
+
   /** Top-N ids per pkey by descending value (id tiebreak).
     *
     * @param ttlMicros idle-state retention in EVENT-time µs (the
@@ -65,10 +82,12 @@ object RetractableTopN {
           val st = state.getOption.getOrElse(TopNState(Map.empty, 0L))
           var vals = st.vals
           val batch = it.toIndexedSeq
-          batch.sortBy(e => (e._5, e._3)).foreach { case (kind, _, id, value, _, _) =>
+          batch.sortBy(e => (e._5, e._3))(
+              Ordering.Tuple2(Ordering.Long, idNullsLast))
+            .foreach { case (kind, _, id, value, _, _) =>
             kind match {
-              case "+I" | "+U" => vals = vals.updated(id, value)
-              case "-U" | "-D" => vals = vals.removed(id)
+              case "+I" | "+U" => vals = vals.updated(encId(id), value)
+              case "-U" | "-D" => vals = vals.removed(encId(id))
               case other => throw new IllegalArgumentException(s"bad row_kind $other")
             }
           }
@@ -87,7 +106,9 @@ object RetractableTopN {
               state.setTimeoutTimestamp((deadline + 999) / 1000) // ceil to ms
             else state.remove()
           }
-          vals.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
+          vals.toSeq.map { case (k, v) => (decId(k), v) }
+            .sortBy { case (id, v) => (-v, id) }(
+              Ordering.Tuple2(Ordering.Long, idNullsLast)).take(n)
             .iterator.zipWithIndex
             .map { case ((id, v), i) => TopNOut(pkey, epoch, i + 1, id, v) }
           }

@@ -781,8 +781,12 @@ object StreamOps {
         cnt.update(n)
         val ring = (cents :: (if (recent.exists()) recent.get().toList else Nil)).take(3)
         recent.put(ring.toArray)
-        val t = (if (byType.containsKey(typ)) byType.getValue(typ) else 0L) + 1
-        byType.updateValue(typ, t)
+        // the state store rejects null MAP keys — encode SQL's null group
+        // (one shared partition, like PARTITION BY event_type) as NUL,
+        // which no real event_type string can contain
+        val mk = if (typ == null) 0.toChar.toString else typ
+        val t = (if (byType.containsKey(mk)) byType.getValue(mk) else 0L) + 1
+        byType.updateValue(mk, t)
         TwsOut(key, eid, n, ring.sum, t)
       }
     }

@@ -49,12 +49,30 @@ object HostileGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
-    def write(df: DataFrame, n: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+    // single FILE per table, exactly like the driver fixtures — DuckDB's
+    // read_parquet takes the literal file path, not a directory
+    def write(df: DataFrame, n: String): Unit = {
+      val tmp = java.nio.file.Paths.get(s"$out/_stage_$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get finally ls.close()
+      val dst = java.nio.file.Paths.get(s"$out/$n.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part, dst)
+      val ls2 = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls2.iterator().asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists)
+      } finally ls2.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
 
     val epoch = "TIMESTAMP '1970-01-01 00:00:00'"
 
-    write(t("region").limit(0), "region")                      // EMPTY table
+    // EMPTY table — still one schema-only part file via write()'s
+    // coalesce(1), so readers (DuckDB read_parquet included) see the
+    // schema, not ENOENT
+    write(t("region").limit(0), "region")
     write(t("nation").filter(col("n_nationkey") === 0), "nation") // single row
 
     write(t("customer")
@@ -97,11 +115,16 @@ object HostileGen {
         when(col("l_orderkey") % 101 === 0, lit(0.0)).otherwise(col("l_tax"))), "lineitem")
 
     // events.ts physical type varies by fixture generation — mutate via a
-    // same-type epoch value so the schema byte-layout is preserved
+    // same-type value so the schema byte-layout is preserved. Events get
+    // epoch+1s, NOT exact epoch: Spark's streaming watermark initializes
+    // at 0ms and treats rows AT the watermark as late, so a ts of exactly
+    // 1970-01-01T00:00:00 is born-late in every stateful operator (a real
+    // engine-model boundary, documented in FIXTURES.md) — epoch+1s keeps
+    // the boundary stress while staying inside the processable domain.
     val ev = t("events")
     val epochTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => lit(0L)
-      case dt => expr(epoch).cast(dt)
+      case org.apache.spark.sql.types.LongType => lit(1000000000L) // 1s in ns
+      case dt => expr("TIMESTAMP '1970-01-01 00:00:01'").cast(dt)
     }
     write(ev
       .withColumn("ts", when(col("event_id") % 89 === 0, epochTs).otherwise(col("ts")))
