@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   * The reference gates correctness on the 103 official TPC-DS queries run
   * as unmodified SQL text (ref flink-end-to-end-tests/flink-tpcds-test/
-  * .../TpcdsTestProgram.java:77-86). This module runs 15 of those queries
+  * .../TpcdsTestProgram.java:77-86). This module runs 22 of those queries
   * BYTE-FOR-BYTE (the public TPC-DS benchmark text, qualified templates)
   * through [[graft.sql.EngineEnv.sqlQuery]], and the DuckDB oracle runs
   * the SAME verbatim text — so parser/dialect corners (comma joins,
@@ -76,7 +76,7 @@ object TpcdsVerbatimQueries {
                CAST(FLOOR(${days("d")} / 7) AS BIGINT) AS d_week_seq,
                ${dayName("d")} AS d_day_name,
                CAST(${dow("d")} AS BIGINT) AS d_dow,
-               CAST(CAST((EXTRACT(MONTH FROM d) + 2) / 3 AS BIGINT) AS BIGINT) AS d_qoy
+               CAST(FLOOR((EXTRACT(MONTH FROM d) + 2) / 3.0) AS BIGINT) AS d_qoy
         FROM (SELECT DISTINCT ${shift("d0")} AS d FROM
                (SELECT CAST(o_orderdate AS DATE) AS d0 FROM ${tbl("orders")}
                 UNION SELECT CAST(l_shipdate AS DATE) FROM ${tbl("lineitem")}) u) dts""",
@@ -86,8 +86,10 @@ object TpcdsVerbatimQueries {
                CAST(o_custkey AS BIGINT) AS ss_customer_sk,
                CAST(o_custkey AS BIGINT) AS ss_cdemo_sk,
                CAST(o_custkey AS BIGINT) AS ss_hdemo_sk,
-               CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS ss_addr_sk,
-               CAST(l_suppkey % 12 + 1 AS BIGINT) AS ss_store_sk,
+               CASE WHEN (o_custkey * 7 + l_orderkey) % 19 = 0 THEN NULL
+                    ELSE CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) END AS ss_addr_sk,
+               CASE WHEN (l_orderkey * 3 + l_partkey) % 31 = 0 THEN NULL
+                    ELSE CAST(l_suppkey % 12 + 1 AS BIGINT) END AS ss_store_sk,
                CAST(l_partkey % 30 + 1 AS BIGINT) AS ss_promo_sk,
                CAST(l_orderkey AS BIGINT) AS ss_ticket_number,
                CAST(l_quantity AS DOUBLE) AS ss_quantity,
@@ -122,6 +124,7 @@ object TpcdsVerbatimQueries {
                     WHEN 8 THEN 'Toys' ELSE 'Women' END AS i_category,
                CAST(p_partkey % 4 + 1 AS BIGINT) AS i_class_id,
                'class' || CAST(p_partkey % 4 + 1 AS $str) AS i_class,
+               p_name || '#' || CAST(p_partkey AS $str) AS i_product_name,
                CAST(1 + p_partkey % 99 AS DOUBLE) AS i_current_price,
                CAST(1 + p_partkey % 73 AS DOUBLE) AS i_wholesale_cost
         FROM ${tbl("part")}""",
@@ -177,7 +180,57 @@ object TpcdsVerbatimQueries {
                     WHEN 2 THEN '2 yr Degree' WHEN 3 THEN '4 yr Degree'
                     WHEN 4 THEN 'Primary' WHEN 5 THEN 'Secondary'
                     ELSE 'Unknown' END AS cd_education_status
-        FROM ${tbl("customer")}""")
+        FROM ${tbl("customer")}""",
+      "web_sales" -> s"""
+        SELECT ${dateSk("sd")} AS ws_sold_date_sk,
+               CAST(l_partkey AS BIGINT) AS ws_item_sk,
+               CAST(o_custkey AS BIGINT) AS ws_bill_customer_sk,
+               CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
+                    ELSE CAST(o_custkey AS BIGINT) END AS ws_ship_customer_sk,
+               CAST(l_orderkey AS BIGINT) AS ws_order_number,
+               CAST(l_quantity AS DOUBLE) AS ws_quantity,
+               CAST(FLOOR(up / 10) AS DOUBLE) AS ws_sales_price,
+               CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS ws_ext_sales_price,
+               CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS ws_net_profit
+        FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              WHERE l_linenumber % 3 = 1) wfact""",
+      "catalog_sales" -> s"""
+        SELECT ${dateSk("sd")} AS cs_sold_date_sk,
+               CAST(l_partkey AS BIGINT) AS cs_item_sk,
+               CAST(o_custkey AS BIGINT) AS cs_bill_customer_sk,
+               CAST(o_custkey AS BIGINT) AS cs_bill_cdemo_sk,
+               CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
+                    ELSE CAST(o_custkey AS BIGINT) END AS cs_ship_addr_sk,
+               CAST(l_orderkey AS BIGINT) AS cs_order_number,
+               CAST(l_quantity AS DOUBLE) AS cs_quantity,
+               CAST(FLOOR(up / 10) AS DOUBLE) AS cs_sales_price,
+               CAST(FLOOR(up / 9) AS DOUBLE) AS cs_list_price,
+               CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS cs_coupon_amt,
+               CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS cs_ext_sales_price,
+               CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS cs_net_profit
+        FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              WHERE l_linenumber % 3 = 2) cfact""",
+      "store_returns" -> s"""
+        SELECT ${dateSk("sd")} AS sr_returned_date_sk,
+               CAST(l_partkey AS BIGINT) AS sr_item_sk,
+               CAST(o_custkey AS BIGINT) AS sr_customer_sk,
+               CAST(l_orderkey AS BIGINT) AS sr_ticket_number,
+               CAST(l_orderkey % 35 + 1 AS BIGINT) AS sr_reason_sk,
+               CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS sr_return_quantity,
+               CAST(FLOOR(up / 10) * FLOOR(l_quantity / 2) AS DOUBLE) AS sr_return_amt,
+               CAST(FLOOR(up / 12) * FLOOR(l_quantity / 2) AS DOUBLE) AS sr_net_loss
+        FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R') rfact""",
+      "reason" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS r_reason_sk,
+               'reason ' || CAST(p_partkey AS $str) AS r_reason_desc
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 35""")
   }
 
   /** Register the hosted TPC-DS schema as Spark temp views over `dir`. */
@@ -659,6 +712,251 @@ order by
         ,i_item_desc
         ,revenueratio"""
 
+  private val q25: String =
+"""select  
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ ,sum(ss_net_profit) as store_sales_profit
+ ,sum(sr_net_loss) as store_returns_loss
+ ,sum(cs_net_profit) as catalog_sales_profit
+ from
+ store_sales
+ ,store_returns
+ ,catalog_sales
+ ,date_dim d1
+ ,date_dim d2
+ ,date_dim d3
+ ,store
+ ,item
+ where
+ d1.d_moy = 4
+ and d1.d_year = 2001
+ and d1.d_date_sk = ss_sold_date_sk
+ and i_item_sk = ss_item_sk
+ and s_store_sk = ss_store_sk
+ and ss_customer_sk = sr_customer_sk
+ and ss_item_sk = sr_item_sk
+ and ss_ticket_number = sr_ticket_number
+ and sr_returned_date_sk = d2.d_date_sk
+ and d2.d_moy               between 4 and  10
+ and d2.d_year              = 2001
+ and sr_customer_sk = cs_bill_customer_sk
+ and sr_item_sk = cs_item_sk
+ and cs_sold_date_sk = d3.d_date_sk
+ and d3.d_moy               between 4 and  10 
+ and d3.d_year              = 2001
+ group by
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ order by
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ limit 100"""
+
+  private val q29: String =
+"""select   
+     i_item_id
+    ,i_item_desc
+    ,s_store_id
+    ,s_store_name
+    ,sum(ss_quantity)        as store_sales_quantity
+    ,sum(sr_return_quantity) as store_returns_quantity
+    ,sum(cs_quantity)        as catalog_sales_quantity
+ from
+    store_sales
+   ,store_returns
+   ,catalog_sales
+   ,date_dim             d1
+   ,date_dim             d2
+   ,date_dim             d3
+   ,store
+   ,item
+ where
+     d1.d_moy               = 9 
+ and d1.d_year              = 1999
+ and d1.d_date_sk           = ss_sold_date_sk
+ and i_item_sk              = ss_item_sk
+ and s_store_sk             = ss_store_sk
+ and ss_customer_sk         = sr_customer_sk
+ and ss_item_sk             = sr_item_sk
+ and ss_ticket_number       = sr_ticket_number
+ and sr_returned_date_sk    = d2.d_date_sk
+ and d2.d_moy               between 9 and  9 + 3 
+ and d2.d_year              = 1999
+ and sr_customer_sk         = cs_bill_customer_sk
+ and sr_item_sk             = cs_item_sk
+ and cs_sold_date_sk        = d3.d_date_sk     
+ and d3.d_year              in (1999,1999+1,1999+2)
+ group by
+    i_item_id
+   ,i_item_desc
+   ,s_store_id
+   ,s_store_name
+ order by
+    i_item_id 
+   ,i_item_desc
+   ,s_store_id
+   ,s_store_name
+ limit 100"""
+
+  private val q44: String =
+"""select  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+from(select *
+     from (select item_sk,rank() over (order by rank_col asc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col 
+                 from store_sales ss1
+                 where ss_store_sk = 4
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 4
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V1)V11
+     where rnk  < 11) asceding,
+    (select *
+     from (select item_sk,rank() over (order by rank_col desc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                 from store_sales ss1
+                 where ss_store_sk = 4
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 4
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V2)V21
+     where rnk  < 11) descending,
+item i1,
+item i2
+where asceding.rnk = descending.rnk 
+  and i1.i_item_sk=asceding.item_sk
+  and i2.i_item_sk=descending.item_sk
+order by asceding.rnk
+limit 100"""
+
+  private val q46: String =
+"""select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,amt,profit 
+ from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,ca_city bought_city
+          ,sum(ss_coupon_amt) amt
+          ,sum(ss_net_profit) profit
+    from store_sales,date_dim,store,household_demographics,customer_address 
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk  
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+    and (household_demographics.hd_dep_count = 4 or
+         household_demographics.hd_vehicle_count= 3)
+    and date_dim.d_dow in (6,0)
+    and date_dim.d_year in (1999,1999+1,1999+2) 
+    and store.s_city in ('Fairview','Midway','Fairview','Fairview','Fairview')
+    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+    where ss_customer_sk = c_customer_sk
+      and customer.c_current_addr_sk = current_addr.ca_address_sk
+      and current_addr.ca_city <> bought_city
+  order by c_last_name
+          ,c_first_name
+          ,ca_city
+          ,bought_city
+          ,ss_ticket_number
+  limit 100"""
+
+  private val q51: String =
+"""WITH web_v1 as (
+select
+  ws_item_sk item_sk, d_date,
+  sum(sum(ws_sales_price))
+      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from web_sales
+    ,date_dim
+where ws_sold_date_sk=d_date_sk
+  and d_month_seq between 1200 and 1200+11
+  and ws_item_sk is not NULL
+group by ws_item_sk, d_date),
+store_v1 as (
+select
+  ss_item_sk item_sk, d_date,
+  sum(sum(ss_sales_price))
+      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from store_sales
+    ,date_dim
+where ss_sold_date_sk=d_date_sk
+  and d_month_seq between 1200 and 1200+11
+  and ss_item_sk is not NULL
+group by ss_item_sk, d_date)
+ select  *
+from (select item_sk
+     ,d_date
+     ,web_sales
+     ,store_sales
+     ,max(web_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+     ,max(store_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                 ,web.cume_sales web_sales
+                 ,store.cume_sales store_sales
+           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                          and web.d_date = store.d_date)
+          )x )y
+where web_cumulative > store_cumulative
+order by item_sk
+        ,d_date
+limit 100"""
+
+  private val q76: String =
+"""select  channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt, SUM(ext_sales_price) sales_amt FROM (
+        SELECT 'store' as channel, 'ss_store_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price
+         FROM store_sales, item, date_dim
+         WHERE ss_store_sk IS NULL
+           AND ss_sold_date_sk=d_date_sk
+           AND ss_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'web' as channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price
+         FROM web_sales, item, date_dim
+         WHERE ws_ship_customer_sk IS NULL
+           AND ws_sold_date_sk=d_date_sk
+           AND ws_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price
+         FROM catalog_sales, item, date_dim
+         WHERE cs_ship_addr_sk IS NULL
+           AND cs_sold_date_sk=d_date_sk
+           AND cs_item_sk=i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+limit 100"""
+
+  private val q93: String =
+"""select  ss_customer_sk
+            ,sum(act_sales) sumsales
+      from (select ss_item_sk
+                  ,ss_ticket_number
+                  ,ss_customer_sk
+                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price
+                                                            else (ss_quantity*ss_sales_price) end act_sales
+            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk
+                                                               and sr_ticket_number = ss_ticket_number)
+                ,reason
+            where sr_reason_sk = r_reason_sk
+              and r_reason_desc = 'reason 28') t
+      group by ss_customer_sk
+      order by sumsales, ss_customer_sk
+limit 100"""
+
   val all: Map[String, Q] = Map(
     "q_tpcds_v3" -> mk(q3),
     "q_tpcds_v13" -> mk(q13),
@@ -674,5 +972,12 @@ order by
     "q_tpcds_v65" -> mk(q65),
     "q_tpcds_v68" -> mk(q68),
     "q_tpcds_v79" -> mk(q79),
-    "q_tpcds_v98" -> mk(q98))
+    "q_tpcds_v98" -> mk(q98),
+    "q_tpcds_v25" -> mk(q25),
+    "q_tpcds_v29" -> mk(q29),
+    "q_tpcds_v44" -> mk(q44),
+    "q_tpcds_v46" -> mk(q46),
+    "q_tpcds_v51" -> mk(q51),
+    "q_tpcds_v76" -> mk(q76),
+    "q_tpcds_v93" -> mk(q93))
 }
