@@ -220,8 +220,170 @@ object Round8Queries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM tri3) AS triangle_count
       FROM lightc, heavyc, hub"""))
 
+
+  /** UUID() / RAND() contract gate — ref FlinkSqlOperatorTable UUID/RAND
+    * (nondeterministic scalars; COVERAGE row "documented nondeterminism"
+    * upgraded to a real oracle): the VALUES cannot be compared across
+    * engines, but the functions' CONTRACT can — n rows in, n distinct
+    * RFC-4122 v4 well-formed UUIDs out (collision odds ~1e-18), and every
+    * RAND() sample inside [0,1). The aggregates of the contract are
+    * deterministic, so the oracle is a literal row. */
+  val qScalarUuidRand: Q = Q(
+    run = (s, _) => s.range(10000)
+      .select(expr("uuid()").as("u"), rand().as("r"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("u")).as("n_distinct"),
+        expr("CAST(SUM(CASE WHEN u RLIKE " +
+          "'^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$' " +
+          "THEN 1 ELSE 0 END) AS BIGINT)").as("n_v4_wellformed"),
+        expr("CAST(SUM(CASE WHEN r >= 0.0 AND r < 1.0 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_in_unit")),
+    oracle = Some("""
+      SELECT CAST(10000 AS BIGINT) AS n_rows, CAST(10000 AS BIGINT) AS n_distinct,
+             CAST(10000 AS BIGINT) AS n_v4_wellformed, CAST(10000 AS BIGINT) AS n_in_unit"""))
+
+  /** Deterministic RMat generator — ref flink-gelly/.../generator/
+    * RMatGraph.java (recursive quadrant subdivision, A/B/C/D = .57/.19/
+    * .19/.05). The reference parameterizes a PRNG (which is why r7
+    * excluded it from the generator gate); every quadrant choice here
+    * derives from the md5 integer hash of (edge, level) instead —
+    * bit-identical on any engine at any parallelism, which is what a
+    * reproducible 100 TB fixture generator actually needs. Per edge i,
+    * level l: h = md5hash('rmat_i_l') % 10^6; src bit = h ≥ 760000
+    * (quadrants C+D), dst bit = h ∈ [570000,760000) ∪ [950000,10^6)
+    * (quadrants B+D). Gated as the exact edge multiset: count, touched
+    * vertices, self-loops, duplicate edges, XOR edge signature. */
+  val qGraphRmat: Q = {
+    val scale = 6
+    val m = 200L
+    val h = "(conv(substring(md5(concat('rmat_', CAST(id AS STRING), '_', CAST(l AS STRING))), 1, 15), 16, 10) % 1000000)"
+    def bits(cond: String) =
+      s"CAST(aggregate(sequence(0, ${scale - 1}), CAST(0 AS BIGINT), (acc, l) -> acc + " +
+        s"(CASE WHEN $cond THEN shiftleft(CAST(1 AS BIGINT), l) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    val oh = graft.Queries.oHash("'rmat_' || i || '_' || l") + " % 1000000"
+    Q(
+      run = (s, _) => {
+        val edges = s.range(m).select(
+          expr(bits(s"$h >= 760000")).as("src"),
+          expr(bits(s"(($h >= 570000 AND $h < 760000) OR $h >= 950000)")).as("dst"))
+        val eh = graft.Queries.hashStr(concat(
+          col("src").cast("string"), lit(":"), col("dst").cast("string")))
+        val agg = edges.agg(
+          count(lit(1)).as("n_edges"),
+          expr("CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)").as("n_self_loops"))
+        val verts = edges.select(explode(array(col("src"), col("dst"))).as("v"))
+          .distinct().agg(count(lit(1)).as("n_vertices"))
+        val dedup = edges.distinct().agg(count(lit(1)).as("n_distinct_edges"))
+        val sig = edges.select(eh.as("eh")).agg(expr("BIT_XOR(eh)").as("esig"))
+        agg.crossJoin(verts).crossJoin(dedup).crossJoin(sig)
+          .select(col("n_edges"), col("n_vertices"), col("n_self_loops"),
+            (col("n_edges") - col("n_distinct_edges")).as("n_dup_edges"), col("esig"))
+      },
+      oracle = Some(s"""
+        WITH bits AS (
+          SELECT i, l, $oh AS h
+          FROM range($m) t(i), range($scale) lv(l)),
+        ed AS (
+          SELECT i,
+                 CAST(SUM(CASE WHEN h >= 760000 THEN 1 << l ELSE 0 END) AS BIGINT) AS src,
+                 CAST(SUM(CASE WHEN (h >= 570000 AND h < 760000) OR h >= 950000 THEN 1 << l ELSE 0 END) AS BIGINT) AS dst
+          FROM bits GROUP BY i)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT v FROM (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed))) AS n_vertices,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE src = dst) AS n_self_loops,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed)
+                 - (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT src, dst FROM ed)) AS n_dup_edges,
+               (SELECT BIT_XOR(${graft.Queries.oHash("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")})
+                FROM ed) AS esig"""))
+  }
+
+  /** Savepoint / fork-from-snapshot — ref flink-state-processing-api
+    * Savepoint.java + the CLI savepoint workflow (COVERAGE row 108, until
+    * now out of scope): a SAVEPOINT is a checkpoint the runtime lets you
+    * fork from while the original job continues. Spark spelling: the
+    * checkpointLocation directory IS the state snapshot, so copying it at
+    * a quiesce point and restarting a second query from the COPY is
+    * exactly the fork. Protocol: run a stateful agg over staged quarters
+    * b0+b1, stop; COPY the checkpoint (the savepoint); main resumes on
+    * the original checkpoint after b2 lands (must read ONLY b2); b3
+    * lands; the fork starts from the savepoint copy and must read b2+b3.
+    * Output = both materializations tagged by leg — main covers quarters
+    * 0-2, the fork all four — each hash-matched against its batch oracle,
+    * proving the two lineages diverged from one shared snapshot. */
+  val qStreamSavepointFork: Q = Q(
+    run = (s, dir) => {
+      val orders = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("pri"),
+        expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)").as("cents"))
+      val base = s"${StreamOps.scratchRoot}/savepoint_${san(dir)}_${seq.incrementAndGet()}"
+      StreamOps.wipeDir(base)
+      val (src, ckptA, ckptB) = (s"$base/src", s"$base/ckptA", s"$base/ckptB")
+      addBatch(base, src, "b0", orders.filter(col("k") % 4 === 0))
+      addBatch(base, src, "b1", orders.filter(col("k") % 4 === 1))
+      val schema = orders.schema
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      def runOnce(ckpt: String, tbl: String): (DataFrame, Long) = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n"), expr("CAST(SUM(cents) AS BIGINT)").as("sum_cents"))
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (s.table(tbl), q.recentProgress.map(_.numInputRows).sum)
+      }
+      def copyDir(from: String, to: String): Unit = {
+        val f = java.nio.file.Paths.get(from)
+        val t = java.nio.file.Paths.get(to)
+        val w = java.nio.file.Files.walk(f)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.foreach { p =>
+            val d = t.resolve(f.relativize(p))
+            if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+            else java.nio.file.Files.copy(p, d,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally w.close()
+      }
+      try {
+        val n = seq.incrementAndGet()
+        val rows = (b: Int) => orders.filter(col("k") % 4 === b).count()
+        runOnce(ckptA, s"svp_base_$n") // quarters 0+1, then STOP (quiesce)
+        copyDir(ckptA, ckptB)          // THE SAVEPOINT
+        addBatch(base, src, "b2", orders.filter(col("k") % 4 === 2))
+        val (mainFin, readMain) = runOnce(ckptA, s"svp_main_$n")
+        require(readMain == rows(2), s"main resume must read only b2 ($readMain)")
+        addBatch(base, src, "b3", orders.filter(col("k") % 4 === 3))
+        val (forkFin, readFork) = runOnce(ckptB, s"svp_fork_$n")
+        require(readFork == rows(2) + rows(3),
+          s"fork from the savepoint must read b2+b3 ($readFork)")
+        mainFin.select(lit("main").as("leg"), col("pri"), col("n"), col("sum_cents"))
+          .unionByName(forkFin.select(lit("fork").as("leg"), col("pri"), col("n"), col("sum_cents")))
+          .orderBy(col("leg"), col("pri"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+    oracle = Some("""
+      SELECT 'main' AS leg, o_orderpriority AS pri, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders WHERE o_orderkey % 4 < 3 GROUP BY 2
+      UNION ALL
+      SELECT 'fork', o_orderpriority, COUNT(*),
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      FROM orders GROUP BY 2
+      ORDER BY leg, pri"""))
+
   val all: Map[String, Q] = Map(
     "q_stream_recovery" -> qStreamRecovery,
     "q_stream_wm_idle" -> qStreamWmIdle,
-    "q_graph_triangles_capped" -> qGraphTrianglesCapped)
+    "q_graph_triangles_capped" -> qGraphTrianglesCapped,
+    "q_scalar_uuid_rand" -> qScalarUuidRand,
+    "q_graph_rmat" -> qGraphRmat,
+    "q_stream_savepoint_fork" -> qStreamSavepointFork)
 }
