@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   * The reference gates correctness on the 103 official TPC-DS queries run
   * as unmodified SQL text (ref flink-end-to-end-tests/flink-tpcds-test/
-  * .../TpcdsTestProgram.java:77-86). This module runs 22 of those queries
+  * .../TpcdsTestProgram.java:77-86). This module runs 28 of those queries
   * BYTE-FOR-BYTE (the public TPC-DS benchmark text, qualified templates)
   * through [[graft.sql.EngineEnv.sqlQuery]], and the DuckDB oracle runs
   * the SAME verbatim text — so parser/dialect corners (comma joins,
@@ -124,6 +124,9 @@ object TpcdsVerbatimQueries {
                     WHEN 8 THEN 'Toys' ELSE 'Women' END AS i_category,
                CAST(p_partkey % 4 + 1 AS BIGINT) AS i_class_id,
                'class' || CAST(p_partkey % 4 + 1 AS $str) AS i_class,
+               CASE p_partkey % 8 WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
+                    WHEN 2 THEN 'burnished' WHEN 3 THEN 'powder' WHEN 4 THEN 'almond'
+                    WHEN 5 THEN 'navy' WHEN 6 THEN 'rose' ELSE 'peru' END AS i_color,
                p_name || '#' || CAST(p_partkey AS $str) AS i_product_name,
                CAST(1 + p_partkey % 99 AS DOUBLE) AS i_current_price,
                CAST(1 + p_partkey % 73 AS DOUBLE) AS i_wholesale_cost
@@ -160,6 +163,10 @@ object TpcdsVerbatimQueries {
                     WHEN 3 THEN 'NM' WHEN 4 THEN 'KY' WHEN 5 THEN 'VA' WHEN 6 THEN 'MS'
                     WHEN 7 THEN 'CA' WHEN 8 THEN 'MN' WHEN 9 THEN 'CO' WHEN 10 THEN 'TN'
                     ELSE 'GA' END AS ca_state,
+               CASE c_custkey % 6 WHEN 0 THEN 'Williamson County'
+                    WHEN 1 THEN 'Walker County' WHEN 2 THEN 'Ziebach County'
+                    WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Richland County'
+                    ELSE 'Barrow County' END AS ca_county,
                'United States' AS ca_country,
                lpad(CAST(10000 + (c_custkey * 17) % 89999 AS $str), 5, '0') AS ca_zip,
                CAST(-5 AS DOUBLE) AS ca_gmt_offset
@@ -187,14 +194,16 @@ object TpcdsVerbatimQueries {
                CAST(o_custkey AS BIGINT) AS ws_bill_customer_sk,
                CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
                     ELSE CAST(o_custkey AS BIGINT) END AS ws_ship_customer_sk,
+               CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS ws_bill_addr_sk,
                CAST(l_orderkey AS BIGINT) AS ws_order_number,
                CAST(l_quantity AS DOUBLE) AS ws_quantity,
                CAST(FLOOR(up / 10) AS DOUBLE) AS ws_sales_price,
                CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS ws_ext_sales_price,
                CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS ws_net_profit
         FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
-                     l_extendedprice / l_quantity AS up, o_custkey
+                     l_extendedprice / l_quantity AS up, o_custkey, nc.ncust
               FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              CROSS JOIN (SELECT COUNT(*) AS ncust FROM ${tbl("customer")}) nc
               WHERE l_linenumber % 3 = 1) wfact""",
       "catalog_sales" -> s"""
         SELECT ${dateSk("sd")} AS cs_sold_date_sk,
@@ -203,6 +212,7 @@ object TpcdsVerbatimQueries {
                CAST(o_custkey AS BIGINT) AS cs_bill_cdemo_sk,
                CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
                     ELSE CAST(o_custkey AS BIGINT) END AS cs_ship_addr_sk,
+               CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS cs_bill_addr_sk,
                CAST(l_orderkey AS BIGINT) AS cs_order_number,
                CAST(l_quantity AS DOUBLE) AS cs_quantity,
                CAST(FLOOR(up / 10) AS DOUBLE) AS cs_sales_price,
@@ -211,14 +221,17 @@ object TpcdsVerbatimQueries {
                CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS cs_ext_sales_price,
                CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS cs_net_profit
         FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
-                     l_extendedprice / l_quantity AS up, o_custkey
+                     l_extendedprice / l_quantity AS up, o_custkey, nc.ncust
               FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              CROSS JOIN (SELECT COUNT(*) AS ncust FROM ${tbl("customer")}) nc
               WHERE l_linenumber % 3 = 2) cfact""",
       "store_returns" -> s"""
         SELECT ${dateSk("sd")} AS sr_returned_date_sk,
                CAST(l_partkey AS BIGINT) AS sr_item_sk,
                CAST(o_custkey AS BIGINT) AS sr_customer_sk,
                CAST(l_orderkey AS BIGINT) AS sr_ticket_number,
+               CASE WHEN (l_orderkey * 3 + l_partkey) % 31 = 0 THEN NULL
+                    ELSE CAST(l_suppkey % 12 + 1 AS BIGINT) END AS sr_store_sk,
                CAST(l_orderkey % 35 + 1 AS BIGINT) AS sr_reason_sk,
                CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS sr_return_quantity,
                CAST(FLOOR(up / 10) * FLOOR(l_quantity / 2) AS DOUBLE) AS sr_return_amt,
@@ -957,6 +970,319 @@ limit 100"""
       order by sumsales, ss_customer_sk
 limit 100"""
 
+  private val q1: String =
+"""with customer_total_return as
+(select sr_customer_sk as ctr_customer_sk
+,sr_store_sk as ctr_store_sk
+,sum(sr_return_amt) as ctr_total_return
+from store_returns
+,date_dim
+where sr_returned_date_sk = d_date_sk
+and d_year = 2000
+group by sr_customer_sk
+,sr_store_sk)
+ select  c_customer_id
+from customer_total_return ctr1
+,store
+,customer
+where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+from customer_total_return ctr2
+where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+and s_store_sk = ctr1.ctr_store_sk
+and s_state = 'TN'
+and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id
+limit 100"""
+
+  private val q15: String =
+"""select  ca_zip
+       ,sum(cs_sales_price)
+ from catalog_sales
+     ,customer
+     ,customer_address
+     ,date_dim
+ where cs_bill_customer_sk = c_customer_sk
+ 	and c_current_addr_sk = ca_address_sk 
+ 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',
+                                   '85392', '85460', '80348', '81792')
+ 	      or ca_state in ('CA','WA','GA')
+ 	      or cs_sales_price > 500)
+ 	and cs_sold_date_sk = d_date_sk
+ 	and d_qoy = 2 and d_year = 2001
+ group by ca_zip
+ order by ca_zip
+ limit 100"""
+
+  private val q31: String =
+"""with ss as
+ (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales
+ from store_sales,date_dim,customer_address
+ where ss_sold_date_sk = d_date_sk
+  and ss_addr_sk=ca_address_sk
+ group by ca_county,d_qoy, d_year),
+ ws as
+ (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales
+ from web_sales,date_dim,customer_address
+ where ws_sold_date_sk = d_date_sk
+  and ws_bill_addr_sk=ca_address_sk
+ group by ca_county,d_qoy, d_year)
+ select 
+        ss1.ca_county
+       ,ss1.d_year
+       ,ws2.web_sales/ws1.web_sales web_q1_q2_increase
+       ,ss2.store_sales/ss1.store_sales store_q1_q2_increase
+       ,ws3.web_sales/ws2.web_sales web_q2_q3_increase
+       ,ss3.store_sales/ss2.store_sales store_q2_q3_increase
+ from
+        ss ss1
+       ,ss ss2
+       ,ss ss3
+       ,ws ws1
+       ,ws ws2
+       ,ws ws3
+ where
+    ss1.d_qoy = 1
+    and ss1.d_year = 2000
+    and ss1.ca_county = ss2.ca_county
+    and ss2.d_qoy = 2
+    and ss2.d_year = 2000
+ and ss2.ca_county = ss3.ca_county
+    and ss3.d_qoy = 3
+    and ss3.d_year = 2000
+    and ss1.ca_county = ws1.ca_county
+    and ws1.d_qoy = 1
+    and ws1.d_year = 2000
+    and ws1.ca_county = ws2.ca_county
+    and ws2.d_qoy = 2
+    and ws2.d_year = 2000
+    and ws1.ca_county = ws3.ca_county
+    and ws3.d_qoy = 3
+    and ws3.d_year =2000
+    and case when ws1.web_sales > 0 then ws2.web_sales/ws1.web_sales else null end 
+       > case when ss1.store_sales > 0 then ss2.store_sales/ss1.store_sales else null end
+    and case when ws2.web_sales > 0 then ws3.web_sales/ws2.web_sales else null end
+       > case when ss2.store_sales > 0 then ss3.store_sales/ss2.store_sales else null end
+ order by ss1.ca_county"""
+
+  private val q33: String =
+"""with ss as (
+ select
+          i_manufact_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id in (select
+  i_manufact_id
+from
+ item
+where i_category in ('Electronics'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_manufact_id),
+ cs as (
+ select
+          i_manufact_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id               in (select
+  i_manufact_id
+from
+ item
+where i_category in ('Electronics'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_manufact_id),
+ ws as (
+ select
+          i_manufact_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id               in (select
+  i_manufact_id
+from
+ item
+where i_category in ('Electronics'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_manufact_id)
+  select  i_manufact_id ,sum(total_sales) total_sales
+ from  (select * from ss 
+        union all
+        select * from cs 
+        union all
+        select * from ws) tmp1
+ group by i_manufact_id
+ order by total_sales
+limit 100"""
+
+  private val q56: String =
+"""with ss as (
+ select i_item_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where i_item_id in (select
+     i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_item_id),
+ cs as (
+ select i_item_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_item_id),
+ ws as (
+ select i_item_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id)
+  select  i_item_id ,sum(total_sales) total_sales
+ from  (select * from ss 
+        union all
+        select * from cs 
+        union all
+        select * from ws) tmp1
+ group by i_item_id
+ order by total_sales,
+          i_item_id
+ limit 100"""
+
+  private val q60: String =
+"""with ss as (
+ select
+          i_item_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id in (select
+  i_item_id
+from
+ item
+where i_category in ('Music'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_item_id),
+ cs as (
+ select
+          i_item_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from
+ item
+where i_category in ('Music'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5 
+ group by i_item_id),
+ ws as (
+ select
+          i_item_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from
+ item
+where i_category in ('Music'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id)
+  select   
+  i_item_id
+,sum(total_sales) total_sales
+ from  (select * from ss 
+        union all
+        select * from cs 
+        union all
+        select * from ws) tmp1
+ group by i_item_id
+ order by i_item_id
+      ,total_sales
+ limit 100"""
+
   val all: Map[String, Q] = Map(
     "q_tpcds_v3" -> mk(q3),
     "q_tpcds_v13" -> mk(q13),
@@ -973,6 +1299,12 @@ limit 100"""
     "q_tpcds_v68" -> mk(q68),
     "q_tpcds_v79" -> mk(q79),
     "q_tpcds_v98" -> mk(q98),
+    "q_tpcds_v1" -> mk(q1),
+    "q_tpcds_v15" -> mk(q15),
+    "q_tpcds_v31" -> mk(q31),
+    "q_tpcds_v33" -> mk(q33),
+    "q_tpcds_v56" -> mk(q56),
+    "q_tpcds_v60" -> mk(q60),
     "q_tpcds_v25" -> mk(q25),
     "q_tpcds_v29" -> mk(q29),
     "q_tpcds_v44" -> mk(q44),
