@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   * The reference gates correctness on the 103 official TPC-DS queries run
   * as unmodified SQL text (ref flink-end-to-end-tests/flink-tpcds-test/
-  * .../TpcdsTestProgram.java:77-86). This module runs 30 of those queries
+  * .../TpcdsTestProgram.java:77-86). This module runs 32 of those queries
   * BYTE-FOR-BYTE (the public TPC-DS benchmark text, qualified templates)
   * through [[graft.sql.EngineEnv.sqlQuery]], and the DuckDB oracle runs
   * the SAME verbatim text — so parser/dialect corners (comma joins,
@@ -114,8 +114,8 @@ object TpcdsVerbatimQueries {
                p_name || ' ' || CAST(p_partkey AS $str) AS i_item_desc,
                CAST(p_partkey % 40 + 1 AS BIGINT) AS i_brand_id,
                'Brand#' || CAST(p_partkey % 40 + 1 AS $str) AS i_brand,
-               CAST(p_partkey % 200 AS BIGINT) AS i_manufact_id,
-               'Mfg#' || CAST(p_partkey % 200 AS $str) AS i_manufact,
+               CAST(p_partkey % 1000 AS BIGINT) AS i_manufact_id,
+               'Mfg#' || CAST(p_partkey % 1000 AS $str) AS i_manufact,
                CAST(p_partkey % 100 AS BIGINT) AS i_manager_id,
                CAST(p_partkey % 10 + 1 AS BIGINT) AS i_category_id,
                CASE p_partkey % 10 WHEN 0 THEN 'Sports' WHEN 1 THEN 'Books'
@@ -128,7 +128,7 @@ object TpcdsVerbatimQueries {
                     WHEN 2 THEN 'burnished' WHEN 3 THEN 'powder' WHEN 4 THEN 'almond'
                     WHEN 5 THEN 'navy' WHEN 6 THEN 'rose' ELSE 'peru' END AS i_color,
                p_name || '#' || CAST(p_partkey AS $str) AS i_product_name,
-               CAST(1 + p_partkey % 99 AS DOUBLE) AS i_current_price,
+               CAST(1 + p_partkey % 97 AS DOUBLE) AS i_current_price,
                CAST(1 + p_partkey % 73 AS DOUBLE) AS i_wholesale_cost
         FROM ${tbl("part")}""",
       "store" -> s"""
@@ -251,7 +251,13 @@ object TpcdsVerbatimQueries {
       "reason" -> s"""
         SELECT CAST(p_partkey AS BIGINT) AS r_reason_sk,
                'reason ' || CAST(p_partkey AS $str) AS r_reason_desc
-        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 35""")
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 35""",
+      "inventory" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS inv_item_sk,
+               d_date_sk AS inv_date_sk,
+               CAST((p_partkey + d_date_sk) % 5 + 1 AS BIGINT) AS inv_warehouse_sk,
+               CAST((p_partkey * 7 + d_date_sk) % 600 AS DOUBLE) AS inv_quantity_on_hand
+        FROM ${tbl("part")}, date_dim WHERE d_dow = 1""")
   }
 
   /** Register the hosted TPC-DS schema as Spark temp views over `dir`. */
@@ -1417,6 +1423,38 @@ where i_category in ('Music'))
  order by ca_zip, ca_city
  limit 100"""
 
+  private val q37: String =
+"""select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, catalog_sales
+ where i_current_price between 68 and 68 + 30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) +  INTERVAL '60' day)
+ and i_manufact_id in (677,940,694,808)
+ and inv_quantity_on_hand between 100 and 500
+ and cs_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100"""
+
+  private val q82: String =
+"""select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, store_sales
+ where i_current_price between 62 and 62+30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + INTERVAL '60' day)
+ and i_manufact_id in (129, 270, 821, 423)
+ and inv_quantity_on_hand between 100 and 500
+ and ss_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100"""
+
   val all: Map[String, Q] = Map(
     "q_tpcds_v3" -> mk(q3),
     "q_tpcds_v13" -> mk(q13),
@@ -1433,6 +1471,8 @@ where i_category in ('Music'))
     "q_tpcds_v68" -> mk(q68),
     "q_tpcds_v79" -> mk(q79),
     "q_tpcds_v98" -> mk(q98),
+    "q_tpcds_v37" -> mk(q37),
+    "q_tpcds_v82" -> mk(q82),
     "q_tpcds_v8" -> mk(q8),
     "q_tpcds_v45" -> mk(q45),
     "q_tpcds_v1" -> mk(q1),
