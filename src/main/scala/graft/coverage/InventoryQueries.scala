@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * an independent engine.
   *
   * Scale notes: the derivation is one hash agg on (part, supplier, day) —
-  * map-side partial, no shuffle beyond the one agg; every query below
-  * joins it to BROADCAST dims (part/supplier prune to a few hundred rows
-  * at any SF) with the date band pushed into the inventory side.
+  * map-side partial, no shuffle beyond the one agg. Broadcast discipline:
+  * only dims with a pruning predicate (price band / brand IN — a few
+  * hundred rows at any SF) carry an explicit hint; unpruned frames
+  * (supplier, full part) are left to AQE, which broadcasts them while
+  * they are actually small and degrades to a shuffle join when an SF100
+  * dim outgrows the budget.
   */
 object InventoryQueries {
 
@@ -46,8 +49,8 @@ object InventoryQueries {
       val p = broadcast(Tables.load(s, dir, "part")
         .filter(col("p_retailprice").between(900, 950))
         .select(col("p_partkey"), col("p_brand")))
-      val w = broadcast(Tables.load(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_name")))
+      val w = Tables.load(s, dir, "supplier") // unpruned dim: AQE decides
+        .select(col("s_suppkey"), col("s_name"))
       val boundary = lit("1998-06-17").cast("date")
       val j = inv(s, dir)
         .filter(col("inv_date").between(lit("1998-05-18").cast("date"),
@@ -86,7 +89,8 @@ object InventoryQueries {
     * engines (explicit NULLS FIRST — DuckDB defaults NULLS LAST). */
   val qDsInvRollup: Q = Q(
     run = (s, dir) => {
-      val p = broadcast(Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type")))
+      val p = Tables.load(s, dir, "part") // unpruned dim: AQE decides
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
       inv(s, dir)
         .filter(col("inv_date").between(lit("1997-01-01").cast("date"),
                                         lit("1997-03-31").cast("date")))
@@ -152,7 +156,8 @@ object InventoryQueries {
       val sales = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate").cast("date").as("sale_date"),
                 expr("cast(floor(l_quantity) as bigint)").as("sold_qty"))
-      val p = broadcast(Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      val p = Tables.load(s, dir, "part") // unpruned dim: AQE decides
+        .select(col("p_partkey"), col("p_brand"))
       sales
         .join(inv(s, dir),
           col("inv_item") === col("l_partkey") && col("inv_wh") === col("l_suppkey") &&
@@ -217,7 +222,8 @@ object InventoryQueries {
           (expr("cast(floor(l_quantity) as bigint)") *
            when(col("l_returnflag") === "R", -1).otherwise(1)).as("q"))
       val chan = channel("O", "open").unionByName(channel("F", "filled"))
-      val p = broadcast(Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      val p = Tables.load(s, dir, "part") // unpruned dim: AQE decides
+        .select(col("p_partkey"), col("p_brand"))
       val tot = chan.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("yr"))
         .agg(sum(col("q")).cast("long").as("net"))

@@ -471,7 +471,7 @@ object PipelineQueries {
         GROUP BY 1, 2)
       SELECT v1, v2, CASE WHEN na.nq > 0 AND nb.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) ELSE 0.0 END AS cosv
       FROM dots JOIN norms na ON na.vec_id = v1 JOIN norms nb ON nb.vec_id = v2
-      WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
+      WHERE CASE WHEN na.nq > 0 AND nb.nq > 0 THEN CAST(dp AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) ELSE 0.0 END >= 0.3
       ORDER BY v1, v2"""))
 
   // --------------------------------------------------------- text analysis

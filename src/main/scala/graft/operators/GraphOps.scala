@@ -23,6 +23,47 @@ object GraphOps {
     edges.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
 
+  /** Iterative-loop state placement (ref Gelly PageRank.java /
+    * LabelPropagation.java, which run on partitioned DataSets and never
+    * broadcast the solution set). The per-iteration |V|-row score/label
+    * frame is broadcast only while |V| stays under
+    * `graft.graph.broadcastMaxRows` (default 4M rows — tens of MB at a
+    * few longs per row, inside any executor's broadcast budget; the hint
+    * is needed at all because a checkpointed frame has no stats, so AQE
+    * would otherwise shuffle the full edge list every iteration). Past
+    * the threshold the loops take the partitioned path: the static edge
+    * frame is hash-repartitioned on its loop join key ONCE
+    * (localCheckpoint pins the partitioning in the LogicalRDD) and the
+    * per-iteration join carries a shuffle_hash hint on the state side —
+    * each round shuffles only the |V|-row state frame and streams the
+    * pre-partitioned edges with no exchange. Both paths are pinned equal
+    * on the fixture (Round9Spec) and the q_graph_*_part oracle twins gate
+    * the partitioned path end-to-end. */
+  private def broadcastMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.graph.broadcastMaxRows").fold(4000000L)(_.toLong)
+
+  /** State side of a loop join: broadcast under the threshold,
+    * shuffle-hash (build side = the |V|-row state frame) above it. */
+  private def stateSide(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Static edge side of a loop join: identity under the threshold
+    * (`e` is already checkpointed); above it, re-checkpointed with the
+    * loop join key's hash partitioning pinned. The pinning requires AQE
+    * off for just this one materialization: an adaptive plan reports
+    * UnknownPartitioning at checkpoint capture, which would put the edge
+    * frame back into every iteration's shuffle (probed empirically; the
+    * Round9Spec plan pin guards the invariant). */
+  private def partitionEdges(e: DataFrame, key: String, bcast: Boolean): DataFrame =
+    if (bcast) e
+    else {
+      val spark = e.sparkSession
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try e.repartition(col(key)).localCheckpoint()
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., SoCC'14 "Connected Components in MapReduce and
     * Beyond") — the scale upgrade over Gelly-style min-label propagation
@@ -127,18 +168,17 @@ object GraphOps {
       // then needs a single join against the tiny score frame (AQE
       // broadcasts it) + one partial-agg shuffle, not two joins
       val degs = bi.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      val ce = bi.join(degs, "u").localCheckpoint()
       val base = lit((100 - dampingPct) * 10000) // (1-d) × 10⁶, in millionths
       var sc = degs.select(col("u").as("pv")).withColumn("s", lit(1000000L))
         .localCheckpoint()
+      // |V| decides the score frame's placement: broadcast under the
+      // threshold; above it, pin the static edge frame's partitioning on u
+      // once and shuffle only the |V|-row score frame per iteration
+      val bcast = sc.count() <= broadcastMaxRows(spark)
+      val ce = partitionEdges(bi.join(degs, "u").localCheckpoint(), "u", bcast)
       (1 to iters).foreach { i =>
-        // the score frame is |V| rows — EXPLICIT broadcast: a checkpointed
-        // frame has no stats (defaultSizeInBytes), so AQE would otherwise
-        // shuffle the full edge list every iteration. When |V| outgrows
-        // broadcast on a real cluster, drop the hint and pre-partition ce
-        // by u — the loop body is unchanged.
         sc = ce
-          .join(broadcast(sc), col("u") === col("pv"))
+          .join(stateSide(sc, bcast), col("u") === col("pv"))
           .select(col("v"), expr("s DIV dg").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("cs"))
           .select(col("v").as("pv"), (base + expr(s"($dampingPct * cs) DIV 100")).cast("long").as("s"))
@@ -206,16 +246,20 @@ object GraphOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val bi = edges.select(col("src").as("v"), col("dst").as("n"))
+      val bi0 = edges.select(col("src").as("v"), col("dst").as("n"))
         .union(edges.select(col("dst").as("v"), col("src").as("n")))
         .filter(col("v") =!= col("n")).distinct().localCheckpoint()
-      var labels = bi.select(col("v")).distinct()
+      var labels = bi0.select(col("v")).distinct()
         .select(col("v").as("lv"), col("v").as("label")).localCheckpoint()
+      // |V|-row label frame: broadcast under the threshold, else pin the
+      // edge frame's partitioning on the loop join key n (see pageRank)
+      val bcast = labels.count() <= broadcastMaxRows(spark)
+      val bi = partitionEdges(bi0, "n", bcast)
       val byFreq = org.apache.spark.sql.expressions.Window
         .partitionBy(col("v")).orderBy(col("c").desc, col("label"))
       (1 to iters).foreach { i =>
         labels = bi
-          .join(broadcast(labels), col("n") === col("lv")) // |V|-row frame, like pageRank's scores
+          .join(stateSide(labels, bcast), col("n") === col("lv"))
           .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(byFreq))
           .filter(col("rn") === 1)
@@ -245,17 +289,20 @@ object GraphOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val bi = edges.select(col("src").as("v"), col("dst").as("n"))
+      val bi0 = edges.select(col("src").as("v"), col("dst").as("n"))
         .union(edges.select(col("dst").as("v"), col("src").as("n")))
         .filter(col("v") =!= col("n")).distinct().localCheckpoint()
-      var st = bi.select(col("v")).distinct()
+      var st = bi0.select(col("v")).distinct()
         .select(col("v").as("lv"), col("v").as("label"), lit(1000000L).as("score"))
         .localCheckpoint()
+      // same threshold contract as pageRank/labelPropagation
+      val bcast = st.count() <= broadcastMaxRows(spark)
+      val bi = partitionEdges(bi0, "n", bcast)
       val byVote = org.apache.spark.sql.expressions.Window
         .partitionBy(col("v")).orderBy(col("ts").desc, col("label"))
       (1 to iters).foreach { k =>
         val picked = bi
-          .join(broadcast(st), col("n") === col("lv")) // neighbor's (label, score) flows in
+          .join(stateSide(st, bcast), col("n") === col("lv")) // neighbor's (label, score) flows in
           .groupBy(col("v"), col("label"))
           .agg(sum(col("score")).as("ts"), max(col("score")).as("ms"))
           .withColumn("rn", row_number().over(byVote)).filter(col("rn") === 1)
@@ -347,14 +394,21 @@ object GraphOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val e = edges.select(col("src"), col("dst"))
+      val e0 = edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-      val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      val verts = e0.select(col("src").as("v")).union(e0.select(col("dst").as("v")))
         .distinct().localCheckpoint()
+      // the two half-rounds join on DIFFERENT edge endpoints, so the
+      // partitioned path keeps one pinned copy per key — 2× edge storage,
+      // zero per-iteration edge shuffle (same contract as pageRank)
+      val bcast = verts.count() <= broadcastMaxRows(spark)
+      val eBySrc = partitionEdges(e0, "src", bcast)
+      val eByDst = partitionEdges(e0, "dst", bcast)
       // raw = keyed sums over vertices WITH in/out edges; the full frame
       // re-joins verts with 0-fill, then normalizes by the raw max
       def step(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
-        val raw = e.join(broadcast(scores), col(joinKey) === col("sv"))
+        val e = if (joinKey == "src") eBySrc else eByDst
+        val raw = e.join(stateSide(scores, bcast), col(joinKey) === col("sv"))
           .groupBy(col(outKey).as("rv")).agg(sum(col("s")).as("rs"))
         val mx = raw.agg(max(col("rs")).as("mx"))
         verts.join(raw, col("v") === col("rv"), "left")

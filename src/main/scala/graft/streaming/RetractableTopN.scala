@@ -107,8 +107,8 @@ object RetractableTopN {
             else state.remove()
           }
           vals.toSeq.map { case (k, v) => (decId(k), v) }
-            .sortBy { case (id, v) => (-v, id) }(
-              Ordering.Tuple2(Ordering.Long, idNullsLast)).take(n)
+            .sortBy { case (id, v) => (v, id) }(
+              Ordering.Tuple2(Ordering.Long.reverse, idNullsLast)).take(n)
             .iterator.zipWithIndex
             .map { case ((id, v), i) => TopNOut(pkey, epoch, i + 1, id, v) }
           }

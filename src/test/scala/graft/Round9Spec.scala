@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 specs: the iterative graph loops' size-thresholded state
+  * placement — the partitioned fallback path must produce bit-identical
+  * results to the broadcast path, and the mechanics that make it scale
+  * (checkpoint-pinned edge partitioning, a single per-iteration exchange
+  * on the |V|-row state side) are pinned against the executed plan. */
+class Round9Spec extends SparkTestBase {
+
+  /** Deterministic LCG graph over n vertices (~30% edge density). */
+  private def lcgEdges(n: Int) = {
+    val s = spark
+    import s.implicits._
+    var x = 11L
+    val buf = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    for (a <- 0 until n; b <- a + 1 until n) {
+      x = (x * 1103515245L + 12345L) % 2147483648L
+      if (x % 10 < 3) buf += ((a.toLong, b.toLong))
+    }
+    buf.toSeq.toDF("src", "dst")
+  }
+
+  private def withPartitionedPath[T](body: => T): T = {
+    val key = "graft.graph.broadcastMaxRows"
+    spark.conf.set(key, "0")
+    try body
+    finally spark.conf.unset(key)
+  }
+
+  test("iterative graph loops: partitioned path equals broadcast path") {
+    val edges = lcgEdges(60)
+    val algos: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("pageRank", e => graft.operators.GraphOps.pageRank(e, iters = 6)),
+      ("labelPropagation", e => graft.operators.GraphOps.labelPropagation(e, iters = 3)),
+      ("communityDetection", e => graft.operators.GraphOps.communityDetection(e, iters = 3)),
+      ("hits", e => graft.operators.GraphOps.hits(e, iters = 3)))
+    for ((name, f) <- algos) {
+      val bcast = f(edges).orderBy("v").collect().toSeq
+      val part = withPartitionedPath(f(edges)).orderBy("v").collect().toSeq
+      assert(bcast.nonEmpty, s"$name produced no rows")
+      assert(bcast == part, s"$name: partitioned path diverged from broadcast path")
+    }
+  }
+
+  test("partitioned path mechanics: pinned edge partitioning, one exchange per iteration") {
+    val s = spark
+    import s.implicits._
+    val edges = lcgEdges(50)
+    val bi = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    // AQE off for the one pinning materialization (an adaptive plan
+    // reports UnknownPartitioning at checkpoint capture) — the same step
+    // GraphOps.partitionEdges performs; the joins below run with AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val ce = try bi.repartition(col("u")).localCheckpoint()
+             finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the checkpoint pins the hash partitioning in the scan node — the
+    // property that lets every later iteration skip the edge-side exchange
+    val scanPart = ce.queryExecution.executedPlan.collectLeaves().head.outputPartitioning
+    assert(scanPart.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+      s"localCheckpoint lost the partitioning: $scanPart")
+    // one loop iteration's join shape: shuffle_hash building on the state
+    // frame → the only exchange in the plan is the |V|-row state side
+    val state = (0L until 50L).toDF("pv").withColumn("sc", col("pv") * 2)
+    val joined = ce.join(state.hint("shuffle_hash"), col("u") === col("pv"))
+    joined.collect()
+    // the adaptive plan string repeats the tree as "Initial Plan" — count
+    // exchanges in the executed final plan section only
+    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (state side), got $exchanges:\n$plan")
+  }
+}
