@@ -45,19 +45,25 @@ object TpcdsVerbatimQueries {
     shift: String => String,           // date → date + 36 months
     days: String => String,            // date → days since 1970-01-05
     dayName: String => String,         // date → 'Sunday'-style name
-    dow: String => String)             // date → day-of-week, Sunday = 0
+    dow: String => String,             // date → day-of-week, Sunday = 0
+    addDays: (String, String) => String, // date + n days
+    secondsTable: String)              // 86400-row (n BIGINT) relation
 
   private val sparkDialect = Dialect(t => s"th_$t", "STRING",
     d => s"add_months($d, 36)",
     d => s"datediff($d, DATE '1970-01-05')",
     d => s"date_format($d, 'EEEE')",
-    d => s"(dayofweek($d) - 1)")
+    d => s"(dayofweek($d) - 1)",
+    (d, n) => s"date_add($d, CAST(($n) AS INT))",
+    "(SELECT CAST(id AS BIGINT) AS n FROM range(86400))")
 
   private val duckDialect = Dialect(t => s"main.$t", "VARCHAR",
     d => s"CAST($d + INTERVAL 36 MONTH AS DATE)",
     d => s"($d - DATE '1970-01-05')",
     d => s"dayname($d)",
-    d => s"dayofweek($d)")
+    d => s"dayofweek($d)",
+    (d, n) => s"($d + CAST($n AS INT))",
+    "(SELECT CAST(n AS BIGINT) AS n FROM generate_series(0, 86399) t(n))")
 
   /** One derivation template, instantiated per engine. Order matters for
     * the DuckDB WITH-list (later CTEs may reference earlier ones). */
@@ -76,12 +82,15 @@ object TpcdsVerbatimQueries {
                CAST(FLOOR(${days("d")} / 7) AS BIGINT) AS d_week_seq,
                ${dayName("d")} AS d_day_name,
                CAST(${dow("d")} AS BIGINT) AS d_dow,
-               CAST(FLOOR((EXTRACT(MONTH FROM d) + 2) / 3.0) AS BIGINT) AS d_qoy
+               CAST(FLOOR((EXTRACT(MONTH FROM d) + 2) / 3.0) AS BIGINT) AS d_qoy,
+               CAST(EXTRACT(YEAR FROM d) AS $str) || 'Q' ||
+                 CAST(CAST(FLOOR((EXTRACT(MONTH FROM d) + 2) / 3.0) AS BIGINT) AS $str) AS d_quarter_name
         FROM (SELECT DISTINCT ${shift("d0")} AS d FROM
                (SELECT CAST(o_orderdate AS DATE) AS d0 FROM ${tbl("orders")}
                 UNION SELECT CAST(l_shipdate AS DATE) FROM ${tbl("lineitem")}) u) dts""",
       "store_sales" -> s"""
         SELECT ${dateSk("sd")} AS ss_sold_date_sk,
+               CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS ss_sold_time_sk,
                CAST(l_partkey AS BIGINT) AS ss_item_sk,
                CAST(o_custkey AS BIGINT) AS ss_customer_sk,
                CAST(o_custkey AS BIGINT) AS ss_cdemo_sk,
@@ -113,7 +122,11 @@ object TpcdsVerbatimQueries {
                'ITEM' || lpad(CAST(p_partkey AS $str), 8, '0') AS i_item_id,
                p_name || ' ' || CAST(p_partkey AS $str) AS i_item_desc,
                CAST(p_partkey % 40 + 1 AS BIGINT) AS i_brand_id,
-               'Brand#' || CAST(p_partkey % 40 + 1 AS $str) AS i_brand,
+               CASE p_partkey % 8 WHEN 0 THEN 'scholaramalgamalg #14'
+                    WHEN 1 THEN 'scholaramalgamalg #7' WHEN 2 THEN 'exportiunivamalg #9'
+                    WHEN 3 THEN 'scholaramalgamalg #9' WHEN 4 THEN 'amalgimporto #1'
+                    WHEN 5 THEN 'edu packscholar #1' WHEN 6 THEN 'exportiimporto #1'
+                    ELSE 'importoamalg #1' END AS i_brand,
                CAST(p_partkey % 1000 AS BIGINT) AS i_manufact_id,
                'Mfg#' || CAST(p_partkey % 1000 AS $str) AS i_manufact,
                CAST(p_partkey % 100 AS BIGINT) AS i_manager_id,
@@ -123,11 +136,21 @@ object TpcdsVerbatimQueries {
                     WHEN 5 THEN 'Men' WHEN 6 THEN 'Music' WHEN 7 THEN 'Shoes'
                     WHEN 8 THEN 'Toys' ELSE 'Women' END AS i_category,
                CAST(p_partkey % 4 + 1 AS BIGINT) AS i_class_id,
-               'class' || CAST(p_partkey % 4 + 1 AS $str) AS i_class,
+               CASE p_partkey % 12 WHEN 0 THEN 'personal' WHEN 1 THEN 'portable'
+                    WHEN 2 THEN 'reference' WHEN 3 THEN 'self-help'
+                    WHEN 4 THEN 'accessories' WHEN 5 THEN 'classical'
+                    WHEN 6 THEN 'fragrances' WHEN 7 THEN 'pants'
+                    WHEN 8 THEN 'computers' WHEN 9 THEN 'stereo'
+                    WHEN 10 THEN 'shirts' ELSE 'dresses' END AS i_class,
                CASE p_partkey % 8 WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
                     WHEN 2 THEN 'burnished' WHEN 3 THEN 'powder' WHEN 4 THEN 'almond'
                     WHEN 5 THEN 'navy' WHEN 6 THEN 'rose' ELSE 'peru' END AS i_color,
                p_name || '#' || CAST(p_partkey AS $str) AS i_product_name,
+               CASE p_partkey % 7 WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
+                    WHEN 2 THEN 'large' WHEN 3 THEN 'extra large' WHEN 4 THEN 'economy'
+                    WHEN 5 THEN 'N/A' ELSE 'petite' END AS i_size,
+               CASE p_partkey % 6 WHEN 0 THEN 'Oz' WHEN 1 THEN 'Bunch' WHEN 2 THEN 'Ton'
+                    WHEN 3 THEN 'Each' WHEN 4 THEN 'Case' ELSE 'Pallet' END AS i_units,
                CAST(1 + p_partkey % 97 AS DOUBLE) AS i_current_price,
                CAST(1 + p_partkey % 73 AS DOUBLE) AS i_wholesale_cost
         FROM ${tbl("part")}""",
@@ -144,6 +167,13 @@ object TpcdsVerbatimQueries {
                     ELSE 'Other County' END AS s_county,
                CAST(-5 AS DOUBLE) AS s_gmt_offset,
                CAST(200 + (s_suppkey * 7) % 100 AS BIGINT) AS s_number_employees,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'Unknown' ELSE 'ought' END AS s_company_name,
+               CAST(s_suppkey % 3 + 1 AS BIGINT) AS s_company_id,
+               CAST(100 + s_suppkey AS $str) AS s_street_number,
+               CASE s_suppkey % 3 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak' ELSE 'Elm' END AS s_street_name,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'St' ELSE 'Ave' END AS s_street_type,
+               'Suite ' || CAST(s_suppkey * 10 AS $str) AS s_suite_number,
+               CAST(s_suppkey % 10 + 1 AS BIGINT) AS s_market_id,
                CASE s_suppkey % 4 WHEN 0 THEN '24001' WHEN 1 THEN '57002'
                     WHEN 2 THEN '13003' ELSE '78004' END AS s_zip
         FROM ${tbl("supplier")} WHERE s_suppkey <= 12""",
@@ -155,7 +185,18 @@ object TpcdsVerbatimQueries {
                CASE c_custkey % 4 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
                     WHEN 2 THEN 'Dr.' ELSE 'Ms.' END AS c_salutation,
                CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
-               CAST(c_custkey AS BIGINT) AS c_current_addr_sk
+               CAST(c_custkey AS BIGINT) AS c_current_addr_sk,
+               CAST(c_custkey AS BIGINT) AS c_current_cdemo_sk,
+               CAST(c_custkey AS BIGINT) AS c_current_hdemo_sk,
+               CASE c_custkey % 6 WHEN 0 THEN 'UNITED STATES' WHEN 1 THEN 'CANADA'
+                    WHEN 2 THEN 'GERMANY' WHEN 3 THEN 'JAPAN' WHEN 4 THEN 'BRAZIL'
+                    ELSE 'FRANCE' END AS c_birth_country,
+               CAST(1924 + c_custkey % 68 AS BIGINT) AS c_birth_year,
+               CAST(1 + c_custkey % 12 AS BIGINT) AS c_birth_month,
+               CAST(1 + c_custkey % 28 AS BIGINT) AS c_birth_day,
+               'c' || CAST(c_custkey AS $str) || '@example.com' AS c_email_address,
+               CAST(NULL AS $str) AS c_login,
+               CAST(2450000 + c_custkey % 1000 AS BIGINT) AS c_last_review_date_sk
         FROM ${tbl("customer")}""",
       "customer_address" -> s"""
         SELECT CAST(c_custkey AS BIGINT) AS ca_address_sk,
@@ -169,6 +210,13 @@ object TpcdsVerbatimQueries {
                     WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Richland County'
                     ELSE 'Barrow County' END AS ca_county,
                'United States' AS ca_country,
+               CAST(c_custkey % 1000 AS $str) AS ca_street_number,
+               CASE c_custkey % 4 WHEN 0 THEN 'Oak' WHEN 1 THEN 'Maple'
+                    WHEN 2 THEN 'Pine' ELSE 'Cedar' END AS ca_street_name,
+               CASE WHEN c_custkey % 2 = 0 THEN 'St' ELSE 'Blvd' END AS ca_street_type,
+               'Suite ' || CAST(c_custkey % 100 AS $str) AS ca_suite_number,
+               CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+                    ELSE 'single family' END AS ca_location_type,
                CASE c_custkey % 20 WHEN 0 THEN '24128' WHEN 1 THEN '57834'
                     WHEN 2 THEN '13354' WHEN 3 THEN '15734' WHEN 4 THEN '78668'
                     WHEN 5 THEN '76232' WHEN 6 THEN '62878' WHEN 7 THEN '45375'
@@ -184,7 +232,8 @@ object TpcdsVerbatimQueries {
                CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
                CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count,
                CASE c_custkey % 4 WHEN 0 THEN '>10000' WHEN 1 THEN 'Unknown'
-                    WHEN 2 THEN '501-1000' ELSE '0-500' END AS hd_buy_potential
+                    WHEN 2 THEN '501-1000' ELSE '0-500' END AS hd_buy_potential,
+               CAST(c_custkey % 20 + 1 AS BIGINT) AS hd_income_band_sk
         FROM ${tbl("customer")}""",
       "customer_demographics" -> s"""
         SELECT CAST(c_custkey AS BIGINT) AS cd_demo_sk,
@@ -194,19 +243,43 @@ object TpcdsVerbatimQueries {
                CASE c_custkey % 7 WHEN 0 THEN 'College' WHEN 1 THEN 'Advanced Degree'
                     WHEN 2 THEN '2 yr Degree' WHEN 3 THEN '4 yr Degree'
                     WHEN 4 THEN 'Primary' WHEN 5 THEN 'Secondary'
-                    ELSE 'Unknown' END AS cd_education_status
+                    ELSE 'Unknown' END AS cd_education_status,
+               CAST(500 * (1 + c_custkey % 20) AS BIGINT) AS cd_purchase_estimate,
+               CASE c_custkey % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+                    WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+               CAST(c_custkey % 7 AS BIGINT) AS cd_dep_count,
+               CAST(c_custkey % 5 AS BIGINT) AS cd_dep_employed_count,
+               CAST(c_custkey % 3 AS BIGINT) AS cd_dep_college_count
         FROM ${tbl("customer")}""",
       "web_sales" -> s"""
         SELECT ${dateSk("sd")} AS ws_sold_date_sk,
+               CAST((l_orderkey * 6271 + l_linenumber * 104729) % 86400 AS BIGINT) AS ws_sold_time_sk,
+               ${dateSk(addDays("sd", "(l_orderkey + l_linenumber * 3) % 60"))} AS ws_ship_date_sk,
                CAST(l_partkey AS BIGINT) AS ws_item_sk,
                CAST(o_custkey AS BIGINT) AS ws_bill_customer_sk,
                CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
                     ELSE CAST(o_custkey AS BIGINT) END AS ws_ship_customer_sk,
                CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS ws_bill_addr_sk,
+               CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS ws_ship_addr_sk,
+               CAST(o_custkey AS BIGINT) AS ws_bill_cdemo_sk,
+               CAST(o_custkey AS BIGINT) AS ws_ship_cdemo_sk,
+               CAST(o_custkey AS BIGINT) AS ws_ship_hdemo_sk,
+               CAST(1 + l_orderkey % 8 AS BIGINT) AS ws_web_site_sk,
+               CAST(1 + l_orderkey % 20 AS BIGINT) AS ws_web_page_sk,
+               CAST(1 + l_linenumber % 20 AS BIGINT) AS ws_ship_mode_sk,
+               CAST(1 + l_partkey % 5 AS BIGINT) AS ws_warehouse_sk,
+               CAST(l_partkey % 30 + 1 AS BIGINT) AS ws_promo_sk,
                CAST(l_orderkey AS BIGINT) AS ws_order_number,
                CAST(l_quantity AS DOUBLE) AS ws_quantity,
                CAST(FLOOR(up / 10) AS DOUBLE) AS ws_sales_price,
+               CAST(FLOOR(up / 9) AS DOUBLE) AS ws_list_price,
+               CAST(FLOOR(up / 12) AS DOUBLE) AS ws_wholesale_cost,
                CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS ws_ext_sales_price,
+               CAST(FLOOR(up / 9) * l_quantity AS DOUBLE) AS ws_ext_list_price,
+               CAST(FLOOR(up / 12) * l_quantity AS DOUBLE) AS ws_ext_wholesale_cost,
+               CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS ws_ext_discount_amt,
+               CAST(FLOOR(up / 20) * l_quantity AS DOUBLE) AS ws_ext_ship_cost,
+               CAST((FLOOR(up / 10) - FLOOR(l_discount * 100)) * l_quantity AS DOUBLE) AS ws_net_paid,
                CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS ws_net_profit
         FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
                      l_extendedprice / l_quantity AS up, o_custkey, nc.ncust
@@ -215,18 +288,35 @@ object TpcdsVerbatimQueries {
               WHERE l_linenumber % 3 = 1) wfact""",
       "catalog_sales" -> s"""
         SELECT ${dateSk("sd")} AS cs_sold_date_sk,
+               CAST((l_orderkey * 4253 + l_linenumber * 104729) % 86400 AS BIGINT) AS cs_sold_time_sk,
+               ${dateSk(addDays("sd", "(l_orderkey * 2 + l_linenumber) % 60"))} AS cs_ship_date_sk,
                CAST(l_partkey AS BIGINT) AS cs_item_sk,
                CAST(o_custkey AS BIGINT) AS cs_bill_customer_sk,
                CAST(o_custkey AS BIGINT) AS cs_bill_cdemo_sk,
+               CAST(o_custkey AS BIGINT) AS cs_bill_hdemo_sk,
                CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
                     ELSE CAST(o_custkey AS BIGINT) END AS cs_ship_addr_sk,
+               CASE WHEN (l_orderkey + l_partkey) % 29 = 0 THEN NULL
+                    ELSE CAST(o_custkey AS BIGINT) END AS cs_ship_customer_sk,
                CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) AS cs_bill_addr_sk,
+               CAST(1 + l_orderkey % 6 AS BIGINT) AS cs_call_center_sk,
+               CAST(1 + l_orderkey % 12 AS BIGINT) AS cs_catalog_page_sk,
+               CAST(1 + l_linenumber % 20 AS BIGINT) AS cs_ship_mode_sk,
+               CAST(1 + l_partkey % 5 AS BIGINT) AS cs_warehouse_sk,
+               CAST(l_partkey % 30 + 1 AS BIGINT) AS cs_promo_sk,
                CAST(l_orderkey AS BIGINT) AS cs_order_number,
                CAST(l_quantity AS DOUBLE) AS cs_quantity,
                CAST(FLOOR(up / 10) AS DOUBLE) AS cs_sales_price,
                CAST(FLOOR(up / 9) AS DOUBLE) AS cs_list_price,
+               CAST(FLOOR(up / 12) AS DOUBLE) AS cs_wholesale_cost,
                CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS cs_coupon_amt,
                CAST(FLOOR(up / 10) * l_quantity AS DOUBLE) AS cs_ext_sales_price,
+               CAST(FLOOR(up / 9) * l_quantity AS DOUBLE) AS cs_ext_list_price,
+               CAST(FLOOR(up / 12) * l_quantity AS DOUBLE) AS cs_ext_wholesale_cost,
+               CAST(FLOOR(l_discount * 100) * l_quantity AS DOUBLE) AS cs_ext_discount_amt,
+               CAST(FLOOR(up / 20) * l_quantity AS DOUBLE) AS cs_ext_ship_cost,
+               CAST((FLOOR(up / 10) - FLOOR(l_discount * 100)) * l_quantity AS DOUBLE) AS cs_net_paid,
+               CAST((FLOOR(up / 10) - FLOOR(l_discount * 100) + FLOOR(l_tax * 100)) * l_quantity AS DOUBLE) AS cs_net_paid_inc_tax,
                CAST((FLOOR(up / 10) - FLOOR(up / 12)) * l_quantity AS DOUBLE) AS cs_net_profit
         FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
                      l_extendedprice / l_quantity AS up, o_custkey, nc.ncust
@@ -237,6 +327,7 @@ object TpcdsVerbatimQueries {
         SELECT ${dateSk("sd")} AS sr_returned_date_sk,
                CAST(l_partkey AS BIGINT) AS sr_item_sk,
                CAST(o_custkey AS BIGINT) AS sr_customer_sk,
+               CAST(o_custkey AS BIGINT) AS sr_cdemo_sk,
                CAST(l_orderkey AS BIGINT) AS sr_ticket_number,
                CASE WHEN (l_orderkey * 3 + l_partkey) % 31 = 0 THEN NULL
                     ELSE CAST(l_suppkey % 12 + 1 AS BIGINT) END AS sr_store_sk,
@@ -248,10 +339,114 @@ object TpcdsVerbatimQueries {
                      l_extendedprice / l_quantity AS up, o_custkey
               FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
               WHERE l_returnflag = 'R') rfact""",
+      "web_returns" -> s"""
+        SELECT ${dateSk("sd")} AS wr_returned_date_sk,
+               CAST(l_partkey AS BIGINT) AS wr_item_sk,
+               CAST(l_orderkey AS BIGINT) AS wr_order_number,
+               CAST(o_custkey AS BIGINT) AS wr_returning_customer_sk,
+               CAST(o_custkey AS BIGINT) AS wr_returning_addr_sk,
+               CAST(o_custkey AS BIGINT) AS wr_returning_cdemo_sk,
+               CAST(o_custkey AS BIGINT) AS wr_refunded_addr_sk,
+               CAST(o_custkey AS BIGINT) AS wr_refunded_cdemo_sk,
+               CAST(1 + l_orderkey % 35 AS BIGINT) AS wr_reason_sk,
+               CAST(1 + l_orderkey % 20 AS BIGINT) AS wr_web_page_sk,
+               CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS wr_return_quantity,
+               CAST(FLOOR(up / 10) * FLOOR(l_quantity / 2) AS DOUBLE) AS wr_return_amt,
+               CAST(FLOOR(up / 11) * FLOOR(l_quantity / 2) AS DOUBLE) AS wr_refunded_cash,
+               CAST(FLOOR(up / 50) AS DOUBLE) AS wr_fee,
+               CAST(FLOOR(up / 12) * FLOOR(l_quantity / 2) AS DOUBLE) AS wr_net_loss
+        FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              WHERE l_linenumber % 3 = 1 AND l_returnflag = 'R') wrfact""",
+      "catalog_returns" -> s"""
+        SELECT ${dateSk("sd")} AS cr_returned_date_sk,
+               CAST(l_partkey AS BIGINT) AS cr_item_sk,
+               CAST(l_orderkey AS BIGINT) AS cr_order_number,
+               CAST(o_custkey AS BIGINT) AS cr_returning_customer_sk,
+               CAST(o_custkey AS BIGINT) AS cr_returning_addr_sk,
+               CAST(1 + l_orderkey % 6 AS BIGINT) AS cr_call_center_sk,
+               CAST(1 + l_orderkey % 12 AS BIGINT) AS cr_catalog_page_sk,
+               CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_quantity,
+               CAST(FLOOR(up / 10) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_amount,
+               CAST((FLOOR(up / 10) + FLOOR(l_tax * 100)) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_amt_inc_tax,
+               CAST(FLOOR(up / 11) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_refunded_cash,
+               CAST(FLOOR(up / 30) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_reversed_charge,
+               CAST(FLOOR(up / 40) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_store_credit,
+               CAST(FLOOR(up / 12) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_net_loss
+        FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
+                     l_extendedprice / l_quantity AS up, o_custkey
+              FROM ${tbl("lineitem")} l JOIN ${tbl("orders")} o ON l_orderkey = o_orderkey
+              WHERE l_linenumber % 3 = 2 AND l_returnflag = 'R') crfact""",
       "reason" -> s"""
         SELECT CAST(p_partkey AS BIGINT) AS r_reason_sk,
                'reason ' || CAST(p_partkey AS $str) AS r_reason_desc
         FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 35""",
+      "promotion" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS p_promo_sk,
+               'PROMO' || lpad(CAST(p_partkey AS $str), 4, '0') AS p_promo_id,
+               CASE WHEN p_partkey % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+               CASE WHEN p_partkey % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
+               CASE WHEN p_partkey % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+               CASE WHEN p_partkey % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 30""",
+      "warehouse" -> s"""
+        SELECT CAST(s_suppkey AS BIGINT) AS w_warehouse_sk,
+               'Warehouse ' || CAST(s_suppkey AS $str) AS w_warehouse_name,
+               CAST(1000 * (s_suppkey + 1) AS BIGINT) AS w_warehouse_sq_ft,
+               CASE s_suppkey % 3 WHEN 0 THEN 'TN' WHEN 1 THEN 'OH' ELSE 'TX' END AS w_state,
+               CASE s_suppkey % 2 WHEN 0 THEN 'Fairview' ELSE 'Midway' END AS w_city,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'Williamson County'
+                    ELSE 'Other County' END AS w_county,
+               'United States' AS w_country
+        FROM ${tbl("supplier")} WHERE s_suppkey <= 5""",
+      "time_dim" -> s"""
+        SELECT n AS t_time_sk,
+               n AS t_time,
+               CAST(FLOOR(n / 3600.0) AS BIGINT) AS t_hour,
+               CAST(FLOOR((n % 3600) / 60.0) AS BIGINT) AS t_minute,
+               CAST(n % 60 AS BIGINT) AS t_second,
+               CASE WHEN n >= 21600 AND n < 32400 THEN 'breakfast'
+                    WHEN n >= 39600 AND n < 50400 THEN 'lunch'
+                    WHEN n >= 61200 AND n < 72000 THEN 'dinner'
+                    ELSE NULL END AS t_meal_time
+        FROM $secondsTable""",
+      "web_page" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS wp_web_page_sk,
+               'WP' || lpad(CAST(p_partkey AS $str), 4, '0') AS wp_web_page_id,
+               CAST(4900 + p_partkey * 20 AS BIGINT) AS wp_char_count
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 20""",
+      "web_site" -> s"""
+        SELECT CAST(s_suppkey AS BIGINT) AS web_site_sk,
+               'WEB' || lpad(CAST(s_suppkey AS $str), 4, '0') AS web_site_id,
+               'site_' || CAST(s_suppkey % 4 AS $str) AS web_name,
+               'pri' AS web_company_name
+        FROM ${tbl("supplier")} WHERE s_suppkey <= 8""",
+      "call_center" -> s"""
+        SELECT CAST(s_suppkey AS BIGINT) AS cc_call_center_sk,
+               'CC' || lpad(CAST(s_suppkey AS $str), 4, '0') AS cc_call_center_id,
+               'call center ' || CAST(s_suppkey AS $str) AS cc_name,
+               'Manager ' || CAST(s_suppkey % 3 AS $str) AS cc_manager,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'Williamson County'
+                    ELSE 'Other County' END AS cc_county
+        FROM ${tbl("supplier")} WHERE s_suppkey <= 6""",
+      "catalog_page" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS cp_catalog_page_sk,
+               'CP' || lpad(CAST(p_partkey AS $str), 4, '0') AS cp_catalog_page_id
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 12""",
+      "ship_mode" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS sm_ship_mode_sk,
+               CASE p_partkey % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'NEXT DAY'
+                    WHEN 2 THEN 'OVERNIGHT' WHEN 3 THEN 'REGULAR'
+                    ELSE 'LIBRARY' END AS sm_type,
+               CASE p_partkey % 4 WHEN 0 THEN 'DHL' WHEN 1 THEN 'BARIAN'
+                    WHEN 2 THEN 'UPS' ELSE 'FEDEX' END AS sm_carrier
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 20""",
+      "income_band" -> s"""
+        SELECT CAST(p_partkey AS BIGINT) AS ib_income_band_sk,
+               CAST((p_partkey - 1) * 10000 AS BIGINT) AS ib_lower_bound,
+               CAST(p_partkey * 10000 AS BIGINT) AS ib_upper_bound
+        FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 20""",
       "inventory" -> s"""
         SELECT CAST(p_partkey AS BIGINT) AS inv_item_sk,
                d_date_sk AS inv_date_sk,
@@ -272,18 +467,32 @@ object TpcdsVerbatimQueries {
   }
 
   /** DuckDB oracle = the same verbatim text with the schema CTEs
-    * prepended (merging into the query's own WITH list when present). */
-  private def oracleFor(query: String): String = {
+    * prepended (merging into the query's own WITH list when present).
+    * Backtick-quoted aliases — a Calcite-ism in some Flink-kit spellings
+    * that Spark parses natively — are mechanically re-quoted as standard
+    * double quotes for DuckDB's parser ONLY (the engine under test still
+    * receives the verbatim text). */
+  private[coverage] def oracleFor(query: String): String = {
     val ctes = viewSql(duckDialect)
       .map { case (n, sql) => s"$n AS ($sql)" }.mkString(",\n")
-    val t = query.trim
+    val t = query.trim.replace('`', '"')
     if (t.take(4).equalsIgnoreCase("with")) s"WITH $ctes,\n${t.drop(4)}"
     else s"WITH $ctes\n$t"
   }
 
-  private def mk(qtext: String): Q = Q(
+  private[coverage] def mk(qtext: String): Q = Q(
     run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
     oracle = Some(oracleFor(qtext)))
+
+  /** Verbatim Spark text, but the ORACLE wrapped in a type/name-normalizing
+    * outer SELECT — for the queries whose bare COUNT(*)/SUM outputs hit the
+    * engines' irreconcilable result conventions (DuckDB HUGEINT +
+    * `count_star()` vs Spark BIGINT + `count(1)`). The dialect-fidelity
+    * contract is about the engine under test; only DuckDB's output is
+    * renamed/cast to Spark's convention. */
+  private[coverage] def mkW(qtext: String, wrapSelect: String): Q = Q(
+    run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
+    oracle = Some(s"SELECT $wrapSelect FROM (\n${oracleFor(qtext)}\n) oq"))
 
   private val q3: String =
 """select  dt.d_year 
