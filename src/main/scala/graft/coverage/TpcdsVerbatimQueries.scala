@@ -142,9 +142,12 @@ object TpcdsVerbatimQueries {
                     WHEN 6 THEN 'fragrances' WHEN 7 THEN 'pants'
                     WHEN 8 THEN 'computers' WHEN 9 THEN 'stereo'
                     WHEN 10 THEN 'shirts' ELSE 'dresses' END AS i_class,
-               CASE p_partkey % 8 WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
+               CASE p_partkey % 16 WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
                     WHEN 2 THEN 'burnished' WHEN 3 THEN 'powder' WHEN 4 THEN 'almond'
-                    WHEN 5 THEN 'navy' WHEN 6 THEN 'rose' ELSE 'peru' END AS i_color,
+                    WHEN 5 THEN 'navy' WHEN 6 THEN 'rose' WHEN 7 THEN 'peru'
+                    WHEN 8 THEN 'peach' WHEN 9 THEN 'khaki' WHEN 10 THEN 'brown'
+                    WHEN 11 THEN 'honeydew' WHEN 12 THEN 'floral' WHEN 13 THEN 'deep'
+                    WHEN 14 THEN 'light' ELSE 'cornflower' END AS i_color,
                p_name || '#' || CAST(p_partkey AS $str) AS i_product_name,
                CASE p_partkey % 7 WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
                     WHEN 2 THEN 'large' WHEN 3 THEN 'extra large' WHEN 4 THEN 'economy'
@@ -157,7 +160,7 @@ object TpcdsVerbatimQueries {
       "store" -> s"""
         SELECT CAST(s_suppkey AS BIGINT) AS s_store_sk,
                'S' || lpad(CAST(s_suppkey AS $str), 4, '0') AS s_store_id,
-               'store_' || CAST(s_suppkey AS $str) AS s_store_name,
+               CASE WHEN s_suppkey % 3 = 0 THEN 'ese' ELSE 'store_' || CAST(s_suppkey AS $str) END AS s_store_name,
                CASE s_suppkey % 4 WHEN 0 THEN 'TN' WHEN 1 THEN 'TN'
                     WHEN 2 THEN 'OH' ELSE 'TX' END AS s_state,
                CASE s_suppkey % 5 WHEN 0 THEN 'Fairview' WHEN 1 THEN 'Midway'
@@ -200,7 +203,9 @@ object TpcdsVerbatimQueries {
         FROM ${tbl("customer")}""",
       "customer_address" -> s"""
         SELECT CAST(c_custkey AS BIGINT) AS ca_address_sk,
-               'city_' || CAST(c_custkey % 30 AS $str) AS ca_city,
+               CASE c_custkey % 30 WHEN 0 THEN 'Edgewood' WHEN 1 THEN 'Fairview'
+                    WHEN 2 THEN 'Midway'
+                    ELSE 'city_' || CAST(c_custkey % 30 AS $str) END AS ca_city,
                CASE c_custkey % 12 WHEN 0 THEN 'TX' WHEN 1 THEN 'OH' WHEN 2 THEN 'OR'
                     WHEN 3 THEN 'NM' WHEN 4 THEN 'KY' WHEN 5 THEN 'VA' WHEN 6 THEN 'MS'
                     WHEN 7 THEN 'CA' WHEN 8 THEN 'MN' WHEN 9 THEN 'CO' WHEN 10 THEN 'TN'
@@ -233,7 +238,7 @@ object TpcdsVerbatimQueries {
                CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count,
                CASE c_custkey % 4 WHEN 0 THEN '>10000' WHEN 1 THEN 'Unknown'
                     WHEN 2 THEN '501-1000' ELSE '0-500' END AS hd_buy_potential,
-               CAST(c_custkey % 20 + 1 AS BIGINT) AS hd_income_band_sk
+               CAST(c_custkey % 19 + 1 AS BIGINT) AS hd_income_band_sk
         FROM ${tbl("customer")}""",
       "customer_demographics" -> s"""
         SELECT CAST(c_custkey AS BIGINT) AS cd_demo_sk,
