@@ -727,7 +727,12 @@ object Streaming2Queries {
                               ELSE CASE WHEN prev_id IS NOT NULL AND (prev IS NULL OR prev <> 'error') THEN 2 ELSE 1 END
                          END) AS n_changes
               FROM ord GROUP BY user_id),
-      last AS (SELECT user_id, arg_max(event_type, event_id) AS lt, max(event_id) AS lid
+      -- the COALESCE is load-bearing twice over: a NULL incoming type is
+      -- LIVE (it carries its event_id as the value, exactly like the
+      -- Spark side's when(type === 'error') three-valued miss), and
+      -- arg_max must not skip the null-typed row as a null argument
+      last AS (SELECT user_id, arg_max(COALESCE(event_type, '~live~'), event_id) AS lt,
+                      max(event_id) AS lid
                FROM events GROUP BY user_id)
       SELECT c.user_id AS key,
              CASE WHEN l.lt <> 'error' THEN l.lid END AS value,
