@@ -1,0 +1,26 @@
+#!/bin/bash
+# sf10 (100x) scale-up smoke (VERDICT r8 next-round item 4): generate the
+# 100x fixtures from sf0.1 via graft.tools.ScaleGen reps=100, run the
+# heaviest dedup/ANN/graph/TPC-H/streaming-harness queries through
+# graft.Bench at BOTH sf0.1 and the generated sf10, and merge with
+# tools/sf1_report.py (the ratio record reads "100x" via the desc patch
+# in the caller) into BENCH_r9_sf10.json.
+set -e
+cd /root/repo
+SF10=${1:-/dev/shm/graft/sf10}
+QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
+$RUN -Xmx24g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF10" 100 1>&2
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
+  $RUN -Xmx8g graft.Bench 2>/tmp/sf01_smoke100_gc.log | tail -1 > /tmp/sf01_smoke100.json
+SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
+  $RUN -Xmx48g graft.Bench 2>/tmp/sf10_smoke_gc.log | tail -1 > /tmp/sf10_smoke.json
+echo "done: /tmp/sf01_smoke100.json /tmp/sf10_smoke.json"
