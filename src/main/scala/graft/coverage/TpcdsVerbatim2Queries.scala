@@ -18,7 +18,7 @@ import graft.Q
   * where Spark resolves them).
   */
 object TpcdsVerbatim2Queries {
-  import TpcdsVerbatimQueries.{mk, mkW}
+  import TpcdsVerbatimQueries.{mk, mkP, mkPW, mkW}
 
   /** DuckDB SUM(INT) day-bucket counts come back HUGEINT; re-cast them to
     * Spark's BIGINT in the oracle wrap (names preserved via * REPLACE). */
@@ -2623,6 +2623,169 @@ limit 100"""
          ,t_s_secyear.customer_preferred_cust_flag
 limit 100"""
 
+  private val q58: String =
+"""with ss_items as
+ (select i_item_id item_id
+        ,sum(ss_ext_sales_price) ss_item_rev 
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk = i_item_sk
+   and d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq 
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+   and ss_sold_date_sk   = d_date_sk
+ group by i_item_id),
+ cs_items as
+ (select i_item_id item_id
+        ,sum(cs_ext_sales_price) cs_item_rev
+  from catalog_sales
+      ,item
+      ,date_dim
+ where cs_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq 
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+  and  cs_sold_date_sk = d_date_sk
+ group by i_item_id),
+ ws_items as
+ (select i_item_id item_id
+        ,sum(ws_ext_sales_price) ws_item_rev
+  from web_sales
+      ,item
+      ,date_dim
+ where ws_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq =(select d_week_seq 
+                                     from date_dim
+                                     where d_date = '2000-01-03'))
+  and ws_sold_date_sk   = d_date_sk
+ group by i_item_id)
+  select  ss_items.item_id
+       ,ss_item_rev
+       ,ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev
+       ,cs_item_rev
+       ,cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev
+       ,ws_item_rev
+       ,ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev
+       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+ from ss_items,cs_items,ws_items
+ where ss_items.item_id=cs_items.item_id
+   and ss_items.item_id=ws_items.item_id 
+   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+ order by item_id
+         ,ss_item_rev
+ limit 100"""
+
+  private val q72: String =
+"""select  i_item_desc
+      ,w_warehouse_name
+      ,d1.d_week_seq
+      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo
+      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo
+      ,count(*) total_cnt
+from catalog_sales
+join inventory on (cs_item_sk = inv_item_sk)
+join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+join item on (i_item_sk = cs_item_sk)
+join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+left outer join promotion on (cs_promo_sk=p_promo_sk)
+left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+where d1.d_week_seq = d2.d_week_seq
+  and inv_quantity_on_hand < cs_quantity 
+  and d3.d_date > d1.d_date + INTERVAL '5' day
+  and hd_buy_potential = '>10000'
+  and d1.d_year = 1999
+  and cd_marital_status = 'D'
+group by i_item_desc,w_warehouse_name,d1.d_week_seq
+order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq
+limit 100"""
+
+  private val q7: String =
+"""select  i_item_id, 
+        avg(cast(ss_quantity as decimal(7, 2))) agg1,
+        avg(ss_list_price) agg2,
+        avg(ss_coupon_amt) agg3,
+        avg(ss_sales_price) agg4 
+ from store_sales, customer_demographics, date_dim, item, promotion
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       ss_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100"""
+
+  private val q18: String =
+"""select  i_item_id,
+        ca_country,
+        ca_state, 
+        ca_county,
+        avg( cast(cs_quantity as decimal(12,6))) agg1,
+        avg( cast(cs_list_price as decimal(12,6))) agg2,
+        avg( cast(cs_coupon_amt as decimal(12,6))) agg3,
+        avg( cast(cs_sales_price as decimal(12,6))) agg4,
+        avg( cast(cs_net_profit as decimal(12,6))) agg5,
+        avg( cast(c_birth_year as decimal(12,6))) agg6,
+        avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7
+ from catalog_sales, customer_demographics cd1, 
+      customer_demographics cd2, customer, customer_address, date_dim, item
+ where cs_sold_date_sk = d_date_sk and
+       cs_item_sk = i_item_sk and
+       cs_bill_cdemo_sk = cd1.cd_demo_sk and
+       cs_bill_customer_sk = c_customer_sk and
+       cd1.cd_gender = 'F' and
+       cd1.cd_education_status = 'Unknown' and
+       c_current_cdemo_sk = cd2.cd_demo_sk and
+       c_current_addr_sk = ca_address_sk and
+       c_birth_month in (1,6,8,9,12,2) and
+       d_year = 1998 and
+       ca_state in ('MS','IN','ND','OK','NM','VA','MS')
+ group by rollup (i_item_id, ca_country, ca_state, ca_county)
+ order by ca_country,
+        ca_state, 
+        ca_county,
+	i_item_id
+ limit 100"""
+
+  private val q22: String =
+"""select  i_product_name
+             ,i_brand
+             ,i_class
+             ,i_category
+             ,avg(cast(inv_quantity_on_hand as decimal(7, 2))) qoh
+       from inventory
+           ,date_dim
+           ,item
+       where inv_date_sk=d_date_sk
+              and inv_item_sk=i_item_sk
+              and d_month_seq between 1200 and 1200 + 11
+       group by rollup(i_product_name
+                       ,i_brand
+                       ,i_class
+                       ,i_category)
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100"""
+
   /** Spark names a bare COUNT(*) output `count(1)`; DuckDB `count_star()`
     * and HUGEINT — rename/cast in the oracle wrap only. */
   private val bareCount: String = """CAST("count_star()" AS BIGINT) AS "count(1)""""
@@ -2679,5 +2842,23 @@ limit 100"""
     "q_tpcds_v96" -> mkW(q96, bareCount),
     "q_tpcds_v97" -> mkW(q97, """* REPLACE (CAST(store_only AS BIGINT) AS store_only, CAST(catalog_only AS BIGINT) AS catalog_only, CAST(store_and_catalog AS BIGINT) AS store_and_catalog)"""),
     "q_tpcds_v4" -> mk(q4),
-    "q_tpcds_v11" -> mk(q11))
+    "q_tpcds_v11" -> mk(q11),
+    "q_tpcds_v58" -> mkP(q58, "order by item_id" -> "order by ss_items.item_id"),
+    "q_tpcds_v72" -> mkPW(q72,
+      """* REPLACE (CAST(no_promo AS BIGINT) AS no_promo, CAST(promo AS BIGINT) AS promo)""",
+      "w_warehouse_name, d_week_seq" -> "w_warehouse_name, d1.d_week_seq"),
+    // DuckDB's AVG(DECIMAL) returns DOUBLE; re-quantize it in the oracle
+    // wrap to the exact result DECIMAL Spark's avg derives (scale+4/+6 per
+    // the Spark type rules) so both engines carry the same type AND the
+    // same canonical row order (a printf/VARCHAR wrap would sort
+    // lexicographically and misalign the row-sorted compare).
+    "q_tpcds_v7" -> mkW(q7, """* REPLACE (CAST(agg1 AS DECIMAL(17,6)) AS agg1)"""),
+    // q18's ORDER BY hits rollup NULLs: Spark's ASC default is NULLS FIRST,
+    // DuckDB's NULLS LAST — patch the oracle's sort to Spark's binding so
+    // the LIMIT 100 window is the same set on both engines.
+    "q_tpcds_v18" -> mkPW(q18,
+      """* REPLACE (CAST(agg1 AS DECIMAL(26,10)) AS agg1, CAST(agg2 AS DECIMAL(26,10)) AS agg2, CAST(agg3 AS DECIMAL(26,10)) AS agg3, CAST(agg4 AS DECIMAL(26,10)) AS agg4, CAST(agg5 AS DECIMAL(26,10)) AS agg5, CAST(agg6 AS DECIMAL(26,10)) AS agg6, CAST(agg7 AS DECIMAL(26,6)) AS agg7)""",
+      "order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id" ->
+        "order by ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST, i_item_id NULLS FIRST"),
+    "q_tpcds_v22" -> mkW(q22, """* REPLACE (CAST(qoh AS DECIMAL(17,6)) AS qoh)"""))
 }

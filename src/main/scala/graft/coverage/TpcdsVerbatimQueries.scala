@@ -499,6 +499,26 @@ object TpcdsVerbatimQueries {
     run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
     oracle = Some(s"SELECT $wrapSelect FROM (\n${oracleFor(qtext)}\n) oq"))
 
+  /** Verbatim Spark text with targeted literal PATCHES applied to the
+    * ORACLE text only — for official spellings DuckDB's binder rejects
+    * (e.g. an unqualified ORDER BY column that Spark resolves by
+    * output-column preference): the patch qualifies the reference to the
+    * exact column Spark's binding picks, changing nothing else. */
+  private[coverage] def mkP(qtext: String, patches: (String, String)*): Q = Q(
+    run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
+    oracle = Some(patches.foldLeft(oracleFor(qtext)) {
+      case (t, (from, to)) => t.replace(from, to)
+    }))
+
+  /** mkP + mkW combined: targeted oracle-text patches AND a wrapping
+    * SELECT over the patched oracle (for queries needing both a binder
+    * qualification and a result-type normalization). */
+  private[coverage] def mkPW(qtext: String, wrapSelect: String, patches: (String, String)*): Q = Q(
+    run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
+    oracle = Some(s"SELECT $wrapSelect FROM (\n${patches.foldLeft(oracleFor(qtext)) {
+      case (t, (from, to)) => t.replace(from, to)
+    }}\n) oq"))
+
   private val q3: String =
 """select  dt.d_year 
        ,item.i_brand_id brand_id 
