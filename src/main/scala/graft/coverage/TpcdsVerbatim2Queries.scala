@@ -3073,6 +3073,340 @@ limit 100"""
          ,sr_item_qty
  limit 100"""
 
+  private val q90: String =
+"""select  cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio
+ from ( select count(*) amc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 8 and 8+1
+         and household_demographics.hd_dep_count = 6
+         and web_page.wp_char_count between 5000 and 5200) `at`,
+      ( select count(*) pmc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 19 and 19+1
+         and household_demographics.hd_dep_count = 6
+         and web_page.wp_char_count between 5000 and 5200) pt
+ order by am_pm_ratio
+ limit 100"""
+  private val q61: String =
+"""select  promotions,total,cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100
+from
+  (select sum(ss_ext_sales_price) promotions
+   from  store_sales
+        ,store
+        ,promotion
+        ,date_dim
+        ,customer
+        ,customer_address 
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_promo_sk = p_promo_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk 
+   and   ca_gmt_offset = -5
+   and   i_category = 'Jewelry'
+   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+   and   s_gmt_offset = -5
+   and   d_year = 1998
+   and   d_moy  = 11) promotional_sales,
+  (select sum(ss_ext_sales_price) total
+   from  store_sales
+        ,store
+        ,date_dim
+        ,customer
+        ,customer_address
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk
+   and   ca_gmt_offset = -5
+   and   i_category = 'Jewelry'
+   and   s_gmt_offset = -5
+   and   d_year = 1998
+   and   d_moy  = 11) all_sales
+order by promotions, total
+limit 100"""
+  private val q49: String =
+"""select  channel, item, return_ratio, return_rank, currency_rank from
+ (select
+ 'web' as channel
+ ,web.item
+ ,web.return_ratio
+ ,web.return_rank
+ ,web.currency_rank
+ from (
+ 	select 
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select ws.ws_item_sk as item
+ 		,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from 
+ 		 web_sales ws left outer join web_returns wr 
+ 			on (ws.ws_order_number = wr.wr_order_number and 
+ 			ws.ws_item_sk = wr.wr_item_sk)
+                 ,date_dim
+ 		where 
+ 			wr.wr_return_amt > 10000 
+ 			and ws.ws_net_profit > 1
+                         and ws.ws_net_paid > 0
+                         and ws.ws_quantity > 0
+                         and ws_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+ 		group by ws.ws_item_sk
+ 	) in_web
+ ) web
+ where 
+ (
+ web.return_rank <= 10
+ or
+ web.currency_rank <= 10
+ )
+ union
+ select 
+ 'catalog' as channel
+ ,catalog.item
+ ,catalog.return_ratio
+ ,catalog.return_rank
+ ,catalog.currency_rank
+ from (
+ 	select 
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select 
+ 		cs.cs_item_sk as item
+ 		,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from 
+ 		catalog_sales cs left outer join catalog_returns cr
+ 			on (cs.cs_order_number = cr.cr_order_number and 
+ 			cs.cs_item_sk = cr.cr_item_sk)
+                ,date_dim
+ 		where 
+ 			cr.cr_return_amount > 10000 
+ 			and cs.cs_net_profit > 1
+                         and cs.cs_net_paid > 0
+                         and cs.cs_quantity > 0
+                         and cs_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+                 group by cs.cs_item_sk
+ 	) in_cat
+ ) catalog
+ where 
+ (
+ catalog.return_rank <= 10
+ or
+ catalog.currency_rank <=10
+ )
+ union
+ select 
+ 'store' as channel
+ ,store.item
+ ,store.return_ratio
+ ,store.return_rank
+ ,store.currency_rank
+ from (
+ 	select 
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select sts.ss_item_sk as item
+ 		,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from 
+ 		store_sales sts left outer join store_returns sr
+ 			on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+                ,date_dim
+ 		where 
+ 			sr.sr_return_amt > 10000 
+ 			and sts.ss_net_profit > 1
+                         and sts.ss_net_paid > 0 
+                         and sts.ss_quantity > 0
+                         and ss_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+ 		group by sts.ss_item_sk
+ 	) in_store
+ ) store
+ where  (
+ store.return_rank <= 10
+ or 
+ store.currency_rank <= 10
+ )
+ )
+ order by 1,4,5,2
+ limit 100"""
+
+  private val q40: String =
+"""select  
+   w_state
+  ,i_item_id
+  ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date)) 
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before
+  ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date)) 
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after
+ from
+   catalog_sales left outer join catalog_returns on
+       (cs_order_number = cr_order_number 
+        and cs_item_sk = cr_item_sk)
+  ,warehouse 
+  ,item
+  ,date_dim
+ where
+     i_current_price between 0.99 and 1.49
+ and i_item_sk          = cs_item_sk
+ and cs_warehouse_sk    = w_warehouse_sk 
+ and cs_sold_date_sk    = d_date_sk
+ and d_date between (cast ('2000-03-11' as date) - INTERVAL '30' day)
+                and (cast ('2000-03-11' as date) + INTERVAL '30' day)
+ group by
+    w_state,i_item_id
+ order by w_state,i_item_id
+limit 100"""
+  private val q77: String =
+"""with ss as
+ (select s_store_sk,
+         sum(ss_ext_sales_price) as sales,
+         sum(ss_net_profit) as profit
+ from store_sales,
+      date_dim,
+      store
+ where ss_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date) 
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and ss_store_sk = s_store_sk
+ group by s_store_sk)
+ ,
+ sr as
+ (select s_store_sk,
+         sum(sr_return_amt) as `returns`,
+         sum(sr_net_loss) as profit_loss
+ from store_returns,
+      date_dim,
+      store
+ where sr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and sr_store_sk = s_store_sk
+ group by s_store_sk), 
+ cs as
+ (select cs_call_center_sk,
+        sum(cs_ext_sales_price) as sales,
+        sum(cs_net_profit) as profit
+ from catalog_sales,
+      date_dim
+ where cs_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+ group by cs_call_center_sk 
+ ), 
+ cr as
+ (select cr_call_center_sk,
+         sum(cr_return_amount) as `returns`,
+         sum(cr_net_loss) as profit_loss
+ from catalog_returns,
+      date_dim
+ where cr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+ group by cr_call_center_sk
+ ), 
+ ws as
+ ( select wp_web_page_sk,
+        sum(ws_ext_sales_price) as sales,
+        sum(ws_net_profit) as profit
+ from web_sales,
+      date_dim,
+      web_page
+ where ws_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and ws_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk), 
+ wr as
+ (select wp_web_page_sk,
+        sum(wr_return_amt) as `returns`,
+        sum(wr_net_loss) as profit_loss
+ from web_returns,
+      date_dim,
+      web_page
+ where wr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and wr_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk)
+  select  channel
+        , id
+        , sum(sales) as sales
+        , sum(`returns`) as `returns`
+        , sum(profit) as profit
+ from 
+ (select 'store channel' as channel
+        , ss.s_store_sk as id
+        , sales
+        , coalesce(`returns`, 0) as `returns`
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ss left join sr
+        on  ss.s_store_sk = sr.s_store_sk
+ union all
+ select 'catalog channel' as channel
+        , cs_call_center_sk as id
+        , sales
+        , `returns`
+        , (profit - profit_loss) as profit
+ from  cs
+       , cr
+ union all
+ select 'web channel' as channel
+        , ws.wp_web_page_sk as id
+        , sales
+        , coalesce(`returns`, 0) `returns`
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ws left join wr
+        on  ws.wp_web_page_sk = wr.wp_web_page_sk
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100"""
+
+  /** Exact-decimal-division oracle emulation (q49/q61/q90 family): Spark
+    * derives DECIMAL(35,20) for DECIMAL(15,4)/DECIMAL(15,4) and rounds the
+    * exact rational HALF_UP at scale 20; DuckDB lowers decimal division to
+    * DOUBLE and can never render the same 20 digits. For integer-valued
+    * operands, (2a*10^20 + b) div (2b) in HUGEINT is that exact rounding. */
+  private val S20 = "CAST('100000000000000000000' AS HUGEINT)"
+  private def exactDiv20(a: String, b: String): String = {
+    val n = s"((2*CAST($a AS HUGEINT)*$S20+CAST($b AS HUGEINT))//(2*CAST($b AS HUGEINT)))"
+    s"CAST(CONCAT(CAST($n//$S20 AS VARCHAR),'.',lpad(CAST($n%$S20 AS VARCHAR),20,'0')) AS DECIMAL(35,20))"
+  }
+
   /** Spark names a bare COUNT(*) output `count(1)`; DuckDB `count_star()`
     * and HUGEINT — rename/cast in the oracle wrap only. */
   private val bareCount: String = """CAST("count_star()" AS BIGINT) AS "count(1)""""
@@ -3161,6 +3495,44 @@ limit 100"""
       "order by channel,i_brand_id,i_class_id,i_category_id" ->
         "order by channel NULLS FIRST,i_brand_id NULLS FIRST,i_class_id NULLS FIRST,i_category_id NULLS FIRST"),
     "q_tpcds_v78" -> mk(q78),
+    "q_tpcds_v40" -> mk(q40),
+    "q_tpcds_v77" -> mkP(q77,
+      "order by channel\n         ,id" -> "order by channel NULLS FIRST, id NULLS FIRST"),
+    // q49: all six channel ratios are the DECIMAL(15,4)/DECIMAL(15,4)
+    // division — emulated exactly in the oracle (see exactDiv20) so the
+    // rank() windows AND the rendered return_ratio agree digit-for-digit.
+    "q_tpcds_v49" -> mkP(q49,
+      "\t\t,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio" ->
+        ("\t\t," + exactDiv20("sum(coalesce(wr.wr_return_quantity,0))", "sum(coalesce(ws.ws_quantity,0))") + " as return_ratio"),
+      "\t\t,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio" ->
+        ("\t\t," + exactDiv20("sum(coalesce(wr.wr_return_amt,0))", "sum(coalesce(ws.ws_net_paid,0))") + " as currency_ratio"),
+      "\t\t,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio" ->
+        ("\t\t," + exactDiv20("sum(coalesce(cr.cr_return_quantity,0))", "sum(coalesce(cs.cs_quantity,0))") + " as return_ratio"),
+      "\t\t,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio" ->
+        ("\t\t," + exactDiv20("sum(coalesce(cr.cr_return_amount,0))", "sum(coalesce(cs.cs_net_paid,0))") + " as currency_ratio"),
+      "\t\t,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio\n \t\t,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio" ->
+        ("\t\t," + exactDiv20("sum(coalesce(sr.sr_return_quantity,0))", "sum(coalesce(sts.ss_quantity,0))") + " as return_ratio\n \t\t," +
+         exactDiv20("sum(coalesce(sr.sr_return_amt,0))", "sum(coalesce(sts.ss_net_paid,0))") + " as currency_ratio")),
+    // q90's output is a DECIMAL(15,4)/DECIMAL(15,4) division: Spark derives
+    // DECIMAL(35,20) and rounds the exact rational HALF_UP at scale 20;
+    // DuckDB lowers decimal division to DOUBLE (~16 significant digits), so
+    // its text rendering can never match. Patch the ORACLE's expression to
+    // the same exact arithmetic: n = (2*a*10^20 + b) div (2*b) is
+    // round-half-up(a/b * 10^20) in HUGEINT, rendered as DECIMAL(35,20).
+    "q_tpcds_v90" -> mkP(q90,
+      "cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio" ->
+        ("CAST(CONCAT(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))//CAST('100000000000000000000' AS HUGEINT) AS VARCHAR)," +
+         "'.',lpad(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))%CAST('100000000000000000000' AS HUGEINT) AS VARCHAR),20,'0')) AS DECIMAL(35,20)) am_pm_ratio")),
+    // q61: same exact-division emulation, then Spark's *100 (literal 100 =
+    // DECIMAL(3,0)) overflows (39,20) and re-derives DECIMAL(38,19) — an
+    // EXACT digit shift of the scale-20 division (n*10, no second
+    // rounding); the unnamed output column gets Spark's pretty-printed
+    // expression name.
+    "q_tpcds_v61" -> mkP(q61,
+      "cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100" ->
+        ("CAST(CONCAT(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)//CAST('10000000000000000000' AS HUGEINT) AS VARCHAR)," +
+         "'.',lpad(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)%CAST('10000000000000000000' AS HUGEINT) AS VARCHAR),19,'0')) AS DECIMAL(38,19)) " +
+         "\"((CAST(promotions AS DECIMAL(15,4)) / CAST(total AS DECIMAL(15,4))) * 100)\"")),
     "q_tpcds_v83" -> mkW(q83, """* REPLACE (CAST(sr_item_qty AS DECIMAL(17,2)) AS sr_item_qty)"""),
     "q_tpcds_v22" -> mkW(q22, """* REPLACE (CAST(qoh AS DECIMAL(17,6)) AS qoh)"""))
 }

@@ -74,4 +74,29 @@ class Round9Spec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 exchange (state side), got $exchanges:\n$plan")
   }
+
+  /** The q49/q61/q90 oracle emulation (TpcdsVerbatim2Queries.exactDiv20):
+    * (2a*10^20 + b) div (2b) in integer arithmetic must be EXACTLY Spark's
+    * DECIMAL(15,4)/DECIMAL(15,4) → DECIMAL(35,20) HALF_UP division, digit
+    * for digit — the TPC-DS fixture rows that reach the division are
+    * sparse (q49/q58 are empty at fixture SFs), so the arithmetic contract
+    * is pinned here on adversarial operands instead: repeating decimals,
+    * exact binary fractions, and a 2^-21 case whose 21st digit is 5 (the
+    * half-up boundary a double-based oracle gets wrong). */
+  test("exact decimal-division oracle emulation matches Spark digit-for-digit") {
+    val S = BigInt(10).pow(20)
+    def emulate(a: Long, b: Long): String = {
+      val n = (BigInt(2) * a * S + b) / (BigInt(2) * b)
+      val (ip, fp) = (n / S, n % S)
+      s"$ip.${fp.toString.reverse.padTo(20, '0').reverse}"
+    }
+    val cases = Seq((1L, 3L), (2L, 3L), (1L, 7L), (5L, 2L), (1L, 8L),
+      (108985L, 363190L), (1L, 2097152L), (3L, 2097152L), (99999999999L, 7L), (0L, 9L))
+    for ((a, b) <- cases) {
+      val sparkStr = spark
+        .sql(s"SELECT CAST(CAST($a AS DECIMAL(15,4))/CAST($b AS DECIMAL(15,4)) AS STRING) v")
+        .head().getString(0)
+      assert(sparkStr == emulate(a, b), s"$a/$b: spark=$sparkStr emulated=${emulate(a, b)}")
+    }
+  }
 }
