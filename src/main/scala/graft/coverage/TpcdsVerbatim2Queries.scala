@@ -3406,6 +3406,11 @@ limit 100"""
     val n = s"((2*CAST($a AS HUGEINT)*$S20+CAST($b AS HUGEINT))//(2*CAST($b AS HUGEINT)))"
     s"CAST(CONCAT(CAST($n//$S20 AS VARCHAR),'.',lpad(CAST($n%$S20 AS VARCHAR),20,'0')) AS DECIMAL(35,20))"
   }
+  // DuckDB's pandas client materializes precision>18 DECIMALs as float64
+  // (lossy), while Spark's stay true decimals — so the FINAL rendering of
+  // any scale-19/20 output column must be the exact digit STRING (str of a
+  // python Decimal equals the scale-complete text, so the value-hash
+  // agrees); numeric DECIMAL(35,20) stays internal (rank/union operands).
 
   /** Spark names a bare COUNT(*) output `count(1)`; DuckDB `count_star()`
     * and HUGEINT — rename/cast in the oracle wrap only. */
@@ -3417,7 +3422,11 @@ limit 100"""
     "q_tpcds_v12" -> mk(q12),
     "q_tpcds_v20" -> mk(q20),
     "q_tpcds_v21" -> mk(q21),
-    "q_tpcds_v26" -> mk(q26),
+    // r9 hardening: q26 passed every fixture with the raw double-avg
+    // compare, but only because no group's mean repeats past scale 6 —
+    // quantize the oracle like its q7 sibling so the equality is by
+    // construction, not fixture luck.
+    "q_tpcds_v26" -> mkW(q26, """* REPLACE (CAST(agg1 AS DECIMAL(17,6)) AS agg1)"""),
     "q_tpcds_v28" -> mk(q28),
     "q_tpcds_v34" -> mk(q34),
     "q_tpcds_v41" -> mk(q41),
@@ -3478,7 +3487,7 @@ limit 100"""
     // DuckDB's NULLS LAST — patch the oracle's sort to Spark's binding so
     // the LIMIT 100 window is the same set on both engines.
     "q_tpcds_v18" -> mkPW(q18,
-      """* REPLACE (CAST(agg1 AS DECIMAL(26,10)) AS agg1, CAST(agg2 AS DECIMAL(26,10)) AS agg2, CAST(agg3 AS DECIMAL(26,10)) AS agg3, CAST(agg4 AS DECIMAL(26,10)) AS agg4, CAST(agg5 AS DECIMAL(26,10)) AS agg5, CAST(agg6 AS DECIMAL(26,10)) AS agg6, CAST(agg7 AS DECIMAL(26,6)) AS agg7)""",
+      """* REPLACE (CAST(agg1 AS DECIMAL(16,10)) AS agg1, CAST(agg2 AS DECIMAL(16,10)) AS agg2, CAST(agg3 AS DECIMAL(16,10)) AS agg3, CAST(agg4 AS DECIMAL(16,10)) AS agg4, CAST(agg5 AS DECIMAL(16,10)) AS agg5, CAST(agg6 AS DECIMAL(16,10)) AS agg6, CAST(agg7 AS DECIMAL(16,6)) AS agg7)""",
       "order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id" ->
         "order by ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST, i_item_id NULLS FIRST"),
     // Same rollup-NULL sort divergence as q18 (Spark ASC = NULLS FIRST,
@@ -3502,6 +3511,8 @@ limit 100"""
     // division — emulated exactly in the oracle (see exactDiv20) so the
     // rank() windows AND the rendered return_ratio agree digit-for-digit.
     "q_tpcds_v49" -> mkP(q49,
+      "select  channel, item, return_ratio, return_rank, currency_rank from" ->
+        "select  channel, item, CAST(return_ratio AS VARCHAR) return_ratio, return_rank, currency_rank from",
       "\t\t,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio" ->
         ("\t\t," + exactDiv20("sum(coalesce(wr.wr_return_quantity,0))", "sum(coalesce(ws.ws_quantity,0))") + " as return_ratio"),
       "\t\t,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio" ->
@@ -3521,8 +3532,8 @@ limit 100"""
     // round-half-up(a/b * 10^20) in HUGEINT, rendered as DECIMAL(35,20).
     "q_tpcds_v90" -> mkP(q90,
       "cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio" ->
-        ("CAST(CONCAT(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))//CAST('100000000000000000000' AS HUGEINT) AS VARCHAR)," +
-         "'.',lpad(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))%CAST('100000000000000000000' AS HUGEINT) AS VARCHAR),20,'0')) AS DECIMAL(35,20)) am_pm_ratio")),
+        ("CONCAT(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))//CAST('100000000000000000000' AS HUGEINT) AS VARCHAR)," +
+         "'.',lpad(CAST(((2*CAST(amc AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+pmc)//(2*pmc))%CAST('100000000000000000000' AS HUGEINT) AS VARCHAR),20,'0')) am_pm_ratio")),
     // q61: same exact-division emulation, then Spark's *100 (literal 100 =
     // DECIMAL(3,0)) overflows (39,20) and re-derives DECIMAL(38,19) — an
     // EXACT digit shift of the scale-20 division (n*10, no second
@@ -3530,8 +3541,8 @@ limit 100"""
     // expression name.
     "q_tpcds_v61" -> mkP(q61,
       "cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100" ->
-        ("CAST(CONCAT(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)//CAST('10000000000000000000' AS HUGEINT) AS VARCHAR)," +
-         "'.',lpad(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)%CAST('10000000000000000000' AS HUGEINT) AS VARCHAR),19,'0')) AS DECIMAL(38,19)) " +
+        ("CONCAT(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)//CAST('10000000000000000000' AS HUGEINT) AS VARCHAR)," +
+         "'.',lpad(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)%CAST('10000000000000000000' AS HUGEINT) AS VARCHAR),19,'0')) " +
          "\"((CAST(promotions AS DECIMAL(15,4)) / CAST(total AS DECIMAL(15,4))) * 100)\"")),
     "q_tpcds_v83" -> mkW(q83, """* REPLACE (CAST(sr_item_qty AS DECIMAL(17,2)) AS sr_item_qty)"""),
     "q_tpcds_v22" -> mkW(q22, """* REPLACE (CAST(qoh AS DECIMAL(17,6)) AS qoh)"""))

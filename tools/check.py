@@ -80,6 +80,14 @@ def main():
                 elif ty in ("INTEGER", "SMALLINT", "TINYINT") and cname in spark_df.columns \
                         and str(spark_df[cname].dtype) == "int64":
                     tyerr.append(f"col {cname}: oracle {ty} vs spark BIGINT — CAST to BIGINT")
+                elif ty.startswith("DECIMAL(") and int(ty.split("(")[1].split(",")[0]) > 18:
+                    # DuckDB's pandas client materializes precision>18 DECIMALs
+                    # as lossy float64 while Spark keeps true decimals — the
+                    # float branch below can pass by luck while the driver's
+                    # representation hash fails. Render the exact digit STRING
+                    # in the oracle instead (r9 q_tpcds_v49/v61/v90 lesson).
+                    tyerr.append(f"col {cname}: oracle {ty} lowers to float64 in "
+                                 "pandas — render the exact digit string (VARCHAR)")
             if tyerr:
                 print(f"FAIL {name}: TYPE {'; '.join(tyerr)}"); nfail += 1; continue
             oracle_df = rel.df()
