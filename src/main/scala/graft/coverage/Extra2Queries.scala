@@ -68,9 +68,12 @@ object Extra2Queries {
              min(col("d")).as("min_d"), max(col("d")).as("max_d"),
              count(col("d")).as("n"))
         .orderBy(col("l_returnflag")),
+    // sum_d rides as the exact digit string: DuckDB's pandas client lowers
+    // DECIMAL(38,2) to float64, which only round-trips while the sum stays
+    // under ~13 significant digits — the string is exact at any magnitude.
     oracle = Some("""
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_d,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_d,
              MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_d,
              MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_d,
              COUNT(*) AS n
