@@ -7,8 +7,27 @@ Reads each <verify_out_dir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same fixture tables, and
 compares: columns sorted by name, rows sorted by all columns, exact values
 (small float tolerance reported separately so we can see *how* close).
+
+r10 recalibration (VERDICT r9 What's-wrong #2): the driver's hash is
+REPRESENTATION-sensitive — Spark's parquet decimals arrive as
+decimal.Decimal objects (str 'Decimal("19.000000")' -> '19.000000') while
+DuckDB's pandas client lowers EVERY DECIMAL to float64 (str '19.0'), and
+the r9 driver failed exactly that divergence on 5 queries this replica's
+numeric float branch passed. So: whenever either side of a column holds
+decimal.Decimal, the compare is now over exact str() renderings, and the
+canonical row order for such mixed-representation columns is computed
+render-first (sort the stringified frame) — the only ordering under which
+a scale-complete digit-string oracle can be proven equal at all; when the
+raw-value (pre-render) ordering disagrees, an H1-DIVERGENT note is printed
+so the hazard stays visible. Calibrated against the driver's r9 ground
+truth: on the archived /root/.graft/verify_out this reproduces the exact
+467/5 split (reds q_tpcds_v7/v18/v26/v27/v83, everything else green).
+The type audit additionally flags ANY decimal-typed oracle output column
+(all of them lower to float64, not just precision>18) as WARN-TYPE — a
+warning, not a verdict, because the driver itself passes value-lucky
+fixtures (r9 q_tpcds_v22); the round gate requires zero WARN-TYPE at HEAD.
 """
-import sys, json, glob, os
+import sys, json, glob, os, decimal
 import duckdb, pandas as pd, numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -19,12 +38,47 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+def _has_decimal(s: pd.Series) -> bool:
+    return s.dtype == object and any(isinstance(x, decimal.Decimal) for x in s if x is not None)
+
+def _render(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "None"
+    return str(v)
+
+def _render_frame(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1)
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
+        out[c] = out[c].map(_render)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
 def compare(name, spark_df, oracle_df):
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS spark={len(a)} oracle={len(b)}"
+    dec_cols = [c for c in a.columns if _has_decimal(a[c]) or _has_decimal(b[c])]
+    if dec_cols:
+        # representation-faithful path: exact str() renders, render-first order
+        ra, rb = _render_frame(spark_df), _render_frame(oracle_df)
+        if not ra.equals(rb):
+            neq = (ra != rb).any(axis=1)
+            i = int(np.argmax(neq.values))
+            badc = [c for c in ra.columns if (ra[c] != rb[c]).any()]
+            return (f"RENDER cols {badc}: {int(neq.sum())} row diffs e.g. row{i} "
+                    f"{ra.loc[i, badc[0]]!r} vs {rb.loc[i, badc[0]]!r}")
+        # raw-order cross-check: does pre-render sorting agree too?
+        pa = canon(spark_df).reset_index(drop=True)
+        pa = pa.apply(lambda col: col.map(_render))
+        pb = canon(oracle_df).reset_index(drop=True)
+        pb = pb.apply(lambda col: col.map(_render))
+        if not pa.equals(pb):
+            print(f"NOTE {name}: H1-DIVERGENT (render-sorted equal, raw-sorted order "
+                  f"differs on {dec_cols} — green only if the driver sorts post-render)")
+        return None
     bad = []
     for c in a.columns:
         av, bv = a[c].values, b[c].values
@@ -50,7 +104,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
-    npass = nfail = 0
+    npass = nfail = nwarn = 0
     for name in names:
         if only and name not in only: continue
         files = glob.glob(os.path.join(out, name, "*.parquet"))
@@ -67,7 +121,7 @@ def main():
             # → HUGEINT and bare VALUES ints → INTEGER both hash-mismatch a
             # Spark BIGINT even when every value is identical (repo convention:
             # always CAST, Queries.scala:16). Catch the leak here, mechanically.
-            tyerr = []
+            tyerr, tywarn = [], []
             for cname, ty in zip(rel.columns, [str(t) for t in rel.types]):
                 if ty in ("HUGEINT", "UHUGEINT"):
                     tyerr.append(f"col {cname}: oracle {ty} (uncast SUM?) — CAST to BIGINT")
@@ -80,14 +134,18 @@ def main():
                 elif ty in ("INTEGER", "SMALLINT", "TINYINT") and cname in spark_df.columns \
                         and str(spark_df[cname].dtype) == "int64":
                     tyerr.append(f"col {cname}: oracle {ty} vs spark BIGINT — CAST to BIGINT")
-                elif ty.startswith("DECIMAL(") and int(ty.split("(")[1].split(",")[0]) > 18:
-                    # DuckDB's pandas client materializes precision>18 DECIMALs
-                    # as lossy float64 while Spark keeps true decimals — the
-                    # float branch below can pass by luck while the driver's
-                    # representation hash fails. Render the exact digit STRING
-                    # in the oracle instead (r9 q_tpcds_v49/v61/v90 lesson).
-                    tyerr.append(f"col {cname}: oracle {ty} lowers to float64 in "
-                                 "pandas — render the exact digit string (VARCHAR)")
+                elif ty.startswith("DECIMAL("):
+                    # r9 lesson, recalibrated: DuckDB's pandas client lowers
+                    # EVERY decimal (any precision) to float64, so a decimal
+                    # oracle output is a representation hazard whenever Spark's
+                    # column is a true decimal — green only while the fixture's
+                    # values happen to render identically (the driver's v22).
+                    # WARN, not FAIL: the verdict belongs to the calibrated
+                    # representation compare; the round gate wants 0 warns.
+                    tywarn.append(f"col {cname}: oracle {ty} lowers to float64 in "
+                                  "pandas — render the exact digit string (VARCHAR)")
+            if tywarn:
+                print(f"WARN-TYPE {name}: {'; '.join(tywarn)}"); nwarn += len(tywarn)
             if tyerr:
                 print(f"FAIL {name}: TYPE {'; '.join(tyerr)}"); nfail += 1; continue
             oracle_df = rel.df()
@@ -96,7 +154,7 @@ def main():
         err = compare(name, spark_df, oracle_df)
         if err: print(f"FAIL {name}: {err}"); nfail += 1
         else: print(f"PASS {name} ({len(spark_df)} rows)"); npass += 1
-    print(f"== {npass} pass / {nfail} fail ==")
+    print(f"== {npass} pass / {nfail} fail / {nwarn} type-warn ==")
     sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
