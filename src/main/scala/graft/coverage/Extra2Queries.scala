@@ -68,14 +68,16 @@ object Extra2Queries {
              min(col("d")).as("min_d"), max(col("d")).as("max_d"),
              count(col("d")).as("n"))
         .orderBy(col("l_returnflag")),
-    // sum_d rides as the exact digit string: DuckDB's pandas client lowers
-    // DECIMAL(38,2) to float64, which only round-trips while the sum stays
-    // under ~13 significant digits — the string is exact at any magnitude.
+    // All three decimal outputs ride as exact digit strings: DuckDB's
+    // pandas client lowers EVERY decimal to float64, whose render drops
+    // trailing zeros ('904.1' vs Spark's scale-complete '904.10') and goes
+    // lossy past ~13 significant digits — the VARCHAR cast is exact at any
+    // magnitude (r9: min_d/max_d were green only by fixture luck).
     oracle = Some("""
       SELECT l_returnflag,
              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_d,
-             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_d,
-             MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_d,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_d,
+             CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_d,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 

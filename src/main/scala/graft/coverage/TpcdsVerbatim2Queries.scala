@@ -9,13 +9,17 @@ import graft.Q
   * flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/queryN.sql,
   * minus the stream markers). New dims this round: promotion, warehouse,
   * time_dim, web_page, web_site, call_center, catalog_page, ship_mode,
-  * income_band, web_returns, catalog_returns. Excluded with documented
-  * cause: q7/q18/q22/q49/q61/q78/q83/q90 (decimal-typed outputs — the
-  * engines render DECIMAL differently in the driver hash), q14a/q27/q67
-  * (ORDER BY over rollup NULLs + LIMIT: Spark sorts NULLS FIRST, DuckDB
-  * NULLS LAST, so the two engines keep different row sets), q58/q72
-  * (DuckDB's binder rejects the official texts' ambiguous references
-  * where Spark resolves them).
+  * income_band, web_returns, catalog_returns. The r8 exclusion classes
+  * were all hosted in r9-r10 with oracle-side emulation only: decimal
+  * outputs render as exact digit strings (avgDigits / exactDiv20 /
+  * VARCHAR casts — the engines' decimal representations can never agree
+  * through DuckDB's float64-lowering pandas client), rollup-NULL ORDER
+  * BYs are patched to Spark's NULLS FIRST binding, and the two binder
+  * ambiguities (q58/q72) are qualified to the column Spark picks. Still
+  * unhosted, with verified blockers (TPCDS_MAP.md): q17/q39a/q39b
+  * (stddev_samp over shuffled doubles is not bit-reproducible under an
+  * exact-hash gate) and q64 (duplicate output column names, unwritable
+  * to parquet).
   */
 object TpcdsVerbatim2Queries {
   import TpcdsVerbatimQueries.{mk, mkP, mkPW, mkW}
@@ -3405,11 +3409,45 @@ limit 100"""
     val n = s"((2*CAST($a AS HUGEINT)*$S20+CAST($b AS HUGEINT))//(2*CAST($b AS HUGEINT)))"
     s"CAST(CONCAT(CAST($n//$S20 AS VARCHAR),'.',lpad(CAST($n%$S20 AS VARCHAR),20,'0')) AS DECIMAL(35,20))"
   }
-  // DuckDB's pandas client materializes precision>18 DECIMALs as float64
-  // (lossy), while Spark's stay true decimals — so the FINAL rendering of
-  // any scale-19/20 output column must be the exact digit STRING (str of a
-  // python Decimal equals the scale-complete text, so the value-hash
-  // agrees); numeric DECIMAL(35,20) stays internal (rank/union operands).
+  // DuckDB's pandas client materializes EVERY DECIMAL as float64 (lossy
+  // for p>18, representation-lossy for all: '19.0' vs Spark's scale-
+  // complete '19.000000'), while Spark's stay true decimals — so the FINAL
+  // rendering of any decimal output column must be the exact digit STRING
+  // (str of a python Decimal equals the scale-complete text, so the
+  // value-hash agrees); numeric decimals stay internal (rank/union/ORDER
+  // BY operands).
+
+  /** Exact Spark decimal-average emulation, rendered as the digit string
+    * the driver hashes (r9 reds v7/v18/v26/v27: the official texts carry
+    * `avg(cast(x as decimal(p,s)))` in-text, so Spark's output is a true
+    * DECIMAL(p+4,s+4) — verified against Spark 4.1.2: the mean is rounded
+    * ONCE, HALF_UP away from zero, at scale s+4 — while DuckDB's AVG
+    * lowers to DOUBLE and its pandas client renders '19.0'). Computed in
+    * HUGEINT from the exact unscaled sum: u = (2A+n)//(2n) with
+    * A = |sum|*10^4 is round-half-up(|mean|*10^(s+4)). The render matches
+    * python's Decimal.__str__ exactly, including its scientific forms for
+    * scale>6: a zero prints '0E-10' and a sub-10^-6 magnitude prints
+    * 'd.ddE-k' (adjusted exponent < -6), both matched in the CASE arms;
+    * at scale≤6 python always prints fixed-point. */
+  private def avgDigits(arg: String, inScale: Int, outScale: Int): String = {
+    val mul = BigInt(10).pow(inScale)
+    val shift = BigInt(10).pow(outScale - inScale) // Spark rule: always 10^4
+    val p = BigInt(10).pow(outScale)
+    val sum = s"SUM(CAST($arg*$mul AS HUGEINT))"
+    val n = s"COUNT($arg)"
+    val u = s"((2*abs($sum)*$shift+$n)//(2*$n))"
+    val sign = s"CASE WHEN $sum < 0 THEN '-' ELSE '' END"
+    val fixed = s"$sign || CAST($u//$p AS VARCHAR) || '.' || lpad(CAST($u%$p AS VARCHAR),$outScale,'0')"
+    if (outScale <= 6) {
+      val zero = "'0." + "0" * outScale + "'"
+      s"CASE WHEN $n = 0 THEN NULL WHEN $u = 0 THEN $zero ELSE $fixed END"
+    } else {
+      val d = s"CAST($u AS VARCHAR)"
+      val sci = s"$sign || substr($d,1,1) || CASE WHEN length($d)>1 THEN '.'||substr($d,2) ELSE '' END" +
+        s" || 'E-' || CAST(${outScale + 1}-length($d) AS VARCHAR)"
+      s"CASE WHEN $n = 0 THEN NULL WHEN $u = 0 THEN '0E-$outScale' WHEN $u < $shift THEN $sci ELSE $fixed END"
+    }
+  }
 
   /** Spark names a bare COUNT(*) output `count(1)`; DuckDB `count_star()`
     * and HUGEINT — rename/cast in the oracle wrap only. */
@@ -3421,11 +3459,14 @@ limit 100"""
     "q_tpcds_v12" -> mk(q12),
     "q_tpcds_v20" -> mk(q20),
     "q_tpcds_v21" -> mk(q21),
-    // r9 hardening: q26 passed every fixture with the raw double-avg
-    // compare, but only because no group's mean repeats past scale 6 —
-    // quantize the oracle like its q7 sibling so the equality is by
-    // construction, not fixture luck.
-    "q_tpcds_v26" -> mkW(q26, """* REPLACE (CAST(agg1 AS DECIMAL(17,6)) AS agg1)"""),
+    // r10 (VERDICT r9 #1): agg1's in-text cast makes Spark's output a true
+    // DECIMAL(11,6) whose parquet render is scale-complete ('19.000000');
+    // the r9 CAST-to-DECIMAL oracle wrap lowered to float64 ('19.0') in
+    // the driver's representation hash — the round's only reds. Render
+    // the exact digit string in the oracle instead (see avgDigits).
+    "q_tpcds_v26" -> mkP(q26,
+      "avg(cast(cs_quantity as decimal(7, 2))) agg1" ->
+        (avgDigits("cast(cs_quantity as decimal(7, 2))", 2, 6) + " agg1")),
     "q_tpcds_v28" -> mk(q28),
     "q_tpcds_v34" -> mk(q34),
     "q_tpcds_v41" -> mk(q41),
@@ -3476,25 +3517,52 @@ limit 100"""
     "q_tpcds_v72" -> mkPW(q72,
       """* REPLACE (CAST(no_promo AS BIGINT) AS no_promo, CAST(promo AS BIGINT) AS promo)""",
       "w_warehouse_name, d_week_seq" -> "w_warehouse_name, d1.d_week_seq"),
-    // DuckDB's AVG(DECIMAL) returns DOUBLE; re-quantize it in the oracle
-    // wrap to the exact result DECIMAL Spark's avg derives (scale+4/+6 per
-    // the Spark type rules) so both engines carry the same type AND the
-    // same canonical row order (a printf/VARCHAR wrap would sort
-    // lexicographically and misalign the row-sorted compare).
-    "q_tpcds_v7" -> mkW(q7, """* REPLACE (CAST(agg1 AS DECIMAL(17,6)) AS agg1)"""),
+    // r10 note on the lexicographic-misalignment concern that motivated
+    // r9's CAST wrap: a VARCHAR digit-string column CAN sort differently
+    // from the decimal it renders, and for v7/v18/v26/v27 the canonical
+    // first sort key IS the rendered column (columns sorted by name put
+    // agg1 first, and its values mix integer-part widths). But under a
+    // raw-value row sort no oracle-side representation can EVER work for
+    // these queries — a pandas float64/str column cannot sort numerically
+    // AND render scale-complete — while under a render-then-sort
+    // canonicalization the digit string is exactly right; the r9 driver
+    // reds are ground truth that the CAST wrap loses on every fixture,
+    // so the digit string (driver-proven on v49/v61/v90/q_decimal_agg)
+    // is the unique candidate. check.py proves render-equality and
+    // prints H1-DIVERGENT where the raw-order hypothesis would differ.
+    "q_tpcds_v7" -> mkP(q7,
+      "avg(cast(ss_quantity as decimal(7, 2))) agg1" ->
+        (avgDigits("cast(ss_quantity as decimal(7, 2))", 2, 6) + " agg1")),
     // q18's ORDER BY hits rollup NULLs: Spark's ASC default is NULLS FIRST,
     // DuckDB's NULLS LAST — patch the oracle's sort to Spark's binding so
-    // the LIMIT 100 window is the same set on both engines.
-    "q_tpcds_v18" -> mkPW(q18,
-      """* REPLACE (CAST(agg1 AS DECIMAL(16,10)) AS agg1, CAST(agg2 AS DECIMAL(16,10)) AS agg2, CAST(agg3 AS DECIMAL(16,10)) AS agg3, CAST(agg4 AS DECIMAL(16,10)) AS agg4, CAST(agg5 AS DECIMAL(16,10)) AS agg5, CAST(agg6 AS DECIMAL(16,10)) AS agg6, CAST(agg7 AS DECIMAL(16,6)) AS agg7)""",
+    // the LIMIT 100 window is the same set on both engines. All seven avg
+    // outputs are in-text decimal casts → exact digit strings (agg1-6 at
+    // scale 10 incl. the '0E-10' zero render python emits, agg7 scale 6).
+    "q_tpcds_v18" -> mkP(q18,
       "order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id" ->
-        "order by ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST, i_item_id NULLS FIRST"),
+        "order by ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST, i_item_id NULLS FIRST",
+      "avg( cast(cs_quantity as decimal(12,6))) agg1" ->
+        (avgDigits("cast(cs_quantity as decimal(12,6))", 6, 10) + " agg1"),
+      "avg( cast(cs_list_price as decimal(12,6))) agg2" ->
+        (avgDigits("cast(cs_list_price as decimal(12,6))", 6, 10) + " agg2"),
+      "avg( cast(cs_coupon_amt as decimal(12,6))) agg3" ->
+        (avgDigits("cast(cs_coupon_amt as decimal(12,6))", 6, 10) + " agg3"),
+      "avg( cast(cs_sales_price as decimal(12,6))) agg4" ->
+        (avgDigits("cast(cs_sales_price as decimal(12,6))", 6, 10) + " agg4"),
+      "avg( cast(cs_net_profit as decimal(12,6))) agg5" ->
+        (avgDigits("cast(cs_net_profit as decimal(12,6))", 6, 10) + " agg5"),
+      "avg( cast(c_birth_year as decimal(12,6))) agg6" ->
+        (avgDigits("cast(c_birth_year as decimal(12,6))", 6, 10) + " agg6"),
+      "avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7" ->
+        (avgDigits("cast(cd1.cd_dep_count as decimal(12,2))", 2, 6) + " agg7")),
     // Same rollup-NULL sort divergence as q18 (Spark ASC = NULLS FIRST,
     // DuckDB = NULLS LAST): patch each nullable ORDER BY key in the oracle.
     "q_tpcds_v27" -> mkPW(q27,
-      """* REPLACE (CAST(agg1 AS DECIMAL(17,6)) AS agg1, CAST(g_state AS TINYINT) AS g_state)""",
+      """* REPLACE (CAST(g_state AS TINYINT) AS g_state)""",
       "order by i_item_id\n         ,s_state" ->
-        "order by i_item_id NULLS FIRST, s_state NULLS FIRST"),
+        "order by i_item_id NULLS FIRST, s_state NULLS FIRST",
+      "avg(cast(ss_quantity as decimal(7, 2))) agg1" ->
+        (avgDigits("cast(ss_quantity as decimal(7, 2))", 2, 6) + " agg1")),
     "q_tpcds_v67" -> mkP(q67,
       "order by i_category\n        ,i_class\n        ,i_brand\n        ,i_product_name\n        ,d_year\n        ,d_qoy\n        ,d_moy\n        ,s_store_id\n        ,sumsales\n        ,rk" ->
         "order by i_category NULLS FIRST,i_class NULLS FIRST,i_brand NULLS FIRST,i_product_name NULLS FIRST,d_year NULLS FIRST,d_qoy NULLS FIRST,d_moy NULLS FIRST,s_store_id NULLS FIRST,sumsales,rk"),
@@ -3543,6 +3611,18 @@ limit 100"""
         ("CONCAT(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)//CAST('10000000000000000000' AS HUGEINT) AS VARCHAR)," +
          "'.',lpad(CAST((((2*CAST(promotions AS HUGEINT)*CAST('100000000000000000000' AS HUGEINT)+CAST(total AS HUGEINT))//(2*CAST(total AS HUGEINT)))*10)%CAST('10000000000000000000' AS HUGEINT) AS VARCHAR),19,'0')) " +
          "\"((CAST(promotions AS DECIMAL(15,4)) / CAST(total AS DECIMAL(15,4))) * 100)\"")),
-    "q_tpcds_v83" -> mkW(q83, """* REPLACE (CAST(sr_item_qty AS DECIMAL(17,2)) AS sr_item_qty)"""),
-    "q_tpcds_v22" -> mkW(q22, """* REPLACE (CAST(qoh AS DECIMAL(17,6)) AS qoh)"""))
+    // v83's sr_item_qty is an in-text decimal SUM (exact in DuckDB too):
+    // the scale-complete digit string is just the VARCHAR cast of the
+    // inner DECIMAL, applied in the outer wrap so the CTE arithmetic and
+    // the ORDER BY keep the numeric value.
+    "q_tpcds_v83" -> mkW(q83, """* REPLACE (CAST(sr_item_qty AS VARCHAR) AS sr_item_qty)"""),
+    // v22 was green in r9 only by fixture luck (no top-100 mean rendered
+    // with trailing zeros); same exact-digit-string fix, but v22 ORDERs BY
+    // qoh itself, so the patched ORDER BY re-casts the rendered string
+    // back to Spark's DECIMAL(11,6) to keep the LIMIT-100 set and its
+    // tie-breaks numeric (the render is exact, so the cast round-trips).
+    "q_tpcds_v22" -> mkP(q22,
+      "avg(cast(inv_quantity_on_hand as decimal(7, 2))) qoh" ->
+        (avgDigits("cast(inv_quantity_on_hand as decimal(7, 2))", 2, 6) + " qoh"),
+      "order by qoh," -> "order by CAST(qoh AS DECIMAL(11,6)),"))
 }
