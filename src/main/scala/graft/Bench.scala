@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fixture-scale override (r9 VERDICT #3): the iterative graph loops
+      // follow the ambient shuffle width by default — right at cluster
+      // scale, pure task-scheduling overhead at sf≤1, where dozens of
+      // rounds × 32 tasks over ~60k-row frames dominate the runtime. The
+      // sf10 smoke overrides via SPARK_GRAFT_LOOP_PARTS to measure the
+      // loops at honest width.
+      .config("graft.graph.loopShufflePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_LOOP_PARTS", "4"))
       .config("spark.ui.enabled", "false")
       // shuffle/spill scratch on tmpfs when available (stands in for the
       // fast local SSD a real executor would mount here)

@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fixture-scale loop-width override, same contract as Bench (the
+      // library default follows the ambient width — see GraphOps)
+      .config("graft.graph.loopShufflePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_LOOP_PARTS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.streaming.StreamOps.scratchRoot + "/local")

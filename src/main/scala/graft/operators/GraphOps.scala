@@ -42,6 +42,35 @@ object GraphOps {
   private def broadcastMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.graph.broadcastMaxRows").fold(4000000L)(_.toLong)
 
+  /** All session-conf mutations in this module are scoped try/finally AND
+    * serialized under this lock, so concurrent graft loops on one shared
+    * session can't observe each other's overrides (r9 ADVICE: the AQE
+    * flip in partitionEdges raced any concurrently planned query). A
+    * query planned concurrently by NON-graft code during a loop's
+    * materialization window can still see the override — a SparkSession's
+    * runtime conf is session-global state; give loops their own
+    * `spark.newSession()` if that matters. Verify/Bench run sequentially. */
+  private val confLock = new Object
+
+  /** Loop shuffle width (r9 VERDICT perf-weak #1): the loops no longer
+    * hardcode `spark.sql.shuffle.partitions = 4/8` — at cluster scale the
+    * ambient width is the only sane default for a billion-edge fallback
+    * frame, and the pinned 4 capped every per-iteration exchange at toy
+    * parallelism. By default the ambient setting is left untouched;
+    * `graft.graph.loopShufflePartitions` narrows the width for the
+    * duration of one loop (the fixture benches set it: dozens of rounds ×
+    * per-task overhead dominate at sf≤1, where 32-way 60k-row shuffles
+    * are pure scheduling cost). */
+  private def withLoopParts[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    spark.conf.getOption("graft.graph.loopShufflePartitions") match {
+      case None => body
+      case Some(n) => confLock.synchronized {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }
+
   /** State side of a loop join: broadcast under the threshold,
     * shuffle-hash (build side = the |V|-row state frame) above it. */
   private def stateSide(df: DataFrame, bcast: Boolean): DataFrame =
@@ -56,7 +85,7 @@ object GraphOps {
     * Round9Spec plan pin guards the invariant). */
   private def partitionEdges(e: DataFrame, key: String, bcast: Boolean): DataFrame =
     if (bcast) e
-    else {
+    else confLock.synchronized {
       val spark = e.sparkSession
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -74,17 +103,11 @@ object GraphOps {
     * no collect_list, hubs stream through the window sort); convergence is
     * a single-row (count, hash-sum) signature job per round, not an
     * edge-set diff. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // each round is a join+agg over the (small after dedup) edge list; the
-    // session's batch shuffle width just adds per-task overhead × rounds —
-    // size the loop's shuffles to the data (driver-side iteration is already
-    // the scale story here, per SURVEY §2.13 Iterations)
-    val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try { connectedComponentsImpl(edges, maxIter) }
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    // loop shuffle width follows the ambient conf unless the fixture-bench
+    // knob narrows it (see withLoopParts) — the rounds are full edge-list
+    // shuffles, exactly what must stay wide on a billion-edge input
+    withLoopParts(edges.sparkSession) { connectedComponentsImpl(edges, maxIter) }
 
   private def connectedComponentsImpl(edges: DataFrame, maxIter: Int): DataFrame = {
     // materialize the input ONCE: both the vertex set and the canonical
@@ -158,9 +181,7 @@ object GraphOps {
     * default termination; lineage cut per round via localCheckpoint. */
   def pageRank(edges: DataFrame, iters: Int = 10, dampingPct: Long = 85): DataFrame = {
     val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withLoopParts(spark) {
       val bi = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
         .filter(col("u") =!= col("v")).distinct()
@@ -174,8 +195,13 @@ object GraphOps {
       // |V| decides the score frame's placement: broadcast under the
       // threshold; above it, pin the static edge frame's partitioning on u
       // once and shuffle only the |V|-row score frame per iteration
+      // one materialization either way (r9 ADVICE: the old pre-checkpoint
+      // before partitionEdges wrote the largest frame twice on the
+      // partitioned path — partitionEdges' own checkpoint is the pin)
       val bcast = sc.count() <= broadcastMaxRows(spark)
-      val ce = partitionEdges(bi.join(degs, "u").localCheckpoint(), "u", bcast)
+      val ceBase = bi.join(degs, "u")
+      val ce = if (bcast) ceBase.localCheckpoint()
+               else partitionEdges(ceBase, "u", bcast = false)
       (1 to iters).foreach { i =>
         sc = ce
           .join(stateSide(sc, bcast), col("u") === col("pv"))
@@ -187,7 +213,7 @@ object GraphOps {
         if (i % 2 == 0 || i == iters) sc = sc.localCheckpoint()
       }
       sc.select(col("pv").as("v"), col("s").as("score_ppm"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Single-source shortest paths (hop count) as a Gelly-style DELTA
@@ -202,9 +228,7 @@ object GraphOps {
     * vertices, so the solution-set merge is an anti-join + union. */
   def sssp(edges: DataFrame, source: Long, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withLoopParts(spark) {
       val bi = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -228,7 +252,7 @@ object GraphOps {
         }
       }
       solution.select(col("pv").as("v"), col("dist"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Community detection by synchronous label propagation — the Gelly
@@ -243,9 +267,7 @@ object GraphOps {
     * all-pairs step, hub cost bounded by degree. */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withLoopParts(spark) {
       val bi0 = edges.select(col("src").as("v"), col("dst").as("n"))
         .union(edges.select(col("dst").as("v"), col("src").as("n")))
         .filter(col("v") =!= col("n")).distinct().localCheckpoint()
@@ -267,7 +289,7 @@ object GraphOps {
         if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint()
       }
       labels.select(col("lv").as("v"), col("label"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Community detection (Leung et al., arXiv:0808.2633) — ref
@@ -286,9 +308,7 @@ object GraphOps {
   def communityDetection(edges: DataFrame, iters: Int = 3,
                          deltaMicro: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withLoopParts(spark) {
       val bi0 = edges.select(col("src").as("v"), col("dst").as("n"))
         .union(edges.select(col("dst").as("v"), col("src").as("n")))
         .filter(col("v") =!= col("n")).distinct().localCheckpoint()
@@ -314,7 +334,7 @@ object GraphOps {
         if (k % 2 == 0 || k == iters) st = st.localCheckpoint()
       }
       st.select(col("lv").as("v"), col("label"), col("score").as("score_micro"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Graph summarization — ref flink-gelly/.../library/Summarization.java:
@@ -391,9 +411,7 @@ object GraphOps {
     * score frame + a 1-row max broadcast — the pageRank loop shape. */
   def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
     val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withLoopParts(spark) {
       val e0 = edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
       val verts = e0.select(col("src").as("v")).union(e0.select(col("dst").as("v")))
@@ -425,7 +443,7 @@ object GraphOps {
       }
       hub.select(col("sv").as("v"), col("s").as("hub_ppm"))
         .join(auth.select(col("sv").as("v"), col("s").as("auth_ppm")), "v")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Local clustering coefficient — ref flink-gelly-library/.../clustering/
