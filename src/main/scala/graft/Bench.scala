@@ -36,7 +36,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // full per-query record first (tools/bench_gate.py + the sf1/sf10
+    // report scripts read it), then a COMPACT line LAST: the driver tails
+    // stdout into a bounded record, and a 472-entry map overflows it —
+    // `parsed` came back null for three rounds (r9 VERDICT #7). The
+    // compact line keeps the contract shape with a stable headline
+    // subset + the query count.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val headline = Seq("q1_pricing_summary", "q_tpch_q3", "q_tpch_q6", "q_tpch_q18",
+      "q_pipe_minhash_lsh", "q_pipe_ann_ivf", "q_pipe_ppjoin", "q_graph_pagerank",
+      "q_stream_tumble", "q_tpcds_v67")
+    val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

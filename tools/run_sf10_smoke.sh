@@ -20,7 +20,7 @@ done
 RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
 $RUN -Xmx24g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF10" 100 1>&2
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
-  $RUN -Xmx8g graft.Bench 2>/tmp/sf01_smoke100_gc.log | tail -1 > /tmp/sf01_smoke100.json
+  $RUN -Xmx8g graft.Bench 2>/tmp/sf01_smoke100_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_smoke100.json
 SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
-  $RUN -Xmx48g graft.Bench 2>/tmp/sf10_smoke_gc.log | tail -1 > /tmp/sf10_smoke.json
+  $RUN -Xmx48g graft.Bench 2>/tmp/sf10_smoke_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf10_smoke.json
 echo "done: /tmp/sf01_smoke100.json /tmp/sf10_smoke.json"

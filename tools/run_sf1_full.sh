@@ -20,7 +20,7 @@ if [ ! -d "$SF1/lineitem.parquet" ]; then
   $RUN -Xmx8g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF1" 10 1>&2
 fi
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  $RUN -Xmx10g graft.Bench 2>/tmp/sf01_full_err.log | tail -1 > /tmp/sf01_full.json
+  $RUN -Xmx10g graft.Bench 2>/tmp/sf01_full_err.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_full.json
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 \
-  $RUN -Xmx10g graft.Bench 2>/tmp/sf1_full_err.log | tail -1 > /tmp/sf1_full.json
+  $RUN -Xmx10g graft.Bench 2>/tmp/sf1_full_err.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf1_full.json
 echo "done: /tmp/sf01_full.json /tmp/sf1_full.json"

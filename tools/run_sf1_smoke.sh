@@ -25,7 +25,7 @@ done
 RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
 $RUN -Xmx8g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF1" 10 1>&2
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
-  $RUN -Xmx8g -verbose:gc graft.Bench 2>/tmp/sf01_smoke_gc.log | tail -1 > /tmp/sf01_smoke.json
+  $RUN -Xmx8g -verbose:gc graft.Bench 2>/tmp/sf01_smoke_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_smoke.json
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
-  $RUN -Xmx8g -verbose:gc graft.Bench 2>/tmp/sf1_smoke_gc.log | tail -1 > /tmp/sf1_smoke.json
+  $RUN -Xmx8g -verbose:gc graft.Bench 2>/tmp/sf1_smoke_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf1_smoke.json
 echo "done: /tmp/sf01_smoke.json /tmp/sf1_smoke.json"
