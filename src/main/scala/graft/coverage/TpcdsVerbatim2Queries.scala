@@ -15,11 +15,11 @@ import graft.Q
   * VARCHAR casts — the engines' decimal representations can never agree
   * through DuckDB's float64-lowering pandas client), rollup-NULL ORDER
   * BYs are patched to Spark's NULLS FIRST binding, and the two binder
-  * ambiguities (q58/q72) are qualified to the column Spark picks. Still
-  * unhosted, with verified blockers (TPCDS_MAP.md): q17/q39a/q39b
-  * (stddev_samp over shuffled doubles is not bit-reproducible under an
-  * exact-hash gate) and q64 (duplicate output column names, unwritable
-  * to parquet).
+  * ambiguities (q58/q72) are qualified to the column Spark picks; q64's
+  * duplicate output names (r10) are deduped positionally at the parquet
+  * boundary only. Still unhosted, with verified blockers (TPCDS_MAP.md):
+  * q17/q39a/q39b — stddev_samp over shuffled doubles is not
+  * bit-reproducible under an exact-hash gate.
   */
 object TpcdsVerbatim2Queries {
   import TpcdsVerbatimQueries.{mk, mkP, mkPW, mkW}
@@ -3453,6 +3453,126 @@ limit 100"""
     * and HUGEINT — rename/cast in the oracle wrap only. */
   private val bareCount: String = """CAST("count_star()" AS BIGINT) AS "count(1)""""
 
+  private val q64: String =
+"""with cs_ui as
+ (select cs_item_sk
+        ,sum(cs_ext_list_price) as sale,sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) as refund
+  from catalog_sales
+      ,catalog_returns
+  where cs_item_sk = cr_item_sk
+    and cs_order_number = cr_order_number
+  group by cs_item_sk
+  having sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+cross_sales as
+ (select i_product_name product_name
+     ,i_item_sk item_sk
+     ,s_store_name store_name
+     ,s_zip store_zip
+     ,ad1.ca_street_number b_street_number
+     ,ad1.ca_street_name b_street_name
+     ,ad1.ca_city b_city
+     ,ad1.ca_zip b_zip
+     ,ad2.ca_street_number c_street_number
+     ,ad2.ca_street_name c_street_name
+     ,ad2.ca_city c_city
+     ,ad2.ca_zip c_zip
+     ,d1.d_year as syear
+     ,d2.d_year as fsyear
+     ,d3.d_year s2year
+     ,count(*) cnt
+     ,sum(ss_wholesale_cost) s1
+     ,sum(ss_list_price) s2
+     ,sum(ss_coupon_amt) s3
+  FROM   store_sales
+        ,store_returns
+        ,cs_ui
+        ,date_dim d1
+        ,date_dim d2
+        ,date_dim d3
+        ,store
+        ,customer
+        ,customer_demographics cd1
+        ,customer_demographics cd2
+        ,promotion
+        ,household_demographics hd1
+        ,household_demographics hd2
+        ,customer_address ad1
+        ,customer_address ad2
+        ,income_band ib1
+        ,income_band ib2
+        ,item
+  WHERE  ss_store_sk = s_store_sk AND
+         ss_sold_date_sk = d1.d_date_sk AND
+         ss_customer_sk = c_customer_sk AND
+         ss_cdemo_sk= cd1.cd_demo_sk AND
+         ss_hdemo_sk = hd1.hd_demo_sk AND
+         ss_addr_sk = ad1.ca_address_sk and
+         ss_item_sk = i_item_sk and
+         ss_item_sk = sr_item_sk and
+         ss_ticket_number = sr_ticket_number and
+         ss_item_sk = cs_ui.cs_item_sk and
+         c_current_cdemo_sk = cd2.cd_demo_sk AND
+         c_current_hdemo_sk = hd2.hd_demo_sk AND
+         c_current_addr_sk = ad2.ca_address_sk and
+         c_first_sales_date_sk = d2.d_date_sk and
+         c_first_shipto_date_sk = d3.d_date_sk and
+         ss_promo_sk = p_promo_sk and
+         hd1.hd_income_band_sk = ib1.ib_income_band_sk and
+         hd2.hd_income_band_sk = ib2.ib_income_band_sk and
+         cd1.cd_marital_status <> cd2.cd_marital_status and
+         i_color in ('purple','burlywood','indian','spring','floral','medium') and
+         i_current_price between 64 and 64 + 10 and
+         i_current_price between 64 + 1 and 64 + 15
+group by i_product_name
+       ,i_item_sk
+       ,s_store_name
+       ,s_zip
+       ,ad1.ca_street_number
+       ,ad1.ca_street_name
+       ,ad1.ca_city
+       ,ad1.ca_zip
+       ,ad2.ca_street_number
+       ,ad2.ca_street_name
+       ,ad2.ca_city
+       ,ad2.ca_zip
+       ,d1.d_year
+       ,d2.d_year
+       ,d3.d_year
+)
+select cs1.product_name
+     ,cs1.store_name
+     ,cs1.store_zip
+     ,cs1.b_street_number
+     ,cs1.b_street_name
+     ,cs1.b_city
+     ,cs1.b_zip
+     ,cs1.c_street_number
+     ,cs1.c_street_name
+     ,cs1.c_city
+     ,cs1.c_zip
+     ,cs1.syear
+     ,cs1.cnt
+     ,cs1.s1 as s11
+     ,cs1.s2 as s21
+     ,cs1.s3 as s31
+     ,cs2.s1 as s12
+     ,cs2.s2 as s22
+     ,cs2.s3 as s32
+     ,cs2.syear
+     ,cs2.cnt
+from cross_sales cs1,cross_sales cs2
+where cs1.item_sk=cs2.item_sk and
+     cs1.syear = 1999 and
+     cs2.syear = 1999 + 1 and
+     cs2.cnt <= cs1.cnt and
+     cs1.store_name = cs2.store_name and
+     cs1.store_zip = cs2.store_zip
+order by cs1.product_name
+       ,cs1.store_name
+       ,cs2.cnt
+       ,cs1.s1
+       ,cs2.s1"""
+
   val all: Map[String, Q] = Map(
     "q_tpcds_v6" -> mk(q6),
     "q_tpcds_v9" -> mk(q9),
@@ -3624,5 +3744,26 @@ limit 100"""
     "q_tpcds_v22" -> mkP(q22,
       "avg(cast(inv_quantity_on_hand as decimal(7, 2))) qoh" ->
         (avgDigits("cast(inv_quantity_on_hand as decimal(7, 2))", 2, 6) + " qoh"),
-      "order by qoh," -> "order by CAST(qoh AS DECIMAL(11,6)),"))
+      "order by qoh," -> "order by CAST(qoh AS DECIMAL(11,6)),"),
+    // q64 (r10, the last non-stddev exclusion): the official select list
+    // emits two DUPLICATE output names — `cs1.syear`/`cs2.syear` and
+    // `cs1.cnt`/`cs2.cnt` (ref query64.sql final select) — which parquet
+    // refuses to write and the driver's name-keyed hash is ill-defined
+    // over. The ENGINE still runs the byte-verbatim text (byteaudit-
+    // proven); only the materialization boundary renames positionally
+    // (toDF), and the ORACLE aliases its final select to the same names.
+    // All money outputs are integer-valued DOUBLEs in the derived schema,
+    // so the s11..s32 sums are exact and order-independent cross-engine.
+    "q_tpcds_v64" -> Q(
+      run = (s, dir) => {
+        TpcdsVerbatimQueries.register(s, dir)
+        new graft.sql.EngineEnv(s).sqlQuery(q64).toDF(
+          "product_name", "store_name", "store_zip", "b_street_number",
+          "b_street_name", "b_city", "b_zip", "c_street_number",
+          "c_street_name", "c_city", "c_zip", "syear", "cnt",
+          "s11", "s21", "s31", "s12", "s22", "s32", "syear2", "cnt2")
+      },
+      oracle = Some(TpcdsVerbatimQueries.oracleFor(q64).replace(
+        "     ,cs2.syear\n     ,cs2.cnt\nfrom cross_sales",
+        "     ,cs2.syear AS syear2\n     ,cs2.cnt AS cnt2\nfrom cross_sales"))))
 }

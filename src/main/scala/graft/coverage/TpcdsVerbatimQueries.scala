@@ -47,7 +47,9 @@ object TpcdsVerbatimQueries {
     dayName: String => String,         // date → 'Sunday'-style name
     dow: String => String,             // date → day-of-week, Sunday = 0
     addDays: (String, String) => String, // date + n days
-    secondsTable: String)              // 86400-row (n BIGINT) relation
+    secondsTable: String,              // 86400-row (n BIGINT) relation
+    sortedList: String => String,      // expr → sorted-array aggregate
+    elemAt: (String, String) => String) // (array, 1-based idx) → element
 
   private val sparkDialect = Dialect(t => s"th_$t", "STRING",
     d => s"add_months($d, 36)",
@@ -55,7 +57,9 @@ object TpcdsVerbatimQueries {
     d => s"date_format($d, 'EEEE')",
     d => s"(dayofweek($d) - 1)",
     (d, n) => s"date_add($d, CAST(($n) AS INT))",
-    "(SELECT CAST(id AS BIGINT) AS n FROM range(86400))")
+    "(SELECT CAST(id AS BIGINT) AS n FROM range(86400))",
+    e => s"array_sort(collect_list($e))",
+    (a, i) => s"element_at($a, CAST($i AS INT))")
 
   private val duckDialect = Dialect(t => s"main.$t", "VARCHAR",
     d => s"CAST($d + INTERVAL 36 MONTH AS DATE)",
@@ -63,10 +67,26 @@ object TpcdsVerbatimQueries {
     d => s"dayname($d)",
     d => s"dayofweek($d)",
     (d, n) => s"($d + CAST($n AS INT))",
-    "(SELECT CAST(n AS BIGINT) AS n FROM generate_series(0, 86399) t(n))")
+    "(SELECT CAST(n AS BIGINT) AS n FROM generate_series(0, 86399) t(n))",
+    e => s"list_sort(list($e))",
+    (a, i) => s"$a[CAST($i AS INT)]")
 
   /** One derivation template, instantiated per engine. Order matters for
-    * the DuckDB WITH-list (later CTEs may reference earlier ones). */
+    * the DuckDB WITH-list (later CTEs may reference earlier ones).
+    *
+    * r10 (hosting q64): `ss_cdemo_sk` is DECORRELATED from the customer key
+    * — when it equaled `o_custkey` it was always the same row as
+    * `c_current_cdemo_sk`, so any sale-time-vs-current demographic
+    * comparison (q64's `cd1.cd_marital_status <> cd2.cd_marital_status`)
+    * was provably empty; the remap keeps the uniform 1..ncust domain.
+    * `customer` gains `c_first_sales_date_sk`/`c_first_shipto_date_sk`,
+    * deterministic picks FROM date_dim itself (1-row broadcast cross join,
+    * the existing ncust idiom) so the d2/d3 equi-joins always land.
+    * The three `cr_*` refund components (consumed only by q40/q64) are
+    * scaled so `2*refund` straddles `sum(cs_ext_list_price)` with per-row
+    * variance via `(l_orderkey % 7)`: q64's cs_ui HAVING keeps ~78% of
+    * items (was ~3%, floor artifacts only, which left q64 permanently
+    * empty at every fixture scale). */
   private def viewSql(t: Dialect): Seq[(String, String)] = {
     import t._
     val dateSk = (d: String) =>
@@ -93,7 +113,7 @@ object TpcdsVerbatimQueries {
                CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS ss_sold_time_sk,
                CAST(l_partkey AS BIGINT) AS ss_item_sk,
                CAST(o_custkey AS BIGINT) AS ss_customer_sk,
-               CAST(o_custkey AS BIGINT) AS ss_cdemo_sk,
+               CAST(1 + (o_custkey * 13 + l_orderkey * 7) % ncust AS BIGINT) AS ss_cdemo_sk,
                CAST(o_custkey AS BIGINT) AS ss_hdemo_sk,
                CASE WHEN (o_custkey * 7 + l_orderkey) % 19 = 0 THEN NULL
                     ELSE CAST(1 + (o_custkey * 7 + l_orderkey) % ncust AS BIGINT) END AS ss_addr_sk,
@@ -199,8 +219,12 @@ object TpcdsVerbatimQueries {
                CAST(1 + c_custkey % 28 AS BIGINT) AS c_birth_day,
                'c' || CAST(c_custkey AS $str) || '@example.com' AS c_email_address,
                CAST(NULL AS $str) AS c_login,
-               CAST(2450000 + c_custkey % 1000 AS BIGINT) AS c_last_review_date_sk
-        FROM ${tbl("customer")}""",
+               CAST(2450000 + c_custkey % 1000 AS BIGINT) AS c_last_review_date_sk,
+               ${elemAt("dd.sks", "1 + c_custkey % dd.nd")} AS c_first_sales_date_sk,
+               ${elemAt("dd.sks", "1 + (c_custkey * 7 + 3) % dd.nd")} AS c_first_shipto_date_sk
+        FROM ${tbl("customer")} CROSS JOIN
+             (SELECT ${sortedList("d_date_sk")} AS sks, COUNT(*) AS nd
+              FROM date_dim) dd""",
       "customer_address" -> s"""
         SELECT CAST(c_custkey AS BIGINT) AS ca_address_sk,
                CASE c_custkey % 30 WHEN 0 THEN 'Edgewood' WHEN 1 THEN 'Fairview'
@@ -375,9 +399,9 @@ object TpcdsVerbatimQueries {
                CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_quantity,
                CAST(FLOOR(up / 10) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_amount,
                CAST((FLOOR(up / 10) + FLOOR(l_tax * 100)) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_return_amt_inc_tax,
-               CAST(FLOOR(up / 11) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_refunded_cash,
-               CAST(FLOOR(up / 30) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_reversed_charge,
-               CAST(FLOOR(up / 40) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_store_credit,
+               CAST(FLOOR(up * ((l_orderkey % 7) + 2) / 80) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_refunded_cash,
+               CAST(FLOOR(up / 45) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_reversed_charge,
+               CAST(FLOOR(up / 60) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_store_credit,
                CAST(FLOOR(up / 12) * FLOOR(l_quantity / 2) AS DOUBLE) AS cr_net_loss
         FROM (SELECT l.*, ${shift("CAST(l_shipdate AS DATE)")} AS sd,
                      l_extendedprice / l_quantity AS up, o_custkey
