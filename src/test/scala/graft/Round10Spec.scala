@@ -103,4 +103,63 @@ class Round10Spec extends SparkTestBase {
       assert(got == want, s"avg($vals) as $decl: spark=$got emulated=$want")
     }
   }
+
+  /** q64 hosting pins (r10): the verbatim query is only meaningful if the
+    * derived schema keeps its predicates SATISFIABLE-BUT-SELECTIVE — every
+    * arm below was provably degenerate under the pre-r10 derivation
+    * (empty cs_ui intersection, always-equal demo keys), which left q64
+    * green only by both engines agreeing on the empty set. */
+  private def tpcdsViews(): Unit = {
+    SparkEntry.queries.size // break the coverage-registry static-init cycle
+    graft.coverage.TpcdsVerbatimQueries.register(spark, sfDir)
+  }
+
+  test("q64 derivation: cs_ui HAVING keeps a strict non-empty subset of items") {
+    tpcdsViews()
+    val Array(universe, kept) = spark.sql(
+      """SELECT count(DISTINCT cs_item_sk),
+                count(DISTINCT CASE WHEN pass THEN cs_item_sk END) FROM (
+           SELECT cs_item_sk,
+                  sum(cs_ext_list_price) >
+                    2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS pass
+           FROM catalog_sales JOIN catalog_returns
+             ON cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+           GROUP BY cs_item_sk)""").head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(kept > 0, "cs_ui empty: the refund rescale regressed")
+    assert(kept < universe, "cs_ui degenerate: HAVING keeps every item")
+  }
+
+  test("q64 derivation: sale-time vs current demographics genuinely differ") {
+    tpcdsViews()
+    val differ = spark.sql(
+      """SELECT count(*) FROM store_sales
+         JOIN customer ON ss_customer_sk = c_customer_sk
+         JOIN customer_demographics cd1 ON ss_cdemo_sk = cd1.cd_demo_sk
+         JOIN customer_demographics cd2 ON c_current_cdemo_sk = cd2.cd_demo_sk
+         WHERE cd1.cd_marital_status <> cd2.cd_marital_status""").head().getLong(0)
+    assert(differ > 0, "ss_cdemo_sk re-correlated with the customer key: " +
+      "q64's marital-status inequality is provably empty again")
+  }
+
+  test("q64 derivation: customer first-date surrogates resolve in date_dim") {
+    tpcdsViews()
+    val dangling = spark.sql(
+      """SELECT count(*) FROM customer c
+         LEFT ANTI JOIN date_dim d2 ON c.c_first_sales_date_sk = d2.d_date_sk""").head().getLong(0) +
+      spark.sql(
+      """SELECT count(*) FROM customer c
+         LEFT ANTI JOIN date_dim d3 ON c.c_first_shipto_date_sk = d3.d_date_sk""").head().getLong(0)
+    assert(dangling == 0L, s"$dangling customers with first-date surrogates outside date_dim")
+  }
+
+  test("q_tpcds_v64 is non-empty at sf0.01 with deduplicated output names") {
+    val df = SparkEntry.queries("q_tpcds_v64")(spark, "/root/testdata/sf0.01")
+    assert(df.columns.toSeq == Seq(
+      "product_name", "store_name", "store_zip", "b_street_number",
+      "b_street_name", "b_city", "b_zip", "c_street_number",
+      "c_street_name", "c_city", "c_zip", "syear", "cnt",
+      "s11", "s21", "s31", "s12", "s22", "s32", "syear2", "cnt2"))
+    assert(df.count() >= 1, "q64 funnel collapsed to empty at sf0.01 — " +
+      "the 1999↔2000 same-item-same-store self-join no longer matches")
+  }
 }
