@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain JVM's stdout through unprefixed: the bench
+// driver tails the process output and parses the last line as bare
+// JSON; sbt's default logger-backed output strategy prefixes every
+// line with "[info] ", which defeats that parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -528,20 +528,27 @@ object TpcdsVerbatimQueries {
     * (e.g. an unqualified ORDER BY column that Spark resolves by
     * output-column preference): the patch qualifies the reference to the
     * exact column Spark's binding picks, changing nothing else. */
+  /** Apply literal oracle patches, failing LOUDLY at registration if a
+    * pattern does not occur: the patches embed exact official-text
+    * whitespace, so a silently-degraded no-op replace (String.replace on
+    * a drifted text) would leave the oracle un-patched with only a
+    * downstream verify red as the signal. */
+  private[coverage] def applyPatches(text: String, patches: Seq[(String, String)]): String =
+    patches.foldLeft(text) { case (t, (from, to)) =>
+      require(t.contains(from), s"oracle patch pattern not found in query text: ${from.take(80)}")
+      t.replace(from, to)
+    }
+
   private[coverage] def mkP(qtext: String, patches: (String, String)*): Q = Q(
     run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
-    oracle = Some(patches.foldLeft(oracleFor(qtext)) {
-      case (t, (from, to)) => t.replace(from, to)
-    }))
+    oracle = Some(applyPatches(oracleFor(qtext), patches)))
 
   /** mkP + mkW combined: targeted oracle-text patches AND a wrapping
     * SELECT over the patched oracle (for queries needing both a binder
     * qualification and a result-type normalization). */
   private[coverage] def mkPW(qtext: String, wrapSelect: String, patches: (String, String)*): Q = Q(
     run = (s, dir) => { register(s, dir); new graft.sql.EngineEnv(s).sqlQuery(qtext) },
-    oracle = Some(s"SELECT $wrapSelect FROM (\n${patches.foldLeft(oracleFor(qtext)) {
-      case (t, (from, to)) => t.replace(from, to)
-    }}\n) oq"))
+    oracle = Some(s"SELECT $wrapSelect FROM (\n${applyPatches(oracleFor(qtext), patches)}\n) oq"))
 
   private val q3: String =
 """select  dt.d_year 

@@ -29,6 +29,7 @@ class Round10Spec extends SparkTestBase {
   private def loopWidth(parts: Option[String], ambient: String): Int = {
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", ambient)
     conf.set("graft.graph.broadcastMaxRows", "0") // force the partitioned path
@@ -38,7 +39,7 @@ class Round10Spec extends SparkTestBase {
       conf.unset("graft.graph.broadcastMaxRows")
       conf.unset("graft.graph.loopShufflePartitions")
       conf.set("spark.sql.shuffle.partitions", prev)
-      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
@@ -48,8 +49,9 @@ class Round10Spec extends SparkTestBase {
   }
 
   test("graft.graph.loopShufflePartitions narrows the loop width and is restored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
     assert(loopWidth(Some("3"), ambient = "7") == 3)
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
       "loop override leaked into the session conf")
   }
 

@@ -28,10 +28,12 @@ def load_queries(path):
         return d["queries"]
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]["queries"]
-    # driver record with a truncated tail: recover what survives
+    # driver record with a truncated tail: recover what survives. Query
+    # keys are q_* / q1_* — anchored so the compact line's "queries_n":N
+    # count field can't be recovered as a fake query (ADVICE r10).
     tail = d.get("tail", "")
     return {m.group(1): float(m.group(2))
-            for m in re.finditer(r'"(q[\w]+)":([\d.]+)', tail)}
+            for m in re.finditer(r'"(q_[\w]+|q1_[\w]+)":([\d.]+)', tail)}
 
 
 def main():

@@ -25,7 +25,17 @@ truth: on the archived /root/.graft/verify_out this reproduces the exact
 The type audit additionally flags ANY decimal-typed oracle output column
 (all of them lower to float64, not just precision>18) as WARN-TYPE — a
 warning, not a verdict, because the driver itself passes value-lucky
-fixtures (r9 q_tpcds_v22); the round gate requires zero WARN-TYPE at HEAD.
+fixtures (r9 q_tpcds_v22); the round gate requires zero WARN-TYPE at HEAD
+and runs with --strict, which turns nwarn>0 into a nonzero exit.
+
+r11: H1 is PROVEN (r10 driver run + the judge's reproduction), so a
+render-sorted-equal / raw-sorted-divergent gated query is now a
+predicted-FAIL verdict, not a note — calibrated to reproduce the
+driver's exact r10 469/4 split on the archived verify_out. The four
+blocked queries live outside the gate (TpcdsVerbatim2Queries.h1Blocked,
+dumped by run_verify.sh to <out>.excluded) and are value-pinned here by
+rendered-multiset equality (PASS-VALUE), the only canonicalization the
+driver's hash cannot express for them.
 """
 import sys, json, glob, os, decimal
 import duckdb, pandas as pd, numpy as np
@@ -54,7 +64,7 @@ def _render_frame(df: pd.DataFrame) -> pd.DataFrame:
         out[c] = out[c].map(_render)
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
-def compare(name, spark_df, oracle_df):
+def compare(name, spark_df, oracle_df, h1_is_fail=True):
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols spark={list(a.columns)} oracle={list(b.columns)}"
@@ -70,14 +80,25 @@ def compare(name, spark_df, oracle_df):
             badc = [c for c in ra.columns if (ra[c] != rb[c]).any()]
             return (f"RENDER cols {badc}: {int(neq.sum())} row diffs e.g. row{i} "
                     f"{ra.loc[i, badc[0]]!r} vs {rb.loc[i, badc[0]]!r}")
-        # raw-order cross-check: does pre-render sorting agree too?
+        # raw-order cross-check. H1 is PROVEN (r10 driver run + the judge's
+        # direct reproduction: v7/v18/v26/v27 red with rendered multisets
+        # exactly equal, v83's raw-order-agreeing twin green): the driver
+        # sorts RAW values before rendering, so a render-sorted-equal but
+        # raw-sorted-divergent result is a predicted driver FAIL for any
+        # gated query — not a note. For the excluded value-pin pass
+        # (h1_is_fail=False) rendered-multiset equality IS the verdict.
         pa = canon(spark_df).reset_index(drop=True)
         pa = pa.apply(lambda col: col.map(_render))
         pb = canon(oracle_df).reset_index(drop=True)
         pb = pb.apply(lambda col: col.map(_render))
         if not pa.equals(pb):
-            print(f"NOTE {name}: H1-DIVERGENT (render-sorted equal, raw-sorted order "
-                  f"differs on {dec_cols} — green only if the driver sorts post-render)")
+            if h1_is_fail:
+                return (f"H1 raw-sort divergence on {dec_cols}: rendered multisets "
+                        "EQUAL but raw-value row order differs — the driver sorts "
+                        "raw values pre-render (proven r10), predicted hash FAIL; "
+                        "exclude from the gated corpus (TpcdsVerbatim2Queries.h1Blocked)")
+            print(f"NOTE {name}: H1-divergent raw order on {dec_cols} — "
+                  "value-pinned via rendered-multiset equality (excluded corpus)")
         return None
     bad = []
     for c in a.columns:
@@ -96,8 +117,14 @@ def compare(name, spark_df, oracle_df):
     return "; ".join(bad) if bad else None
 
 def main():
-    sf, out = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --strict: exit nonzero on WARN-TYPE too (the round gate's invariant is
+    # ZERO decimal-typed oracle outputs at HEAD; without --strict a
+    # value-lucky decimal fixture would exit 0 and the invariant would be
+    # aspirational only — ADVICE r10 medium).
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf, out = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -154,8 +181,31 @@ def main():
         err = compare(name, spark_df, oracle_df)
         if err: print(f"FAIL {name}: {err}"); nfail += 1
         else: print(f"PASS {name} ({len(spark_df)} rows)"); npass += 1
+    # Excluded-corpus value pin: the H1-blocked queries (hosted, executing,
+    # driver-ungated — TpcdsVerbatim2Queries.h1Blocked) are dumped by
+    # run_verify.sh to <out>.excluded. Their verdict is rendered-multiset
+    # equality (the canonicalization the driver's raw-sort hash cannot
+    # express for them); a red here is a real value regression and fails
+    # the replica gate.
+    exdir = os.environ.get("SPARK_GRAFT_EXCLUDED_OUT", out + ".excluded")
+    exjson = os.path.join(exdir, "oracle_sql_excluded.json")
+    if os.path.isfile(exjson):
+        exoracles = json.load(open(exjson))
+        for name in sorted(exoracles):
+            if only and name not in only: continue
+            files = glob.glob(os.path.join(exdir, name, "*.parquet"))
+            if not files:
+                print(f"FAIL {name}: no spark output (excluded corpus)"); nfail += 1; continue
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            try:
+                oracle_df = con.sql(exoracles[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle error {e} (excluded corpus)"); nfail += 1; continue
+            err = compare(name, spark_df, oracle_df, h1_is_fail=False)
+            if err: print(f"FAIL {name}: {err} (excluded corpus)"); nfail += 1
+            else: print(f"PASS-VALUE {name} ({len(spark_df)} rows, excluded corpus)"); npass += 1
     print(f"== {npass} pass / {nfail} fail / {nwarn} type-warn ==")
-    sys.exit(1 if nfail else 0)
+    sys.exit(1 if nfail else (1 if strict and nwarn else 0))
 
 if __name__ == "__main__":
     main()

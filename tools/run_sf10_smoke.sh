@@ -8,12 +8,14 @@
 set -e
 cd /root/repo
 SF10=${1:-/dev/shm/graft/sf10}
-# q_graph_pagerank_part forces the broadcast threshold to zero, so the
-# partitioned iterative-loop fallback (the r9 100x-design work) gets a
-# direct 100x measurement, not just sf0.1 twins (VERDICT r9 #6); the
+# q_graph_pagerank_part / q_graph_hits_part force the broadcast threshold
+# to zero, so the partitioned iterative-loop fallback (the r9 100x-design
+# work) gets direct 100x measurements on TWO loop shapes (r10 VERDICT #4:
+# the fallback claim rested on pageRank alone); q_stream_cdc_join adds a
+# state-store-heavy streaming ratio beyond the e2e corpus replay. The
 # loops run at honest ambient width here (SPARK_GRAFT_LOOP_PARTS=32
 # overrides Bench's fixture-scale default of 4).
-QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_pagerank_part,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus"
+QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_pagerank_part,q_graph_hits_part,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus,q_stream_cdc_join"
 export SPARK_GRAFT_LOOP_PARTS=32
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \

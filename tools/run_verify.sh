@@ -16,6 +16,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# The H1-blocked queries (TpcdsVerbatim2Queries.h1Blocked) dump to a
+# sibling dir so check.py can prove rendered-multiset value equality
+# without polluting the driver-shaped outDir.
+export SPARK_GRAFT_EXCLUDED_OUT="${SPARK_GRAFT_EXCLUDED_OUT:-$OUT.excluded}"
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
