@@ -25,19 +25,27 @@ object ChangelogAgg {
     import s.implicits._
     df.select(col(keyCol).cast("string").as("key")).as[Keyed]
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: String, it: Iterator[Keyed], state: GroupState[Long]) => {
-          val delta = it.size.toLong
-          if (delta == 0) Iterator.empty
-          else state.getOption match {
-            case None =>
-              state.update(delta)
-              Iterator(Change("+I", key, delta))
-            case Some(prev) =>
-              state.update(prev + delta)
-              Iterator(Change("-U", key, prev), Change("+U", key, prev + delta))
-          }
-        })
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(transition _)
       .toDF()
+  }
+
+  /** One keyed state transition — the exact function the operator runs,
+    * exposed so StateHarnessSpec can drive the +I → -U/+U changelog
+    * lattice directly with a TestGroupState (mirrors the reference's
+    * GroupAggregateHarnessTest "test state with retraction" sequence —
+    * ref flink-table-planner/.../harness/GroupAggregateHarnessTest
+    * .scala:53). */
+  private[graft] def transition(key: String, it: Iterator[Keyed],
+                                state: GroupState[Long]): Iterator[Change] = {
+    val delta = it.size.toLong
+    if (delta == 0) Iterator.empty
+    else state.getOption match {
+      case None =>
+        state.update(delta)
+        Iterator(Change("+I", key, delta))
+      case Some(prev) =>
+        state.update(prev + delta)
+        Iterator(Change("-U", key, prev), Change("+U", key, prev + delta))
+    }
   }
 }

@@ -73,9 +73,20 @@ object RetractableTopN {
     src
       .as[(String, String, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
-        (pkey: String, it: Iterator[(String, String, String, Long, Long, java.sql.Timestamp)],
-         state: GroupState[TopNState]) => {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(transition(n, ttlMicros))
+      .toDF()
+  }
+
+  /** One keyed state transition (a micro-batch's rows for one pkey →
+    * emissions + state mutation) — the exact function the streaming
+    * operator runs, exposed so StateHarnessSpec can drive it through
+    * crafted element/watermark/timer sequences with a TestGroupState
+    * (the Flink-analog of RetractableTopNFunctionTest's
+    * OneInputStreamOperatorTestHarness — ref flink-table-runtime-blink/
+    * .../rank/RetractableTopNFunctionTest.java:58,364). */
+  private[graft] def transition(n: Int, ttlMicros: Long)(
+      pkey: String, it: Iterator[(String, String, String, Long, Long, java.sql.Timestamp)],
+      state: GroupState[TopNState]): Iterator[TopNOut] = {
           if (ttlMicros > 0 && state.hasTimedOut) { // idle-state cleanup timer
             state.remove(); Iterator.empty
           } else {
@@ -112,8 +123,6 @@ object RetractableTopN {
             .iterator.zipWithIndex
             .map { case ((id, v), i) => TopNOut(pkey, epoch, i + 1, id, v) }
           }
-        })
-      .toDF()
   }
 
   /** The latest ranking per partition from the accumulated Update-mode

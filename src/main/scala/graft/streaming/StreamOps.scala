@@ -1123,29 +1123,39 @@ object StreamOps {
       .as[(Long, Long, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, it: Iterator[(Long, Long, String, Long, Long, java.sql.Timestamp)],
-         state: GroupState[CepTOState]) => {
-          val wm = state.getCurrentWatermarkMs() * 1000L
-          val st = state.getOption.getOrElse(CepTOState(Nil, 0))
-          val all = (st.events ++ it.map(e => Cep.Ev(e._1, e._2, e._3, e._4, e._5)))
-            .sortBy(e => (e.tsMicros, e.eventId))
-          val ms = Cep.matches(all.toIndexedSeq, pattern).toList
-          val newMatches = ms.drop(st.emittedMatches)
-          val cutoff = wm - withinMicros
-          val matchedStarts = ms.map(_.startId).toSet
-          // expired anchors: window closed below the watermark, never matched
-          val timeouts = all.filter(e => e.eventType == "click" &&
-              e.tsMicros <= cutoff && !matchedStarts(e.eventId))
-            .map(e => CepTOOut(1, e.userId, e.eventId, e.tsMicros + withinMicros))
-          val kept = all.filter(_.tsMicros > cutoff)
-          state.update(CepTOState(kept, ms.count(_.startTsMicros > cutoff)))
-          // every kept anchor's deadline is > wm, so the ceil'd ms timer is
-          // strictly in the future — Spark rejects timers at/below the wm
-          kept.filter(_.eventType == "click").map(_.tsMicros + withinMicros)
-            .minOption.foreach(dl => state.setTimeoutTimestamp((dl + 999) / 1000))
-          (newMatches.map(m => CepTOOut(0, m.userId, m.startId, m.endId)) ++ timeouts).iterator
-        })
+        cepTimeoutTransition(pattern, withinMicros))
       .toDF()
+  }
+
+  /** One keyed CEP state transition (buffer merge → match scan → expiry
+    * emission → prune → timer re-arm) — the exact function
+    * [[cepClickPurchaseWithTimeouts]] runs, exposed so StateHarnessSpec
+    * can drive crafted element/watermark/timer sequences directly
+    * (mirrors flink-cep CEPOperatorTest.testKeyedAdvancingTimeWithoutElements
+    * and testCEPOperatorCleanupEventTime — ref flink-libraries/flink-cep/
+    * .../operator/CEPOperatorTest.java:282,565). */
+  private[graft] def cepTimeoutTransition(pattern: Cep.Pattern, withinMicros: Long)(
+      key: Long, it: Iterator[(Long, Long, String, Long, Long, java.sql.Timestamp)],
+      state: GroupState[CepTOState]): Iterator[CepTOOut] = {
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val st = state.getOption.getOrElse(CepTOState(Nil, 0))
+    val all = (st.events ++ it.map(e => Cep.Ev(e._1, e._2, e._3, e._4, e._5)))
+      .sortBy(e => (e.tsMicros, e.eventId))
+    val ms = Cep.matches(all.toIndexedSeq, pattern).toList
+    val newMatches = ms.drop(st.emittedMatches)
+    val cutoff = wm - withinMicros
+    val matchedStarts = ms.map(_.startId).toSet
+    // expired anchors: window closed below the watermark, never matched
+    val timeouts = all.filter(e => e.eventType == "click" &&
+        e.tsMicros <= cutoff && !matchedStarts(e.eventId))
+      .map(e => CepTOOut(1, e.userId, e.eventId, e.tsMicros + withinMicros))
+    val kept = all.filter(_.tsMicros > cutoff)
+    state.update(CepTOState(kept, ms.count(_.startTsMicros > cutoff)))
+    // every kept anchor's deadline is > wm, so the ceil'd ms timer is
+    // strictly in the future — Spark rejects timers at/below the wm
+    kept.filter(_.eventType == "click").map(_.tsMicros + withinMicros)
+      .minOption.foreach(dl => state.setTimeoutTimestamp((dl + 999) / 1000))
+    (newMatches.map(m => CepTOOut(0, m.userId, m.startId, m.endId)) ++ timeouts).iterator
   }
 
   /** Streaming CEP — ref CepOperator.java:83: keyed state buffers the
