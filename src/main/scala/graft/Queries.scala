@@ -102,5 +102,5 @@ object Queries {
     coverage.Sql2Queries.all ++ coverage.Pipeline6Queries.all ++ coverage.Pipeline7Queries.all ++
     coverage.Pipeline8Queries.all ++ coverage.Round5Queries.all ++
     coverage.Round5bQueries.all ++ coverage.Round6Queries.all ++ coverage.Round7Queries.all ++
-    coverage.TpcdsVerbatimQueries.all ++ coverage.Round8Queries.all ++ coverage.Round9Queries.all ++ coverage.TpcdsVerbatim2Queries.all
+    coverage.TpcdsVerbatimQueries.all ++ coverage.Round8Queries.all ++ coverage.Round9Queries.all ++ coverage.TpcdsVerbatim2Queries.all ++ coverage.Pipeline9Queries.all
 }
