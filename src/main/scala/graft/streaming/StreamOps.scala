@@ -968,33 +968,43 @@ object StreamOps {
       .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(e => (e._1, e._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (Long, String), it: Iterator[(Long, String, Long, java.sql.Timestamp)],
-         state: GroupState[Long]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty } // cleanup timer
-          else {
-            var last = state.getOption.getOrElse(Long.MinValue)
-            val kept = scala.collection.mutable.ListBuffer[TtlDedupOut]()
-            it.toIndexedSeq
-              .map(e => (e._3, e._4.getTime * 1000 + (e._4.getNanos / 1000) % 1000))
-              .sortBy(t => (t._2, t._1))
-              .foreach { case (eid, tsu) =>
-                if (last == Long.MinValue || tsu > last + ttlMicros) {
-                  last = tsu
-                  kept += TtlDedupOut(key._1, key._2, eid)
-                }
-              }
-            if (last != Long.MinValue) {
-              val deadline = last + ttlMicros
-              if (deadline > state.getCurrentWatermarkMs() * 1000) {
-                state.update(last)
-                // ms timer rounded UP so it never fires before the µs deadline
-                state.setTimeoutTimestamp((deadline + 999) / 1000)
-              } else state.remove() // already expired: next event re-admits
-            }
-            kept.iterator
-          }
-        })
+        ttlDedupTransition(ttlMicros))
       .toDF()
+  }
+
+  /** One keyed TTL-dedup transition — the exact function [[ttlDedup]]
+    * runs, exposed so StateHarnessSpec can pin the admit/suppress walk and
+    * the cleanup-timer lifecycle directly (mirrors
+    * flink-table-runtime-blink deduplicate harness tests — ref
+    * .../deduplicate/RowTimeDeduplicateFunctionTest.java, which drives
+    * keep-first rows and watermark-driven state expiry through
+    * OneInputStreamOperatorTestHarness). */
+  private[graft] def ttlDedupTransition(ttlMicros: Long)(
+      key: (Long, String), it: Iterator[(Long, String, Long, java.sql.Timestamp)],
+      state: GroupState[Long]): Iterator[TtlDedupOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty } // cleanup timer
+    else {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val kept = scala.collection.mutable.ListBuffer[TtlDedupOut]()
+      it.toIndexedSeq
+        .map(e => (e._3, e._4.getTime * 1000 + (e._4.getNanos / 1000) % 1000))
+        .sortBy(t => (t._2, t._1))
+        .foreach { case (eid, tsu) =>
+          if (last == Long.MinValue || tsu > last + ttlMicros) {
+            last = tsu
+            kept += TtlDedupOut(key._1, key._2, eid)
+          }
+        }
+      if (last != Long.MinValue) {
+        val deadline = last + ttlMicros
+        if (deadline > state.getCurrentWatermarkMs() * 1000) {
+          state.update(last)
+          // ms timer rounded UP so it never fires before the µs deadline
+          state.setTimeoutTimestamp((deadline + 999) / 1000)
+        } else state.remove() // already expired: next event re-admits
+      }
+      kept.iterator
+    }
   }
 
   case class TimerState(lastTs: Long, lastId: Long, timerAt: Long)
@@ -1021,37 +1031,47 @@ object StreamOps {
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[TimerState]) => {
-          if (state.hasTimedOut) { // onTimer
-            val st = state.get
-            state.remove()
-            Iterator.single(TimerOut(key, st.lastId, st.lastTs, st.timerAt))
-          } else {
-            var st = state.getOption.getOrElse(TimerState(Long.MinValue, -1L, Long.MaxValue))
-            val out = scala.collection.mutable.ListBuffer[TimerOut]()
-            it.toIndexedSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
-              val ts = e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000
-              if (st.timerAt != Long.MaxValue && ts > st.timerAt)
-                out += TimerOut(key, st.lastId, st.lastTs, st.timerAt) // lapsed between events
-              st = TimerState(ts, e._2, ts + gapMicros)
-            }
-            if (st.timerAt != Long.MaxValue) {
-              state.update(st)
-              // register the pending timer; a timestamp at/below the current
-              // watermark would be rejected — it is already expired, fire now.
-              // Compare in MICROS (strict passing) and round the ms-granular
-              // Spark timer UP so it never fires before the µs deadline
-              if (st.timerAt > state.getCurrentWatermarkMs() * 1000) {
-                state.setTimeoutTimestamp((st.timerAt + 999) / 1000)
-              } else {
-                out += TimerOut(key, st.lastId, st.lastTs, st.timerAt)
-                state.remove()
-              }
-            }
-            out.iterator
-          }
-        })
+        inactivityTransition(gapMicros))
       .toDF()
+  }
+
+  /** One keyed timer transition — the exact function [[inactivityTimeout]]
+    * runs, exposed so StateHarnessSpec can drive registerEventTimeTimer /
+    * onTimer sequences directly (mirrors flink-streaming-java
+    * KeyedProcessOperatorTest.testEventTimeTimers and
+    * .testEventTimeTimerWithState — ref flink-streaming-java/.../operators/
+    * KeyedProcessOperatorTest.java). */
+  private[graft] def inactivityTransition(gapMicros: Long)(
+      key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+      state: GroupState[TimerState]): Iterator[TimerOut] = {
+    if (state.hasTimedOut) { // onTimer
+      val st = state.get
+      state.remove()
+      Iterator.single(TimerOut(key, st.lastId, st.lastTs, st.timerAt))
+    } else {
+      var st = state.getOption.getOrElse(TimerState(Long.MinValue, -1L, Long.MaxValue))
+      val out = scala.collection.mutable.ListBuffer[TimerOut]()
+      it.toIndexedSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+        val ts = e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000
+        if (st.timerAt != Long.MaxValue && ts > st.timerAt)
+          out += TimerOut(key, st.lastId, st.lastTs, st.timerAt) // lapsed between events
+        st = TimerState(ts, e._2, ts + gapMicros)
+      }
+      if (st.timerAt != Long.MaxValue) {
+        state.update(st)
+        // register the pending timer; a timestamp at/below the current
+        // watermark would be rejected — it is already expired, fire now.
+        // Compare in MICROS (strict passing) and round the ms-granular
+        // Spark timer UP so it never fires before the µs deadline
+        if (st.timerAt > state.getCurrentWatermarkMs() * 1000) {
+          state.setTimeoutTimestamp((st.timerAt + 999) / 1000)
+        } else {
+          out += TimerOut(key, st.lastId, st.lastTs, st.timerAt)
+          state.remove()
+        }
+      }
+      out.iterator
+    }
   }
 
   case class LateOut(user_id: Long, event_id: Long)

@@ -161,6 +161,92 @@ class StateHarnessSpec extends AnyFunSuite {
     assert(o3.isEmpty)
   }
 
+  // ------------------------------------------- inactivity timers (KPO)
+
+  private type TimerRow = (Long, Long, java.sql.Timestamp)
+  private def tev(id: Long, tsMicros: Long): TimerRow =
+    (5L, id, new java.sql.Timestamp(tsMicros / 1000))
+
+  private def timerStep(st: Option[StreamOps.TimerState], rows: Seq[TimerRow], wmMs: Long,
+                        gap: Long, timedOut: Boolean = false)
+      : (TestGroupState[StreamOps.TimerState], Seq[StreamOps.TimerOut]) = {
+    val state = TestGroupState.create[StreamOps.TimerState](
+      st.map(Optional.of[StreamOps.TimerState]).getOrElse(Optional.empty[StreamOps.TimerState]),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of[Long](wmMs), timedOut)
+    val out = StreamOps.inactivityTransition(gap)(5L, rows.iterator, state).toSeq
+    (state, out)
+  }
+
+  /** Mirrors KeyedProcessOperatorTest.testEventTimeTimers /
+    * .testEventTimeTimerWithState (ref flink-streaming-java/.../operators/
+    * KeyedProcessOperatorTest.java): each element re-registers the timer
+    * at ts+gap; the watermark passing a pending timer fires onTimer with
+    * the state the element left behind; a newer element supersedes the
+    * older timer so it never fires. */
+  test("inactivity timer: re-registration supersedes; onTimer sees the registering state") {
+    val gap = 30L * 1000000
+    val t1 = 10L * 1000000
+    // element 1 arms timer at t1+gap
+    val (s1, o1) = timerStep(None, Seq(tev(101, t1)), wmMs = 0L, gap = gap)
+    assert(o1.isEmpty)
+    assert(s1.get == StreamOps.TimerState(t1, 101L, t1 + gap))
+    assert(s1.getTimeoutTimestampMs.get == (t1 + gap + 999) / 1000)
+    // element 2 inside the gap supersedes: old timer must NOT fire
+    val t2 = t1 + gap / 2
+    val (s2, o2) = timerStep(Some(s1.get), Seq(tev(102, t2)), wmMs = 0L, gap = gap)
+    assert(o2.isEmpty, "superseded timer fired")
+    assert(s2.getTimeoutTimestampMs.get == (t2 + gap + 999) / 1000)
+    // watermark passes the pending timer with no rows → onTimer emits the
+    // REGISTERING element's state and clears it
+    val (s3, o3) = timerStep(Some(s2.get), Seq.empty,
+      wmMs = (t2 + gap) / 1000 + 1, gap = gap, timedOut = true)
+    assert(o3 == Seq(StreamOps.TimerOut(5L, 102L, t2, t2 + gap)))
+    assert(s3.isRemoved)
+    // a timer lapsing BETWEEN two same-batch elements fires inline
+    val t3 = 200L * 1000000
+    val t4 = t3 + gap + 1000 // +1 ms: the timestamp round-trip is ms-granular
+    val (_, o4) = timerStep(None, Seq(tev(201, t3), tev(202, t4)), wmMs = 0L, gap = gap)
+    assert(o4 == Seq(StreamOps.TimerOut(5L, 201L, t3, t3 + gap)),
+      "in-batch lapse must fire the older timer exactly once")
+  }
+
+  // ------------------------------------------- TTL dedup (keep-first)
+
+  /** Mirrors RowTimeDeduplicateFunctionTest (ref flink-table-runtime-blink/
+    * .../deduplicate/RowTimeDeduplicateFunctionTest.java): keep-first
+    * admits a row only past the TTL horizon from the last admit, and the
+    * watermark-driven cleanup timer drops idle state so a later row
+    * re-admits from empty. */
+  test("ttl dedup: admit/suppress walk + cleanup timer lifecycle") {
+    val ttl = 60L * 1000000
+    def step(st: Option[Long], rows: Seq[(Long, Long)], wmMs: Long, timedOut: Boolean = false) = {
+      val state = TestGroupState.create[Long](
+        st.map(Optional.of[Long]).getOrElse(Optional.empty[Long]),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of[Long](wmMs), timedOut)
+      val out = StreamOps.ttlDedupTransition(ttl)((5L, "click"),
+        rows.iterator.map { case (id, ts) =>
+          (5L, "click", id, new java.sql.Timestamp(ts / 1000)) }, state).toSeq
+      (state, out)
+    }
+    val t0 = 100L * 1000000
+    // first admit; duplicates inside the TTL suppressed IN ORDER (the
+    // in-batch walk sorts by (ts, id) so shuffle arrival can't matter)
+    val (s1, o1) = step(None, Seq((3L, t0 + 1000), (1L, t0), (2L, t0 + ttl / 2)), wmMs = 0L)
+    assert(o1.map(_.event_id) == Seq(1L), "only the FIRST row in ts order admits")
+    assert(s1.get == t0 && s1.getTimeoutTimestampMs.get == (t0 + ttl + 999) / 1000)
+    // past the horizon: re-admit, timer re-armed from the new admit
+    val t1 = t0 + ttl + 1000 // +1 ms: the timestamp round-trip is ms-granular
+    val (s2, o2) = step(Some(s1.get), Seq((9L, t1)), wmMs = 0L)
+    assert(o2.map(_.event_id) == Seq(9L) && s2.get == t1)
+    // cleanup timer fires → state dropped silently
+    val (s3, o3) = step(Some(s2.get), Seq.empty, wmMs = (t1 + ttl) / 1000 + 1, timedOut = true)
+    assert(o3.isEmpty && s3.isRemoved)
+    // and a row whose deadline is already below the watermark admits but
+    // leaves NO state behind (next event re-admits — no dead timer)
+    val (s4, o4) = step(None, Seq((11L, t0)), wmMs = (t0 + ttl) / 1000 + 1000)
+    assert(o4.map(_.event_id) == Seq(11L) && s4.isRemoved)
+  }
+
   /** Mirrors CEPOperatorTest.testCEPOperatorCleanupEventTime (ref :565):
     * matched sequences emit on the main side once, and watermark advance
     * prunes every buffered event outside the match window — the state the
