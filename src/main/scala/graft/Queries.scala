@@ -89,18 +89,34 @@ object Queries {
   def hashStr(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   def oHash(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
 
-  val all: Map[String, Q] = scala.collection.immutable.ListMap(
-    "q1_pricing_summary" -> q1PricingSummary,
-  ) ++ coverage.RelationalQueries.all ++ coverage.WindowQueries.all ++
-    coverage.PipelineQueries.all ++ coverage.StreamingQueries.all ++
-    coverage.SqlDialectQueries.all ++ coverage.MiscQueries.all ++ coverage.ExtraQueries.all ++
-    coverage.Extra2Queries.all ++ coverage.TpchQueries.all ++ coverage.Streaming2Queries.all ++
-    coverage.TpcdsShapeQueries.all ++ coverage.Round2Queries.all ++ coverage.Pipeline3Queries.all ++
-    coverage.Tpcds3Queries.all ++ coverage.Pipeline4Queries.all ++ coverage.Tpch2Queries.all ++
-    coverage.Tpcds4Queries.all ++ coverage.Pipeline5Queries.all ++ coverage.Tpcds5Queries.all ++
-    coverage.TableApiQueries.all ++ coverage.CdcQueries.all ++ coverage.InventoryQueries.all ++
-    coverage.Sql2Queries.all ++ coverage.Pipeline6Queries.all ++ coverage.Pipeline7Queries.all ++
-    coverage.Pipeline8Queries.all ++ coverage.Round5Queries.all ++
-    coverage.Round5bQueries.all ++ coverage.Round6Queries.all ++ coverage.Round7Queries.all ++
-    coverage.TpcdsVerbatimQueries.all ++ coverage.Round8Queries.all ++ coverage.Round9Queries.all ++ coverage.TpcdsVerbatim2Queries.all ++ coverage.Pipeline9Queries.all
+  private val modules: Seq[Map[String, Q]] = Seq(
+    scala.collection.immutable.ListMap("q1_pricing_summary" -> q1PricingSummary),
+    coverage.RelationalQueries.all, coverage.WindowQueries.all,
+    coverage.PipelineQueries.all, coverage.StreamingQueries.all,
+    coverage.SqlDialectQueries.all, coverage.MiscQueries.all, coverage.ExtraQueries.all,
+    coverage.Extra2Queries.all, coverage.TpchQueries.all, coverage.Streaming2Queries.all,
+    coverage.TpcdsShapeQueries.all, coverage.Round2Queries.all, coverage.Pipeline3Queries.all,
+    coverage.Tpcds3Queries.all, coverage.Pipeline4Queries.all, coverage.Tpch2Queries.all,
+    coverage.Tpcds4Queries.all, coverage.Pipeline5Queries.all, coverage.Tpcds5Queries.all,
+    coverage.TableApiQueries.all, coverage.CdcQueries.all, coverage.InventoryQueries.all,
+    coverage.Sql2Queries.all, coverage.Pipeline6Queries.all, coverage.Pipeline7Queries.all,
+    coverage.Pipeline8Queries.all, coverage.Round5Queries.all,
+    coverage.Round5bQueries.all, coverage.Round6Queries.all, coverage.Round7Queries.all,
+    coverage.TpcdsVerbatimQueries.all, coverage.Round8Queries.all, coverage.Round9Queries.all,
+    coverage.TpcdsVerbatim2Queries.all, coverage.Pipeline9Queries.all)
+
+  /** Merged registry. A cross-module name collision is a silent operator
+    * replacement under the driver gate (a later `++` overrides the
+    * earlier entry and the corpus shrinks by one) — require disjoint
+    * keys so it fails at registry init instead. */
+  val all: Map[String, Q] = {
+    val merged = modules.reduce(_ ++ _)
+    if (merged.size != modules.map(_.size).sum) {
+      val dups = modules.flatMap(_.keys).groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      throw new IllegalStateException(
+        s"duplicate query names across coverage modules: ${dups.mkString(", ")}")
+    }
+    merged
+  }
 }

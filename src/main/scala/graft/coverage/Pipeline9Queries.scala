@@ -17,10 +17,13 @@ import org.apache.spark.sql.expressions.Window
   *    scans + a parallelism-sized carry table) — NOT a single-partition
   *    global window, which would serialize the whole corpus through one
   *    task at 100 TB;
-  *  - DECONTAMINATION: flag training documents sharing word-3-gram
-  *    shingles with a held-out eval set (the n-gram-overlap rule used for
-  *    benchmark leakage checks). Eval-side shingles are a broadcast; the
-  *    train side streams through one hash join — never train×eval;
+  *  - DECONTAMINATION, set-overlap form: per-train-document COUNT and
+  *    FRACTION of shingles occurring anywhere in the held-out eval set
+  *    (the aggregate leakage score; the earlier q_pipe_decontaminate
+  *    attributes each train doc to its top matching benchmark doc —
+  *    pairwise attribution — while this one answers "how contaminated
+  *    is this doc overall" with the eval side reduced to ONE broadcast
+  *    set, so the train side streams through a single hash join);
   *  - REPETITION SIGNALS (Gopher-style quality rules): per-document
   *    duplicate-word fraction, top-word fraction, and top-bigram coverage,
   *    with the flag thresholds applied in-plan. Pure hash-agg pipelines.
@@ -196,6 +199,6 @@ object Pipeline9Queries {
 
   val all: Map[String, Q] = Map(
     "q_pipe_seq_pack" -> qPipeSeqPack,
-    "q_pipe_decontaminate" -> qPipeDecontaminate,
+    "q_pipe_decontam_overlap" -> qPipeDecontaminate,
     "q_pipe_rep_signals" -> qPipeRepSignals)
 }

@@ -92,8 +92,8 @@ class Pipeline9Spec extends SparkTestBase {
   /** Decontamination is a semi-join report: every flagged doc shares ≥1
     * shingle with the eval slice, no eval doc reports itself, and the
     * fraction is bounded by 1. */
-  test("q_pipe_decontaminate reports only genuine train-side overlap") {
-    val rows = run("q_pipe_decontaminate").collect()
+  test("q_pipe_decontam_overlap reports only genuine train-side overlap") {
+    val rows = run("q_pipe_decontam_overlap").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) % 97 != 0, "eval docs must never appear in the report")
