@@ -108,7 +108,10 @@ object Queries {
   /** Merged registry. A cross-module name collision is a silent operator
     * replacement under the driver gate (a later `++` overrides the
     * earlier entry and the corpus shrinks by one) — require disjoint
-    * keys so it fails at registry init instead. */
+    * keys so it fails at registry init instead. (A duplicate key WITHIN
+    * one module's Map literal is out of reach here: Scala's Map
+    * constructor dedups before `.size` is observable — that case still
+    * needs eyes at review time.) */
   val all: Map[String, Q] = {
     val merged = modules.reduce(_ ++ _)
     if (merged.size != modules.map(_.size).sum) {

@@ -67,8 +67,13 @@ object Verify {
             System.err.println(s"[verify] excluded $name failed: ${e.getMessage}")
           }
         }
-      val exJson = excluded.collect { case (k, qq) if qq.oracle.nonEmpty =>
-        s"${q(k)}: ${q(qq.oracle.get)}"
+      // the excluded json is filtered by SPARK_GRAFT_ONLY exactly like the
+      // dumps above — check.py iterates its KEYS, so an unfiltered json on
+      // a subset run would red every name whose dump was skipped (unlike
+      // the driver's oracle_sql.json, which stays complete by contract)
+      val exJson = excluded.collect {
+        case (k, qq) if qq.oracle.nonEmpty && only.forall(_.contains(k)) =>
+          s"${q(k)}: ${q(qq.oracle.get)}"
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$exDir/oracle_sql_excluded.json"), exJson)
     }

@@ -34,7 +34,10 @@ class Pipeline9Spec extends SparkTestBase {
     * serialize 100 TB through one task and fails here. */
   test("q_pipe_seq_pack plans the two-level scan, not a global window over docs") {
     val df = run("q_pipe_seq_pack")
-    df.count() // finalize the adaptive plan before auditing it
+    // execute THIS dataset (collect drives df.queryExecution itself;
+    // count() builds a separate QueryExecution and would leave df's
+    // adaptive plan un-finalized — the audit would read the initial plan)
+    df.collect()
     val plans = collectPlans(df.queryExecution.executedPlan)
     val windows = plans.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, "expected window operators in the packing plan")
@@ -87,6 +90,18 @@ class Pipeline9Spec extends SparkTestBase {
     // and at least one fixture doc straddles a chunk boundary (the case
     // the operator exists for)
     assert(rows.exists(_.getLong(5) > 1), "fixture never exercised a spanning doc")
+  }
+
+  /** The DuckDB oracles enumerate n-gram positions through the repo's
+    * constant-bound generate_series(1, 500) + WHERE idiom (DuckDB's
+    * generate_series can't take lateral column bounds). That bound is a
+    * SILENT cap if a fixture document ever exceeds it — pin the headroom
+    * loudly here instead. */
+  test("fixture documents stay within the oracle n-gram position bound") {
+    val maxWords = run("q_pipe_seq_pack").agg(max(col("ntok"))).head().getLong(0)
+    assert(maxWords < 500,
+      s"fixture max words/doc $maxWords reached the oracle generate_series cap (500) — " +
+        "raise the bound in the n-gram oracles or shrink the docs")
   }
 
   /** Decontamination is a semi-join report: every flagged doc shares ≥1

@@ -25,7 +25,7 @@ class StateHarnessSpec extends AnyFunSuite {
   private type TopNRow = (String, String, String, Long, Long, java.sql.Timestamp)
   private def row(kind: String, id: String, value: Long, seq: Long,
                   tsMicros: Long = -1L): TopNRow =
-    ("%s".format(kind), "book", id, value, seq,
+    (kind, "book", id, value, seq,
      if (tsMicros < 0) null else new java.sql.Timestamp(tsMicros / 1000))
 
   private def topnStep(st: Option[TopNState], rows: Seq[TopNRow], n: Int = 2,

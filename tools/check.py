@@ -189,6 +189,15 @@ def main():
     # the replica gate.
     exdir = os.environ.get("SPARK_GRAFT_EXCLUDED_OUT", out + ".excluded")
     exjson = os.path.join(exdir, "oracle_sql_excluded.json")
+    if not os.path.isfile(exjson):
+        # Loud, never silent: the per-round H1 value pin did not run. Under
+        # --strict (the round gate) that is a red — a gate run always goes
+        # through run_verify.sh, which dumps the excluded corpus. Plain
+        # runs (e.g. calibration against the driver's own archived outDir,
+        # which has no excluded dump) just carry the notice.
+        print(f"NOTE: excluded-corpus value pin NOT run — no {exjson}")
+        if strict:
+            print("FAIL (strict): the H1 value pin is part of the gate"); nfail += 1
     if os.path.isfile(exjson):
         exoracles = json.load(open(exjson))
         for name in sorted(exoracles):
