@@ -143,8 +143,8 @@ object Pipeline3Queries {
     oracle = Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
-            FROM w CROSS JOIN generate_series(1, 500) s(i)
-            WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM w WHERE len(ws) >= 2)),
       gc AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
       gs AS (SELECT doc_id, SUM(n)::BIGINT AS n_bigrams, MAX(n)::BIGINT AS top_bigram_n
              FROM gc GROUP BY 1),

@@ -444,7 +444,7 @@ object Pipeline7Queries {
                  WHERE lang = 'en' AND len(string_split(text, ' ')) BETWEEN 20 AND 80),
       sigs AS (SELECT doc_id, md5(array_to_string(ws[1:10], ' ')) AS sig FROM g),
       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
-             FROM g CROSS JOIN generate_series(1, 500) gs(i) WHERE i <= len(ws) - 2),
+             FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM g)),
       sig16 AS (SELECT doc_id, seed,
                   min(((seed * 2 + 1) * (${oHash("sh")} % 2147483647) + seed * 12345 + 7) % 2147483647) AS mh
                 FROM sh CROSS JOIN generate_series(0, 15) g2(seed) GROUP BY doc_id, seed),
@@ -500,9 +500,9 @@ object Pipeline7Queries {
     oracle = Some("""
       WITH sh AS (
         SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        CROSS JOIN generate_series(1, 500) g(i)
-        WHERE len(ws) >= 5 AND i <= len(ws) - 4),
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 5)),
       sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
       pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -67,6 +67,13 @@ object Pipeline9Queries {
       // bucket width targeting one bucket per shuffle partition on
       // roughly-dense ids (the corpus-ingest convention).
       val mm = toks.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+      if (mm.isNullAt(0)) {
+        // Empty corpus: min/max aggregate to NULL — emit zero rows with the
+        // operator's output schema (the oracle's window over zero rows does
+        // the same) instead of NPE-ing on the admin scalar.
+        toks.select(col("doc_id"), col("ntok"), lit(0L).as("cum_before"),
+          lit(0L).as("chunk_first"), lit(0L).as("chunk_last"), lit(0L).as("spans"))
+      } else {
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val nb = s.conf.get("spark.sql.shuffle.partitions").toLong max 1L
       val width = 1L max ((hi - lo) / nb + 1L)
@@ -89,6 +96,7 @@ object Pipeline9Queries {
         .select(col("doc_id"), col("ntok"), col("cum_before"),
                 col("chunk_first"), col("chunk_last"), col("spans"))
         .orderBy(col("doc_id"))
+      }
     },
     oracle = Some(s"""
       WITH toks AS (SELECT doc_id,
@@ -183,8 +191,8 @@ object Pipeline9Queries {
       ws_stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d,
                           CAST(MAX(c) AS BIGINT) AS m1 FROM wc GROUP BY doc_id),
       bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS b
-             FROM t CROSS JOIN generate_series(1, 500) g(i)
-             WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+             FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                   FROM t WHERE len(ws) >= 2)),
       bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
       bt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS m2 FROM bc GROUP BY doc_id)
       SELECT ws_stats.doc_id, n, d,

@@ -46,13 +46,14 @@ object PipelineQueries {
             element_at(col("ws"), i + 2)))
       )).as("sh"))
 
-  // constant-bound series + WHERE (DuckDB's generate_series can't take
-  // lateral column bounds); 500 safely exceeds the max words-per-doc
+  // exact position enumeration: scalar-context generate_series returns a
+  // LIST with per-row column bounds, so no constant cap is needed (a cap
+  // silently under-counts any doc that outgrows it — ADVICE r11)
   private val oShingles: String = """
     SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-    CROSS JOIN generate_series(1, 500) g(i)
-    WHERE len(ws) >= 3 AND i <= len(ws) - 2"""
+    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 3)"""
 
   // ----------------------------------------------------------- dedup family
 

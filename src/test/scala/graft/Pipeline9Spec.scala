@@ -92,16 +92,24 @@ class Pipeline9Spec extends SparkTestBase {
     assert(rows.exists(_.getLong(5) > 1), "fixture never exercised a spanning doc")
   }
 
-  /** The DuckDB oracles enumerate n-gram positions through the repo's
-    * constant-bound generate_series(1, 500) + WHERE idiom (DuckDB's
-    * generate_series can't take lateral column bounds). That bound is a
-    * SILENT cap if a fixture document ever exceeds it — pin the headroom
-    * loudly here instead. */
-  test("fixture documents stay within the oracle n-gram position bound") {
-    val maxWords = run("q_pipe_seq_pack").agg(max(col("ntok"))).head().getLong(0)
-    assert(maxWords < 500,
-      s"fixture max words/doc $maxWords reached the oracle generate_series cap (500) — " +
-        "raise the bound in the n-gram oracles or shrink the docs")
+  /** Empty-corpus regression (ADVICE r11 medium): min/max over zero rows
+    * yields a null admin row — the operator must emit zero rows with its
+    * output schema, matching the oracle's window-over-nothing, instead of
+    * NPE-ing on the scalar. Driven through a real (empty) parquet fixture
+    * so the whole Tables.load path is exercised. */
+  test("q_pipe_seq_pack returns an empty result on an empty documents table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty_docs").toString
+    try {
+      Queries.all // registry init before touching a coverage object
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Queries.all("q_pipe_seq_pack").run(spark, tmp)
+      assert(out.columns.toSeq ==
+        Seq("doc_id", "ntok", "cum_before", "chunk_first", "chunk_last", "spans"))
+      assert(out.count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
   }
 
   /** Decontamination is a semi-join report: every flagged doc shares ≥1
