@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Source-level registry lint (round-11 lesson, deferred item #3).
+  *
+  * `Queries.all` throws at init on a CROSS-module name collision, but a
+  * duplicate key WITHIN one module's `Map(...)` literal is unreachable at
+  * runtime: Scala's Map constructor dedups before `.size` is observable,
+  * so the earlier entry silently vanishes and the corpus shrinks by one
+  * with zero signal. Catch that class at the source level: within any one
+  * coverage/entry-point file, a quoted query name must be bound (`"name"
+  * ->`) at most once.
+  *
+  * SparkEntry.scala is exempt from the at-most-once rule per name (it
+  * legitimately keys BOTH `queries` and `oracleSql` by the same names) —
+  * there the invariant is instead at-most-twice.
+  */
+class RegistryLintSpec extends AnyFunSuite {
+
+  private val Key = """"(q[a-z0-9_]+)"\s*->""".r
+
+  private def bindings(path: java.nio.file.Path): Seq[String] =
+    Key.findAllMatchIn(Files.readString(path)).map(_.group(1)).toSeq
+
+  test("no coverage module binds the same query name twice in one file") {
+    val dir = Paths.get("src/main/scala/graft/coverage")
+    val offenders = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val dups = bindings(p).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => s"$k (×${vs.size})"
+        }
+        if (dups.isEmpty) None else Some(s"${p.getFileName}: ${dups.mkString(", ")}")
+      }.toList
+    assert(offenders.isEmpty,
+      s"duplicate query-name bindings within a module (Map dedups them SILENTLY):\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("SparkEntry binds each name at most once per map (queries + oracleSql = 2)") {
+    val counts = bindings(Paths.get("src/main/scala/graft/SparkEntry.scala"))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size }
+    val over = counts.collect { case (k, n) if n > 2 => s"$k (×$n)" }
+    assert(over.isEmpty, s"names bound >2× in SparkEntry: ${over.mkString(", ")}")
+  }
+
+  test("the lint's own extraction sees the registry (sanity floor)") {
+    // If the regex or paths rot, the scans above would pass vacuously —
+    // pin that the coverage scan sees at least as many bindings as the
+    // runtime registry has entries.
+    val dir = Paths.get("src/main/scala/graft/coverage")
+    val n = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).map(bindings(_).size).sum
+    assert(n >= Queries.all.size,
+      s"coverage-source scan found $n bindings < ${Queries.all.size} registry entries")
+  }
+}

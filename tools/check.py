@@ -116,6 +116,24 @@ def compare(name, spark_df, oracle_df, h1_is_fail=True):
                 bad.append(f"col {c}: {int((~eq).sum())} diffs e.g. row{i} {av[i]!r} vs {bv[i]!r}")
     return "; ".join(bad) if bad else None
 
+def _load_spark(outdir, name, tag=""):
+    """Concat the per-query parquet parts; None (reported) when absent."""
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output{tag}")
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def _oracle_df(con, sql, name, tag=""):
+    """Run one oracle; None (reported) on error."""
+    try:
+        return con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}{tag}")
+        return None
+
+
 def main():
     # --strict: exit nonzero on WARN-TYPE too (the round gate's invariant is
     # ZERO decimal-typed oracle outputs at HEAD; without --strict a
@@ -134,10 +152,9 @@ def main():
     npass = nfail = nwarn = 0
     for name in names:
         if only and name not in only: continue
-        files = glob.glob(os.path.join(out, name, "*.parquet"))
-        if not files:
-            print(f"FAIL {name}: no spark output"); nfail += 1; continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        spark_df = _load_spark(out, name)
+        if spark_df is None:
+            nfail += 1; continue
         if name not in oracles:
             ok = len(spark_df) > 0
             print(f"{'PASS' if ok else 'FAIL'} {name}: rows-only ({len(spark_df)} rows)")
@@ -202,14 +219,12 @@ def main():
         exoracles = json.load(open(exjson))
         for name in sorted(exoracles):
             if only and name not in only: continue
-            files = glob.glob(os.path.join(exdir, name, "*.parquet"))
-            if not files:
-                print(f"FAIL {name}: no spark output (excluded corpus)"); nfail += 1; continue
-            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            try:
-                oracle_df = con.sql(exoracles[name]).df()
-            except Exception as e:
-                print(f"FAIL {name}: oracle error {e} (excluded corpus)"); nfail += 1; continue
+            spark_df = _load_spark(exdir, name, tag=" (excluded corpus)")
+            if spark_df is None:
+                nfail += 1; continue
+            oracle_df = _oracle_df(con, exoracles[name], name, tag=" (excluded corpus)")
+            if oracle_df is None:
+                nfail += 1; continue
             err = compare(name, spark_df, oracle_df, h1_is_fail=False)
             if err: print(f"FAIL {name}: {err} (excluded corpus)"); nfail += 1
             else: print(f"PASS-VALUE {name} ({len(spark_df)} rows, excluded corpus)"); npass += 1
