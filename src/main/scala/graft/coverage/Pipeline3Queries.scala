@@ -500,7 +500,9 @@ object Pipeline3Queries {
     oracle = Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       seg AS (SELECT doc_id, array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
-              FROM w, generate_series(0, 9) g(i) WHERE i * 10 < len(w)),
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS i
+                    FROM w)),
       c AS (SELECT seg, COUNT(*) AS occ FROM seg GROUP BY 1)
       SELECT s.doc_id, COUNT(*)::BIGINT AS n_segs,
              SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segs,

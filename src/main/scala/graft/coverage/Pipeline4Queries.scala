@@ -117,7 +117,9 @@ object Pipeline4Queries {
         FROM documents),
       seg AS (
         SELECT DISTINCT doc_id, host, array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
-        FROM w, generate_series(0, 12) g(i) WHERE i * 10 < len(w)),
+        FROM (SELECT doc_id, host, w,
+                     unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS i
+              FROM w)),
       hd AS (SELECT host, COUNT(*) AS n_docs FROM w GROUP BY 1),
       b AS (
         SELECT s.host, s.seg, hd.n_docs, COUNT(*) AS nd

@@ -134,9 +134,19 @@ object HostileGen {
         when(col("event_id") % 79 === 0, lit(null: String)).otherwise(col("props"))), "events")
 
     val docs = t("documents")
+    // LONG documents (700 words, > the old 500-position oracle cap): the
+    // r11 ADVICE hazard — any constant-bound n-gram position enumeration
+    // silently under-counts these. Oracles now enumerate exactly
+    // (unnest(generate_series(1, len-k))); this plant keeps them honest.
+    // Content cycles a doc_id-salted 13-word vocabulary so long docs are
+    // neither exact dupes of each other nor single-token degenerate.
+    val longText = expr(
+      "array_join(transform(sequence(1, 700), " +
+        "j -> concat('lw', pmod(j * (1 + pmod(doc_id, 11)), 13))), ' ')")
     val hostileText = when(col("doc_id") % 53 === 0, lit(""))
       .when(col("doc_id") % 53 === 1, lit("a"))
       .when(col("doc_id") % 53 === 2, lit(null: String))
+      .when(col("doc_id") % 53 === 3, longText)
       .otherwise(col("text"))
     write(docs
       .withColumn("text", hostileText)
