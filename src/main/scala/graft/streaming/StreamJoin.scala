@@ -88,9 +88,16 @@ object StreamJoin {
     src
       .as[(Long, Int, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
-        (key: Long, it: Iterator[(Long, Int, String, Long, Long, java.sql.Timestamp)],
-         state: GroupState[JoinState]) => {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(transition(joinType, ttlMicros))
+      .toDF()
+  }
+
+  /** The keyed state-transition function behind [[changelogJoin]] —
+    * extracted so the harness layer (StateHarnessSpec pattern) can drive
+    * it through crafted element/watermark/timeout sequences directly. */
+  private[graft] def transition(joinType: String, ttlMicros: Long)(
+      key: Long, it: Iterator[(Long, Int, String, Long, Long, java.sql.Timestamp)],
+      state: GroupState[JoinState]): Iterator[JoinOut] = {
           if (ttlMicros > 0 && state.hasTimedOut) { // idle-state cleanup timer
             state.remove(); Iterator.empty
           } else {
@@ -173,8 +180,6 @@ object StreamJoin {
           }
           out.iterator
           }
-        })
-      .toDF()
   }
 
   /** Apply a +I/-D changelog to get the materialized table: net-positive

@@ -384,25 +384,32 @@ object StreamOps {
               col("seq").cast("long").as("_3"))
       .as[(Long, Option[Long], Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Option[Long], Long)], state: GroupState[Long]) => {
-          var cur: Option[Long] = state.getOption
-          val out = scala.collection.mutable.ListBuffer[UpsertOut]()
-          it.toIndexedSeq.sortBy(_._3).foreach { case (_, v, _) =>
-            (cur, v) match {
-              case (None, Some(nv)) =>
-                out += UpsertOut("+I", key, nv); cur = Some(nv)
-              case (Some(ov), Some(nv)) =>
-                out += UpsertOut("-U", key, ov); out += UpsertOut("+U", key, nv); cur = Some(nv)
-              case (Some(ov), None) =>
-                out += UpsertOut("-D", key, ov); cur = None
-              case (None, None) => () // tombstone of an absent key
-            }
-          }
-          cur match { case Some(v) => state.update(v); case None => state.remove() }
-          out.iterator
-        })
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upsertTransition)
       .toDF()
+  }
+
+  /** ChangelogNormalize's keyed transition, extracted for the harness
+    * layer (StateHarnessSpec pattern): state is the single live value per
+    * key; emits the +I/-U+U/-D lattice and REMOVES state on tombstone so
+    * the store never retains dead keys. */
+  private[graft] def upsertTransition(
+      key: Long, it: Iterator[(Long, Option[Long], Long)],
+      state: GroupState[Long]): Iterator[UpsertOut] = {
+    var cur: Option[Long] = state.getOption
+    val out = scala.collection.mutable.ListBuffer[UpsertOut]()
+    it.toIndexedSeq.sortBy(_._3).foreach { case (_, v, _) =>
+      (cur, v) match {
+        case (None, Some(nv)) =>
+          out += UpsertOut("+I", key, nv); cur = Some(nv)
+        case (Some(ov), Some(nv)) =>
+          out += UpsertOut("-U", key, ov); out += UpsertOut("+U", key, nv); cur = Some(nv)
+        case (Some(ov), None) =>
+          out += UpsertOut("-D", key, ov); cur = None
+        case (None, None) => () // tombstone of an absent key
+      }
+    }
+    cur match { case Some(v) => state.update(v); case None => state.remove() }
+    out.iterator
   }
 
   case class AsOfState(rights: List[(Long, Long)], pendingLefts: List[(Long, Long)])
