@@ -444,7 +444,17 @@ object StreamOps {
       .as[(Long, Int, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Int, Long, Long, java.sql.Timestamp)], state: GroupState[AsOfState]) => {
+        asOfTransition(stateGauge))
+      .toDF()
+  }
+
+  /** [[streamingAsOf]]'s keyed transition, extracted for the harness
+    * layer (mirrors the reference's TemporalRowTimeJoinOperatorTest
+    * surface): watermark-gated left release + right-version pruning. */
+  private[graft] def asOfTransition(
+      stateGauge: Option[org.apache.spark.util.LongAccumulator] = None)(
+      key: Long, it: Iterator[(Long, Int, Long, Long, java.sql.Timestamp)],
+      state: GroupState[AsOfState]): Iterator[AsOfOut] = {
           val wm = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val batch = it.toList
@@ -461,8 +471,6 @@ object StreamOps {
           ripe.sortBy(l => (l._1, l._2)).iterator.flatMap { case (lts, lid) =>
             rights.takeWhile(_._1 <= lts).lastOption.map { case (_, rid) => AsOfOut(key, lid, rid) }
           }
-        })
-      .toDF()
   }
 
   case class SortState(buf: List[(Long, Long, Long)], nextSeq: Long) // buf: (tsMicros, eventId, vc)
@@ -486,19 +494,25 @@ object StreamOps {
       .withWatermark("ts", "0 seconds")
       .as[(Long, Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)], state: GroupState[SortState]) => {
-          val wm = state.getCurrentWatermarkMs() * 1000L
-          val st = state.getOption.getOrElse(SortState(Nil, 1L))
-          val all = st.buf ++
-            it.map(e => (e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000, e._2, e._4))
-          val (ripe, tail) = all.partition(_._1 <= wm)
-          val ordered = ripe.sortBy(e => (e._1, e._2))
-          state.update(SortState(tail, st.nextSeq + ordered.size))
-          ordered.iterator.zipWithIndex.map { case (e, i) =>
-            SortOut(key, e._2, e._1, st.nextSeq + i) }
-        })
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sortTransition)
       .toDF()
+  }
+
+  /** [[temporalSort]]'s keyed transition, extracted for the harness layer
+    * (the RowTimeSortOperator analog): watermark-gated flush in
+    * (event-time, id) order, per-key emission counter in state. */
+  private[graft] def sortTransition(
+      key: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      state: GroupState[SortState]): Iterator[SortOut] = {
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val st = state.getOption.getOrElse(SortState(Nil, 1L))
+    val all = st.buf ++
+      it.map(e => (e._3.getTime * 1000 + (e._3.getNanos / 1000) % 1000, e._2, e._4))
+    val (ripe, tail) = all.partition(_._1 <= wm)
+    val ordered = ripe.sortBy(e => (e._1, e._2))
+    state.update(SortState(tail, st.nextSeq + ordered.size))
+    ordered.iterator.zipWithIndex.map { case (e, i) =>
+      SortOut(key, e._2, e._1, st.nextSeq + i) }
   }
 
   case class DebounceState(n: Long, deadline: Long)

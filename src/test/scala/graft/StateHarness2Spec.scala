@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 
 import graft.streaming.{StreamJoin, StreamOps}
 import graft.streaming.StreamJoin.{JoinOut, JoinState}
-import graft.streaming.StreamOps.UpsertOut
+import graft.streaming.StreamOps.{AsOfOut, AsOfState, SortOut, SortState, UpsertOut}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -193,5 +193,93 @@ class StateHarness2Spec extends AnyFunSuite {
     assert(o1 == Seq(UpsertOut("+I", 5, 100), UpsertOut("-D", 5, 100),
                      UpsertOut("+I", 5, 300)))
     assert(s1.get == 300L)
+  }
+
+  // ------------------------------------------------ event-time as-of join
+
+  private type ARow = (Long, Int, Long, Long, java.sql.Timestamp)
+  private def arow(side: Int, tsMicros: Long, id: Long): ARow =
+    (3L, side, tsMicros, id, new java.sql.Timestamp(tsMicros / 1000))
+
+  private def asOfStep(st: Option[AsOfState], rows: Seq[ARow], wmMs: Long)
+      : (TestGroupState[AsOfState], Seq[AsOfOut]) = {
+    val state = TestGroupState.create[AsOfState](
+      st.map(Optional.of[AsOfState]).getOrElse(Optional.empty[AsOfState]),
+      GroupStateTimeout.NoTimeout, 0L, Optional.of[Long](wmMs), false)
+    val out = StreamOps.asOfTransition(None)(3L, rows.iterator, state).toSeq
+    (state, out)
+  }
+
+  /** Mirrors TemporalRowTimeJoinOperatorTest.testRowTimeTemporalJoin (ref
+    * join/temporal/TemporalRowTimeJoinOperatorTest.java:39): lefts wait
+    * for the watermark, then match the LATEST right version at/below
+    * their timestamp; a left below every right version emits nothing
+    * (inner semantics). */
+  test("streaming as-of: watermark gates the left, match takes the latest version <= ts") {
+    // rights: versions at 10s and 20s; left at 15s — all above wm 0: everything pends
+    val (s1, o1) = asOfStep(None,
+      Seq(arow(0, 10_000_000L, 100), arow(0, 20_000_000L, 200), arow(1, 15_000_000L, 1)), wmMs = 0L)
+    assert(o1.isEmpty)
+    assert(s1.get.pendingLefts == List((15_000_000L, 1L)) && s1.get.rights.size == 2)
+    // watermark to 16s: left(15s) ripens, matches version@10s (not @20s)
+    val (s2, o2) = asOfStep(Some(s1.get), Seq.empty, wmMs = 16_000L)
+    assert(o2 == Seq(AsOfOut(3, 1, 100)))
+    assert(s2.get.pendingLefts.isEmpty)
+    // a left at 5s — BELOW the earliest version: no emission even when ripe
+    val (s3, o3) = asOfStep(Some(s2.get), Seq(arow(1, 5_000_000L, 2)), wmMs = 30_000L)
+    assert(o3.isEmpty, "left below every right version must not match")
+    assert(s3.get.pendingLefts.isEmpty, "an unmatched ripe left is consumed, not re-pended")
+  }
+
+  /** Mirrors the state-retention leg (testRowTimeTemporalJoinWithStateRetention,
+    * ref :121): right versions superseded below the watermark are pruned
+    * to the single survivor, and that survivor still answers later
+    * lefts — bounded state without a correctness hole. */
+  test("streaming as-of: superseded right versions below the watermark are pruned") {
+    val (s1, _) = asOfStep(None,
+      Seq(arow(0, 10_000_000L, 100), arow(0, 12_000_000L, 120),
+          arow(0, 20_000_000L, 200)), wmMs = 15_000L)
+    // versions 10s and 12s are both below wm 15s: only the newest (12s)
+    // survives; 20s is above and kept
+    assert(s1.get.rights == List((12_000_000L, 120L), (20_000_000L, 200L)))
+    // a ripe left at 16s matches the kept survivor (12s version)
+    val (s2, o2) = asOfStep(Some(s1.get), Seq(arow(1, 16_000_000L, 1)), wmMs = 17_000L)
+    assert(o2 == Seq(AsOfOut(3, 1, 120)))
+    assert(s2.get.rights == List((12_000_000L, 120L), (20_000_000L, 200L)))
+  }
+
+  // ------------------------------------------------ event-time temporal sort
+
+  private def sortStep(st: Option[SortState], rows: Seq[(Long, Long, Long, Long)], wmMs: Long)
+      : (TestGroupState[SortState], Seq[SortOut]) = {
+    val state = TestGroupState.create[SortState](
+      st.map(Optional.of[SortState]).getOrElse(Optional.empty[SortState]),
+      GroupStateTimeout.NoTimeout, 0L, Optional.of[Long](wmMs), false)
+    // rows: (userId, eventId, tsMicros, valueCents)
+    val typed = rows.map(r => (r._1, r._2, new java.sql.Timestamp(r._3 / 1000), r._4))
+    val out = StreamOps.sortTransition(9L, typed.iterator, state).toSeq
+    (state, out)
+  }
+
+  /** Mirrors RowTimeSortOperator's harness coverage (ref
+    * operators/sort/RowTimeSortOperatorTest.java): rows buffer until the
+    * watermark passes them, flush in (event-time, id) order, and the
+    * per-key seq counter numbers emissions continuously across flushes. */
+  test("temporal sort: watermark-gated flush in event-time order with continuous seq") {
+    // three rows, wm 0: all buffer, nothing emits
+    val (s1, o1) = sortStep(None,
+      Seq((9L, 22L, 20_000_000L, 0L), (9L, 11L, 10_000_000L, 0L), (9L, 33L, 30_000_000L, 0L)),
+      wmMs = 0L)
+    assert(o1.isEmpty && s1.get.buf.size == 3 && s1.get.nextSeq == 1L)
+    // wm to 25s: the 10s and 20s rows flush IN EVENT-TIME ORDER, 30s stays
+    val (s2, o2) = sortStep(Some(s1.get), Seq.empty, wmMs = 25_000L)
+    assert(o2 == Seq(SortOut(9, 11, 10_000_000L, 1), SortOut(9, 22, 20_000_000L, 2)))
+    assert(s2.get.buf == List((30_000_000L, 33L, 0L)) && s2.get.nextSeq == 3L)
+    // equal timestamps break ties by id; seq continues from 3
+    val (s3, o3) = sortStep(Some(s2.get),
+      Seq((9L, 55L, 30_000_000L, 0L), (9L, 44L, 30_000_000L, 0L)), wmMs = 31_000L)
+    assert(o3 == Seq(SortOut(9, 33, 30_000_000L, 3), SortOut(9, 44, 30_000_000L, 4),
+                     SortOut(9, 55, 30_000_000L, 5)))
+    assert(s3.get.buf.isEmpty && s3.get.nextSeq == 6L)
   }
 }
