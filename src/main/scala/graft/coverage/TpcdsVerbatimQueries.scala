@@ -484,6 +484,9 @@ object TpcdsVerbatimQueries {
         FROM ${tbl("part")}, date_dim WHERE d_dow = 1""")
   }
 
+  /** Names of the derived TPC-DS schema views, in registration order. */
+  private[graft] def viewNames: Seq[String] = viewSql(sparkDialect).map(_._1)
+
   /** Register the hosted TPC-DS schema as Spark temp views over `dir`. */
   def register(s: SparkSession, dir: String): Unit = {
     // fixtures registered under a th_ prefix so the hosted TPC-DS view

@@ -12,12 +12,9 @@ import scala.jdk.CollectionConverters._
   * runtime: Scala's Map constructor dedups before `.size` is observable,
   * so the earlier entry silently vanishes and the corpus shrinks by one
   * with zero signal. Catch that class at the source level: within any one
-  * coverage/entry-point file, a quoted query name must be bound (`"name"
-  * ->`) at most once.
-  *
-  * SparkEntry.scala is exempt from the at-most-once rule per name (it
-  * legitimately keys BOTH `queries` and `oracleSql` by the same names) —
-  * there the invariant is instead at-most-twice.
+  * coverage file, a quoted query name must be bound (`"name" ->`) at most
+  * once. (SparkEntry needs no lint: it derives `queries`/`oracleSql`
+  * programmatically from the guarded registry.)
   */
 class RegistryLintSpec extends AnyFunSuite {
 
@@ -39,13 +36,6 @@ class RegistryLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"duplicate query-name bindings within a module (Map dedups them SILENTLY):\n  " +
         offenders.mkString("\n  "))
-  }
-
-  test("SparkEntry binds each name at most once per map (queries + oracleSql = 2)") {
-    val counts = bindings(Paths.get("src/main/scala/graft/SparkEntry.scala"))
-      .groupBy(identity).map { case (k, vs) => k -> vs.size }
-    val over = counts.collect { case (k, n) if n > 2 => s"$k (×$n)" }
-    assert(over.isEmpty, s"names bound >2× in SparkEntry: ${over.mkString(", ")}")
   }
 
   test("the lint's own extraction sees the registry (sanity floor)") {
