@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-end proof ritual (the r10/r11 accounting pattern, made a script):
+# the four full-corpus verify legs + the full local bench, back to back
+# from one detached run, all at the current (release) commit. Leaves
+# per-leg check summaries in $LOG/ and the bench line in
+# $LOG/bench_local.json. Scale records (sf1/sf10) run separately.
+set -e
+cd /root/repo
+LOG=${1:-/tmp/r12_legs}
+mkdir -p "$LOG"
+git rev-parse HEAD > "$LOG/commit.txt"
+date -u +%FT%TZ > "$LOG/started.txt"
+
+leg() { # name sfdir cpus
+  local name=$1 sf=$2 cpus=$3
+  echo "== leg $name ($sf, cpus=$cpus) =="
+  SPARK_GRAFT_CPUS=$cpus tools/run_verify.sh "$sf" "$LOG/out_$name" \
+    2> "$LOG/verify_$name.err"
+  python3 tools/check.py "$sf" "$LOG/out_$name" --strict \
+    > "$LOG/check_$name.txt" 2>&1 || { echo "LEG $name RED"; exit 1; }
+  tail -1 "$LOG/check_$name.txt"
+}
+
+leg sf001  /root/testdata/sf0.01      32
+leg sf0001 /root/testdata/sf0.001     32
+leg cpus7  /root/testdata/sf0.01      7
+leg hostile /dev/shm/graft/hostile01  32
+
+echo "== full local bench (sf0.1) =="
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  java $ADD_OPENS -Xmx10g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+  2> "$LOG/bench.err" | grep -v '"queries_n"' | grep -m1 '"metric":"total"' \
+  > "$LOG/bench_local.json"
+
+date -u +%FT%TZ > "$LOG/finished.txt"
+echo "ALL LEGS GREEN (logs in $LOG)"
