@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 
-import graft.streaming.{StreamJoin, StreamOps}
+import graft.streaming.{RetractableTopN, StreamJoin, StreamOps}
+import graft.streaming.RetractableTopN.TopNState
 import graft.streaming.StreamJoin.{JoinOut, JoinState}
-import graft.streaming.StreamOps.UpsertOut
+import graft.streaming.StreamOps.{AsOfOut, AsOfState, UpsertOut}
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
@@ -188,6 +189,136 @@ class StatePropertySpec extends AnyFunSuite {
       }
       val lastVal = batches.flatten.foldLeft(None: Option[Long])((_, v) => v)
       ok && live == lastVal && st == lastVal
+    })
+  }
+
+  // --- RetractableTopN: consistent upsert/retract streams over a tiny id
+  // space INCLUDING the null id (the state-store sentinel path)
+  private val topnScenario: Gen[List[List[(String, String, Long)]]] = {
+    val ids = List(null, "a", "b", "c", "d")
+    def loop(left: Int, live: Set[String], acc: List[(String, String, Long)])
+        : Gen[List[(String, String, Long)]] =
+      if (left == 0) Gen.const(acc.reverse)
+      else {
+        val upsert = for {
+          id <- Gen.oneOf(ids); v <- Gen.choose(0L, 9L)
+          k <- Gen.oneOf("+I", "+U")
+        } yield (k, id, v)
+        val retract =
+          if (live.isEmpty) upsert
+          else for { id <- Gen.oneOf(live.toSeq); k <- Gen.oneOf("-U", "-D") }
+               yield (k, id, 0L)
+        Gen.frequency(7 -> upsert, 3 -> retract).flatMap { case op @ (k, id, _) =>
+          val nl = if (k.startsWith("+")) live + id else live - id
+          loop(left - 1, nl, op :: acc)
+        }
+      }
+    for {
+      n <- Gen.choose(0, 20)
+      ops <- loop(n, Set.empty, Nil)
+      cuts <- Gen.listOfN(n, Gen.choose(1, 3))
+    } yield {
+      def split(xs: List[(String, String, Long)], szs: List[Int])
+          : List[List[(String, String, Long)]] =
+        if (xs.isEmpty) Nil
+        else xs.take(szs.headOption.getOrElse(2)) :: split(xs.drop(szs.headOption.getOrElse(2)), szs.drop(1))
+      split(ops, cuts)
+    }
+  }
+
+  /** Model of the ranking order: value DESC, then id ASC with null last —
+    * the operator's published contract. */
+  private def modelRank(vals: Map[Option[String], Long], n: Int): List[(String, Long)] =
+    vals.toList
+      .sortBy { case (id, v) => (-v, id.isEmpty, id.getOrElse("")) }
+      .take(n).map { case (id, v) => (id.orNull, v) }
+
+  test("random retractable top-n streams: every batch re-emits the model ranking") {
+    runProp("topn", Prop.forAll(topnScenario) { batches =>
+      var st: Option[TopNState] = None
+      var model = Map.empty[Option[String], Long]
+      var seq = 0L
+      var epoch = 0L
+      var ok = true
+      batches.foreach { batch =>
+        val rows = batch.map { case (k, id, v) =>
+          seq += 1; (k, "book", id, v, seq, null: java.sql.Timestamp)
+        }
+        val state = TestGroupState.create[TopNState](
+          st.map(Optional.of[TopNState]).getOrElse(Optional.empty[TopNState]),
+          GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long], false)
+        val out = RetractableTopN.transition(3, 0L)("book", rows.iterator, state).toList
+        st = Some(state.get)
+        epoch += 1
+        batch.foreach { case (k, id, v) =>
+          model = if (k.startsWith("+")) model.updated(Option(id), v) else model - Option(id)
+        }
+        val want = modelRank(model, 3)
+        val got = out.map(o => (o.id, o.value))
+        ok &&= got == want &&
+          out.map(_.rn) == (1 to got.size).toList &&
+          out.forall(_.epoch == epoch)
+      }
+      // retained state must be the FULL live map (out-of-range rows are
+      // retained for re-admission), not just the top-n
+      ok && st.forall(_.vals.size == model.size)
+    })
+  }
+
+  // --- streaming as-of join: random event-time scenarios under the
+  // watermark contract (an event is always delivered before the
+  // watermark passes its timestamp — Spark drops it otherwise)
+  private case class AsOfScenario(wms: List[Long], // per-step watermark (ms, nondecreasing)
+                                  rights: List[(Long, Long, Int)], // (tsMicros, id, step)
+                                  lefts: List[(Long, Long, Int)])
+
+  private val asOfScenario: Gen[AsOfScenario] = for {
+    nSteps <- Gen.choose(2, 6)
+    incs <- Gen.listOfN(nSteps - 1, Gen.choose(0L, 12_000L))
+    wms = incs.scanLeft(0L)(_ + _) :+ Long.MaxValue / 2000 // final flush step
+    nr <- Gen.choose(0, 8)
+    nl <- Gen.choose(0, 8)
+    mkEv = (id: Long) => for {
+      tsMs <- Gen.choose(1L, 35_000L)
+      valid = wms.zipWithIndex.filter(_._1 < tsMs).map(_._2)
+      step <- if (valid.isEmpty) Gen.const(0) else Gen.oneOf(valid)
+    } yield (tsMs * 1000L, id, step)
+    seqGen = (gs: List[Gen[(Long, Long, Int)]]) =>
+      gs.foldLeft(Gen.const(List.empty[(Long, Long, Int)])) { (acc, g) =>
+        acc.flatMap(l => g.map(l :+ _))
+      }
+    rights <- seqGen((1L to nr).map(mkEv).toList)
+    lefts <- seqGen((100L until (100L + nl)).map(mkEv).toList)
+  } yield AsOfScenario(wms.toList, rights, lefts)
+
+  test("random as-of scenarios: each left matches the latest version <= its ts, exactly once") {
+    runProp("asof", Prop.forAll(asOfScenario) { sc =>
+      var st: Option[AsOfState] = None
+      val out = List.newBuilder[AsOfOut]
+      var ok = true
+      sc.wms.zipWithIndex.foreach { case (wm, step) =>
+        val rows =
+          sc.rights.filter(_._3 == step).map { case (ts, id, _) =>
+            (3L, 0, ts, id, new java.sql.Timestamp(ts / 1000)) } ++
+          sc.lefts.filter(_._3 == step).map { case (ts, id, _) =>
+            (3L, 1, ts, id, new java.sql.Timestamp(ts / 1000)) }
+        val state = TestGroupState.create[AsOfState](
+          st.map(Optional.of[AsOfState]).getOrElse(Optional.empty[AsOfState]),
+          GroupStateTimeout.NoTimeout, 0L, Optional.of[Long](wm), false)
+        out ++= StreamOps.asOfTransition(None)(3L, rows.iterator, state)
+        st = Some(state.get)
+        // boundedness invariant: at most ONE retained right version at or
+        // below the watermark (the match survivor), rest must be above
+        ok &&= st.get.rights.count(_._1 <= wm * 1000) <= 1
+      }
+      // model: every left matched to the globally-latest right version at
+      // or below its ts (watermark contract makes this exact), else absent
+      val expect = sc.lefts.map { case (lts, lid, _) =>
+        sc.rights.filter(_._1 <= lts).sortBy(_._1).lastOption.map(r => (lid, r._2))
+      }.collect { case Some(p) => p }.toSet
+      val got = out.result().map(o => (o.left_id, o.right_id))
+      ok && got.toSet == expect && got.size == got.distinct.size &&
+        st.forall(_.pendingLefts.isEmpty)
     })
   }
 }
