@@ -66,15 +66,22 @@ object Pipeline9Queries {
       // 1-row admin scalar (over the narrow checkpoint): deterministic
       // bucket width targeting one bucket per shuffle partition on
       // roughly-dense ids (the corpus-ingest convention).
-      val mm = toks.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-      if (mm.isNullAt(0)) {
-        // Empty corpus: min/max aggregate to NULL — emit zero rows with the
-        // operator's output schema (the oracle's window over zero rows does
-        // the same) instead of NPE-ing on the admin scalar.
+      val mm = toks.agg(count(lit(1)).as("n"), count(col("doc_id")).as("nkeys"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+      // ADVICE r12: min-is-NULL conflated "empty corpus" with "non-empty but
+      // every doc_id NULL" — the latter would have returned ALL rows zeroed.
+      // Guard on emptiness explicitly, and refuse NULL keys loudly (a NULL
+      // doc_id would also silently drop out of the bucket equi-join below).
+      require(mm.getLong(0) == mm.getLong(1),
+        s"seq_pack: ${mm.getLong(0) - mm.getLong(1)} rows with NULL doc_id — the packer keys on doc_id")
+      if (mm.getLong(0) == 0L) {
+        // Empty corpus: emit zero rows with the operator's output schema
+        // (the oracle's window over zero rows does the same) instead of
+        // NPE-ing on the admin scalar.
         toks.select(col("doc_id"), col("ntok"), lit(0L).as("cum_before"),
           lit(0L).as("chunk_first"), lit(0L).as("chunk_last"), lit(0L).as("spans"))
       } else {
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (mm.getLong(2), mm.getLong(3))
       val nb = s.conf.get("spark.sql.shuffle.partitions").toLong max 1L
       val width = 1L max ((hi - lo) / nb + 1L)
       val bucketed = toks.withColumn("bkt", expr(s"(doc_id - $lo) DIV $width"))

@@ -18,7 +18,13 @@ import scala.jdk.CollectionConverters._
   */
 class RegistryLintSpec extends AnyFunSuite {
 
-  private val Key = """"(q[a-z0-9_]+)"\s*->""".r
+  // Any line-leading quoted identifier bound with `->` — registry entries
+  // (and the view-template Seqs) are written one binding per line, while
+  // non-registry pair syntax (`.renameColumns("a" -> "b")`, oracle patch
+  // pairs) is mid-line or contains spaces. The r12 `q[a-z0-9_]+` shape
+  // silently exempted any future binding not starting with 'q' (ADVICE
+  // r12): anchor on line position instead of the name's first letter.
+  private val Key = """(?m)^\s*"([A-Za-z][A-Za-z0-9_]*)"\s*->""".r
 
   private def bindings(path: java.nio.file.Path): Seq[String] =
     Key.findAllMatchIn(Files.readString(path)).map(_.group(1)).toSeq

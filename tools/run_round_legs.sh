@@ -4,7 +4,10 @@
 # from one detached run, all at the current (release) commit. Leaves
 # per-leg check summaries in $LOG/ and the bench line in
 # $LOG/bench_local.json. Scale records (sf1/sf10) run separately.
-set -e
+# pipefail (ADVICE r12): without it, a graft.Bench crash that still emitted
+# a "metric":"total" line earlier in the pipe would exit 0 and leave a
+# green-looking bench_local.json behind.
+set -eo pipefail
 cd /root/repo
 LOG=${1:-/tmp/r12_legs}
 mkdir -p "$LOG"
@@ -35,11 +38,32 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Stage the bench stdout to a file, THEN grep: `java | grep -m1` under
+# pipefail would turn grep's early pipe close into a spurious SIGPIPE
+# failure, and java's own exit code would still be masked. This way set -e
+# checks java directly and the grep runs over the complete output.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   java $ADD_OPENS -Xmx10g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
-  2> "$LOG/bench.err" | grep -v '"queries_n"' | grep -m1 '"metric":"total"' \
+  > "$LOG/bench_raw.txt" 2> "$LOG/bench.err"
+grep -v '"queries_n"' "$LOG/bench_raw.txt" | grep -m1 '"metric":"total"' \
   > "$LOG/bench_local.json"
+
+# Plan-dump selection derived MECHANICALLY from the final bench record
+# (VERDICT r12 What's-wrong #1: a hand-picked list drifted from the
+# at-release bench and left >2.5 s entries undumped): every query over
+# 2.5 s in THIS run's bench_local.json, plus the standing headline set.
+python3 - "$LOG/bench_local.json" > "$LOG/plan_names.txt" <<'PYEOF'
+import json, sys
+b = json.load(open(sys.argv[1]))
+print("\n".join(sorted(n for n, sec in b["queries"].items() if sec > 2.5)))
+PYEOF
+# PlanDump unions these with its standing headline set internally.
+# shellcheck disable=SC2046
+java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.PlanDump \
+  /root/testdata/sf0.01 "$LOG/PLANS.md" $(cat "$LOG/plan_names.txt") \
+  2> "$LOG/plandump.err"
 
 date -u +%FT%TZ > "$LOG/finished.txt"
 echo "ALL LEGS GREEN (logs in $LOG)"
