@@ -103,7 +103,8 @@ object Queries {
     coverage.Pipeline8Queries.all, coverage.Round5Queries.all,
     coverage.Round5bQueries.all, coverage.Round6Queries.all, coverage.Round7Queries.all,
     coverage.TpcdsVerbatimQueries.all, coverage.Round8Queries.all, coverage.Round9Queries.all,
-    coverage.TpcdsVerbatim2Queries.all, coverage.Pipeline9Queries.all)
+    coverage.TpcdsVerbatim2Queries.all, coverage.Pipeline9Queries.all,
+    coverage.TpchVerbatimQueries.all)
 
   /** Merged registry. A cross-module name collision is a silent operator
     * replacement under the driver gate (a later `++` overrides the
