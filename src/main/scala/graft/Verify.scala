@@ -58,7 +58,10 @@ object Verify {
     // the env var; tools/run_verify.sh always does.
     sys.env.get("SPARK_GRAFT_EXCLUDED_OUT").foreach { exDir =>
       new java.io.File(exDir).mkdirs()
-      val excluded = coverage.TpcdsVerbatim2Queries.h1Blocked
+      // h1Blocked: rendered-multiset pin; tolBlocked (r13, q17/q39a/q39b):
+      // tolerance pin — check.py routes by tolerance_excluded.json below.
+      val excluded = coverage.TpcdsVerbatim2Queries.h1Blocked ++
+        coverage.TpcdsVerbatim2Queries.tolBlocked
       excluded.filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, qq) =>
           try qq.run(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -76,6 +79,14 @@ object Verify {
           s"${q(k)}: ${q(qq.oracle.get)}"
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$exDir/oracle_sql_excluded.json"), exJson)
+      // Which excluded queries are TOLERANCE-pinned, and on which columns
+      // (the stddev-derived outputs): check.py compares those numerically
+      // with a relative epsilon instead of by exact render.
+      val tolJson = coverage.TpcdsVerbatim2Queries.tolApprox.collect {
+        case (k, cols) if only.forall(_.contains(k)) =>
+          s"${q(k)}: ${cols.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$exDir/tolerance_excluded.json"), tolJson)
     }
     spark.stop()
   }

@@ -3776,4 +3776,159 @@ order by cs1.product_name
         "order by i_item_id NULLS FIRST, s_state NULLS FIRST",
       "avg(cast(ss_quantity as decimal(7, 2))) agg1" ->
         (avgDigits("cast(ss_quantity as decimal(7, 2))", 2, 6) + " agg1")))
+
+  // ------------------------------------------------------------------
+  // The last three official texts: q17 / q39a / q39b (VERDICT r12 #1).
+  // stddev_samp over shuffled doubles is not bit-reproducible, so these
+  // can never pass an exact-hash gate — but the reference itself
+  // validates them with a per-type-TOLERANCE comparator
+  // (flink-end-to-end-tests/flink-tpcds-test/.../TpcdsResultComparator
+  // .java:53, TOLERATED_DOUBLE_DEVIATION = 1%; wiring at
+  // TpcdsTestProgram.java:77-86). tolBlocked mirrors that: the texts
+  // execute byte-verbatim (byteaudit-pinned) and are value-pinned
+  // OUTSIDE the driver gate with a relative epsilon of 1e-6 (four
+  // orders tighter than the reference tolerates) on exactly the
+  // stddev-derived columns ([[tolApprox]]), exact renders elsewhere —
+  // per-round via tools/check.py PASS-TOL over the excluded dump, and
+  // permanently via TpcdsTolValueSpec goldens in `sbt test`.
+
+  private val q17: String =
+"""select  i_item_id
+       ,i_item_desc
+       ,s_state
+       ,count(ss_quantity) as store_sales_quantitycount
+       ,avg(ss_quantity) as store_sales_quantityave
+       ,stddev_samp(ss_quantity) as store_sales_quantitystdev
+       ,stddev_samp(ss_quantity)/avg(ss_quantity) as store_sales_quantitycov
+       ,count(sr_return_quantity) as store_returns_quantitycount
+       ,avg(sr_return_quantity) as store_returns_quantityave
+       ,stddev_samp(sr_return_quantity) as store_returns_quantitystdev
+       ,stddev_samp(sr_return_quantity)/avg(sr_return_quantity) as store_returns_quantitycov
+       ,count(cs_quantity) as catalog_sales_quantitycount ,avg(cs_quantity) as catalog_sales_quantityave
+       ,stddev_samp(cs_quantity) as catalog_sales_quantitystdev
+       ,stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitycov
+ from store_sales
+     ,store_returns
+     ,catalog_sales
+     ,date_dim d1
+     ,date_dim d2
+     ,date_dim d3
+     ,store
+     ,item
+ where d1.d_quarter_name = '2001Q1'
+   and d1.d_date_sk = ss_sold_date_sk
+   and i_item_sk = ss_item_sk
+   and s_store_sk = ss_store_sk
+   and ss_customer_sk = sr_customer_sk
+   and ss_item_sk = sr_item_sk
+   and ss_ticket_number = sr_ticket_number
+   and sr_returned_date_sk = d2.d_date_sk
+   and d2.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+   and sr_customer_sk = cs_bill_customer_sk
+   and sr_item_sk = cs_item_sk
+   and cs_sold_date_sk = d3.d_date_sk
+   and d3.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+ group by i_item_id
+         ,i_item_desc
+         ,s_state
+ order by i_item_id
+         ,i_item_desc
+         ,s_state
+limit 100"""
+
+  private val q39a: String =
+"""with inv as
+(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+ from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+            ,stddev_samp(cast(inv_quantity_on_hand as decimal(7, 2))) stdev,avg(cast(inv_quantity_on_hand as decimal(7, 2))) mean
+      from inventory
+          ,item
+          ,warehouse
+          ,date_dim
+      where inv_item_sk = i_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_year =2001
+      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+ where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+from inv inv1,inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+  and inv1.d_moy=1
+  and inv2.d_moy=1+1
+order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        ,inv2.d_moy,inv2.mean, inv2.cov"""
+
+  private val q39b: String =
+"""with inv as
+(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+ from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+            ,stddev_samp(cast(inv_quantity_on_hand as decimal(7, 2))) stdev,avg(cast(inv_quantity_on_hand as decimal(7, 2))) mean
+      from inventory
+          ,item
+          ,warehouse
+          ,date_dim
+      where inv_item_sk = i_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_year =2001
+      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+ where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+from inv inv1,inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+  and inv1.d_moy=1
+  and inv2.d_moy=1+1
+  and inv1.cov > 1.5
+order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        ,inv2.d_moy,inv2.mean, inv2.cov"""
+
+  /** q39's official select list repeats five output names across the
+    * inv1/inv2 arms (the q64 duplicate-name class): parquet refuses the
+    * duplicate columns, so the MATERIALIZATION BOUNDARY renames
+    * positionally (toDF) and the oracle aliases its final select to the
+    * same names — the engine still runs the byte-verbatim text. */
+  private val v39Cols = Seq(
+    "w_warehouse_sk", "i_item_sk", "d_moy", "mean", "cov",
+    "w_warehouse_sk2", "i_item_sk2", "d_moy2", "mean2", "cov2")
+  private val v39OraclePatch =
+    ",inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov" ->
+      (",inv2.w_warehouse_sk AS w_warehouse_sk2,inv2.i_item_sk AS i_item_sk2" +
+       ",inv2.d_moy AS d_moy2,inv2.mean AS mean2, inv2.cov AS cov2")
+  private def mkV39(qtext: String): Q = Q(
+    run = (s, dir) => {
+      TpcdsVerbatimQueries.register(s, dir)
+      new graft.sql.EngineEnv(s).sqlQuery(qtext).toDF(v39Cols: _*)
+    },
+    oracle = Some(TpcdsVerbatimQueries.applyPatches(
+      TpcdsVerbatimQueries.oracleFor(qtext), Seq(v39OraclePatch))))
+
+  /** Tolerance-pinned verbatim queries — hosted, executing, value-proven
+    * with a stddev-only epsilon; outside the exact-hash driver gate. */
+  val tolBlocked: Map[String, Q] = Map(
+    "q_tpcds_v17" -> mk(q17),
+    "q_tpcds_v39a" -> mkV39(q39a),
+    "q_tpcds_v39b" -> mkV39(q39b))
+
+  /** Per-query approximate (stddev-derived) output columns; every other
+    * column compares by exact render. q17's avg columns are NOT here:
+    * ss_quantity is an integer-valued DOUBLE, so sum (exact < 2^53,
+    * order-independent) / count is one deterministic IEEE division in
+    * both engines. q39's mean IS here: Spark emits the in-text
+    * avg(cast(x as decimal(7,2))) as a true DECIMAL(11,6) with one
+    * HALF_UP rounding while DuckDB lowers to DOUBLE — equal to ~5e-7
+    * absolute, not byte-equal. */
+  val tolApprox: Map[String, Seq[String]] = Map(
+    "q_tpcds_v17" -> Seq(
+      "store_sales_quantitystdev", "store_sales_quantitycov",
+      "store_returns_quantitystdev", "store_returns_quantitycov",
+      "catalog_sales_quantitystdev", "catalog_sales_quantitycov"),
+    "q_tpcds_v39a" -> Seq("mean", "cov", "mean2", "cov2"),
+    "q_tpcds_v39b" -> Seq("mean", "cov", "mean2", "cov2"))
 }

@@ -476,11 +476,20 @@ object TpcdsVerbatimQueries {
                CAST((p_partkey - 1) * 10000 AS BIGINT) AS ib_lower_bound,
                CAST(p_partkey * 10000 AS BIGINT) AS ib_upper_bound
         FROM ${tbl("part")} WHERE p_partkey BETWEEN 1 AND 20""",
+      // r13 (hosting q39a/b): warehouse assignment is MONTH-STABLE
+      // (p_partkey alone, not p+date — a per-Monday-rotating warehouse made
+      // every (item,warehouse,moy) group a singleton, so stddev_samp was
+      // NULL and q39's cov>1 filter was vacuously empty at every scale),
+      // and quantity gets a 1-in-11 ×9 spike so the monthly cov straddles
+      // BOTH official thresholds (sf0.01: 1668 of 4000 moy-1/2 groups pass
+      // cov>1, 104 pass cov>1.5 → q39a 546 rows, q39b 36).
       "inventory" -> s"""
         SELECT CAST(p_partkey AS BIGINT) AS inv_item_sk,
                d_date_sk AS inv_date_sk,
-               CAST((p_partkey + d_date_sk) % 5 + 1 AS BIGINT) AS inv_warehouse_sk,
-               CAST((p_partkey * 7 + d_date_sk) % 600 AS DOUBLE) AS inv_quantity_on_hand
+               CAST(p_partkey % 5 + 1 AS BIGINT) AS inv_warehouse_sk,
+               CAST(((p_partkey * 7 + d_date_sk) % 600) *
+                 (CASE WHEN (p_partkey * 13 + d_date_sk) % 11 = 0 THEN 9 ELSE 1 END)
+                 AS DOUBLE) AS inv_quantity_on_hand
         FROM ${tbl("part")}, date_dim WHERE d_dow = 1""")
   }
 

@@ -35,14 +35,22 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(os.path.join(exdir, "oracle_sql_excluded.json")))
+    # tolerance-pinned queries (r13: q17/q39a/q39b) golden into a sibling
+    # dir read by TpcdsTolValueSpec (keyed epsilon compare), not the
+    # exact-render H1 goldens
+    toljson = os.path.join(exdir, "tolerance_excluded.json")
+    tolmap = json.load(open(toljson)) if os.path.isfile(toljson) else {}
+    tol_dest = os.path.join(os.path.dirname(dest.rstrip("/")), "tol_golden")
     os.makedirs(dest, exist_ok=True)
+    os.makedirs(tol_dest, exist_ok=True)
     for name, sql in sorted(oracles.items()):
+        d = tol_dest if name in tolmap else dest
         df = con.sql(sql).df()
         df = df.reindex(sorted(df.columns), axis=1)
         lines = sorted(SEP.join(render(v) for v in row) for row in df.itertuples(index=False))
-        with open(os.path.join(dest, f"{name}.txt"), "w") as f:
+        with open(os.path.join(d, f"{name}.txt"), "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-        print(f"{name}: {len(lines)} rows -> {dest}/{name}.txt")
+        print(f"{name}: {len(lines)} rows -> {d}/{name}.txt")
 
 if __name__ == "__main__":
     main()
