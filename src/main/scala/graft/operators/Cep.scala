@@ -149,7 +149,16 @@ object Cep {
     val stack = scala.collection.mutable.Stack(new Frame(pos0, 0, 0, Nil, 0))
     while (stack.nonEmpty) {
       val f = stack.top
-      if (f.si == steps.length) return Some(f.acc.reverse)
+      if (f.si == steps.length) {
+        // An ANCHORED search must consume its anchor: an all-optional
+        // pattern's empty completion is not a match at this row — keep
+        // searching instead of committing to it (r13, found by
+        // CepPropertySpec: findAt returned None for pattern c{0,2} on a
+        // 'c' row where the one-event match exists and findAllAt/the
+        // model both report it).
+        if (anchorAt < 0 || f.acc.nonEmpty) return Some(f.acc.reverse)
+        stack.pop()
+      } else {
       val st = steps(f.si)
       // anchoring: while NOTHING is consumed yet, the first consumed event
       // must be exactly `anchorAt` — whichever step ends up consuming it
@@ -208,6 +217,7 @@ object Cep {
         case 1 => f.stage = 2; if (st.greedy) tryAdvance() else tryConsume()
         case _ => stack.pop() // both children exhausted → backtrack
       }
+      }
     }
     None
   }
@@ -235,14 +245,13 @@ object Cep {
     val results = scala.collection.mutable.ListBuffer[List[(Int, Int)]]()
     final class Frame(val pos: Int, val si: Int, val cnt: Int,
                       val acc: List[(Int, Int)], var stage: Int) { var scan: Int = pos }
-    // mandatory head: seed with `start` consumed as its first occurrence
-    // (the only anchored shape). Min-0 head: a later step may consume the
-    // anchor instead — seed the general search at (step 0, nothing
-    // consumed) and keep only anchored results below.
-    val stack = scala.collection.mutable.Stack(
-      if (steps.head.minTimes > 0)
-        new Frame(start + 1, 0, 1, List((effVarId(steps.head, 0), start)), 0)
-      else new Frame(start, 0, 0, Nil, 0))
+    // Uniform general seed (r13, found by CepPropertySpec): the previous
+    // mandatory-head fast seed consumed `start` directly, BYPASSING the
+    // scan's until/within checks — `a` with until='a' (or within=0)
+    // matched here while findAt and the model both reject it. The general
+    // scan's anchoring constraint (while nothing is consumed, only `start`
+    // may be taken) already forces the mandatory-head shape.
+    val stack = scala.collection.mutable.Stack(new Frame(start, 0, 0, Nil, 0))
     while (stack.nonEmpty) {
       val f = stack.top
       if (f.si == steps.length) { results += f.acc.reverse; stack.pop() }
