@@ -3911,24 +3911,25 @@ order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
 
   /** Tolerance-pinned verbatim queries — hosted, executing, value-proven
     * with a stddev-only epsilon; outside the exact-hash driver gate. */
-  val tolBlocked: Map[String, Q] = Map(
-    "q_tpcds_v17" -> mk(q17),
-    "q_tpcds_v39a" -> mkV39(q39a),
-    "q_tpcds_v39b" -> mkV39(q39b))
-
-  /** Per-query approximate (stddev-derived) output columns; every other
-    * column compares by exact render. q17's avg columns are NOT here:
-    * ss_quantity is an integer-valued DOUBLE, so sum (exact < 2^53,
-    * order-independent) / count is one deterministic IEEE division in
-    * both engines. q39's mean IS here: Spark emits the in-text
-    * avg(cast(x as decimal(7,2))) as a true DECIMAL(11,6) with one
-    * HALF_UP rounding while DuckDB lowers to DOUBLE — equal to ~5e-7
-    * absolute, not byte-equal. */
-  val tolApprox: Map[String, Seq[String]] = Map(
-    "q_tpcds_v17" -> Seq(
+  /** One source of truth per tolerance query: (runner, approx columns) —
+    * a single binding per name keeps RegistryLintSpec's within-file
+    * duplicate-key lint meaningful. The approx columns are the
+    * stddev-derived outputs; every other column compares by exact
+    * render. q17's avg columns are NOT approx: ss_quantity is an
+    * integer-valued DOUBLE, so sum (exact < 2^53, order-independent) /
+    * count is one deterministic IEEE division in both engines. q39's
+    * mean IS approx: Spark emits the in-text avg(cast(x as
+    * decimal(7,2))) as a true DECIMAL(11,6) with one HALF_UP rounding
+    * while DuckDB lowers to DOUBLE — equal to ~5e-7 absolute, not
+    * byte-equal. */
+  private val tolSpec: Map[String, (Q, Seq[String])] = Map(
+    "q_tpcds_v17" -> ((mk(q17), Seq(
       "store_sales_quantitystdev", "store_sales_quantitycov",
       "store_returns_quantitystdev", "store_returns_quantitycov",
-      "catalog_sales_quantitystdev", "catalog_sales_quantitycov"),
-    "q_tpcds_v39a" -> Seq("mean", "cov", "mean2", "cov2"),
-    "q_tpcds_v39b" -> Seq("mean", "cov", "mean2", "cov2"))
+      "catalog_sales_quantitystdev", "catalog_sales_quantitycov"))),
+    "q_tpcds_v39a" -> ((mkV39(q39a), Seq("mean", "cov", "mean2", "cov2"))),
+    "q_tpcds_v39b" -> ((mkV39(q39b), Seq("mean", "cov", "mean2", "cov2"))))
+
+  val tolBlocked: Map[String, Q] = tolSpec.map { case (k, (q, _)) => k -> q }
+  val tolApprox: Map[String, Seq[String]] = tolSpec.map { case (k, (_, c)) => k -> c }
 }
