@@ -44,18 +44,24 @@ class CepPropertySpec extends AnyFunSuite {
   /** Spec-level pattern step over the 3-letter alphabet. Negative guards
     * never sit on step 0: they describe the gap from the PREVIOUS
     * variable, which step 0 does not have (the engine encodes
-    * notNext/notFollowedBy on the following step — Cep.scala StepG doc). */
+    * notNext/notFollowedBy on the following step — Cep.scala StepG doc).
+    * `group` makes this a GroupPattern step (sub-sequence quantified as a
+    * unit; letter/until/negatives unused); sub-steps carry explicit
+    * global varIds, the engine contract. */
   private case class PStep(letter: String, min: Int, max: Int, strict: Boolean,
                            greedy: Boolean, until: Option[String],
-                           notBefore: Option[String], notNext: Option[String])
+                           notBefore: Option[String], notNext: Option[String],
+                           varId: Int = -1,
+                           group: Option[IndexedSeq[PStep]] = None)
 
   private def toStepG(s: PStep): StepG[Ev] = StepG(
-    (e: Ev, _: MatchCtx[Ev]) => e.eventType == s.letter,
+    (e: Ev, _: MatchCtx[Ev]) => s.group.isDefined || e.eventType == s.letter,
     s.min, s.max, s.strict,
     s.until.map(u => (e: Ev, _: MatchCtx[Ev]) => e.eventType == u),
     s.notBefore.map(b => (e: Ev, _: MatchCtx[Ev]) => e.eventType == b),
     s.notNext.map(x => (e: Ev, _: MatchCtx[Ev]) => e.eventType == x),
-    greedy = s.greedy)
+    greedy = s.greedy, varId = s.varId,
+    group = s.group.map(_.map(toStepG)))
 
   /** Exhaustive enumerator of all valid anchored matches: the semantic
     * contract of one quantifier scan, stated directly — from scan start
@@ -83,22 +89,36 @@ class CepPropertySpec extends AnyFunSuite {
       }
       out.toList
     }
-    def go(si: Int, pos: Int, cnt: Int, acc: List[(Int, Int)]): Set[List[(Int, Int)]] = {
-      if (si == steps.length) Set(acc.reverse)
+    // `complete`: full assignments (REVERSED acc lists, outer prefix
+    // included) of `ss` starting at pos — recursing into group sub-
+    // sequences; the anchor constraint follows the GLOBAL acc.
+    def go(ss: IndexedSeq[PStep], si: Int, pos: Int, cnt: Int,
+           acc: List[(Int, Int)]): Set[List[(Int, Int)]] = {
+      if (si == ss.length) Set(acc)
       else {
-        val st = steps(si)
-        val viaAdvance = if (cnt >= st.min) go(si + 1, pos, 0, acc) else Set.empty[List[(Int, Int)]]
+        val st = ss(si)
+        val viaAdvance = if (cnt >= st.min) go(ss, si + 1, pos, 0, acc)
+                         else Set.empty[List[(Int, Int)]]
         val vetoed = cnt == 0 && st.notNext.exists(x =>
           pos < n && inWin(pos) && evs(pos).eventType == x)
         val viaConsume =
-          if (cnt < st.max && !vetoed)
-            candidates(st, pos, first = cnt == 0, anchored = acc.isEmpty)
-              .flatMap(c => go(si, c + 1, cnt + 1, (si, c) :: acc)).toSet
+          if (cnt < st.max && !vetoed) st.group match {
+            case Some(sub) =>
+              // one more group occurrence = any full NONEMPTY sub
+              // assignment from pos; continue after its last event
+              go(sub, 0, pos, 0, acc).filter(_.lengthCompare(acc.length) > 0)
+                .flatMap(a => go(ss, si, a.head._2 + 1, cnt + 1, a))
+            case None =>
+              val vid = if (st.varId >= 0) st.varId else si
+              candidates(st, pos, first = cnt == 0, anchored = acc.isEmpty)
+                .flatMap(c => go(ss, si, c + 1, cnt + 1, (vid, c) :: acc)).toSet
+          }
           else Set.empty[List[(Int, Int)]]
         viaAdvance ++ viaConsume
       }
     }
-    go(0, anchor, 0, Nil).filter(_.headOption.exists(_._2 == anchor))
+    go(steps, 0, anchor, 0, Nil).map(_.reverse)
+      .filter(_.headOption.exists(_._2 == anchor))
   }
 
   // ---------------------------------------------------------- generators
@@ -141,6 +161,47 @@ class CepPropertySpec extends AnyFunSuite {
     evs <- genEvents; ps <- genPattern; w <- genWithin
   } yield (evs, ps, w)
 
+  /** Group-pattern generator (GroupPattern.java shapes): G, aG, Ga, aGa
+    * with a 1-2 leaf sub-sequence; explicit GLOBAL varIds everywhere
+    * (the engine contract for group sub-steps). Sub/flank leaves stay
+    * modifier-free — the modifier interactions are the leaf tests'
+    * job; this one targets the group recursion itself. */
+  private val genLeafPlain: Gen[PStep] = for {
+    letter <- Gen.oneOf(letters)
+    mm <- Gen.oneOf((1, 1), (0, 1), (1, 2))
+    strict <- Gen.oneOf(true, false)
+    greedy <- Gen.oneOf(true, false)
+  } yield PStep(letter, mm._1, mm._2, strict, greedy, None, None, None)
+
+  private val genGroupPattern: Gen[IndexedSeq[PStep]] = for {
+    nsub <- Gen.choose(1, 2)
+    sub <- Gen.listOfN(nsub, genLeafPlain)
+    gmm <- Gen.oneOf((0, 1), (1, 1), (1, 2), (0, 2))
+    ggreedy <- Gen.oneOf(true, false)
+    shape <- Gen.oneOf("G", "aG", "Ga", "aGa")
+    flanks <- Gen.listOfN(2, genLeafPlain)
+  } yield {
+    val group = PStep("_", gmm._1, gmm._2, strict = true, ggreedy, None, None, None,
+      group = Some(sub.toIndexedSeq))
+    val shaped: List[PStep] = shape match {
+      case "G" => List(group)
+      case "aG" => List(flanks.head, group)
+      case "Ga" => List(group, flanks(1))
+      case _ => List(flanks.head, group, flanks(1))
+    }
+    // assign explicit global varIds over the flattened leaf order
+    var next = -1
+    def num(p: PStep): PStep = p.group match {
+      case Some(s) => p.copy(group = Some(s.map(num)))
+      case None => next += 1; p.copy(varId = next)
+    }
+    shaped.map(num).toIndexedSeq
+  }
+
+  private val genGroupCase: Gen[(IndexedSeq[Ev], IndexedSeq[PStep], Long)] = for {
+    evs <- genEvents; ps <- genGroupPattern; w <- genWithin
+  } yield (evs, ps, w)
+
   // ---------------------------------------------------------- properties
 
   test("findAllAt equals the exhaustive model at every anchor " +
@@ -155,6 +216,31 @@ class CepPropertySpec extends AnyFunSuite {
             s"pattern=$ps within=$w\n  engine=$got\n  model =$want")
           false
         } else true
+      }
+    })
+  }
+
+  test("findAt on GROUP patterns: member-of-model, model-empty forces None " +
+       "(GroupITCase / NFAITCase group-pattern mirror, 120 seeded cases)") {
+    // groups are committed-choice at the occurrence level (the sub-search
+    // returns its first assignment), so existence is one-way: the engine
+    // may miss a model match behind a committed dead-end, but must never
+    // fabricate one (membership) nor match where the model has none.
+    runProp("findAt-groups-vs-model", Prop.forAll(genGroupCase) { case (evs, ps, w) =>
+      val steps = ps.map(toStepG)
+      evs.indices.forall { i =>
+        val got = Cep.findAt(evs, i, steps, w, (e: Ev) => e.tsMicros)
+        val want = model(evs, i, ps, w)
+        val ok = got match {
+          case None => true
+          case Some(m) => want.contains(m)
+        }
+        val okEmpty = want.nonEmpty || got.isEmpty
+        if (!(ok && okEmpty)) {
+          println(s"MISMATCH anchor=$i evs=${evs.map(_.eventType).mkString} " +
+            s"pattern=$ps within=$w\n  engine=$got\n  model(${want.size})=${want.take(3)}")
+        }
+        ok && okEmpty
       }
     })
   }
