@@ -1172,6 +1172,19 @@ final class EngineEnv(val spark: SparkSession, val catalogDir: Option[String] = 
     val resolved = resolveTables(rewriteTemporalJoin(rewriteLateralTable(
       rewriteTemporalFn(rewriteOptionsHints(flinkSql)))))
     if (MatchRecognize.isMatchRecognize(resolved)) MatchRecognize.run(spark, resolved)
+    // NOTE on multi-referenced CTEs (TPC-DS q14/q23/q64-class): the
+    // reference reuses identical-digest subplans at plan time
+    // (SubplanReuser.scala:54); Spark's analog is AQE's runtime exchange
+    // reuse — q14a's executed plan carries 37 ReusedExchange nodes
+    // (tools/PlanReuseProbe), so its triple-referenced cross_items CTE
+    // already computes its heavy shuffles once. A SQL-level
+    // materialization pass (persist + temp view per multi-ref CTE) was
+    // built and measured in round 13 and LOST at every scale — always-on:
+    // +12 s on the 19-query CTE family at sf0.1; Flink-digest-gated
+    // (materialize only optimizer-unspecialized references): +9 s incl.
+    // the double-optimization cost; sf1: +14 s — because the cache is an
+    // optimization barrier for specialized references and redundant with
+    // exchange reuse for identical ones. Decision: keep CTEs inline.
     else spark.sql(FlinkSqlDialect.rewrite(resolved))
   }
 

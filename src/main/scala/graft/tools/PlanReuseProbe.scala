@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off measurement behind the round-13 CTE-materialization decision
+  * (EngineEnv.sqlQuery NOTE): how much of a multi-referenced-CTE query's
+  * executed plan does AQE's runtime exchange reuse already deduplicate?
+  * The reference reuses identical-digest subplans at plan time
+  * (flink-table-planner-blink/.../plan/reuse/SubplanReuser.scala:54);
+  * Spark's analog is ReusedExchange — q14a shows 37 of them, i.e. its
+  * triple-referenced cross_items CTE computes its heavy shuffles once,
+  * which is why an explicit persist-per-CTE pass measured as a pure loss.
+  * Prints post-execution ReusedExchange / scan counts + wall time per
+  * query. Args: sfDir queryName... */
+object PlanReuseProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val qs = args.drop(1)
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-reuse-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Queries.all // registry init
+    qs.foreach { q =>
+      val t0 = System.nanoTime()
+      val df = graft.Queries.all(q).run(spark, dir)
+      val n = df.collect().length
+      val secs = (System.nanoTime() - t0) / 1e9
+      val fin = df.queryExecution.executedPlan.toString
+      def c(p: String) = p.r.findAllIn(fin).length
+      println(f"$q rows=$n secs=$secs%.2f scans=${c("Scan parquet")} " +
+        f"reusedExchange=${c("ReusedExchange")} exchange=${c("Exchange")} " +
+        f"tableCache=${c("InMemoryTableScan")}")
+    }
+    spark.stop()
+  }
+}
