@@ -23,10 +23,31 @@ class OperatorPropertySpec extends AnyFunSuite with SparkTestBase {
 
   // ------------------------------------------------------------- ppjoin
 
+  test("jaccardSelfJoin prunes nothing at IEEE representation boundaries (regression)") {
+    // the exact boundary family the fuzz search surfaced: A ⊂ B with
+    // J = |A|/|B| landing EXACTLY on t, where ceil(|B|·t) in doubles
+    // rounds up past |A| (50·0.14 = 7.000000000000001) — the original
+    // `min >= ceil(max*t)` length filter pruned all three of these
+    // qualifying pairs; the division-form filter must keep them
+    for (((szA, szB, t), id0) <- Seq((7, 50, 0.14), (14, 50, 0.28), (14, 25, 0.56)).zipWithIndex) {
+      val base = id0 * 1000L
+      val rows = (0 until szB).map(e => (base + 2L, e.toLong)) ++
+        (0 until szA).map(e => (base + 1L, e.toLong))
+      val got = SetSimJoin.jaccardSelfJoin(rows.toDF("doc_id", "shid"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val jac = szA.toDouble / szB.toDouble
+      assert(jac >= t, s"case ($szA,$szB,$t) must sit on the qualifying side")
+      assert(got == Set((base + 1L, base + 2L, szA.toLong, jac)),
+        s"boundary pair ($szA ⊂ $szB, t=$t) lost: got $got")
+    }
+  }
+
   test("jaccardSelfJoin is exactly the brute-force all-pairs J >= t (PPJoin losslessness)") {
     // thresholds chosen to sit ON representability boundaries: 0.3 and
-    // 2/3 force ceil/floor calls right at integer edges
-    for (seed <- Seq(301L, 302L, 303L); t <- Seq(0.3, 0.5, 2.0 / 3.0, 0.7, 0.75)) {
+    // 2/3 force ceil/floor calls right at integer edges; 0.14/0.28/0.56
+    // are the family where the pre-fix ceil-form length filter was lossy
+    for (seed <- Seq(301L, 302L, 303L);
+         t <- Seq(0.14, 0.28, 0.3, 0.5, 0.56, 2.0 / 3.0, 0.7, 0.75)) {
       val rnd = new Random(seed * 31 + (t * 1000).toLong)
       // small element universe + geometric-ish sizes → dense overlap and
       // many exact-boundary pairs (subset pairs hit J = |A|/|B| exactly)
