@@ -347,6 +347,127 @@ class GraphPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---------------------------------------------- generators + facade
+
+  test("deterministic generators match closed-form lattice/cycle models") {
+    import GraphOps.Generators
+    def multiset(dfx: DataFrame): Seq[(Long, Long)] =
+      dfx.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // circulant: (i, (i+j) mod n) per offset j — and its two spellings
+    for ((n, ranges) <- Seq((7L, Seq((1L, 2L))), (5L, Seq((2L, 1L), (4L, 1L))), (9L, Seq((3L, 3L))))) {
+      val offs = ranges.flatMap { case (o, len) => o until (o + len) }
+      val want = (for (i <- 0L until n; j <- offs) yield (i, (i + j) % n)).sorted
+      assert(multiset(Generators.circulant(spark, n, ranges)) == want, s"circulant n=$n $ranges")
+    }
+    assert(multiset(Generators.complete(spark, 6)) ==
+      (for (i <- 0L until 6; j <- 1L until 6) yield (i, (i + j) % 6)).sorted)
+
+    // grid: decode row-major coords, link ±1 per dimension, wrap iff size>2
+    for (dims <- Seq(Seq((4L, false)), Seq((5L, true)), Seq((3L, true), (4L, false)),
+                     Seq((2L, false), (2L, false), (2L, false)), Seq((3L, false), (1L, true)))) {
+      val n = dims.map(_._1).product
+      def coords(id: Long): Seq[Long] =
+        dims.foldRight((id, List.empty[Long])) { case ((s, _), (rest, acc)) =>
+          (rest / s, (rest % s) :: acc)
+        }._2
+      def encode(c: Seq[Long]): Long =
+        c.zip(dims).foldLeft(0L) { case (acc, (x, (s, _))) => acc * s + x }
+      val want = (for {
+        id <- 0L until n; k <- dims.indices
+        (s, wrapRaw) = dims(k); c = coords(id)
+        d <- Seq(-1L, 1L)
+        nc = c(k.toInt) + d
+        tgt = if (nc >= 0 && nc < s) Some(nc)
+              else if (wrapRaw && s > 2) Some((nc + s) % s)
+              else None
+        t <- tgt
+      } yield (id, encode(c.updated(k, t)))).sorted
+      assert(multiset(Generators.grid(spark, dims)) == want, s"grid $dims")
+    }
+    assert(multiset(Generators.cycle(spark, 6)) ==
+      (for (i <- 0L until 6; d <- Seq(-1L, 1L)) yield (i, (i + d + 6) % 6)).sorted)
+    assert(multiset(Generators.path(spark, 5)) ==
+      ((0L until 4L).map(i => (i, i + 1)) ++ (1L until 5L).map(i => (i, i - 1))).sorted)
+    assert(multiset(Generators.hypercube(spark, 3)) ==
+      (for (i <- 0L until 8; b <- 0 until 3) yield (i, i ^ (1L << b))).sorted)
+    assert(multiset(Generators.star(spark, 5)) ==
+      ((1L until 5L).flatMap(i => Seq((0L, i), (i, 0L)))).sorted)
+    assert(multiset(Generators.singletonEdge(spark, 3)) ==
+      (0L until 3L).flatMap(p => Seq((2 * p, 2 * p + 1), (2 * p + 1, 2 * p))).sorted)
+    assert(Generators.empty(spark).count() == 0L)
+  }
+
+  test("GGraph structural transforms match multiset models (Graph.java mirror)") {
+    import GraphOps.GGraph
+    def ms(dfx: DataFrame): Seq[(Long, Long)] =
+      dfx.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    def vs(dfx: DataFrame): Set[Long] = dfx.collect().toSeq.map(_.getLong(0)).toSet
+
+    for (seed <- Seq(401L, 402L, 403L)) {
+      val rnd = new Random(seed)
+      def genG(): (Set[Long], Seq[(Long, Long)]) = {
+        val n = 3 + rnd.nextInt(6)
+        val verts = (0L until n).toSet ++ Set(50L + rnd.nextInt(3)) // isolated extras
+        // directed multigraph: duplicates allowed on purpose
+        val es = Seq.fill(2 + rnd.nextInt(12))(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        (verts, es)
+      }
+      val (v1, e1) = genG(); val (v2, e2) = genG()
+      val g1 = GGraph(v1.toSeq.toDF("v"), e1.toDF("src", "dst"))
+      val g2 = GGraph(v2.toSeq.toDF("v"), e2.toDF("src", "dst"))
+
+      assert(ms(g1.reverse.edges) == e1.map(_.swap).sorted && vs(g1.reverse.vertices) == v1)
+      assert(ms(g1.getUndirected.edges) == (e1 ++ e1.map(_.swap)).sorted)
+
+      // subgraph: even vertices, edges with src <= dst
+      val sg = g1.subgraph(_ % 2 === 0, (s, d) => s <= d)
+      val keptV = v1.filter(_ % 2 == 0)
+      assert(vs(sg.vertices) == keptV)
+      assert(ms(sg.edges) ==
+        e1.filter { case (s, d) => keptV(s) && keptV(d) && s <= d }.sorted)
+
+      val un = g1.union(g2)
+      assert(vs(un.vertices) == (v1 ++ v2) && ms(un.edges) == (e1 ++ e2).sorted)
+
+      val diff = g1.difference(g2)
+      assert(vs(diff.vertices) == (v1 -- v2))
+      assert(ms(diff.edges) ==
+        e1.filter { case (s, d) => !v2(s) && !v2(d) }.sorted)
+
+      val ix = g1.intersect(g2)
+      val commonDistinct = (e1.toSet intersect e2.toSet).toSeq
+      assert(ms(ix.edges) == commonDistinct.sorted)
+      assert(vs(ix.vertices) == commonDistinct.flatMap { case (s, d) => Seq(s, d) }.toSet)
+    }
+  }
+
+  test("bipartite projections match the pairwise incidence model") {
+    import GraphOps.BipartiteGraph
+    for (seed <- Seq(411L, 412L)) {
+      val rnd = new Random(seed)
+      val inc = (for (t <- 0L until 6L; b <- 100L until 105L if rnd.nextDouble() < 0.4)
+        yield (t, b, rnd.nextInt(100).toLong)).toSeq
+      val bg = BipartiteGraph(inc.toDF("top", "bottom", "value"))
+      def pairs(key: (Long, Long, Long) => Long, out: (Long, Long, Long) => Long) =
+        (for (a <- inc; b <- inc if key(a._1, a._2, a._3) == key(b._1, b._2, b._3) &&
+              out(a._1, a._2, a._3) != out(b._1, b._2, b._3))
+          yield (out(a._1, a._2, a._3), out(b._1, b._2, b._3),
+                 key(a._1, a._2, a._3), a._3, b._3)).sorted
+      val topFull = bg.projectionTopFull.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted
+      assert(topFull == pairs((_, b, _) => b, (t, _, _) => t), s"topFull seed=$seed")
+      val botFull = bg.projectionBottomFull.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted
+      assert(botFull == pairs((t, _, _) => t, (_, b, _) => b), s"bottomFull seed=$seed")
+      val topSimple = bg.projectionTopSimple.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(topSimple == pairs((_, b, _) => b, (t, _, _) => t)
+        .map { case (s, d, _, x, y) => (s, d, x, y) }.sorted, s"topSimple seed=$seed")
+    }
+  }
+
   // ------------------------------------------------- directed family
 
   /** Dyad map of a directed edge set: (u<w) -> (f, r). */
