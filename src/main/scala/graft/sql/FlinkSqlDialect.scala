@@ -113,16 +113,20 @@ object FlinkSqlDialect {
     * next char literal (regex-quoted). */
   private[graft] def similarToRegex(pat: String, escape: Option[Char]): String = {
     val out = new StringBuilder
+    // regex-quote one ordinary char for embedding in a single-quoted Spark
+    // SQL string: the SQL text needs a DOUBLE backslash per regex
+    // backslash — Spark's string-literal parser consumes one level before
+    // RLIKE compiles the regex (so a literal '\' needs four).
+    def quoted(c: Char): Unit =
+      if (c.isLetterOrDigit) out.append(c)
+      else if (c == '\\') out.append("\\\\\\\\")
+      else out.append("\\\\").append(c)
     var i = 0
     var inBracket = false
     while (i < pat.length) {
       val c = pat.charAt(i)
       if (escape.contains(c) && !inBracket && i + 1 < pat.length) {
-        // literal next char: regex-escape non-alphanumerics. The SQL text
-        // needs a DOUBLE backslash — Spark's string-literal parser consumes
-        // one level before RLIKE compiles the regex.
-        val lit = pat.charAt(i + 1)
-        if (lit.isLetterOrDigit) out.append(lit) else out.append("\\\\").append(lit)
+        quoted(pat.charAt(i + 1)) // literal next char
         i += 1
       } else if (inBracket) {
         out.append(c)
@@ -131,6 +135,13 @@ object FlinkSqlDialect {
         case '[' => out.append(c); inBracket = true
         case '%' => out.append("(?s:.*)")
         case '_' => out.append('.')
+        // Java-regex metacharacters that are NOT SQL-SIMILAR specials are
+        // ORDINARY pattern characters and must be regex-escaped — the set
+        // difference JAVA_REGEX_SPECIALS \ SQL_SIMILAR_SPECIALS in the
+        // reference's walk (Calcite SqlLikeUtils/Like.java, which Flink's
+        // SIMILAR runtime calls): '.', '$', '\'. Without this, 'a.b'
+        // matches 'axb'.
+        case '.' | '$' | '\\' => quoted(c)
         case _   => out.append(c)
       }
       i += 1
