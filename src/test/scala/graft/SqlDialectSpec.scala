@@ -98,6 +98,31 @@ class SqlDialectSpec extends SparkTestBase {
     assert(r.getBoolean(7) && r.getBoolean(8), "regex pass-through syntax intact")
   }
 
+  test("OVERLAPS: the reference's endpoint cases (ScalarFunctionsTest.testOverlaps)") {
+    // ref flink-table-planner-blink ScalarFunctionsTest.testOverlaps
+    // (:3073) — closed endpoints: a zero-length period touching the other
+    // period's endpoint OVERLAPS (true); 1ms apart does not (false);
+    // an INTERVAL second operand means end = start + interval, and a
+    // backwards (start, end) pair is normalized before comparing
+    val r = spark.sql(FlinkSqlDialect.rewrite(
+      """SELECT (TIMESTAMP '2026-01-01 02:55:00', INTERVAL '1' HOUR) OVERLAPS
+                  (TIMESTAMP '2026-01-01 03:30:00', INTERVAL '2' HOUR)  AS plain_hit,
+                (TIMESTAMP '2026-01-01 09:00:00', TIMESTAMP '2026-01-01 10:00:00') OVERLAPS
+                  (TIMESTAMP '2026-01-01 10:15:00', INTERVAL '3' HOUR)  AS disjoint,
+                (DATE '2011-03-10', INTERVAL '10' DAY) OVERLAPS
+                  (DATE '2011-03-19', INTERVAL '10' DAY)                AS date_hit,
+                (TIMESTAMP '2011-03-10 05:02:02', INTERVAL '0' SECOND) OVERLAPS
+                  (TIMESTAMP '2011-03-10 05:02:02', TIMESTAMP '2011-03-10 05:02:01') AS touch_point,
+                (TIMESTAMP '2011-03-10 02:02:02.001', INTERVAL '0' SECOND) OVERLAPS
+                  (TIMESTAMP '2011-03-10 02:02:02.002', TIMESTAMP '2011-03-10 02:02:02.002') AS ms_apart"""))
+      .head()
+    assert(r.getBoolean(0), "overlapping hour windows")
+    assert(!r.getBoolean(1), "disjoint periods")
+    assert(r.getBoolean(2), "date + interval periods sharing a day")
+    assert(r.getBoolean(3), "zero-length period ON the other's endpoint overlaps (closed)")
+    assert(!r.getBoolean(4), "a millisecond apart does not overlap")
+  }
+
   test("CREATE TABLE IF NOT EXISTS on an existing table is a no-op") {
     val e = new EngineEnv(spark)
     e.executeSql(s"""CREATE TABLE ine_t WITH ('connector'='filesystem',
