@@ -88,6 +88,12 @@ object FlinkSqlDialect {
         s"((GREATEST($p0, $e0) >= LEAST($p1, $e1)) AND (GREATEST($p1, $e1) >= LEAST($p0, $e0)))"
       })
 
+    // CAST(x AS VARCHAR) — Flink accepts a bare (length-less) VARCHAR /
+    // CHAR in cast targets (legacy string-cast behavior, no truncation);
+    // Spark's parser requires a length. Map to STRING (same no-truncation
+    // semantics). Length-carrying VARCHAR(n) passes through untouched.
+    s = replaceFn(s, """(?i)\bAS\s+(VARCHAR|CHAR)\s*\)""".r, _ => "AS STRING)")
+
     // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR,
     // rewrite semantics per SqlLikeUtils.sqlToRegexSimilar): SQL wildcards
     // % / _ become (?s:.*) / . — but ONLY outside [...] character
@@ -135,13 +141,13 @@ object FlinkSqlDialect {
         case '[' => out.append(c); inBracket = true
         case '%' => out.append("(?s:.*)")
         case '_' => out.append('.')
-        // Java-regex metacharacters that are NOT SQL-SIMILAR specials are
-        // ORDINARY pattern characters and must be regex-escaped — the set
-        // difference JAVA_REGEX_SPECIALS \ SQL_SIMILAR_SPECIALS in the
-        // reference's walk (Calcite SqlLikeUtils/Like.java, which Flink's
-        // SIMILAR runtime calls): '.', '$', '\'. Without this, 'a.b'
-        // matches 'axb'.
-        case '.' | '$' | '\\' => quoted(c)
+        // '$' and '\' are ORDINARY pattern chars and get regex-escaped —
+        // the reference's exact switch (SqlLikeUtils.sqlToRegexSimilar,
+        // flink-table-runtime-blink SqlLikeUtils.java:201: case '\\' →
+        // "\\\\", case '$' → "\\$"). '.' is NOT in its
+        // JAVA_REGEX_SPECIALS and falls through RAW — a regex dot, pinned
+        // by SqlExpressionTest ('TEST' SIMILAR TO '.EST' = true).
+        case '$' | '\\' => quoted(c)
         case _   => out.append(c)
       }
       i += 1

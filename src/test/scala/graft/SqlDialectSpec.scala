@@ -67,35 +67,33 @@ class SqlDialectSpec extends SparkTestBase {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
   }
 
-  test("SIMILAR TO: '.', '$', '\\' are ORDINARY pattern chars, regex-escaped") {
-    // the reference walk (Calcite SqlLikeUtils, Flink's SIMILAR runtime)
-    // escapes JAVA_REGEX_SPECIALS \ SQL_SIMILAR_SPECIALS — '.', '$', '\':
-    // 'a.b' must match only the literal dot, never 'axb'
-    assert(FlinkSqlDialect.similarToRegex("a.b", None) == "a\\\\.b")
+  test("SIMILAR TO: '$' and '\\' are ORDINARY pattern chars; '.' is a regex dot") {
+    // the reference's exact switch (SqlLikeUtils.sqlToRegexSimilar,
+    // flink-table-runtime-blink SqlLikeUtils.java:201): '$' → "\\$",
+    // '\' → "\\\\"; '.' is NOT in JAVA_REGEX_SPECIALS and passes through
+    // as a regex dot ('TEST' SIMILAR TO '.EST' = true in SqlExpressionTest)
+    assert(FlinkSqlDialect.similarToRegex("a.b", None) == "a.b")
     assert(FlinkSqlDialect.similarToRegex("$5%", None) == "\\\\$5(?s:.*)")
-    assert(FlinkSqlDialect.similarToRegex("a[.]b", None) == "a[.]b") // literal in class already
     // NOTE on the backslash rows: the PATTERN is captured from the raw SQL
     // text pre-parse (standard-SQL literal semantics, like Flink/Calcite —
     // 'a\z' is the 3-char pattern a,\,z), while the VALUE operand goes
     // through Spark's C-style literal parser ('a\\z' parses to a\z).
     val r = spark.sql(FlinkSqlDialect.rewrite(
-      """SELECT 'a.b' SIMILAR TO 'a.b'   AS dot_lit,
-                'axb' SIMILAR TO 'a.b'   AS dot_not_wild,
-                'axb' SIMILAR TO 'a_b'   AS underscore_wild,
+      """SELECT 'axb' SIMILAR TO 'a.b'   AS dot_wild,
+                'axxb' SIMILAR TO 'a.b'  AS dot_one_char,
                 '$5'  SIMILAR TO '$_'    AS dollar_lit,
                 'x5'  SIMILAR TO '$_'    AS dollar_not_anchor,
                 'a\\z' SIMILAR TO 'a\z' AS backslash_lit,
                 'az'  SIMILAR TO 'a\z'  AS backslash_not_meta,
                 'a7b' SIMILAR TO 'a[0-9]b' AS digit_class,
                 'aab' SIMILAR TO '(a|b)+b' AS alternation""")).head()
-    assert(r.getBoolean(0), "literal dot must match itself")
-    assert(!r.getBoolean(1), "dot is NOT a wildcard in SIMILAR TO")
-    assert(r.getBoolean(2))
-    assert(r.getBoolean(3), "leading $ is a literal, not an anchor")
-    assert(!r.getBoolean(4))
-    assert(r.getBoolean(5), "literal backslash matches itself")
-    assert(!r.getBoolean(6), "backslash is not a regex meta in the pattern")
-    assert(r.getBoolean(7) && r.getBoolean(8), "regex pass-through syntax intact")
+    assert(r.getBoolean(0), "dot is a regex dot in the reference's walk")
+    assert(!r.getBoolean(1), "dot matches exactly one char")
+    assert(r.getBoolean(2), "leading $ is a literal, not an anchor")
+    assert(!r.getBoolean(3))
+    assert(r.getBoolean(4), "literal backslash matches itself")
+    assert(!r.getBoolean(5), "backslash is not a regex meta in the pattern")
+    assert(r.getBoolean(6) && r.getBoolean(7), "regex pass-through syntax intact")
   }
 
   test("OVERLAPS: the reference's endpoint cases (ScalarFunctionsTest.testOverlaps)") {
