@@ -526,10 +526,16 @@ object Sql2Queries {
         GROUP BY SPLIT_INDEX(CAST(payload AS STRING), ' ', 0)
         ORDER BY w""")
     },
+    // SPLIT_INDEX('' ...) is NULL, not '' — the reference's commons-lang3
+    // splitByWholeSeparatorPreserveAllTokens yields ZERO tokens for an
+    // empty input (SqlFunctionUtils.splitIndex:304), so the empty-text
+    // docs the hostile fixture plants group under NULL
     oracle = Some("""
-      SELECT string_split(upper(text), ' ')[1] AS w, COUNT(*) AS n,
+      SELECT CASE WHEN text = '' THEN NULL
+                  ELSE string_split(upper(text), ' ')[1] END AS w,
+             COUNT(*) AS n,
              CAST(SUM(length(upper(text))) AS BIGINT) AS total_chars
-      FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY w"""))
+      FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY w NULLS FIRST"""))
 
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q_sql_options_hint" -> qSqlOptionsHint,

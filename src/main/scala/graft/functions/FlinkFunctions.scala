@@ -17,23 +17,39 @@ import org.apache.spark.sql.functions.udaf
   */
 object FlinkFunctions {
 
-  /** SPLIT_INDEX(str, sep, idx) — 0-based, null out-of-range.
-    * Ref SqlFunctionUtils.splitIndex. */
+  /** SPLIT_INDEX(str, sep, idx) — 0-based, null out-of-range. Ref
+    * SqlFunctionUtils.splitIndex:304, whose commons-lang3
+    * splitByWholeSeparatorPreserveAllTokens contract carries two edges:
+    * an EMPTY input yields zero tokens (→ null at any index, not ""),
+    * and an EMPTY separator splits per single whitespace char. */
   def splitIndex(s: String, sep: String, idx: Int): String = {
-    if (s == null || sep == null || idx < 0) return null
-    val parts = s.split(java.util.regex.Pattern.quote(sep), -1)
+    if (s == null || sep == null || idx < 0 || s.isEmpty) return null
+    val parts =
+      if (sep.isEmpty) s.split("\\s", -1)
+      else s.split(java.util.regex.Pattern.quote(sep), -1)
     if (idx >= parts.length) null else parts(idx)
   }
 
-  /** IS_DIGIT / IS_ALPHA / IS_DECIMAL — ref SqlFunctionUtils.isDigit etc. */
+  /** IS_DIGIT / IS_ALPHA / IS_DECIMAL — ref SqlFunctionUtils.isDigit:854
+    * (commons isNumeric = Character.isDigit per char), isAlpha:872
+    * (commons isAlpha = Character.isLetter per char — full Unicode, not
+    * ASCII), isDecimal:802 (true iff Integer/Long/Double.parse accepts —
+    * which admits '3.', '1e10', 'Infinity', 'NaN', hex floats). */
   def isDigit(s: String): Boolean = s != null && s.nonEmpty && s.forall(_.isDigit)
-  def isAlpha(s: String): Boolean =
-    s != null && s.nonEmpty && s.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
-  def isDecimal(s: String): Boolean =
-    s != null && s.matches("^[-+]?[0-9]*\\.?[0-9]+$")
+  def isAlpha(s: String): Boolean = s != null && s.nonEmpty && s.forall(_.isLetter)
+  def isDecimal(s: String): Boolean = {
+    if (s == null || s.isEmpty) return false
+    def parses(p: => AnyVal): Boolean =
+      try { p; true } catch { case _: NumberFormatException => false }
+    parses(java.lang.Integer.parseInt(s)) || parses(java.lang.Long.parseLong(s)) ||
+      parses(java.lang.Double.parseDouble(s))
+  }
 
-  /** HASH_CODE — Java String.hashCode, ref SqlFunctionUtils.hashCode. */
-  def hashCode(s: String): Int = if (s == null) 0 else s.hashCode
+  /** HASH_CODE — Java String.hashCode; NULL in → NULL out (the reference
+    * wraps SqlFunctionUtils.hashCode in generateCallIfArgsNotNull,
+    * StringCallGen.scala:539). */
+  def hashCode(s: String): java.lang.Integer =
+    if (s == null) null else Int.box(s.hashCode)
 
   /** SINGLE_VALUE — exactly-one-row-per-group or runtime error.
     * Ref planner/functions/aggfunctions/SingleValueAggFunction.java.

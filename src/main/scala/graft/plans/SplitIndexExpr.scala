@@ -20,7 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object SplitIndexEval {
   def eval(s: UTF8String, sep: UTF8String, idx: Int): UTF8String = {
     if (s == null || sep == null || idx < 0) return null
-    val parts = s.toString.split(java.util.regex.Pattern.quote(sep.toString), -1)
+    val str = s.toString
+    // ref SqlFunctionUtils.splitIndex:304 via commons-lang3
+    // splitByWholeSeparatorPreserveAllTokens: empty input → zero tokens
+    // (null at any index); empty separator → per-whitespace-char split
+    if (str.isEmpty) return null
+    val parts =
+      if (sep.numChars() == 0) str.split("\\s", -1)
+      else str.split(java.util.regex.Pattern.quote(sep.toString), -1)
     if (idx >= parts.length) null else UTF8String.fromString(parts(idx))
   }
 }

@@ -18,6 +18,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(FlinkFunctions.hashCode("abc") == "abc".hashCode)
   }
 
+  test("scalar wrapper edges mirror SqlFunctionUtils exactly") {
+    import graft.plans.SplitIndexEval
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    // empty input → ZERO tokens (commons splitByWholeSeparatorPreserveAllTokens)
+    assert(FlinkFunctions.splitIndex("", ",", 0) == null)
+    assert(SplitIndexEval.eval(u8(""), u8(","), 0) == null)
+    // empty separator → per-whitespace-char split, empties preserved
+    assert(FlinkFunctions.splitIndex("a  b", "", 1) == "")
+    assert(FlinkFunctions.splitIndex("a  b", "", 2) == "b")
+    assert(SplitIndexEval.eval(u8("a b"), u8(""), 1).toString == "b")
+    // whole-separator, preserve-all-tokens
+    assert(SplitIndexEval.eval(u8("a,,b"), u8(","), 1).toString == "")
+    assert(SplitIndexEval.eval(u8("abab"), u8("ab"), 2).toString == "")
+    // isAlpha is full-Unicode Character.isLetter (commons isAlpha)
+    assert(FlinkFunctions.isAlpha("héllo") && FlinkFunctions.isAlpha("日本語"))
+    // isDecimal accepts whatever Integer/Long/Double.parse accepts
+    assert(FlinkFunctions.isDecimal("3.") && FlinkFunctions.isDecimal("1e10") &&
+      FlinkFunctions.isDecimal("Infinity") && FlinkFunctions.isDecimal("NaN") &&
+      FlinkFunctions.isDecimal("9223372036854775807") && !FlinkFunctions.isDecimal("abc"))
+    // HASH_CODE: null in → null out (generateCallIfArgsNotNull)
+    assert(FlinkFunctions.hashCode(null) == null)
+  }
+
   test("SPLIT_INDEX is a native codegen expression (no ScalaUDF in plan)") {
     val s = spark
     import s.implicits._
