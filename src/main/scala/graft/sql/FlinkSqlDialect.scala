@@ -64,6 +64,12 @@ object FlinkSqlDialect {
       val (x, p) = (m.group(1), s"1e${m.group(2)}")
       s"(CASE WHEN ($x) >= 0 THEN floor(($x) * $p) / $p ELSE ceil(($x) * $p) / $p END)"
     })
+    // 1-arg TRUNCATE(x) = truncate to 0 places (SqlFunctionUtils.struncate
+    // single-arg overload) — integral floor/ceil keeps the render integral
+    s = replaceFn(s, """(?i)TRUNCATE\(\s*([^,()]+?)\s*\)""".r, m => {
+      val x = m.group(1)
+      s"(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END)"
+    })
 
     // RAND_INTEGER(n) — Flink integer-bounded random (FlinkSqlOperatorTable
     // RAND_INTEGER) → floor(rand()*n)

@@ -84,6 +84,8 @@ class SqlExpressionFidelitySpec extends SparkTestBase {
       "PI()" -> "3.141592653589793",
       "E()" -> "2.718281828459045",
       "truncate(42.345, 2)" -> "42.34",
+      "truncate(42.345)" -> "42",
+      "truncate(-42.345)" -> "-42", // toward zero, not floor's -43
     ).foreach { case (e, want) => check(e, want) }
   }
 
