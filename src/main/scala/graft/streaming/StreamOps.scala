@@ -237,22 +237,30 @@ object StreamOps {
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[CountWinState]) => {
-          var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
-          val out = scala.collection.mutable.ListBuffer[CountWinOut]()
-          // event-time order within the batch (watermark-complete batches)
-          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
-            val buf = st.buf :+ ((e._3, e._2, e._4))
-            if (buf.length == size) {
-              val kept = buf.takeRight(keep) // CountEvictor: evict from the front
-              out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, kept.last._2)
-              st = CountWinState(Nil, st.winSeq + 1)
-            } else st = st.copy(buf = buf)
-          }
-          state.update(st)
-          out.iterator
-        })
+        countTumbleTransition(size, keep))
       .toDF()
+  }
+
+  /** One keyed count-window transition (buffer → fire-at-size → count
+    * evictor) — the exact function [[countTumbleWindow]] runs, exposed so
+    * the window harness/fuzz layer can drive it directly (mirrors
+    * WindowOperatorTest's count-window cases). */
+  private[graft] def countTumbleTransition(size: Int, keep: Int)(
+      key: Long, it: Iterator[(Long, Long, Long, Long)],
+      state: GroupState[CountWinState]): Iterator[CountWinOut] = {
+    var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
+    val out = scala.collection.mutable.ListBuffer[CountWinOut]()
+    // event-time order within the batch (watermark-complete batches)
+    it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+      val buf = st.buf :+ ((e._3, e._2, e._4))
+      if (buf.length == size) {
+        val kept = buf.takeRight(keep) // CountEvictor: evict from the front
+        out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, kept.last._2)
+        st = CountWinState(Nil, st.winSeq + 1)
+      } else st = st.copy(buf = buf)
+    }
+    state.update(st)
+    out.iterator
   }
 
   /** Count-tumbling window with a TIME evictor — ref TimeEvictor.java:
@@ -261,20 +269,29 @@ object StreamOps {
     * currentTime). Same firing rule as [[countTumbleWindow]]. */
   def countWindowTimeEvict(s: SparkSession, events: DataFrame, size: Int,
                            keepMicros: Long): DataFrame =
-    countWindowWithEvictor(s, events, size) { buf =>
-      val maxTs = buf.map(_._1).max
-      buf.filter(_._1 > maxTs - keepMicros)
-    }
+    countWindowWithEvictor(s, events, size)(timeEvictor(keepMicros))
+
+  /** The TimeEvictor closure itself, named so the fuzz layer drives the
+    * exact production evictor. */
+  private[graft] def timeEvictor(keepMicros: Long)
+      : IndexedSeq[(Long, Long, Long)] => IndexedSeq[(Long, Long, Long)] = { buf =>
+    val maxTs = buf.map(_._1).max
+    buf.filter(_._1 > maxTs - keepMicros)
+  }
 
   /** Count-tumbling window with a DELTA evictor — ref DeltaEvictor.java:
     * evict elements whose |value − lastElement.value| exceeds the
     * threshold (delta function = absolute cents difference). */
   def countWindowDeltaEvict(s: SparkSession, events: DataFrame, size: Int,
                             thresholdCents: Long): DataFrame =
-    countWindowWithEvictor(s, events, size) { buf =>
-      val lastVc = buf.last._3
-      buf.filter(e => math.abs(e._3 - lastVc) <= thresholdCents)
-    }
+    countWindowWithEvictor(s, events, size)(deltaEvictor(thresholdCents))
+
+  /** The DeltaEvictor closure itself, named for the fuzz layer. */
+  private[graft] def deltaEvictor(thresholdCents: Long)
+      : IndexedSeq[(Long, Long, Long)] => IndexedSeq[(Long, Long, Long)] = { buf =>
+    val lastVc = buf.last._3
+    buf.filter(e => math.abs(e._3 - lastVc) <= thresholdCents)
+  }
 
   private def countWindowWithEvictor(s: SparkSession, events: DataFrame, size: Int)(
       evict: IndexedSeq[(Long, Long, Long)] => IndexedSeq[(Long, Long, Long)]): DataFrame = {
@@ -285,21 +302,29 @@ object StreamOps {
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[CountWinState]) => {
-          var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
-          val out = scala.collection.mutable.ListBuffer[CountWinOut]()
-          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
-            val buf = st.buf :+ ((e._3, e._2, e._4))
-            if (buf.length == size) {
-              val kept = evict(buf.toIndexedSeq)
-              out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, buf.last._2)
-              st = CountWinState(Nil, st.winSeq + 1)
-            } else st = st.copy(buf = buf)
-          }
-          state.update(st)
-          out.iterator
-        })
+        countEvictTransition(size, evict))
       .toDF()
+  }
+
+  /** One keyed count-window-with-evictor transition — the exact function
+    * [[countWindowWithEvictor]] runs (TimeEvictor/DeltaEvictor plug in as
+    * the `evict` closure), exposed for the window harness/fuzz layer. */
+  private[graft] def countEvictTransition(size: Int,
+      evict: IndexedSeq[(Long, Long, Long)] => IndexedSeq[(Long, Long, Long)])(
+      key: Long, it: Iterator[(Long, Long, Long, Long)],
+      state: GroupState[CountWinState]): Iterator[CountWinOut] = {
+    var st = state.getOption.getOrElse(CountWinState(Nil, 0L))
+    val out = scala.collection.mutable.ListBuffer[CountWinOut]()
+    it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+      val buf = st.buf :+ ((e._3, e._2, e._4))
+      if (buf.length == size) {
+        val kept = evict(buf.toIndexedSeq)
+        out += CountWinOut(key, st.winSeq, kept.length, kept.map(_._3).sum, buf.last._2)
+        st = CountWinState(Nil, st.winSeq + 1)
+      } else st = st.copy(buf = buf)
+    }
+    state.update(st)
+    out.iterator
   }
 
   case class GlobalWinState(accCents: Long, n: Long, winSeq: Long)
@@ -320,21 +345,28 @@ object StreamOps {
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Long, Long, Long)], state: GroupState[GlobalWinState]) => {
-          var st = state.getOption.getOrElse(GlobalWinState(0L, 0L, 0L))
-          val out = scala.collection.mutable.ListBuffer[GlobalWinOut]()
-          it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
-            val acc = st.accCents + e._4
-            val n = st.n + 1
-            if (acc >= thresholdCents) { // FIRE + PURGE
-              out += GlobalWinOut(key, st.winSeq, n, acc, e._2)
-              st = GlobalWinState(0L, 0L, st.winSeq + 1)
-            } else st = GlobalWinState(acc, n, st.winSeq)
-          }
-          state.update(st)
-          out.iterator
-        })
+        globalWindowTransition(thresholdCents))
       .toDF()
+  }
+
+  /** One keyed global-window transition (accumulate → value-threshold FIRE
+    * + PURGE) — the exact function [[globalWindowSumTrigger]] runs,
+    * exposed for the window harness/fuzz layer (PurgingTrigger mirror). */
+  private[graft] def globalWindowTransition(thresholdCents: Long)(
+      key: Long, it: Iterator[(Long, Long, Long, Long)],
+      state: GroupState[GlobalWinState]): Iterator[GlobalWinOut] = {
+    var st = state.getOption.getOrElse(GlobalWinState(0L, 0L, 0L))
+    val out = scala.collection.mutable.ListBuffer[GlobalWinOut]()
+    it.toIndexedSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+      val acc = st.accCents + e._4
+      val n = st.n + 1
+      if (acc >= thresholdCents) { // FIRE + PURGE
+        out += GlobalWinOut(key, st.winSeq, n, acc, e._2)
+        st = GlobalWinState(0L, 0L, st.winSeq + 1)
+      } else st = GlobalWinState(acc, n, st.winSeq)
+    }
+    state.update(st)
+    out.iterator
   }
 
   /** Streaming windowed coGroup — ref flink-streaming-java
