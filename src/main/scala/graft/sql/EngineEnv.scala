@@ -39,6 +39,9 @@ final class EngineEnv(val spark: SparkSession, val catalogDir: Option[String] = 
   // (BuiltInFunctionDefinitions loads with the env) — register the Flink-
   // only surface on construction so SQL never needs a manual registerAll
   graft.functions.FlinkFunctions.registerAll(spark)
+  // scalar-cross planning parity with the reference's singleRowJoin path
+  // (q77-class `cross join (select sum(..))`) — see ScalarCrossBroadcast
+  graft.plans.ScalarCrossBroadcast.install(spark)
 
   case class TableSpec(path: String, format: String, watermarkCol: Option[String],
                        watermarkDelay: Option[String],

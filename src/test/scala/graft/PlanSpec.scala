@@ -458,4 +458,23 @@ class PlanSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_tpcds_v77: scalar crosses EXECUTE as broadcasts; only the dimension cross remains") {
+    // q77's official text carries four no-condition joins: three
+    // `cross join (select sum(..))` scalar (1-row keyless aggregate)
+    // crosses, and the cs×cr cross of two PER-CALL-CENTER aggregates.
+    // Without ScalarCrossBroadcast all four planned CartesianProduct and
+    // AQE never revisited them (AQE re-plans only exchange-backed joins).
+    // The rule converts every provably-1-row side to the scalar-broadcast
+    // BNLJ idiom; the one remaining cartesian is the agg×agg dimension
+    // cross, bounded by the call-center dimension on BOTH sides (~tens of
+    // rows at any scale factor) — assert on the EXECUTED plan.
+    val df = SparkEntry.queries("q_tpcds_v77")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val cartesians = "CartesianProduct".r.findAllIn(fin).length
+    assert(cartesians <= 1, s"only the bounded agg×agg cross may remain, saw $cartesians")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).length >= 3,
+      "the three scalar crosses must broadcast their single-row aggregate sides")
+  }
 }
