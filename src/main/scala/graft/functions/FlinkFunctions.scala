@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions.udaf
 object FlinkFunctions {
 
   /** SPLIT_INDEX(str, sep, idx) — 0-based, null out-of-range. Ref
-    * SqlFunctionUtils.splitIndex:304, whose commons-lang3
-    * splitByWholeSeparatorPreserveAllTokens contract carries two edges:
-    * an EMPTY input yields zero tokens (→ null at any index, not ""),
-    * and an EMPTY separator splits per single whitespace char. */
+    * SqlFunctionUtils.splitIndex:304. Delegates to the SAME commons-lang3
+    * splitByWholeSeparatorPreserveAllTokens the reference calls (bundled
+    * in Spark's jars), so every edge is byte-identical by construction:
+    * EMPTY input → zero tokens (null at any index, not ""), EMPTY
+    * separator → per-whitespace-char split via Character.isWhitespace
+    * (Unicode  /　 included, not just ASCII \s). */
   def splitIndex(s: String, sep: String, idx: Int): String = {
-    if (s == null || sep == null || idx < 0 || s.isEmpty) return null
+    if (s == null || sep == null || idx < 0) return null
     val parts =
-      if (sep.isEmpty) s.split("\\s", -1)
-      else s.split(java.util.regex.Pattern.quote(sep), -1)
+      org.apache.commons.lang3.StringUtils.splitByWholeSeparatorPreserveAllTokens(s, sep)
     if (idx >= parts.length) null else parts(idx)
   }
 
@@ -45,11 +46,41 @@ object FlinkFunctions {
       parses(java.lang.Double.parseDouble(s))
   }
 
-  /** HASH_CODE — Java String.hashCode; NULL in → NULL out (the reference
-    * wraps SqlFunctionUtils.hashCode in generateCallIfArgsNotNull,
-    * StringCallGen.scala:539). */
+  /** HASH_CODE — Math.abs(String.hashCode) per ref
+    * SqlFunctionUtils.hashCode:890 (NOT the raw signed hashCode — the
+    * reference absolutes it, so ~half of all strings differ in sign from
+    * s.hashCode). NULL in → NULL out (the reference wraps the call in
+    * generateCallIfArgsNotNull, StringCallGen.scala:539, so its own
+    * null→MIN_VALUE branch is unreachable from SQL). Math.abs keeps the
+    * MIN_VALUE fixed point, same as the reference. */
   def hashCode(s: String): java.lang.Integer =
-    if (s == null) null else Int.box(s.hashCode)
+    if (s == null) null else Int.box(Math.abs(s.hashCode))
+
+  /** CONVERT_TZ(tsStr, tzFrom, tzTo) — ref SqlDateTimeUtils.convertTz:492
+    * ('yyyy-MM-dd HH:mm:ss' wall-clock in tzFrom re-expressed in tzTo).
+    * The reference parses with SimpleDateFormat, whose GregorianCalendar
+    * resolves a DST fall-back OVERLAP to the LATER offset (standard time)
+    * — java.time's default (and Spark's convert_timezone) picks the
+    * EARLIER one, so '2021-11-07 01:30:00' America/Los_Angeles → UTC is
+    * 09:30 in the reference but 08:30 via plain java.time
+    * (withLaterOffsetAtOverlap reproduces the reference; spring-forward
+    * GAP times shift forward identically in both). Zone lookup goes
+    * through TimeZone.getTimeZone like the reference — unknown ids fall
+    * back to GMT instead of erroring. Unparseable input → null
+    * (toTimestampTz returns null). Scale note: per-row string work in a
+    * deliberately rare function — the hot temporal paths use native
+    * timestamp types; this wrapper exists for wire-format fidelity. */
+  private val tzFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  def convertTz(dateStr: String, tzFrom: String, tzTo: String): String = {
+    if (dateStr == null || tzFrom == null || tzTo == null) return null
+    try {
+      val ldt = java.time.LocalDateTime.parse(dateStr, tzFmt)
+      ldt.atZone(java.util.TimeZone.getTimeZone(tzFrom).toZoneId)
+        .withLaterOffsetAtOverlap()
+        .withZoneSameInstant(java.util.TimeZone.getTimeZone(tzTo).toZoneId)
+        .toLocalDateTime.format(tzFmt)
+    } catch { case _: java.time.format.DateTimeParseException => null }
+  }
 
   /** SINGLE_VALUE — exactly-one-row-per-group or runtime error.
     * Ref planner/functions/aggfunctions/SingleValueAggFunction.java.
@@ -123,9 +154,6 @@ object FlinkFunctions {
       org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
         Seq(name), args.toSeq, isDistinct = false)
     def intLit(i: Int) = org.apache.spark.sql.catalyst.expressions.Literal(i)
-    def strLit(s: String) =
-      org.apache.spark.sql.catalyst.expressions.Literal.create(s,
-        org.apache.spark.sql.types.StringType)
     alias("WEEK")(e => fn("weekofyear", e.head))
     Seq(224, 256, 384, 512).foreach { bits =>
       alias(s"SHA$bits")(e => fn("sha2", e.head, intLit(bits)))
@@ -133,14 +161,20 @@ object FlinkFunctions {
     alias("TO_BASE64")(e => fn("base64", e.head))
     alias("FROM_BASE64")(e => org.apache.spark.sql.catalyst.expressions.Cast(
       fn("unbase64", e.head), org.apache.spark.sql.types.StringType))
-    // CONVERT_TZ(tsStr, tzFrom, tzTo) → formatted string, ref
-    // SqlDateTimeUtils.convertTz ('yyyy-MM-dd HH:mm:ss' wall-clock in
-    // tzFrom re-expressed in tzTo)
-    alias("CONVERT_TZ")(e => fn("date_format",
-      fn("convert_timezone", e(1), e(2),
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          e.head, org.apache.spark.sql.types.TimestampNTZType)),
-      strLit("yyyy-MM-dd HH:mm:ss")))
+    // CONVERT_TZ: r14 — was a convert_timezone alias, which diverges from
+    // the reference at DST fall-back overlaps (earlier- vs later-offset
+    // resolution); now the reference-exact [[convertTz]] (see its doc)
+    spark.udf.register("CONVERT_TZ", convertTz _)
+    // DATE_FORMAT: Spark's own date_format, but with the string→timestamp
+    // coercion made null-on-unparseable (try_to_timestamp) — the reference
+    // returns null for invalid input (SqlDateTimeUtils.dateFormat catches
+    // ParseException; TemporalTypesTest.testInvalidInputCase), where
+    // Spark 4's ANSI cast would throw
+    // (DateFormatClass is constructed directly: a nested UnresolvedFunction
+    // "date_format" would resolve back to this same temp registration —
+    // registry lookup is case-insensitive — and loop the analyzer)
+    alias("DATE_FORMAT")(e => org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+      fn("try_to_timestamp", e.head), e(1)))
     // SUM0 (FlinkSqlOperatorTable.SUM0 / Table-API sum0): SUM that yields
     // 0 instead of NULL over empty/all-null input — the primitive the
     // reference's retract aggregates count with

@@ -20,14 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object SplitIndexEval {
   def eval(s: UTF8String, sep: UTF8String, idx: Int): UTF8String = {
     if (s == null || sep == null || idx < 0) return null
-    val str = s.toString
-    // ref SqlFunctionUtils.splitIndex:304 via commons-lang3
-    // splitByWholeSeparatorPreserveAllTokens: empty input → zero tokens
-    // (null at any index); empty separator → per-whitespace-char split
-    if (str.isEmpty) return null
-    val parts =
-      if (sep.numChars() == 0) str.split("\\s", -1)
-      else str.split(java.util.regex.Pattern.quote(sep.toString), -1)
+    // ref SqlFunctionUtils.splitIndex:304 — delegate to the SAME
+    // commons-lang3 splitByWholeSeparatorPreserveAllTokens the reference
+    // calls (bundled in Spark's jars): empty input → zero tokens (null at
+    // any index); empty separator → per-whitespace-char split on
+    // Character.isWhitespace (Unicode  /　 included, not ASCII-\s)
+    val parts = org.apache.commons.lang3.StringUtils
+      .splitByWholeSeparatorPreserveAllTokens(s.toString, sep.toString)
     if (idx >= parts.length) null else UTF8String.fromString(parts(idx))
   }
 }

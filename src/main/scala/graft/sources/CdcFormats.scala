@@ -133,10 +133,19 @@ object CdcFormats {
       else from_json(col(jsonCol), env)
     val withEnv = df.withColumn("_cdc_env", parsed)
     val e = col("_cdc_env")
+    // null-side guards mirror the reference exactly (r14 differential
+    // fuzz): c/r dereferences `after` (null → NPE → parse-error path);
+    // u/d throw REPLICA_IDENTITY_EXCEPTION on null `before`
+    // (DebeziumJsonDeserializationSchema.java:146,156) and u also
+    // dereferences `after` — all land in the same ignore-or-throw
+    // handling as corrupt JSON.
     val variants =
-      when(e("op").isin("c", "r"), array(tagged("+I", e("after"))))
-        .when(e("op") === "u", array(tagged("-U", e("before")), tagged("+U", e("after"))))
-        .when(e("op") === "d", array(tagged("-D", e("before"))))
+      when(e("op").isin("c", "r") && e("after").isNotNull,
+          array(tagged("+I", e("after"))))
+        .when(e("op") === "u" && e("before").isNotNull && e("after").isNotNull,
+          array(tagged("-U", e("before")), tagged("+U", e("after"))))
+        .when(e("op") === "d" && e("before").isNotNull,
+          array(tagged("-D", e("before"))))
     finish(withEnv, jsonCol, payload, variants, resolveMeta("debezium", meta),
            strict, malformedObs)
   }
@@ -155,14 +164,33 @@ object CdcFormats {
       .add("database", StringType).add("table", StringType).add("ts", LongType)
     val withEnv = df.withColumn("_cdc_env", from_json(col(jsonCol), env))
     val data = col("_cdc_env.data")
-    val typ = upper(col("_cdc_env.type"))
-    val oldPadded = coalesce(col("_cdc_env.old"),
-      transform(data, _ => lit(null).cast(payload)))
+    val oldArr = col("_cdc_env.old")
+    // exact-case match: the reference compares `"INSERT".equals(type)`
+    // (no normalization), so a lowercase "insert" canal type is an
+    // UNKNOWN type → parse-error path, not an insert
+    val typ = col("_cdc_env.type")
+    // r14 differential-fuzz alignment with CanalJsonDeserializationSchema:
+    //  - "CREATE" is a DDL event → SKIPPED (zero rows), never a parse
+    //    error, even in strict mode (CanalJsonDeserializationSchema:218);
+    //  - UPDATE dereferences old[i] for every data[i], so a null `old`
+    //    array, a too-short `old`, or a null old ELEMENT is a parse error
+    //    (the reference NPEs into the ignore-or-throw handler); extra
+    //    trailing `old` entries beyond data.size are ignored (the loop
+    //    runs over data), hence the slice;
+    //  - a null `data` array is a parse error for all three DML types.
+    val emptyVariants = array().cast(ArrayType(
+      new StructType().add("row_kind", StringType).add("payload", payload)))
     val variants =
-      when(typ === "INSERT", flatten(transform(data, d => array(tagged("+I", d)))))
-        .when(typ === "UPDATE", flatten(zip_with(data, oldPadded,
-          (d, o) => array(tagged("-U", patch(payload, d, o)), tagged("+U", d)))))
-        .when(typ === "DELETE", flatten(transform(data, d => array(tagged("-D", d)))))
+      when(typ === "INSERT" && data.isNotNull,
+          flatten(transform(data, d => array(tagged("+I", d)))))
+        .when(typ === "UPDATE" && data.isNotNull && oldArr.isNotNull &&
+              size(oldArr) >= size(data) &&
+              forall(slice(oldArr, lit(1), size(data)), _.isNotNull),
+          flatten(zip_with(data, slice(oldArr, lit(1), size(data)),
+            (d, o) => array(tagged("-U", patch(payload, d, o)), tagged("+U", d)))))
+        .when(typ === "DELETE" && data.isNotNull,
+          flatten(transform(data, d => array(tagged("-D", d)))))
+        .when(typ === "CREATE", emptyVariants)
     finish(withEnv, jsonCol, payload, variants, resolveMeta("canal", meta),
            strict, malformedObs)
   }
@@ -213,12 +241,20 @@ object CdcFormats {
       .add("database", StringType).add("table", StringType).add("ts", LongType)
     val withEnv = df.withColumn("_cdc_env", from_json(col(jsonCol), env))
     val data = col("_cdc_env.data")
-    val typ = lower(col("_cdc_env.type"))
+    val oldRow = col("_cdc_env.old")
+    // exact-case match, mirroring the reference's `"insert".equals(type)`
+    val typ = col("_cdc_env.type")
+    // r14 differential-fuzz alignment with MaxwellJsonDeserializationSchema
+    // (ops are EXACTLY insert/update/delete — maxwell's bootstrap-insert is
+    // an unknown type to the 1.12 reference and takes the parse-error
+    // path, so the earlier graft extension accepting it is removed): every
+    // branch dereferences `data` (null → NPE → parse error), and update
+    // additionally dereferences `old`.
     val variants =
-      when(typ === "insert" || typ === "bootstrap-insert", array(tagged("+I", data)))
-        .when(typ === "update",
-          array(tagged("-U", patch(payload, data, col("_cdc_env.old"))), tagged("+U", data)))
-        .when(typ === "delete", array(tagged("-D", data)))
+      when(typ === "insert" && data.isNotNull, array(tagged("+I", data)))
+        .when(typ === "update" && data.isNotNull && oldRow.isNotNull,
+          array(tagged("-U", patch(payload, data, oldRow)), tagged("+U", data)))
+        .when(typ === "delete" && data.isNotNull, array(tagged("-D", data)))
     finish(withEnv, jsonCol, payload, variants, resolveMeta("maxwell", meta),
            strict, malformedObs)
   }

@@ -57,19 +57,81 @@ object FlinkSqlDialect {
     // time attributes
     s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
 
-    // TRUNCATE(x, d) — Flink numeric truncation toward zero
-    // (SqlFunctionUtils.struncate); Spark has no numeric truncate, so emit
-    // the sign-correct floor/ceil form. Simple (paren-free) first argument.
-    s = replaceFn(s, """(?i)TRUNCATE\(\s*([^,()]+?)\s*,\s*(\d+)\s*\)""".r, m => {
-      val (x, p) = (m.group(1), s"1e${m.group(2)}")
-      s"(CASE WHEN ($x) >= 0 THEN floor(($x) * $p) / $p ELSE ceil(($x) * $p) / $p END)"
-    })
-    // 1-arg TRUNCATE(x) = truncate to 0 places (SqlFunctionUtils.struncate
-    // single-arg overload) — integral floor/ceil keeps the render integral
-    s = replaceFn(s, """(?i)TRUNCATE\(\s*([^,()]+?)\s*\)""".r, m => {
-      val x = m.group(1)
-      s"(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END)"
-    })
+    // TRUNCATE(x[, d]) — Flink numeric truncation toward zero
+    // (SqlFunctionUtils.struncate, 1- and 2-arg overloads); Spark has no
+    // numeric truncate, so emit the sign-correct floor/ceil form. The
+    // rewriter is the balanced-paren scanner (ADVICE r13): word-boundary
+    // anchored (MY_TRUNCATE( untouched), quote-aware (literals untouched),
+    // nested-call args like TRUNCATE(ABS(x), 2) supported.
+    s = rewriteCall(s, "TRUNCATE") {
+      case Seq(x) =>
+        // 1-arg = truncate to 0 places — integral floor/ceil keeps the
+        // render integral
+        Some(s"(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END)")
+      case Seq(x, d) if d.matches("""\d+""") =>
+        val p = s"1e$d"
+        Some(s"(CASE WHEN ($x) >= 0 THEN floor(($x) * $p) / $p ELSE ceil(($x) * $p) / $p END)")
+      case _ => None // non-literal precision: leave as-is (unresolvable, loud)
+    }
+
+    // FLOOR(ts TO unit) / CEIL(ts TO unit) — SQL-standard temporal
+    // rounding (ref FlinkSqlOperatorTable FLOOR/CEIL with the Calcite
+    // TO-unit form; expectation rows in TemporalTypesTest.scala:738-773).
+    // Spark's parser has no TO-unit syntax, so lower onto date_trunc:
+    // FLOOR = date_trunc; CEIL = date_trunc, +1 unit unless already on the
+    // boundary. The balanced-paren scanner keeps nested args (CAST(...))
+    // working and quoted text untouched. Cast back to the operand's own
+    // type is unnecessary: reference FLOOR(TIMESTAMP)→TIMESTAMP, and
+    // date_trunc returns TIMESTAMP.
+    // unit set = the reference's timestampFloor/Ceil support (HOUR/DAY/
+    // MONTH/QUARTER/YEAR in SqlDateTimeUtils.timestampFloor:754, MINUTE/
+    // SECOND via the planner's arithmetic path; WEEK is an AssertionError
+    // there and is deliberately NOT mapped here)
+    val tsUnits = Map(
+      "SECOND" -> ("SECOND", "INTERVAL 1 SECOND"), "MINUTE" -> ("MINUTE", "INTERVAL 1 MINUTE"),
+      "HOUR" -> ("HOUR", "INTERVAL 1 HOUR"), "DAY" -> ("DAY", "INTERVAL 1 DAY"),
+      "MONTH" -> ("MONTH", "INTERVAL 1 MONTH"),
+      "QUARTER" -> ("QUARTER", "INTERVAL 3 MONTH"), "YEAR" -> ("YEAR", "INTERVAL 1 YEAR"))
+    val toUnit = ("""(?is)^(.*\S)\s+TO\s+(""" + tsUnits.keys.mkString("|") + ")$").r
+    for (fnName <- Seq("FLOOR", "CEIL", "CEILING"))
+      s = rewriteCall(s, fnName) {
+        case Seq(toUnit(x, u)) =>
+          val (unit, step) = tsUnits(u.toUpperCase)
+          if (fnName == "FLOOR") Some(s"date_trunc('$unit', $x)")
+          else {
+            // Calcite quirk the reference inherits (SqlDateTimeUtils
+            // .timestampCeil:797): for MONTH/QUARTER/YEAR the value is
+            // first floored to whole DAYS (utcTs / MILLIS_PER_DAY), so
+            // CEIL('2018-03-01 21:00:01' TO MONTH) is 2018-03-01 — the
+            // boundary test compares the DATE portion, not the full
+            // timestamp. Sub-day units ceil on the exact value.
+            val probe =
+              if (Set("MONTH", "QUARTER", "YEAR")(unit)) s"date_trunc('DAY', $x)"
+              else s"CAST($x AS TIMESTAMP)"
+            Some(s"(CASE WHEN date_trunc('$unit', $x) = $probe " +
+              s"THEN date_trunc('$unit', $x) ELSE date_trunc('$unit', $x) + $step END)")
+          }
+        case _ => None
+      }
+
+    // SQL_TSI_* interval-unit spellings (Calcite's TimeUnit aliases, valid
+    // in Flink TIMESTAMPADD/TIMESTAMPDIFF) → the plain unit Spark accepts
+    s = s.replaceAll(
+      """(?i)\bSQL_TSI_(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""", "$1")
+
+    // TIMESTAMPADD(day-or-coarser, n, DATE '...') keeps the DATE type in
+    // the reference (ScalarFunctionsTest:3380 pins '2016-06-16', no time
+    // part; sub-day units yield TIMESTAMP) — Spark's timestampadd always
+    // returns TIMESTAMP, so wrap the DATE-literal form back. A DATE-typed
+    // column reference can't be detected at the string level; that case
+    // stays TIMESTAMP-typed (documented in COVERAGE.md).
+    s = rewriteCall(s, "TIMESTAMPADD") {
+      case Seq(unit, n, operand)
+          if Set("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")(unit.toUpperCase) &&
+             operand.toUpperCase.startsWith("DATE '") =>
+        Some(s"CAST(TIMESTAMPADD($unit, $n, $operand) AS DATE)")
+      case _ => None
+    }
 
     // RAND_INTEGER(n) — Flink integer-bounded random (FlinkSqlOperatorTable
     // RAND_INTEGER) → floor(rand()*n)
@@ -98,7 +160,16 @@ object FlinkSqlDialect {
     // CHAR in cast targets (legacy string-cast behavior, no truncation);
     // Spark's parser requires a length. Map to STRING (same no-truncation
     // semantics). Length-carrying VARCHAR(n) passes through untouched.
-    s = replaceFn(s, """(?i)\bAS\s+(VARCHAR|CHAR)\s*\)""".r, _ => "AS STRING)")
+    // ADVICE r13: the rewrite now requires an actual CAST/TRY_CAST call
+    // context (balanced-paren scan, quote-aware) instead of firing on any
+    // "AS VARCHAR)" text — literals and aliases containing that text are
+    // safe.
+    val bareStringTarget = """(?is)^(.*\sAS)\s+(?:VARCHAR|CHAR)$""".r
+    for (castName <- Seq("CAST", "TRY_CAST"))
+      s = rewriteCall(s, castName) {
+        case Seq(bareStringTarget(prefix)) => Some(s"$castName($prefix STRING)")
+        case _                             => None
+      }
 
     // SIMILAR TO — SQL-regex predicate (ref FlinkSqlOperatorTable SIMILAR,
     // rewrite semantics per SqlLikeUtils.sqlToRegexSimilar): SQL wildcards
@@ -117,6 +188,70 @@ object FlinkSqlDialect {
   private def replaceFn(s: String, r: scala.util.matching.Regex,
                         f: scala.util.matching.Regex.Match => String): String =
     r.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(f(m)))
+
+  /** Rewrite every `NAME(...)` call in `s` (case-insensitive, the name
+    * word-boundary-anchored so `MY_NAME(` never matches) with proper
+    * balanced-paren scanning and quote awareness: occurrences inside
+    * '...'/"..."/`...` regions are left alone, and parens/commas inside
+    * such regions don't count toward nesting. `f` receives the top-level
+    * comma-split argument list (each argument recursively rewritten first,
+    * then trimmed) and returns the replacement text, or None to
+    * reconstruct the call unchanged (modulo argument-level rewrites and
+    * trim). Unbalanced parens leave the text untouched.
+    *
+    * This is the ADVICE-r13 replacement for the `[^,()]+?` regex
+    * arguments, which silently skipped nested calls and fired on
+    * identifier tails.
+    */
+  private[graft] def rewriteCall(s: String, name: String)
+                                (f: PartialFunction[Seq[String], Option[String]]): String = {
+    val n = name.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c); if (c == quote) quote = 0; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (s.regionMatches(true, i, name, 0, n) &&
+                 (i == 0 || !isWord(s.charAt(i - 1))) &&
+                 i + n < s.length && s.charAt(i + n) == '(') {
+        var j = i + n + 1
+        var depth = 1
+        var q: Char = 0
+        val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (j < s.length && depth > 0) {
+          val cj = s.charAt(j)
+          if (q != 0) { if (cj == q) q = 0 }
+          else if (cj == '\'' || cj == '"' || cj == '`') q = cj
+          else if (cj == '(') depth += 1
+          else if (cj == ')') { depth -= 1 }
+          else if (cj == ',' && depth == 1) commas += j
+          j += 1
+        }
+        if (depth != 0) { out.append(c); i += 1 } // unbalanced: leave verbatim
+        else {
+          val argStart = i + n + 1
+          val cuts = (argStart +: commas.map(_ + 1).toSeq).zip(commas.toSeq :+ (j - 1))
+          val rawArgs = cuts.map { case (a, b) => s.substring(a, b) }
+          // empty arg list: CAST() can't occur but NAME() might — no args
+          val args =
+            if (rawArgs.size == 1 && rawArgs.head.trim.isEmpty) Seq.empty[String]
+            else rawArgs.map(a => rewriteCall(a, name)(f).trim)
+          f.applyOrElse(args, (_: Seq[String]) => None) match {
+            case Some(rep) => out.append(rep)
+            case None      =>
+              out.append(s.substring(i, argStart)).append(args.mkString(", ")).append(')')
+          }
+          i = j
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** SQL SIMILAR TO pattern → Java regex, via the same character walk the
     * reference uses (SqlLikeUtils.sqlToRegexSimilar): wildcard substitution

@@ -126,12 +126,29 @@ object HostileGen {
       case org.apache.spark.sql.types.LongType => lit(1000000000L) // 1s in ns
       case dt => expr("TIMESTAMP '1970-01-01 00:00:01'").cast(dt)
     }
-    write(ev
+    // r14 adversarial-streaming plants (VERDICT r13 #6), all
+    // oracle-neutral (DuckDB reads the same mutated file):
+    //  - ONE HOT KEY: half of all rows collapse onto user_id 7 — keyed
+    //    state (changelog join / retract top-n / over / dedup) gets one
+    //    giant group while the oracle stays value-identical; at 100 TB
+    //    this is the skew profile the salting/AQE story targets;
+    //  - EXACT DUPLICATES: every 37th event is appended twice more —
+    //    keep-first/keep-last dedup, count paths and rank ties must treat
+    //    byte-identical rows consistently in both engines;
+    //  - EXTREME OUT-OF-ORDERNESS: the file is written in hash order,
+    //    not ts order — a file-stream replay sees maximal event-time
+    //    disorder (buffered operators must not depend on arrival order).
+    val evHostile = ev
       .withColumn("ts", when(col("event_id") % 89 === 0, epochTs).otherwise(col("ts")))
       .withColumn("event_type",
         when(col("event_id") % 83 === 0, lit(null: String)).otherwise(col("event_type")))
       .withColumn("props",
-        when(col("event_id") % 79 === 0, lit(null: String)).otherwise(col("props"))), "events")
+        when(col("event_id") % 79 === 0, lit(null: String)).otherwise(col("props")))
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
+    val dups = evHostile.filter(col("event_id") % 37 === 0)
+    write(evHostile.unionAll(dups).unionAll(dups).orderBy(hash(col("event_id"), col("ts"))),
+      "events")
 
     val docs = t("documents")
     // LONG documents (700 words, > the old 500-position oracle cap): the

@@ -37,7 +37,15 @@ object PlanGolden {
     "group_window_session" -> "q_sql_session",
     "temporal_join_system_time" -> "q_sql_temporal_join",
     "temporal_table_fn" -> "q_sql_temporal_fn",
-    "lateral_table_udtf" -> "q_sql_lateral_table")
+    "lateral_table_udtf" -> "q_sql_lateral_table",
+    // r14 (VERDICT r13 #5): the LLM-pipeline heavy hitters — the
+    // "never all-pairs / banded candidate join / two-level bucketed scan"
+    // 100 TB-scale claims become diff-loud plan snapshots instead of only
+    // PlanSpec substring asserts
+    "pipe_seq_pack" -> "q_pipe_seq_pack",
+    "pipe_minhash_lsh" -> "q_pipe_minhash_lsh",
+    "pipe_ppjoin" -> "q_pipe_ppjoin",
+    "pipe_ann_ivf_trained" -> "q_pipe_ann_ivf_trained")
 
   def normalizedPlan(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString()

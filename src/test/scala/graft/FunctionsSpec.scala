@@ -15,7 +15,10 @@ class FunctionsSpec extends SparkTestBase {
     assert(FlinkFunctions.isDigit("123") && !FlinkFunctions.isDigit("12a") && !FlinkFunctions.isDigit(""))
     assert(FlinkFunctions.isAlpha("abC") && !FlinkFunctions.isAlpha("ab1"))
     assert(FlinkFunctions.isDecimal("-12.5") && FlinkFunctions.isDecimal("3") && !FlinkFunctions.isDecimal("1.2.3"))
-    assert(FlinkFunctions.hashCode("abc") == "abc".hashCode)
+    // ref SqlFunctionUtils.hashCode:890 absolutes the raw value
+    assert(FlinkFunctions.hashCode("abc") == Math.abs("abc".hashCode))
+    assert(FlinkFunctions.hashCode("hello world!") == 217287203) // raw is -217287203
+    assert(FlinkFunctions.hashCode("") == 0)
   }
 
   test("scalar wrapper edges mirror SqlFunctionUtils exactly") {
@@ -28,6 +31,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(FlinkFunctions.splitIndex("a  b", "", 1) == "")
     assert(FlinkFunctions.splitIndex("a  b", "", 2) == "b")
     assert(SplitIndexEval.eval(u8("a b"), u8(""), 1).toString == "b")
+    // ...and "whitespace" is Character.isWhitespace (commons splitWorker),
+    // which includes Unicode line separator U+2028 and ideographic space U+3000 --
+    // NOT just ASCII \s (ADVICE r13)
+    assert(FlinkFunctions.splitIndex("a\u3000b", "", 1) == "b")
+    assert(SplitIndexEval.eval(u8("a\u2028b"), u8(""), 1).toString == "b")
+    assert(SplitIndexEval.eval(u8("\u3000a"), u8(""), 1).toString == "a")
     // whole-separator, preserve-all-tokens
     assert(SplitIndexEval.eval(u8("a,,b"), u8(","), 1).toString == "")
     assert(SplitIndexEval.eval(u8("abab"), u8("ab"), 2).toString == "")

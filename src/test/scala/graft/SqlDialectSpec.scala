@@ -50,6 +50,43 @@ class SqlDialectSpec extends SparkTestBase {
     assert(vals.forall(v => v >= 0 && v < 10) && vals.distinct.length > 1)
   }
 
+  test("TRUNCATE rewriter: word-boundary, nested args, quote-aware (ADVICE r13)") {
+    // nested-paren argument (old regex silently skipped it)
+    val r = spark.sql("SELECT CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b, " +
+      "CAST(c AS DOUBLE) AS c FROM (" + FlinkSqlDialect.rewrite(
+      "SELECT TRUNCATE(ABS(-3.789), 2) AS a, TRUNCATE(3.9) AS b, TRUNCATE(-3.9) AS c") + ")").head()
+    assert(math.abs(r.getDouble(0) - 3.78) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) + 3.0) < 1e-9)
+    // an identifier ENDING in TRUNCATE( must not have its tail rewritten
+    val id = FlinkSqlDialect.rewrite("SELECT MY_TRUNCATE(x) FROM t")
+    assert(id == "SELECT MY_TRUNCATE(x) FROM t")
+    // TRUNCATE( inside a string literal stays verbatim
+    val lit = FlinkSqlDialect.rewrite("SELECT 'use TRUNCATE(x, 2) here' AS doc")
+    assert(lit == "SELECT 'use TRUNCATE(x, 2) here' AS doc")
+    // commas inside nested calls don't split the arg list
+    val two = spark.sql(FlinkSqlDialect.rewrite(
+      "SELECT TRUNCATE(COALESCE(NULL, -41.99), 1) AS v")).head()
+    assert(math.abs(two.getDouble(0) + 41.9) < 1e-9)
+  }
+
+  test("bare VARCHAR/CHAR cast targets rewrite ONLY inside CAST/TRY_CAST (ADVICE r13)") {
+    // the real rewrite still works, nested included
+    val ok = spark.sql(FlinkSqlDialect.rewrite(
+      "SELECT CAST(12.5 AS VARCHAR) AS a, CAST(CAST(7 AS VARCHAR) AS INT) AS b, " +
+        "TRY_CAST(3 AS CHAR) AS c")).head()
+    assert(ok.getString(0) == "12.5" && ok.getInt(1) == 7 && ok.getString(2) == "3")
+    // a string literal containing 'AS VARCHAR)' is untouched
+    val lit = FlinkSqlDialect.rewrite("SELECT 'CAST(x AS VARCHAR)' AS doc FROM t")
+    assert(lit == "SELECT 'CAST(x AS VARCHAR)' AS doc FROM t")
+    // outside any CAST call, the text is untouched (context-free rewrite was the bug)
+    val noCast = FlinkSqlDialect.rewrite("SELECT (a AS VARCHAR) FROM t")
+    assert(noCast == "SELECT (a AS VARCHAR) FROM t")
+    // length-carrying VARCHAR(n) passes through
+    val len = FlinkSqlDialect.rewrite("SELECT CAST(x AS VARCHAR(5)) FROM t")
+    assert(len == "SELECT CAST(x AS VARCHAR(5)) FROM t")
+  }
+
   test("SIMILAR TO: wildcards stay literal inside [...], % is dotall, ESCAPE honored") {
     // bracket enumeration: % and _ inside [...] are LITERAL members
     // (ref SqlLikeUtils.sqlToRegexSimilar character walk)

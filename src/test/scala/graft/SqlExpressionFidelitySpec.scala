@@ -142,6 +142,156 @@ class SqlExpressionFidelitySpec extends SparkTestBase {
     ).foreach { case (e, want) => check(e, want) }
   }
 
+  test("datetime long tail: FLOOR/CEIL TO unit (TemporalTypesTest.scala:738-757)") {
+    // reference renders TIMESTAMP(0) results without fractional seconds;
+    // CAST AS STRING reproduces that rendering in Spark
+    def checkTs(expr: String, expected: String): Unit =
+      check(s"CAST(($expr) AS STRING)", expected)
+    Seq(
+      "FLOOR(TIMESTAMP '2018-03-20 06:44:31' TO HOUR)" -> "2018-03-20 06:00:00",
+      "FLOOR(TIMESTAMP '2018-03-20 06:44:31' TO DAY)" -> "2018-03-20 00:00:00",
+      "FLOOR(TIMESTAMP '2018-03-20 00:00:00' TO DAY)" -> "2018-03-20 00:00:00",
+      "FLOOR(TIMESTAMP '2018-04-01 06:44:31' TO MONTH)" -> "2018-04-01 00:00:00",
+      "FLOOR(TIMESTAMP '2018-01-01 06:44:31' TO MONTH)" -> "2018-01-01 00:00:00",
+      "FLOOR(TIMESTAMP '2018-03-20 06:44:31' TO MINUTE)" -> "2018-03-20 06:44:00",
+      "CEIL(TIMESTAMP '2018-03-20 06:44:31' TO HOUR)" -> "2018-03-20 07:00:00",
+      "CEIL(TIMESTAMP '2018-03-20 06:00:00' TO HOUR)" -> "2018-03-20 06:00:00",
+      "CEIL(TIMESTAMP '2018-03-20 06:44:31' TO DAY)" -> "2018-03-21 00:00:00",
+      "CEIL(TIMESTAMP '2018-03-01 00:00:00' TO DAY)" -> "2018-03-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-03-31 00:00:01' TO DAY)" -> "2018-04-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-03-01 21:00:01' TO MONTH)" -> "2018-03-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-03-01 00:00:00' TO MONTH)" -> "2018-03-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-12-02 00:00:00' TO MONTH)" -> "2019-01-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-01-01 21:00:01' TO YEAR)" -> "2018-01-01 00:00:00",
+      "CEIL(TIMESTAMP '2018-01-02 21:00:01' TO YEAR)" -> "2019-01-01 00:00:00",
+      "CEILING(TIMESTAMP '2018-03-20 06:44:31' TO HOUR)" -> "2018-03-20 07:00:00",
+    ).foreach { case (e, want) => checkTs(e, want) }
+    // numeric FLOOR/CEIL still untouched by the TO-unit rewrite
+    check("FLOOR(2.5)", "2")
+    check("CEIL(2.5)", "3")
+  }
+
+  test("datetime long tail: TIMESTAMPADD (ScalarFunctionsTest.scala:3248-3363)") {
+    def checkTs(expr: String, expected: String): Unit =
+      check(s"CAST(($expr) AS STRING)", expected)
+    // the reference's (offset, unit) → rendered-value table, modern rows
+    // (the -1000 rows land pre-1582 where SimpleDateFormat's hybrid
+    // Julian calendar and proleptic-Gregorian engines disagree — excluded,
+    // documented in COVERAGE.md)
+    Seq(
+      "TIMESTAMPADD(YEAR, 1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2018-11-29 22:58:58.998",
+      "TIMESTAMPADD(YEAR, -61, TIMESTAMP '2017-11-29 22:58:58.998')" -> "1956-11-29 22:58:58.998",
+      // month-end clamping: Nov 29 + 1 quarter = Feb 28 (not 29)
+      "TIMESTAMPADD(QUARTER, 1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2018-02-28 22:58:58.998",
+      "TIMESTAMPADD(QUARTER, 3, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2018-08-29 22:58:58.998",
+      "TIMESTAMPADD(MONTH, 1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-12-29 22:58:58.998",
+      "TIMESTAMPADD(MONTH, 3, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2018-02-28 22:58:58.998",
+      "TIMESTAMPADD(MONTH, -61, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2012-10-29 22:58:58.998",
+      "TIMESTAMPADD(WEEK, 1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-12-06 22:58:58.998",
+      "TIMESTAMPADD(WEEK, -61, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2016-09-28 22:58:58.998",
+      "TIMESTAMPADD(DAY, 3, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-12-02 22:58:58.998",
+      "TIMESTAMPADD(HOUR, 3, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-11-30 01:58:58.998",
+      "TIMESTAMPADD(HOUR, -61, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-11-27 09:58:58.998",
+      "TIMESTAMPADD(MINUTE, -1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-11-29 22:57:58.998",
+      "TIMESTAMPADD(SECOND, -61, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-11-29 22:57:57.998",
+      // SQL_TSI_* spellings are unit aliases (Calcite TimeUnit)
+      "TIMESTAMPADD(SQL_TSI_DAY, 3, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2017-12-02 22:58:58.998",
+      "TIMESTAMPADD(SQL_TSI_YEAR, 1, TIMESTAMP '2017-11-29 22:58:58.998')" -> "2018-11-29 22:58:58.998",
+      // DATE + whole-day interval stays a DATE (ScalarFunctionsTest:3380)
+      "TIMESTAMPADD(DAY, 1, DATE '2016-06-15')" -> "2016-06-16",
+      // null propagation (ScalarFunctionsTest:3368-3404)
+      "TIMESTAMPADD(HOUR, CAST(NULL AS INTEGER), TIMESTAMP '2016-02-24 12:42:25')" -> "null",
+      "TIMESTAMPADD(HOUR, -200, CAST(NULL AS TIMESTAMP))" -> "null",
+      "TIMESTAMPADD(MONTH, 3, CAST(NULL AS TIMESTAMP))" -> "null",
+    ).foreach { case (e, want) => checkTs(e, want) }
+  }
+
+  test("datetime long tail: TIMESTAMPDIFF (ScalarFunctionsTest.scala:3134-3244, TemporalTypesTest:1126-1138)") {
+    // the reference's full unit × (ts,ts)/(date,ts)/(ts,date)/(date,date)
+    // expectation table
+    Seq(
+      "TIMESTAMPDIFF(DAY, TIMESTAMP '2018-07-03 11:11:11', TIMESTAMP '2018-07-05 11:11:11')" -> "2",
+      "TIMESTAMPDIFF(DAY, DATE '2016-06-15', TIMESTAMP '2016-06-16 11:11:11')" -> "1",
+      "TIMESTAMPDIFF(DAY, TIMESTAMP '2016-06-15 11:00:00', DATE '2016-06-19')" -> "3",
+      "TIMESTAMPDIFF(DAY, DATE '2016-06-15', DATE '2016-06-18')" -> "3",
+      "TIMESTAMPDIFF(HOUR, TIMESTAMP '2018-07-03 11:11:11', TIMESTAMP '2018-07-04 12:12:11')" -> "25",
+      "TIMESTAMPDIFF(HOUR, DATE '2016-06-15', TIMESTAMP '2016-06-16 11:11:11')" -> "35",
+      "TIMESTAMPDIFF(HOUR, TIMESTAMP '2016-06-15 11:00:00', DATE '2016-06-19')" -> "85",
+      "TIMESTAMPDIFF(HOUR, DATE '2016-06-15', DATE '2016-06-12')" -> "-72",
+      "TIMESTAMPDIFF(MINUTE, TIMESTAMP '2018-07-03 11:11:11', TIMESTAMP '2018-07-03 12:10:11')" -> "59",
+      "TIMESTAMPDIFF(MINUTE, DATE '2016-06-15', TIMESTAMP '2016-06-16 11:11:11')" -> "2111",
+      "TIMESTAMPDIFF(MINUTE, TIMESTAMP '2016-06-15 11:00:00', DATE '2016-06-19')" -> "5100",
+      "TIMESTAMPDIFF(MINUTE, DATE '2016-06-15', DATE '2016-06-18')" -> "4320",
+      "TIMESTAMPDIFF(SECOND, TIMESTAMP '2018-07-03 11:11:11', TIMESTAMP '2018-07-03 11:12:12')" -> "61",
+      "TIMESTAMPDIFF(SECOND, DATE '2016-06-15', TIMESTAMP '2016-06-16 11:11:11')" -> "126671",
+      "TIMESTAMPDIFF(SECOND, TIMESTAMP '2016-06-15 11:00:00', DATE '2016-06-19')" -> "306000",
+      "TIMESTAMPDIFF(SECOND, DATE '2016-06-15', DATE '2016-06-18')" -> "259200",
+      "TIMESTAMPDIFF(WEEK, TIMESTAMP '2018-05-03 11:11:11', TIMESTAMP '2018-07-03 11:12:12')" -> "8",
+      "TIMESTAMPDIFF(WEEK, DATE '2016-04-15', TIMESTAMP '2016-07-16 11:11:11')" -> "13",
+      "TIMESTAMPDIFF(WEEK, TIMESTAMP '2016-04-15 11:00:00', DATE '2016-09-19')" -> "22",
+      "TIMESTAMPDIFF(WEEK, DATE '2016-08-15', DATE '2016-06-18')" -> "-8",
+      "TIMESTAMPDIFF(MONTH, TIMESTAMP '2018-07-03 11:11:11', TIMESTAMP '2018-09-05 11:11:11')" -> "2",
+      "TIMESTAMPDIFF(MONTH, DATE '2016-06-15', TIMESTAMP '2018-06-16 11:11:11')" -> "24",
+      "TIMESTAMPDIFF(MONTH, TIMESTAMP '2016-06-15 11:00:00', DATE '2018-05-19')" -> "23",
+      "TIMESTAMPDIFF(MONTH, DATE '2016-06-15', DATE '2018-03-18')" -> "21",
+      "TIMESTAMPDIFF(QUARTER, TIMESTAMP '2018-01-03 11:11:11', TIMESTAMP '2018-09-05 11:11:11')" -> "2",
+      "TIMESTAMPDIFF(QUARTER, DATE '2016-06-15', TIMESTAMP '2018-06-16 11:11:11')" -> "8",
+      "TIMESTAMPDIFF(QUARTER, TIMESTAMP '2016-06-15 11:00:00', DATE '2018-05-19')" -> "7",
+      "TIMESTAMPDIFF(QUARTER, DATE '2016-06-15', DATE '2018-03-18')" -> "7",
+      "TIMESTAMPDIFF(SQL_TSI_DAY, DATE '2016-06-15', DATE '2016-06-18')" -> "3",
+      // month diffs around sign boundaries (TemporalTypesTest:1126-1138)
+      "TIMESTAMPDIFF(MONTH, TIMESTAMP '2019-09-01 00:00:00', TIMESTAMP '2020-03-01 00:00:00')" -> "6",
+      "TIMESTAMPDIFF(MONTH, TIMESTAMP '2019-09-01 00:00:00', TIMESTAMP '2016-08-01 00:00:00')" -> "-37",
+      "TIMESTAMPDIFF(MONTH, DATE '2019-09-01', DATE '2020-03-01')" -> "6",
+      "TIMESTAMPDIFF(MONTH, DATE '2019-09-01', DATE '2016-08-01')" -> "-37",
+      // null propagation (ScalarFunctionsTest:3231-3243)
+      "TIMESTAMPDIFF(DAY, CAST(NULL AS TIMESTAMP), TIMESTAMP '2016-02-24 12:42:25')" -> "null",
+      "TIMESTAMPDIFF(DAY, TIMESTAMP '2016-02-24 12:42:25', CAST(NULL AS TIMESTAMP))" -> "null",
+    ).foreach { case (e, want) => check(e, want) }
+  }
+
+  test("datetime long tail: CONVERT_TZ incl. DST boundaries (TemporalTypesTest:871, SqlDateTimeUtils.convertTz)") {
+    Seq(
+      "CONVERT_TZ('2018-03-14 11:00:00', 'UTC', 'Asia/Shanghai')" -> "2018-03-14 19:00:00",
+      // spring-forward GAP: 02:30 PST does not exist; SimpleDateFormat and
+      // java.time both shift forward → 10:30 UTC
+      "CONVERT_TZ('2021-03-14 02:30:00', 'America/Los_Angeles', 'UTC')" -> "2021-03-14 10:30:00",
+      // fall-back OVERLAP: 01:30 happens twice; the reference's
+      // GregorianCalendar resolves to the LATER offset (PST) → 09:30 UTC,
+      // where plain java.time (and Spark's convert_timezone) would give
+      // 08:30 — pinned to the REFERENCE behavior
+      "CONVERT_TZ('2021-11-07 01:30:00', 'America/Los_Angeles', 'UTC')" -> "2021-11-07 09:30:00",
+      // null / unparseable → null (TemporalTypesTest testNullableCases)
+      "CONVERT_TZ(cast(NULL as varchar), 'UTC', 'Asia/Shanghai')" -> "null",
+      "CONVERT_TZ('invalid value', 'UTC', 'Asia/Shanghai')" -> "null",
+    ).foreach { case (e, want) => check(e, want) }
+  }
+
+  test("datetime long tail: DATE_FORMAT / UNIX_TIMESTAMP / FROM_UNIXTIME / TO_DATE") {
+    Seq(
+      "DATE_FORMAT(TIMESTAMP '2018-03-14 01:02:03', 'yyyy/MM/dd HH:mm:ss')" -> "2018/03/14 01:02:03",
+      "DATE_FORMAT(cast(NULL as varchar), 'yyyy/MM/dd HH:mm:ss')" -> "null",
+      "DATE_FORMAT('invalid value', 'yyyy/MM/dd HH:mm:ss')" -> "null",
+      "TO_DATE('2018-03-18')" -> "2018-03-18",
+      "TO_DATE(cast(NULL as varchar))" -> "null",
+      "FROM_UNIXTIME(cast(NULL as bigInt))" -> "null",
+      "EXTRACT(DAY FROM TO_DATE('2018-03-18'))" -> "18",
+      "EXTRACT(MONTH FROM TO_DATE('2018-01-01'))" -> "1",
+      "EXTRACT(YEAR FROM TO_DATE('2018-01-01'))" -> "2018",
+      "EXTRACT(QUARTER FROM TO_DATE('2018-01-01'))" -> "1",
+    ).foreach { case (e, want) => check(e, want) }
+    // the MySQL-documented DST mapping the reference pins under MET
+    // (TemporalTypesTest.testDaylightSavingTimeZone): two distinct local
+    // times map to ONE epoch second across the spring-forward gap
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "MET")
+      check("UNIX_TIMESTAMP('2005-03-27 03:00:00')" , "1111885200")
+      check("UNIX_TIMESTAMP('2005-03-27 02:00:00')" , "1111885200")
+      check("FROM_UNIXTIME(1111885200)", "2005-03-27 03:00:00")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("hash rows") {
     Seq(
       "MD5('')" -> "d41d8cd98f00b204e9800998ecf8427e",

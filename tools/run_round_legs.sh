@@ -27,9 +27,35 @@ leg() { # name sfdir cpus
 leg sf001  /root/testdata/sf0.01      32
 leg sf0001 /root/testdata/sf0.001     32
 leg cpus7  /root/testdata/sf0.01      7
+
+# Regenerate the hostile fixture at THIS commit before its leg (r14): the
+# generator carries the adversarial-streaming plants (hot key, duplicate
+# events, hash-ordered file) and a stale /dev/shm copy would silently
+# test yesterday's hostility instead of HEAD's.
+HG_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  HG_OPENS="$HG_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  HG_OPENS="$HG_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+java $HG_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.tools.HostileGen \
+  /root/testdata/sf0.01 /dev/shm/graft/hostile01 > "$LOG/hostilegen.log" 2>&1
+
 leg hostile /dev/shm/graft/hostile01  32
 
 echo "== full local bench (sf0.1) =="
+# Host-stability precheck (VERDICT r13 #1): annotate (don't abort — the
+# verify legs above are correctness evidence regardless); a red marker
+# means the bench record that follows must not be cited as timing truth.
+if tools/host_precheck.sh "$LOG/precheck.json" 1.3; then
+  echo "precheck OK: $(cat "$LOG/precheck.json")"
+else
+  touch "$LOG/PRECHECK_RED"
+  echo "PRECHECK RED: $(cat "$LOG/precheck.json") — bench record will be host-degraded"
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -30,7 +30,16 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
-$RUN -Xmx24g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF10" 100 1>&2
+# Host-stability gate (VERDICT r13 #1): refuse to record scale evidence in
+# a degraded window.
+tools/host_precheck.sh /tmp/sf10_precheck.json 1.3 || {
+  echo "HOST UNSTABLE ($(cat /tmp/sf10_precheck.json)) — aborting sf10 record" >&2
+  exit 2
+}
+echo "precheck: $(cat /tmp/sf10_precheck.json)" >&2
+if [ ! -d "$SF10/lineitem.parquet" ]; then
+  $RUN -Xmx24g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF10" 100 1>&2
+fi
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
   $RUN -Xmx8g graft.Bench 2>/tmp/sf01_smoke100_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_smoke100.json
 SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \

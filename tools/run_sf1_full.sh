@@ -19,6 +19,13 @@ RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -
 if [ ! -d "$SF1/lineitem.parquet" ]; then
   $RUN -Xmx8g graft.tools.ScaleGen /root/testdata/sf0.1 "$SF1" 10 1>&2
 fi
+# Host-stability gate (VERDICT r13 #1): refuse to record scale evidence in
+# a degraded window (r13's sf1 tail was recorded in one and is unusable).
+tools/host_precheck.sh /tmp/sf1_precheck.json 1.3 || {
+  echo "HOST UNSTABLE ($(cat /tmp/sf1_precheck.json)) — aborting sf1 record" >&2
+  exit 2
+}
+echo "precheck: $(cat /tmp/sf1_precheck.json)" >&2
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   $RUN -Xmx10g graft.Bench 2>/tmp/sf01_full_err.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_full.json
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 \
