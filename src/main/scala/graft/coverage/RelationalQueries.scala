@@ -505,16 +505,22 @@ object RelationalQueries {
 
   /** SINGLE_VALUE (errors when a group has >1 row) — ref
     * SingleValueAggFunction; a custom typed Aggregator (§2.14), the Spark
-    * analog of Flink's imperative AggregateFunction. */
+    * analog of Flink's imperative AggregateFunction. The DISTINCT
+    * pre-step makes the one-row-per-group CONTRACT explicit in the query
+    * (r14: the hostile fixture plants byte-identical duplicate events,
+    * which must collapse before SINGLE_VALUE — on raw duplicated input
+    * the aggregate's >1-row error is the CORRECT behavior, proven in
+    * FunctionsSpec, not a query result). */
   val qAggSingleValue: Q = Q(
     run = (s, dir) => {
       FlinkFunctions.registerAll(s)
       ev(s, dir).createOrReplaceTempView("events")
       s.sql("""
         SELECT event_id, SINGLE_VALUE(value) AS sv
-        FROM events GROUP BY event_id ORDER BY event_id""")
+        FROM (SELECT DISTINCT event_id, value FROM events)
+        GROUP BY event_id ORDER BY event_id""")
     },
-    oracle = Some("SELECT event_id, value AS sv FROM events ORDER BY event_id"))
+    oracle = Some("SELECT DISTINCT event_id, value AS sv FROM events ORDER BY event_id"))
 
   // ------------------------------------------------- §2.7 over windows
 

@@ -99,7 +99,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES A.event_id AS click_id, B.event_id AS purchase_id
           PATTERN (A B)
           WITHIN INTERVAL '10' MINUTE
@@ -126,7 +126,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES A.event_id AS start_id, FIRST(B.event_id) AS first_view,
                    LAST(B.event_id) AS last_view, C.event_id AS purchase_id
           PATTERN (A B+ C)
@@ -165,7 +165,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES A.event_id AS a_id, FIRST(B.event_id) AS first_b,
                    LAST(B.event_id) AS last_b, C.event_id AS c_id
           AFTER MATCH SKIP TO LAST B
@@ -195,7 +195,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, A.event_id AS a_id
           ALL ROWS PER MATCH
           PATTERN (A B)
@@ -224,7 +224,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM events MATCH_RECOGNIZE (
           PARTITION BY user_id, event_type
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES MATCH_NUMBER() AS mn, FIRST(X.event_id) AS id1, LAST(X.event_id) AS id2
           PATTERN (X{2})
         )""").orderBy(col("user_id"), col("event_type"), col("mn"))
@@ -421,7 +421,7 @@ object SqlDialectQueries {
       new EngineEnv(s).sqlQuery("""
         SELECT * FROM mr_nested_events MATCH_RECOGNIZE (
           PARTITION BY user_id
-          ORDER BY ts
+          ORDER BY ts, event_id
           MEASURES FIRST(A.event_id) AS a_id, LAST(C.event_id) AS c_id
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (((A B)+ C){2})
@@ -468,8 +468,14 @@ object SqlDialectQueries {
         SELECT c.user_id, c.event_id AS click_id, c.ts AS cts, c.pos,
                (SELECT min(e.pos) FROM ord e WHERE e.user_id = c.user_id
                   AND e.pos > c.pos AND e.event_type = 'error') AS epos,
+               -- every row the skip variable S must absorb has to make
+               -- S's DEFINE predicate TRUE: a purchase blocks, and so does
+               -- a NULL event_type (<> yields NULL, not TRUE — SQL
+               -- three-valued logic; the r14 hostile fixture plants NULL
+               -- event_types and exposed an oracle that skipped them)
                (SELECT min(p.pos) FROM ord p WHERE p.user_id = c.user_id
-                  AND p.pos > c.pos AND p.event_type = 'purchase') AS ppos
+                  AND p.pos > c.pos
+                  AND (p.event_type = 'purchase' OR p.event_type IS NULL)) AS ppos
         FROM ord c WHERE c.event_type = 'click')
       SELECT f.user_id, f.click_id, e.event_id AS error_id
       FROM firsts f JOIN ord e ON e.user_id = f.user_id AND e.pos = f.epos

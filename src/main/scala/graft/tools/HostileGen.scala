@@ -132,9 +132,16 @@ object HostileGen {
     //    state (changelog join / retract top-n / over / dedup) gets one
     //    giant group while the oracle stays value-identical; at 100 TB
     //    this is the skew profile the salting/AQE story targets;
-    //  - EXACT DUPLICATES: every 37th event is appended twice more —
-    //    keep-first/keep-last dedup, count paths and rank ties must treat
-    //    byte-identical rows consistently in both engines;
+    //  - CONTENT DUPLICATES: every 37th event is appended twice more with
+    //    FRESH surrogate event_ids (same ts/user/type/value/props) —
+    //    dedup, count and rank-tie paths see duplicated content while the
+    //    fixture invariant the cross-engine determinism toolkit rests on
+    //    (unique (ts, event_id) sort tie-breaks) stays intact;
+    //    BYTE-identical duplicates are deliberately NOT planted here —
+    //    they make every sequence-sensitive oracle (CEP/MATCH_RECOGNIZE/
+    //    temporal sort) nondeterministic BETWEEN engines by construction
+    //    (proven: 13 oracle divergences when tried) and are covered at
+    //    the state-transition layer instead (HostileStreamingSpec);
     //  - EXTREME OUT-OF-ORDERNESS: the file is written in hash order,
     //    not ts order — a file-stream replay sees maximal event-time
     //    disorder (buffered operators must not depend on arrival order).
@@ -146,8 +153,10 @@ object HostileGen {
         when(col("event_id") % 79 === 0, lit(null: String)).otherwise(col("props")))
       .withColumn("user_id",
         when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
-    val dups = evHostile.filter(col("event_id") % 37 === 0)
-    write(evHostile.unionAll(dups).unionAll(dups).orderBy(hash(col("event_id"), col("ts"))),
+    val dupBase = evHostile.filter(col("event_id") % 37 === 0)
+    val dup1 = dupBase.withColumn("event_id", col("event_id") + lit(100000000L))
+    val dup2 = dupBase.withColumn("event_id", col("event_id") + lit(200000000L))
+    write(evHostile.unionAll(dup1).unionAll(dup2).orderBy(hash(col("event_id"), col("ts"))),
       "events")
 
     val docs = t("documents")
