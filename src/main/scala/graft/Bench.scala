@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(v => sys.props("graft.stream.parts") = v)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,6 +17,14 @@ object Bench {
       .config("graft.graph.loopShufflePartitions",
         sys.env.getOrElse("SPARK_GRAFT_LOOP_PARTS", "4"))
       .config("spark.ui.enabled", "false")
+      // same fixture-vs-scale split for the STATEFUL streaming stages
+      // (r14): runToMemory's 4-partition default halves per-batch
+      // state-store commit overhead at sf≤1 fixture volumes, but at the
+      // 100x smoke one state partition holds 100x the keys and the keyed
+      // flatMapGroups sort dominates (measured on q_stream_cdc_join at
+      // sf10: 472s at 4 parts -> 331s at 32). The sf10 smoke overrides
+      // via SPARK_GRAFT_STREAM_PARTS to measure at honest width —
+      // exactly the r9 loop-width argument, applied to state stores.
       // shuffle/spill scratch on tmpfs when available (stands in for the
       // fast local SSD a real executor would mount here)
       .config("spark.local.dir", graft.streaming.StreamOps.scratchRoot + "/local")

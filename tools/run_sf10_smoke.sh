@@ -21,6 +21,10 @@ SF10=${1:-/dev/shm/graft/sf10}
 # ratios here).
 QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_pagerank_part,q_graph_hits_part,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus,q_stream_cdc_join,q_stream_retract_topn,q_changelog_agg"
 export SPARK_GRAFT_LOOP_PARTS=32
+# r14: stateful streaming stages also run at honest width at 100x (the
+# 4-partition runToMemory default is a fixture-scale optimization; one
+# state partition holding 100x the keys dominates q_stream_cdc_join)
+export SPARK_GRAFT_STREAM_PARTS=32
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
