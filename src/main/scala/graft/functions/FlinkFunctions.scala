@@ -175,6 +175,15 @@ object FlinkFunctions {
     // registry lookup is case-insensitive — and loop the analyzer)
     alias("DATE_FORMAT")(e => org.apache.spark.sql.catalyst.expressions.DateFormatClass(
       fn("try_to_timestamp", e.head), e(1)))
+    // TO_TIMESTAMP / TO_DATE (1- and 2-arg): the reference returns NULL on
+    // unparseable input (SqlDateTimeUtils.toTimestamp catches the parse
+    // failure; TemporalTypesTest pins TO_TIMESTAMP('abc') -> null) where
+    // Spark 4's ANSI to_timestamp/to_date throw — route through
+    // try_to_timestamp (TO_DATE = date-cast of the parsed timestamp, same
+    // day semantics for both arg shapes)
+    alias("TO_TIMESTAMP")(e => fn("try_to_timestamp", e: _*))
+    alias("TO_DATE")(e => org.apache.spark.sql.catalyst.expressions.Cast(
+      fn("try_to_timestamp", e: _*), org.apache.spark.sql.types.DateType))
     // SUM0 (FlinkSqlOperatorTable.SUM0 / Table-API sum0): SUM that yields
     // 0 instead of NULL over empty/all-null input — the primitive the
     // reference's retract aggregates count with

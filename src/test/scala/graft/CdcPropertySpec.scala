@@ -288,6 +288,72 @@ class CdcPropertySpec extends SparkTestBase {
     assert(obs2.get("malformed") == 0L)
   }
 
+  test("serialize->parse round-trip fuzz: net changelog state survives all three wire formats") {
+    // 60 random well-formed changelogs (consistent +I/-U/+U/-D lifecycles
+    // per key) through toDebezium/toCanal/toMaxwell and back: the
+    // reference's documented LOSSY mapping (-U/+U becomes delete+create)
+    // must still preserve the NET materialized state — the invariant
+    // CdcSpec pins once, here across 60 random lifecycles
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(31417L)
+    def randomChangelog(): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val live = scala.collection.mutable.Map.empty[Long, Long]
+      (0 until 30).foreach { _ =>
+        val k = rnd.nextInt(5).toLong
+        live.get(k) match {
+          case None => val v = rnd.nextInt(100).toLong; out += (("+I", k, v)); live(k) = v
+          case Some(v) if rnd.nextBoolean() =>
+            val nv = rnd.nextInt(100).toLong
+            out += (("-U", k, v)); out += (("+U", k, nv)); live(k) = nv
+          case Some(v) => out += (("-D", k, v)); live.remove(k)
+        }
+      }
+      out.toSeq
+    }
+    // batch the 60 changelogs into ONE DataFrame per format (a JVM-spawn
+    // per changelog would take minutes): tag rows by changelog id, group
+    // the net-state check by tag
+    val logs = (0 until 60).map(i => i -> randomChangelog())
+    val allRows = logs.flatMap { case (i, rows) => rows.map(r => (i, r._1, r._2, r._3)) }
+      .toDF("tag", "row_kind", "k", "v")
+    def netByTag(df: org.apache.spark.sql.DataFrame): Map[Int, Set[(Long, Long)]] = df
+      .groupBy(col("tag"), col("k"), col("v"))
+      .agg(sum(when(col("row_kind").isin("+I", "+U"), 1).otherwise(-1)).as("n"))
+      .filter(col("n") =!= 0)
+      .select(col("tag"), col("k"), col("v")).as[(Int, Long, Long)]
+      .collect().groupBy(_._1).map { case (t, rs) => t -> rs.map(r => (r._2, r._3)).toSet }
+    val expected = logs.map { case (i, rows) =>
+      val live = scala.collection.mutable.Map.empty[Long, Long]
+      rows.foreach {
+        case ("+I", k, v) => live(k) = v
+        case ("+U", k, v) => live(k) = v
+        case ("-U", k, _) => live.remove(k)
+        case ("-D", k, _) => live.remove(k)
+        case other => fail(s"bad generated row $other")
+      }
+      // -U removes then +U re-adds; fold order above handles pairs
+      i -> live.toSet
+    }.toMap
+    def roundtrip(ser: (org.apache.spark.sql.DataFrame, Seq[String]) => org.apache.spark.sql.DataFrame,
+                  par: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      // the tag rides inside the payload so it survives serialization
+      val wire = ser(allRows, Seq("tag", "k", "v"))
+      val parsed = par(wire)
+      val got = netByTag(parsed)
+      for ((t, exp) <- expected)
+        assert(got.getOrElse(t, Set.empty) == exp, s"changelog #$t net-state mismatch")
+    }
+    val tagPl = new StructType()
+      .add("tag", org.apache.spark.sql.types.IntegerType)
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType)
+    roundtrip(CdcFormats.toDebezium, df => CdcFormats.debezium(df, "value", tagPl))
+    roundtrip(CdcFormats.toCanal, df => CdcFormats.canal(df, "value", tagPl))
+    roundtrip(CdcFormats.toMaxwell, df => CdcFormats.maxwell(df, "value", tagPl))
+  }
+
   test("strict mode: throws on the first parse error, passes a clean corpus incl. DDL skips") {
     val s = spark
     import s.implicits._

@@ -70,6 +70,66 @@ class SqlDialectSpec extends SparkTestBase {
     assert(math.abs(two.getDouble(0) + 41.9) < 1e-9)
   }
 
+  test("rewriteCall property fuzz: literals inviolate, balance kept, planted calls found") {
+    // 200 random nested expressions: the balanced-paren scanner must
+    // (a) never alter quoted literals, (b) keep parens balanced,
+    // (c) rewrite a TRUNCATE planted at ANY nesting depth, and
+    // (d) be idempotent (a second pass over rewritten text is a no-op
+    //     because the output carries no TRUNCATE( tokens)
+    val rnd = new scala.util.Random(60901L)
+    val lits = Seq("'TRUNCATE(x, 2)'", "'a, b)('", "\"odd TRUNCATE( name\"", "'%'")
+    def expr(depth: Int, plant: Boolean): String = {
+      if (depth == 0) {
+        if (rnd.nextInt(3) == 0) lits(rnd.nextInt(lits.size))
+        else Seq("col_a", "42", "tab.b")(rnd.nextInt(3))
+      } else if (plant && rnd.nextInt(2) == 0) {
+        s"TRUNCATE(${expr(depth - 1, plant = false)}, 2)"
+      } else rnd.nextInt(4) match {
+        case 0 => s"COALESCE(${expr(depth - 1, plant)}, ${expr(depth - 1, plant = false)})"
+        case 1 => s"ABS(${expr(depth - 1, plant)})"
+        case 2 => s"(${expr(depth - 1, plant)} + ${expr(depth - 1, plant = false)})"
+        case _ => s"MY_TRUNCATE(${expr(depth - 1, plant)})"
+      }
+    }
+    (0 until 200).foreach { i =>
+      val plant = i % 2 == 0
+      var e = s"SELECT ${expr(2 + rnd.nextInt(3), plant)} AS v FROM t"
+      if (plant && !e.contains("TRUNCATE(")) e = s"SELECT TRUNCATE(${e.length} , 1) AS v" // ensure plant
+      val out = FlinkSqlDialect.rewrite(e)
+      // (a) every quoted literal survives byte-identical
+      lits.foreach { l => if (e.contains(l)) assert(out.contains(l), s"literal $l harmed in:\n$e\n$out") }
+      // (b) paren balance (quotes stripped first)
+      def bal(s: String): Int = {
+        var depth = 0; var q: Char = 0
+        s.foreach { c =>
+          if (q != 0) { if (c == q) q = 0 }
+          else if (c == '\'' || c == '"') q = c
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+        }
+        depth
+      }
+      assert(bal(out) == bal(e), s"paren balance drifted:\n$e\n$out")
+      // (c) a planted real TRUNCATE( (outside quotes) must be rewritten
+      def hasBareTruncate(s: String): Boolean = {
+        var q: Char = 0; var i2 = 0
+        while (i2 < s.length) {
+          val c = s.charAt(i2)
+          if (q != 0) { if (c == q) q = 0 }
+          else if (c == '\'' || c == '"') q = c
+          else if (s.regionMatches(true, i2, "TRUNCATE(", 0, 9) &&
+                   (i2 == 0 || !(s.charAt(i2 - 1).isLetterOrDigit || s.charAt(i2 - 1) == '_')))
+            return true
+          i2 += 1
+        }
+        false
+      }
+      if (hasBareTruncate(e)) assert(!hasBareTruncate(out), s"planted TRUNCATE survived:\n$e\n$out")
+      // (d) idempotence
+      assert(FlinkSqlDialect.rewrite(out) == out, s"rewrite not idempotent on:\n$out")
+    }
+  }
+
   test("bare VARCHAR/CHAR cast targets rewrite ONLY inside CAST/TRY_CAST (ADVICE r13)") {
     // the real rewrite still works, nested included
     val ok = spark.sql(FlinkSqlDialect.rewrite(

@@ -292,6 +292,39 @@ class SqlExpressionFidelitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("datetime long tail 2: FROM_UNIXTIME formats + zones, TO_TIMESTAMP null-on-invalid") {
+    // TemporalTypesTest.testFromUnixTime (f21=44, f22=3, UTC session)
+    Seq(
+      "FROM_UNIXTIME(44)" -> "1970-01-01 00:00:44",
+      "FROM_UNIXTIME(44, 'yyyy-MM-dd HH:mm:ss.SSS')" -> "1970-01-01 00:00:44.000",
+      "FROM_UNIXTIME(44, 'yy-MM-dd HH-mm-ss')" -> "70-01-01 00-00-44",
+      "FROM_UNIXTIME(3)" -> "1970-01-01 00:00:03",
+      "FROM_UNIXTIME(3, 'yy-MM-dd HH-mm-ss')" -> "70-01-01 00-00-03",
+      // TemporalTypesTest:1016,848: unparseable input is NULL (the
+      // reference catches the parse failure; Spark's ANSI to_timestamp
+      // would throw — the TO_TIMESTAMP registration routes through
+      // try_to_timestamp)
+      "TO_TIMESTAMP('abc')" -> "null",
+      "TO_TIMESTAMP('invalid value', 'yyyy-mm-dd')" -> "null",
+      "TO_TIMESTAMP(SUBSTRING('', 2, -1))" -> "null",
+      "TO_DATE('invalid value')" -> "null",
+      // TemporalTypesTest:1020 — format complements missing fields
+      // (reference renders TIMESTAMP(3) with '.000'; the instant is equal)
+      "CAST(TO_TIMESTAMP('2000020210', 'yyyyMMddHH') AS STRING)" -> "2000-02-02 10:00:00",
+      // null propagation through the TO-unit FLOOR/CEIL rewrite
+      // (TemporalTypesTest:560 FLOOR(f13 TO HOUR) with null f13)
+      "CAST(FLOOR(CAST(NULL AS TIMESTAMP) TO HOUR) AS STRING)" -> "null",
+      "CAST(CEIL(CAST(NULL AS TIMESTAMP) TO DAY) AS STRING)" -> "null",
+    ).foreach { case (e, want) => check(e, want) }
+    // TemporalTypesTest.testFromUnixTimeInTokyo — session-zone rendering
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      check("FROM_UNIXTIME(44)", "1970-01-01 09:00:44")
+      check("FROM_UNIXTIME(44, 'yy-MM-dd HH-mm-ss')", "70-01-01 09-00-44")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("hash rows") {
     Seq(
       "MD5('')" -> "d41d8cd98f00b204e9800998ecf8427e",
