@@ -58,28 +58,31 @@ object FlinkFunctions {
 
   /** CONVERT_TZ(tsStr, tzFrom, tzTo) — ref SqlDateTimeUtils.convertTz:492
     * ('yyyy-MM-dd HH:mm:ss' wall-clock in tzFrom re-expressed in tzTo).
-    * The reference parses with SimpleDateFormat, whose GregorianCalendar
-    * resolves a DST fall-back OVERLAP to the LATER offset (standard time)
-    * — java.time's default (and Spark's convert_timezone) picks the
-    * EARLIER one, so '2021-11-07 01:30:00' America/Los_Angeles → UTC is
-    * 09:30 in the reference but 08:30 via plain java.time
-    * (withLaterOffsetAtOverlap reproduces the reference; spring-forward
-    * GAP times shift forward identically in both). Zone lookup goes
-    * through TimeZone.getTimeZone like the reference — unknown ids fall
-    * back to GMT instead of erroring. Unparseable input → null
-    * (toTimestampTz returns null). Scale note: per-row string work in a
+    * The reference round-trips through default-LENIENT SimpleDateFormat
+    * (toTimestamp:333 parse in tzFrom, dateFormatTz:466 format in tzTo),
+    * so this mirrors it with the same JDK class rather than java.time
+    * (ADVICE r14): lenient GregorianCalendar means rollover dates parse
+    * ('2021-02-30' → 2021-03-02), SimpleDateFormat.parse ignores trailing
+    * text ('…00:00:00.123' parses the prefix), a DST fall-back OVERLAP
+    * resolves to the LATER offset (standard time — java.time and Spark's
+    * convert_timezone pick the EARLIER), and spring-forward GAP times
+    * shift forward. Zone lookup via TimeZone.getTimeZone like the
+    * reference — unknown ids fall back to GMT instead of erroring.
+    * Unparseable input → null (toTimestamp catches ParseException).
+    * SimpleDateFormat is per-call (not thread-safe; the reference keeps a
+    * ThreadLocal cache). Scale note: per-row string work in a
     * deliberately rare function — the hot temporal paths use native
     * timestamp types; this wrapper exists for wire-format fidelity. */
-  private val tzFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   def convertTz(dateStr: String, tzFrom: String, tzTo: String): String = {
     if (dateStr == null || tzFrom == null || tzTo == null) return null
+    val in = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    in.setTimeZone(java.util.TimeZone.getTimeZone(tzFrom))
     try {
-      val ldt = java.time.LocalDateTime.parse(dateStr, tzFmt)
-      ldt.atZone(java.util.TimeZone.getTimeZone(tzFrom).toZoneId)
-        .withLaterOffsetAtOverlap()
-        .withZoneSameInstant(java.util.TimeZone.getTimeZone(tzTo).toZoneId)
-        .toLocalDateTime.format(tzFmt)
-    } catch { case _: java.time.format.DateTimeParseException => null }
+      val ts = in.parse(dateStr)
+      val out = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      out.setTimeZone(java.util.TimeZone.getTimeZone(tzTo))
+      out.format(ts)
+    } catch { case _: java.text.ParseException => null }
   }
 
   /** SINGLE_VALUE — exactly-one-row-per-group or runtime error.

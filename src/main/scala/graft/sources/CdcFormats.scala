@@ -176,13 +176,17 @@ object CdcFormats {
     //    array, a too-short `old`, or a null old ELEMENT is a parse error
     //    (the reference NPEs into the ignore-or-throw handler); extra
     //    trailing `old` entries beyond data.size are ignored (the loop
-    //    runs over data), hence the slice;
+    //    runs over data), hence the slice; an EMPTY `data` array never
+    //    enters the loop, so old is never dereferenced — UPDATE with
+    //    data=[] succeeds with zero rows whatever `old` holds (ADVICE
+    //    r14, CanalJsonDeserializationSchema:192 loop bound);
     //  - a null `data` array is a parse error for all three DML types.
     val emptyVariants = array().cast(ArrayType(
       new StructType().add("row_kind", StringType).add("payload", payload)))
     val variants =
       when(typ === "INSERT" && data.isNotNull,
           flatten(transform(data, d => array(tagged("+I", d)))))
+        .when(typ === "UPDATE" && data.isNotNull && size(data) === 0, emptyVariants)
         .when(typ === "UPDATE" && data.isNotNull && oldArr.isNotNull &&
               size(oldArr) >= size(data) &&
               forall(slice(oldArr, lit(1), size(data)), _.isNotNull),

@@ -115,9 +115,12 @@ object FlinkSqlDialect {
       }
 
     // SQL_TSI_* interval-unit spellings (Calcite's TimeUnit aliases, valid
-    // in Flink TIMESTAMPADD/TIMESTAMPDIFF) → the plain unit Spark accepts
-    s = s.replaceAll(
-      """(?i)\bSQL_TSI_(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""", "$1")
+    // in Flink TIMESTAMPADD/TIMESTAMPDIFF) → the plain unit Spark accepts.
+    // Quote-aware (ADVICE r14): a string literal containing 'SQL_TSI_DAY'
+    // stays verbatim — only unquoted occurrences rewrite.
+    s = replaceFnOutsideQuotes(s,
+      """(?i)\bSQL_TSI_(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""".r,
+      m => m.group(1))
 
     // TIMESTAMPADD(day-or-coarser, n, DATE '...') keeps the DATE type in
     // the reference (ScalarFunctionsTest:3380 pins '2016-06-16', no time
@@ -189,6 +192,26 @@ object FlinkSqlDialect {
                         f: scala.util.matching.Regex.Match => String): String =
     r.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(f(m)))
 
+  /** [[replaceFn]], applied only OUTSIDE '...'/"..."/`...` quoted regions:
+    * the text is split at quote boundaries and the regex runs on the
+    * unquoted spans alone, so literals survive verbatim. Quote chars are
+    * not word chars, so a `\b` anchor at a span edge behaves as in the
+    * full string. */
+  private[graft] def replaceFnOutsideQuotes(s: String, r: scala.util.matching.Regex,
+                                            f: scala.util.matching.Regex.Match => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var quote: Char = 0
+    def flushSeg(): Unit = { out.append(replaceFn(seg.toString, r, f)); seg.clear() }
+    for (c <- s) {
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { flushSeg(); out.append(c); quote = c }
+      else seg.append(c)
+    }
+    flushSeg()
+    out.toString
+  }
+
   /** Rewrite every `NAME(...)` call in `s` (case-insensitive, the name
     * word-boundary-anchored so `MY_NAME(` never matches) with proper
     * balanced-paren scanning and quote awareness: occurrences inside
@@ -217,9 +240,17 @@ object FlinkSqlDialect {
       } else if (c == '\'' || c == '"' || c == '`') {
         quote = c; out.append(c); i += 1
       } else if (s.regionMatches(true, i, name, 0, n) &&
-                 (i == 0 || !isWord(s.charAt(i - 1))) &&
-                 i + n < s.length && s.charAt(i + n) == '(') {
-        var j = i + n + 1
+                 (i == 0 || !isWord(s.charAt(i - 1))) && {
+                   // SQL allows whitespace between name and paren
+                   // ('TRUNCATE (x, 2)') — skip it before requiring '('
+                   // (ADVICE r14)
+                   var p = i + n
+                   while (p < s.length && s.charAt(p).isWhitespace) p += 1
+                   p < s.length && s.charAt(p) == '('
+                 }) {
+        var parenAt = i + n
+        while (s.charAt(parenAt) != '(') parenAt += 1
+        var j = parenAt + 1
         var depth = 1
         var q: Char = 0
         val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -234,7 +265,7 @@ object FlinkSqlDialect {
         }
         if (depth != 0) { out.append(c); i += 1 } // unbalanced: leave verbatim
         else {
-          val argStart = i + n + 1
+          val argStart = parenAt + 1
           val cuts = (argStart +: commas.map(_ + 1).toSeq).zip(commas.toSeq :+ (j - 1))
           val rawArgs = cuts.map { case (a, b) => s.substring(a, b) }
           // empty arg list: CAST() can't occur but NAME() might — no args

@@ -91,6 +91,10 @@ class CdcPropertySpec extends SparkTestBase {
         arr("data").map(_.map(d => row("+I", obj(d).getOrElse(return None))))
       case "UPDATE" =>
         val data = arr("data").getOrElse(return None)
+        // data=[] never enters the reference loop (CanalJson
+        // DeserializationSchema:192), so `old` is never dereferenced:
+        // zero rows, success, whatever old holds (ADVICE r14)
+        if (data.isEmpty) return Some(Nil)
         val old = arr("old").getOrElse(return None)
         if (old.size < data.size) return None                      // old.getRow(i) OOB
         Some(data.zip(old.take(data.size)).flatMap { case (d, o) =>
@@ -155,7 +159,8 @@ class CdcPropertySpec extends SparkTestBase {
     // weighted: mostly valid DML so the clean side gets real coverage
     val typ = Seq("INSERT", "INSERT", "UPDATE", "UPDATE", "UPDATE", "DELETE",
       "CREATE", "insert", "ALTER", "")(rnd.nextInt(10))
-    val n = 1 + rnd.nextInt(3) // data batch size 1..3 (empty is a pinned case)
+    val n = rnd.nextInt(4) // data batch size 0..3 (0 exercises the
+                           // empty-batch UPDATE success path)
     val data = (0 until n).map(_ => jPayload(rnd)).mkString("[", ",", "]")
     // old: null / missing / shorter / equal / longer / with null elements
     val oldLen = rnd.nextInt(6) match {
@@ -253,6 +258,9 @@ class CdcPropertySpec extends SparkTestBase {
       """{"data":[{"id":1}],"old":[null],"type":"UPDATE"}""",              // null old element
       """{"data":null,"old":null,"type":"CREATE"}""",                      // DDL skip
       """{"data":[],"type":"INSERT"}""",                                   // empty batch: 0 rows, clean
+      """{"data":[],"old":null,"type":"UPDATE"}""",                        // empty update: old never read
+      """{"data":[],"type":"UPDATE"}""",                                   // empty update, old missing
+      """{"data":[],"old":[],"type":"DELETE"}""",                          // empty delete
       """{"data":[{"id":7,"name":"x","score":1.5}],"type":"insert"}""")    // wrong case = unknown
     diffCheck("canal", msgs ++ pinned, modelCanal,
       df => CdcFormats.canal(df, "json", payload))

@@ -50,6 +50,25 @@ class SqlDialectSpec extends SparkTestBase {
     assert(vals.forall(v => v >= 0 && v < 10) && vals.distinct.length > 1)
   }
 
+  test("SQL_TSI_* rewrite is quote-aware; rewriteCall tolerates name-paren whitespace (ADVICE r14)") {
+    // a literal containing SQL_TSI_DAY must stay verbatim while the real
+    // unit argument still rewrites
+    val out = FlinkSqlDialect.rewrite(
+      "SELECT TIMESTAMPDIFF(SQL_TSI_DAY, a, b) AS d, 'unit was SQL_TSI_DAY' AS doc FROM t")
+    assert(out.contains("TIMESTAMPDIFF(DAY, a, b)"))
+    assert(out.contains("'unit was SQL_TSI_DAY'"))
+    // whitespace between function name and '(' is valid SQL — the scanner
+    // must still rewrite (previously left untouched → Spark analysis error)
+    val r = spark.sql("SELECT CAST(a AS DOUBLE) AS a FROM (" + FlinkSqlDialect.rewrite(
+      "SELECT TRUNCATE (3.789, 2) AS a") + ")").head()
+    assert(math.abs(r.getDouble(0) - 3.78) < 1e-9)
+    val fl = FlinkSqlDialect.rewrite("SELECT FLOOR (ts TO DAY) AS d FROM t")
+    assert(fl.contains("date_trunc('DAY', ts)"))
+    // MY_TRUNCATE (x) still safe: word-boundary check unaffected
+    assert(FlinkSqlDialect.rewrite("SELECT MY_TRUNCATE (x) FROM t")
+      == "SELECT MY_TRUNCATE (x) FROM t")
+  }
+
   test("TRUNCATE rewriter: word-boundary, nested args, quote-aware (ADVICE r13)") {
     // nested-paren argument (old regex silently skipped it)
     val r = spark.sql("SELECT CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b, " +

@@ -264,6 +264,12 @@ class SqlExpressionFidelitySpec extends SparkTestBase {
       // null / unparseable → null (TemporalTypesTest testNullableCases)
       "CONVERT_TZ(cast(NULL as varchar), 'UTC', 'Asia/Shanghai')" -> "null",
       "CONVERT_TZ('invalid value', 'UTC', 'Asia/Shanghai')" -> "null",
+      // LENIENT parse (ADVICE r14 — the reference goes through default
+      // SimpleDateFormat, SqlDateTimeUtils.toTimestamp:333): a rollover
+      // date resolves by calendar arithmetic, not to null
+      "CONVERT_TZ('2021-02-30 00:00:00', 'UTC', 'UTC')" -> "2021-03-02 00:00:00",
+      // and trailing text beyond the pattern is ignored (parse-at-position)
+      "CONVERT_TZ('2021-01-01 00:00:00.123', 'UTC', 'Asia/Shanghai')" -> "2021-01-01 08:00:00",
     ).foreach { case (e, want) => check(e, want) }
   }
 
