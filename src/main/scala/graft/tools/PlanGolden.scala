@@ -45,7 +45,12 @@ object PlanGolden {
     "pipe_seq_pack" -> "q_pipe_seq_pack",
     "pipe_minhash_lsh" -> "q_pipe_minhash_lsh",
     "pipe_ppjoin" -> "q_pipe_ppjoin",
-    "pipe_ann_ivf_trained" -> "q_pipe_ann_ivf_trained")
+    "pipe_ann_ivf_trained" -> "q_pipe_ann_ivf_trained",
+    // r15 (VERDICT r14 #1): DSIR/CCNet selection — the ntile global sort
+    // is gone; the snapshot pins the map-side threshold-comparison shape
+    // (zero Window nodes in the returned plan)
+    "pipe_dsir" -> "q_pipe_dsir",
+    "pipe_ccnet_bucket" -> "q_pipe_ccnet_bucket")
 
   def normalizedPlan(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString()
