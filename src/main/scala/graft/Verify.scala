@@ -26,6 +26,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // single-file: the driver's per-query dump contract (fixture scale)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -64,6 +65,7 @@ object Verify {
         coverage.TpcdsVerbatim2Queries.tolBlocked
       excluded.filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, qq) =>
+          // single-file: same dump contract as the gated corpus above
           try qq.run(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$exDir/$name")
           catch { case e: Throwable =>

@@ -190,7 +190,7 @@ object CdcQueries {
           when(op.isin("u", "d"), before).as("before"),
           when(op.isin("c", "r", "u"), after).as("after"),
           op.as("op"))).as("value"))
-        .coalesce(1).write.mode("overwrite").text(wire)
+        .write.mode("overwrite").text(wire)
       val e = new graft.sql.EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE orders_cdc (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
@@ -267,7 +267,7 @@ object CdcQueries {
           (col("o_orderkey") * 1000 + 500).as("ts_ms"),
           struct(lit("tpch").as("db"), lit("orders").as("table"),
                  (col("o_orderkey") * 1000).as("ts_ms")).as("source"))).as("value"))
-        .coalesce(1).write.mode("overwrite").text(wire)
+        .write.mode("overwrite").text(wire)
       val e = new graft.sql.EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE orders_cdc_meta (
@@ -320,7 +320,7 @@ object CdcQueries {
             when(op.isin("u", "d"), before).as("before"),
             when(op.isin("c", "r", "u"), after).as("after"),
             op.as("op")).as("payload"))).as("value"))
-        .coalesce(1).write.mode("overwrite").text(wire)
+        .write.mode("overwrite").text(wire)
       val e = new graft.sql.EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE orders_cdc_schema (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)

@@ -30,9 +30,9 @@ object Round6Queries {
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/alterset_${san(dir)}"
       val orders = Tables.load(s, dir, "orders")
       orders.filter(col("o_orderstatus") === "F")
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/a")
+        .write.mode("overwrite").parquet(s"$scratch/a")
       orders.filter(col("o_orderstatus") === "O")
-        .coalesce(1).write.mode("overwrite").orc(s"$scratch/b")
+        .write.mode("overwrite").orc(s"$scratch/b")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE alt_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,

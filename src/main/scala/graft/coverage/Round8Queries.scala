@@ -21,6 +21,7 @@ object Round8Queries {
     * dir — recovery runs must ADD files between restarts). */
   private def addBatch(base: String, srcDir: String, name: String, df: DataFrame): Unit = {
     val tmp = java.nio.file.Paths.get(s"$base/stage_$name")
+    // single-file: the named one-file-per-batch contract (see scaladoc)
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val ls = java.nio.file.Files.list(tmp)
     val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get finally ls.close()

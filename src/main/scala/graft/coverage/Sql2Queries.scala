@@ -24,7 +24,7 @@ object Sql2Queries {
     run = (s, dir) => {
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/hint_${san(dir)}"
       Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/subset")
+        .write.mode("overwrite").parquet(s"$scratch/subset")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE hint_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
@@ -65,10 +65,10 @@ object Sql2Queries {
       val orders = Tables.load(s, dir, "orders")
       orders.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/a")
+        .write.mode("overwrite").parquet(s"$scratch/a")
       orders.filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/b")
+        .write.mode("overwrite").parquet(s"$scratch/b")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE base_ss (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
@@ -127,10 +127,10 @@ object Sql2Queries {
       val scratch = graft.streaming.StreamOps.scratchRoot + s"/tfn_${san(dir)}"
       ev.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("version_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/rates")
+        .write.mode("overwrite").parquet(s"$scratch/rates")
       ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/clicks")
+        .write.mode("overwrite").parquet(s"$scratch/clicks")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE rates_fn_t (user_id BIGINT, ts TIMESTAMP(3), version_id BIGINT

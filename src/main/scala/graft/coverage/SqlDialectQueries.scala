@@ -573,10 +573,10 @@ object SqlDialectQueries {
         s"/tjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       ev.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("version_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/rates")
+        .write.mode("overwrite").parquet(s"$scratch/rates")
       ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/clicks")
+        .write.mode("overwrite").parquet(s"$scratch/clicks")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE rates_t (user_id BIGINT, ts TIMESTAMP(3), version_id BIGINT,

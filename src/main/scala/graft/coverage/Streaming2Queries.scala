@@ -651,6 +651,9 @@ object Streaming2Queries {
         .unionByName(base.filter(m === 2).select(col("key"),
           (col("cents") + 55).as("value"), (col("key") * 4 + 1).as("seq")))
       val path = StreamOps.scratchRoot + s"/upsert_sql_${san(dir)}"
+      // single-file: one wire file = one deterministic trigger batch for
+      // the streaming upsert source (apply order rides the seq column
+      // WITHIN a batch; a multi-file split across batches would not)
       msgs.coalesce(1).write.mode("overwrite").parquet(path)
       val e = new graft.sql.EngineEnv(s)
       e.executeSql(s"""

@@ -141,7 +141,7 @@ object Tpcds4Queries {
       // seed: the 'F' subset pre-exists at the sink path (CREATE registers
       // the view by reading the path, so the dir must be non-empty)
       orders.filter(col("o_orderstatus") === "F")
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/sink")
+        .write.mode("overwrite").parquet(s"$scratch/sink")
       val e = new EngineEnv(s)
       e.executeSql(s"""
         CREATE TABLE base_t (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,

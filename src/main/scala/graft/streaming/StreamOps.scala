@@ -59,6 +59,9 @@ object StreamOps {
     java.nio.file.Files.createDirectories(srcDir)
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = base.resolve(s"stage_$i")
+      // single-file: each staged batch must be exactly ONE part-file with
+      // a controlled mtime (the file-stream trigger-batch contract);
+      // batches are bounded slices, never an sf-scaled table
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val ls = java.nio.file.Files.list(tmp)
       val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get finally ls.close()

@@ -53,6 +53,7 @@ object HostileGen {
     // read_parquet takes the literal file path, not a directory
     def write(df: DataFrame, n: String): Unit = {
       val tmp = java.nio.file.Paths.get(s"$out/_stage_$n")
+      // single-file: fixture tables mirror the driver's one-file layout
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val ls = java.nio.file.Files.list(tmp)
       val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get finally ls.close()

@@ -44,6 +44,29 @@ class RegistryLintSpec extends AnyFunSuite {
         offenders.mkString("\n  "))
   }
 
+  test("no unannotated coalesce(1) write funnels (VERDICT r14 #2)") {
+    // A `.coalesce(1).write` on an sf-scaled staging path serializes the
+    // whole table through ONE task (q_cdc_metadata's 11.1x sf1 ratio was
+    // exactly this). Staging writes are partition-parallel by default;
+    // the rare legitimate single-file sites (one-file-per-trigger-batch
+    // stream staging) must say so with a `single-file:` comment within
+    // the 4 lines above the call.
+    val root = Paths.get("src/main/scala/graft")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val lines = Files.readString(p).linesIterator.toVector
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains(".coalesce(1).write") &&
+            !lines.slice(math.max(0, i - 4), i + 1).exists(_.contains("single-file:")) =>
+            s"${root.relativize(p)}:${i + 1}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"unannotated coalesce(1) write funnel (single-task serialization at scale):\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("the lint's own extraction sees the registry (sanity floor)") {
     // If the regex or paths rot, the scans above would pass vacuously —
     // pin that the coverage scan sees at least as many bindings as the
