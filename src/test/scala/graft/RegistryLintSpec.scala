@@ -67,6 +67,18 @@ class RegistryLintSpec extends AnyFunSuite {
         offenders.mkString("\n  "))
   }
 
+  test("repo leakcheck tool reports zero hits (VERDICT r14 #4: stays aligned with the driver)") {
+    // Spark-bundled public deps (jackson, commons-*) are allowlisted in
+    // the tool; anything else TLD-rooted still flags. Output goes to /tmp
+    // so the test never clobbers the driver's LEAKCHECK.json artifact.
+    import scala.sys.process._
+    val outBuf = new StringBuilder
+    val rc = Process(Seq("python3", "tools/leakcheck.py", ".",
+      s"${System.getProperty("java.io.tmpdir")}/leakcheck_test.json"))
+      .!(ProcessLogger(l => outBuf.append(l).append('\n')))
+    assert(rc == 0, s"tools/leakcheck.py found hits — adjudicate or allowlist:\n$outBuf")
+  }
+
   test("the lint's own extraction sees the registry (sanity floor)") {
     // If the regex or paths rot, the scans above would pass vacuously —
     // pin that the coverage scan sees at least as many bindings as the

@@ -5,7 +5,9 @@ imports, non-public URLs/buckets, chat links, credentials, or internal
 environment variables. Regenerates LEAKCHECK.json so the claim "0 hits"
 is a checked-in, re-runnable artifact rather than an ad-hoc grep.
 
-Usage: tools/leakcheck.py [repo_root]   (writes LEAKCHECK.json in root)
+Usage: tools/leakcheck.py [repo_root] [out_json]
+(out_json defaults to <repo_root>/LEAKCHECK.json; the RegistryLintSpec
+gate passes a /tmp path so a test run never clobbers the driver artifact)
 
 The categories mirror the driver's LEAKCHECK artifact. Patterns are
 intentionally broad; FALSE positives are fine (a human adjudicates),
@@ -20,9 +22,15 @@ CATEGORIES = {
     # TLD-rooted package imports that are neither Spark/Hadoop, scalatest/
     # scalacheck, nor this repo's own namespace (relative imports of local
     # vals like `s.implicits._` are not package leaks and stay unflagged)
+    # Public libraries BUNDLED IN /opt/spark/jars (jackson, commons-*) are
+    # allowlisted (VERDICT r14 #4: the driver's scan already exempts them;
+    # this tool flagged CdcPropertySpec's jackson import — adjudicated
+    # false positive, Apache-2.0, shipped inside Spark's own distribution).
+    # The conservative TLD default stays for everything else.
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.(?:spark|hadoop|orc|parquet|avro|log4j|commons)\b|"
-        r"org\.scalatest\b|org\.scalacheck\b|org\.slf4j\b|org\.junit\b)"
+        r"org\.scalatest\b|org\.scalacheck\b|org\.slf4j\b|org\.junit\b|"
+        r"com\.fasterxml\.jackson\b|org\.apache\.commons\b)"
         r"(?:com|net|io|org|ai|co|dev)\.[\w.]+", re.M),
     # URLs that are not apache.org / github.com / public doc hosts
     "internal-url": re.compile(
@@ -74,7 +82,7 @@ def main():
                     hits[cat].append(f"{rel}:{line}: {m.group(0)[:120]}")
     n = sum(len(v) for v in hits.values())
     out = {"round": int(os.environ.get("LEAK_ROUND", "6")), "n_hits": n, "hits": hits}
-    path = os.path.join(root, "LEAKCHECK.json")
+    path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, "LEAKCHECK.json")
     json.dump(out, open(path, "w"), indent=2)
     print(f"{path}: {n} hits")
     for cat, v in hits.items():
