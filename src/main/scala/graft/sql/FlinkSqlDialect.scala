@@ -122,13 +122,28 @@ object FlinkSqlDialect {
       """(?i)\bSQL_TSI_(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""".r,
       m => m.group(1))
 
-    // TIMESTAMPADD(day-or-coarser, n, DATE '...') keeps the DATE type in
-    // the reference (ScalarFunctionsTest:3380 pins '2016-06-16', no time
-    // part; sub-day units yield TIMESTAMP) — Spark's timestampadd always
-    // returns TIMESTAMP, so wrap the DATE-literal form back. A DATE-typed
-    // column reference can't be detected at the string level; that case
-    // stays TIMESTAMP-typed (documented in COVERAGE.md).
+    // TIMESTAMPADD(day-or-coarser, n, x) keeps x's own type in the
+    // reference (ScalarFunctionsTest:3380 pins DATE '2016-06-15' + DAY →
+    // '2016-06-16', no time part; sub-day units yield TIMESTAMP) — Spark's
+    // timestampadd always returns TIMESTAMP. Spark's INTERVAL-literal
+    // addition has exactly the reference's polymorphic typing (DATE +
+    // INTERVAL 'n' DAY/MONTH → DATE with month-end clamping; TIMESTAMP →
+    // TIMESTAMP), so for a literal count the call lowers onto interval
+    // arithmetic and DATE-typed COLUMNS come out right too (VERDICT r14
+    // #5 — the string rewriter needs no type knowledge this way). WEEK
+    // and QUARTER scale onto DAY/MONTH; a non-literal count falls back to
+    // timestampadd (TIMESTAMP-typed for DATE operands — documented in
+    // COVERAGE.md, the remaining sliver of the divergence).
     s = rewriteCall(s, "TIMESTAMPADD") {
+      case Seq(unit, n, operand)
+          if Set("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")(unit.toUpperCase) &&
+             n.matches("""[+-]?\d+""") =>
+        val (base, mult) = unit.toUpperCase match {
+          case "WEEK"    => ("DAY", 7L)
+          case "QUARTER" => ("MONTH", 3L)
+          case u         => (u, 1L)
+        }
+        Some(s"(($operand) + INTERVAL '${n.toLong * mult}' $base)")
       case Seq(unit, n, operand)
           if Set("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")(unit.toUpperCase) &&
              operand.toUpperCase.startsWith("DATE '") =>

@@ -206,6 +206,31 @@ class SqlExpressionFidelitySpec extends SparkTestBase {
     ).foreach { case (e, want) => checkTs(e, want) }
   }
 
+  test("TIMESTAMPADD keeps the operand's type for DATE-typed COLUMNS (VERDICT r14 #5)") {
+    // the reference returns DATE for day-or-coarser units on a DATE
+    // operand whether it is a literal or a column (ScalarFunctionsTest:
+    // 3380 + the f16/f18 field rows) — the interval-literal lowering is
+    // type-polymorphic so columns now come out right too
+    val s = spark
+    import s.implicits._
+    Seq("2016-06-15").toDF("ds").selectExpr("to_date(ds) AS d")
+      .createOrReplaceTempView("dcol_t")
+    def probe(e: String): (String, String) = {
+      val df = env.sqlQuery(s"SELECT $e AS v FROM dcol_t")
+      (df.schema("v").dataType.simpleString, render(df.head().get(0)))
+    }
+    assert(probe("TIMESTAMPADD(DAY, 1, d)") == ("date", "2016-06-16"))
+    assert(probe("TIMESTAMPADD(WEEK, 1, d)") == ("date", "2016-06-22"))
+    assert(probe("TIMESTAMPADD(MONTH, -1, d)") == ("date", "2016-05-15"))
+    assert(probe("TIMESTAMPADD(QUARTER, 1, d)") == ("date", "2016-09-15"))
+    assert(probe("TIMESTAMPADD(YEAR, 2, d)") == ("date", "2018-06-15"))
+    // sub-day units promote to TIMESTAMP, reference-exact
+    val (t, v) = probe("TIMESTAMPADD(HOUR, 3, d)")
+    assert(t.startsWith("timestamp") && v == "2016-06-15 03:00:00.0")
+    // month-end clamping rides Spark's interval arithmetic
+    assert(probe("TIMESTAMPADD(MONTH, 1, DATE '2016-01-31')") == ("date", "2016-02-29"))
+  }
+
   test("datetime long tail: TIMESTAMPDIFF (ScalarFunctionsTest.scala:3134-3244, TemporalTypesTest:1126-1138)") {
     // the reference's full unit × (ts,ts)/(date,ts)/(ts,date)/(date,date)
     // expectation table
