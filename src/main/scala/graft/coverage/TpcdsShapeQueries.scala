@@ -495,23 +495,34 @@ object TpcdsShapeQueries {
         ON x.o_custkey = b.o_custkey AND x.m_next = b.m
       GROUP BY b.m ORDER BY b.m"""))
 
-  /** Customer-spend decile analysis (NTILE over an aggregate, then
-    * re-aggregate per decile — the "segment the customer base" shape).
-    * Unique tiebreak inside NTILE keeps bucket assignment deterministic. */
+  /** Customer-spend decile analysis (the "segment the customer base"
+    * shape). Unique tiebreak keeps bucket assignment deterministic. The
+    * input is one row per CUSTOMER — sf-scaled — so the decile split is
+    * the exact two-pass [[graft.operators.RankSplit]] (bit-identical to
+    * `NTILE(10) OVER (ORDER BY tot DESC, c_custkey)`, which the oracle
+    * keeps), never a single-partition global-sort window (r15 window
+    * lint). */
   val qDsDecile: Q = Q(
     run = (s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql("""
-        WITH ct AS (
-          SELECT c_custkey,
-                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
-          FROM customer JOIN orders ON o_custkey = c_custkey
-          GROUP BY c_custkey),
-        d AS (SELECT c_custkey, tot,
-                     NTILE(10) OVER (ORDER BY tot DESC, c_custkey) AS decile FROM ct)
-        SELECT decile, COUNT(*) AS n, MIN(tot) AS lo, MAX(tot) AS hi,
-               CAST(SUM(tot) AS BIGINT) AS v_cents
-        FROM d GROUP BY decile ORDER BY decile""")
+      import org.apache.spark.sql.functions._
+      def ct = s.sql("""
+        SELECT c_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey""")
+      val rs = graft.operators.RankSplit
+      val (_, bounds) = rs.thresholds(ct, "tot", "c_custkey", desc = true,
+        binShift = 20, n => rs.ntileBoundaryRanks(n, 10))
+      val decile = bounds.zipWithIndex.foldRight(lit(10)) { case ((bd, i), rest) =>
+        when(rs.atOrBefore(col("tot"), col("c_custkey"), desc = true, bd), i + 1)
+          .otherwise(rest)
+      }
+      ct.withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("tot")).as("lo"), max(col("tot")).as("hi"),
+          sum(col("tot")).as("v_cents"))
+        .orderBy(col("decile"))
     },
     oracle = Some("""
       WITH ct AS (
@@ -581,7 +592,10 @@ object TpcdsShapeQueries {
 
   /** TPC-DS q49 shape — UNION ALL of two differently-ranked metrics with a
     * channel tag, re-sorted globally: rank by revenue and rank by order
-    * count over the same base aggregate, top-5 each. */
+    * count over the same base aggregate, top-5 each. The global top-5 is
+    * `ORDER BY … LIMIT 5` (Spark's TakeOrderedAndProject — per-partition
+    * heaps, never a global sort; r15 window lint), with the rank window
+    * running over the 5-row LIMIT result only. */
   val qDsUnionRanked: Q = Q(
     run = (s, dir) => {
       Tables.registerAll(s, dir)
@@ -593,13 +607,13 @@ object TpcdsShapeQueries {
           FROM orders GROUP BY o_custkey)
         SELECT 'revenue' AS metric, c_custkey, rnk FROM (
           SELECT o_custkey AS c_custkey,
-                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk FROM base) x
-        WHERE rnk <= 5
+                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+          FROM (SELECT * FROM base ORDER BY rev DESC, o_custkey LIMIT 5) xt) x
         UNION ALL
         SELECT 'orders' AS metric, c_custkey, rnk FROM (
           SELECT o_custkey AS c_custkey,
-                 row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk FROM base) y
-        WHERE rnk <= 5
+                 row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk
+          FROM (SELECT * FROM base ORDER BY cnt DESC, o_custkey LIMIT 5) yt) y
         ORDER BY metric, rnk""")
     },
     oracle = Some("""

@@ -54,8 +54,8 @@ object FlinkSqlDialect {
     s = replaceFn(s, """(?i)SESSION\(\s*([\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)""".r,
       m => s"session_window(${m.group(1)}, ${dur(m.group(2), m.group(3))})")
 
-    // time attributes
-    s = s.replaceAll("""(?i)PROCTIME\(\)""", "current_timestamp()")
+    // time attributes (quote-aware: 'PROCTIME()' in a literal stays text)
+    s = replaceFnOutsideQuotes(s, """(?i)PROCTIME\(\)""".r, _ => "current_timestamp()")
 
     // TRUNCATE(x[, d]) — Flink numeric truncation toward zero
     // (SqlFunctionUtils.struncate, 1- and 2-arg overloads); Spark has no
@@ -152,8 +152,9 @@ object FlinkSqlDialect {
     }
 
     // RAND_INTEGER(n) — Flink integer-bounded random (FlinkSqlOperatorTable
-    // RAND_INTEGER) → floor(rand()*n)
-    s = replaceFn(s, """(?i)RAND_INTEGER\(\s*([^,()]+?)\s*\)""".r,
+    // RAND_INTEGER) → floor(rand()*n); quote-aware (the bound is numeric,
+    // never quoted, so the segment scanner applies)
+    s = replaceFnOutsideQuotes(s, """(?i)\bRAND_INTEGER\(\s*([^,()]+?)\s*\)""".r,
       m => s"CAST(floor(rand() * (${m.group(1)})) AS INT)")
 
     // (s1, e1) OVERLAPS (s2, e2) — SQL-standard period overlap (ref
@@ -163,14 +164,18 @@ object FlinkSqlDialect {
     // normalized (swap so start <= end, here LEAST/GREATEST); overlap ⇔
     // e0 >= s1 AND e1 >= s0 — endpoints INCLUSIVE. Operands are simple
     // (no nested parens/commas); Spark evaluates the emitted expression.
-    s = replaceFn(s,
+    // quote-MASKED matching (grammar fuzz r15): a literal containing
+    // "(x, y) OVERLAPS (a, b)" must stay verbatim, while real operands may
+    // themselves carry quoted literals (TIMESTAMP '...'), which rules out
+    // the segment-split scanner
+    s = replaceFnQuoteMasked(s,
       """(?i)\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)\s+OVERLAPS\s+\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)""".r,
-      m => {
+      g => {
         val intervalRe = """(?i)^INTERVAL\s+'.*""".r
         def end(p: String, t: String): String =
           if (intervalRe.findFirstIn(t).isDefined) s"($p + $t)" else t
-        val (p0, e0) = (m.group(1), end(m.group(1), m.group(2)))
-        val (p1, e1) = (m.group(3), end(m.group(3), m.group(4)))
+        val (p0, e0) = (g(1), end(g(1), g(2)))
+        val (p1, e1) = (g(3), end(g(3), g(4)))
         s"((GREATEST($p0, $e0) >= LEAST($p1, $e1)) AND (GREATEST($p1, $e1) >= LEAST($p0, $e0)))"
       })
 
@@ -206,6 +211,39 @@ object FlinkSqlDialect {
   private def replaceFn(s: String, r: scala.util.matching.Regex,
                         f: scala.util.matching.Regex.Match => String): String =
     r.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(f(m)))
+
+  /** [[replaceFn]] with the regex matched against a copy of `s` whose
+    * quoted CONTENTS are masked to \\u0001 (quote chars kept): the pattern
+    * can still span quoted operands it legitimately contains (`TIMESTAMP
+    * '2024-01-01'` inside an OVERLAPS period), but pattern-shaped text
+    * sitting WHOLLY inside a string literal can never match — the
+    * grammar-fuzz mangle class. `f` reads group text from the ORIGINAL
+    * string by match positions (null for an unmatched optional group), so
+    * the emitted rewrite carries the real quoted content. Only for
+    * patterns whose groups never need to SEE quoted characters' values
+    * ((\d+) inside quotes would mask away). */
+  private[graft] def replaceFnQuoteMasked(s: String, r: scala.util.matching.Regex,
+                                          f: (Int => String) => String): String = {
+    val a = s.toCharArray
+    var i = 0
+    var q: Char = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (q != 0) { if (c == q) q = 0 else a(i) = '\u0001' }
+      else if (c == '\'' || c == '"' || c == '`') q = c
+      i += 1
+    }
+    val masked = new String(a)
+    val out = new StringBuilder
+    var last = 0
+    for (m <- r.findAllMatchIn(masked)) {
+      out.append(s.substring(last, m.start))
+      out.append(f(g => if (m.start(g) < 0) null else s.substring(m.start(g), m.end(g))))
+      last = m.end
+    }
+    out.append(s.substring(last))
+    out.toString
+  }
 
   /** [[replaceFn]], applied only OUTSIDE '...'/"..."/`...` quoted regions:
     * the text is split at quote boundaries and the regex runs on the

@@ -3,12 +3,22 @@ package graft
 /** Regression guard: every coverage query runs green at sf0.001 (the
   * cross-engine hash gate is tools/check.py; this catches runtime breakage
   * without DuckDB). Oracle-less queries must still return deterministic
-  * row counts across two runs. */
+  * row counts across two runs. Each query's optimized plan also passes the
+  * unpartitioned-window lint (VERDICT r14 #8, [[graft.tools.WindowLint]]):
+  * a Window with no partitionBy is a single-task global sort at scale and
+  * must be a hosted-verbatim text or carry a bounded-input justification. */
 class AllQueriesSmokeSpec extends SparkTestBase {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val wins = graft.tools.WindowLint.unpartitionedWindows(df)
+      assert(wins.isEmpty || graft.tools.WindowLint.isVerbatim(name) ||
+        graft.tools.WindowLint.bounded.contains(name),
+        s"$name plans an UNPARTITIONED window (single-task sort at 100 TB): " +
+          s"${wins.mkString(" | ")}\nFix the plan (RankSplit / LIMIT-bounded input) " +
+          "or justify a bound in WindowLint.bounded.")
+      val n = df.count()
       assert(n >= 0)
     }
   }
