@@ -45,38 +45,35 @@ object Pipeline6Queries {
     * [[graft.operators.RankSplit]] — no global-sort window. */
   val qPipeDsir: Q = Q(
     run = (s, dir) => {
-      def scored = {
-        val pairs = docs(s, dir).select(col("doc_id"), col("lang"),
-            explode(zip_with(
-              expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
-              expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
-              (a, b) => concat(a, lit(" "), b))).as("pair"))
-          .withColumn("b", hashStr(col("pair")) % 64)
-        // raw + target counts in ONE corpus aggregate (conditional count);
-        // totals derive from the 64-row model table, so the corpus is
-        // scanned exactly twice: once to fit, once to score
-        val cnt = pairs.groupBy(col("b")).agg(
-          count(lit(1)).as("nr"),
-          count(when(col("lang") === "en", 1)).as("nt"))
-        val totals = cnt.agg(sum(col("nr")).as("tr"), sum(col("nt")).as("tt"))
-        val feat = cnt.crossJoin(broadcast(totals))
-          .select(col("b"),
-            floor(log(((col("nt") + 1) * (col("tr") + 64)).cast("double") /
-                      ((col("nr") + 1) * (col("tt") + 64)).cast("double")) * 1000000.0)
-              .cast("long").as("lr"))
-        pairs.join(broadcast(feat), Seq("b"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_feats"), sum(col("lr")).cast("long").as("w_micro"))
-      }
-      // exact ntile(4)==1 boundary (rank ceil-ish per SQL sizing) as a
-      // value-at-rank point; tagging is then a broadcast-free map-side
-      // comparison — see RankSplit scaladoc for why not ntile
-      val (_, Seq(q1)) = graft.operators.RankSplit.thresholds(
-        scored, "w_micro", "doc_id", desc = true, binShift = 20,
-        n => graft.operators.RankSplit.ntileBoundaryRanks(n, 4).take(1))
-      scored
-        .withColumn("selected", graft.operators.RankSplit.atOrBefore(
-          col("w_micro"), col("doc_id"), desc = true, q1))
+      val pairs = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+            expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .withColumn("b", hashStr(col("pair")) % 64)
+      // raw + target counts in ONE corpus aggregate (conditional count);
+      // totals derive from the 64-row model table, so the corpus is
+      // scanned exactly twice: once to fit, once to score
+      val cnt = pairs.groupBy(col("b")).agg(
+        count(lit(1)).as("nr"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val totals = cnt.agg(sum(col("nr")).as("tr"), sum(col("nt")).as("tt"))
+      val feat = cnt.crossJoin(broadcast(totals))
+        .select(col("b"),
+          floor(log(((col("nt") + 1) * (col("tr") + 64)).cast("double") /
+                    ((col("nr") + 1) * (col("tt") + 64)).cast("double")) * 1000000.0)
+            .cast("long").as("lr"))
+      val scored = pairs.join(broadcast(feat), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).cast("long").as("w_micro"))
+      // exact lazy ntile(4): the quartile boundary is a value-at-rank point
+      // computed in the SAME DAG (scored's shuffle is reused across the
+      // histogram/threshold/tag branches), the tag a map-side comparison —
+      // see RankSplit.ntileLazy for why not a global-sort ntile window
+      graft.operators.RankSplit
+        .ntileLazy(scored, "w_micro", "doc_id", desc = true,
+          binShift = 20, buckets = 4, bucketCol = "_q")
+        .withColumn("selected", col("_q") === 1).drop("_q")
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
@@ -111,35 +108,30 @@ object Pipeline6Queries {
     * log-probs, truncating positive division — both engines agree). */
   val qPipeCcnetBucket: Q = Q(
     run = (s, dir) => {
-      def scored = {
-        val w = docs(s, dir).select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-        val counts = w.filter(col("lang") === "en")
-          .groupBy(col("w")).agg(count(lit(1)).as("nw"))
-        // N and V come from the VOCAB table, not a rescan of the reference
-        // corpus — one fit pass + one scoring pass total
-        val stats = counts.agg(sum(col("nw")).as("n_ref"), count(lit(1)).as("v_ref"))
-        w.join(broadcast(counts), Seq("w"), "left").na.fill(0L, Seq("nw"))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("lang"),
-            floor(log((col("nw") + 1).cast("double") /
-                      (col("n_ref") + col("v_ref")).cast("double")) * 1000000.0)
-              .cast("long").as("lp"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_words"),
-               expr("CAST((-sum(lp)) DIV count(1) AS BIGINT)").as("ce_micro"))
-      }
-      // exact head/middle tercile boundaries as value-at-rank points —
-      // the bucket tag is a map-side CASE, never a global-sort window
-      val rs = graft.operators.RankSplit
-      val (_, Seq(b1, b2)) = rs.thresholds(
-        scored, "ce_micro", "doc_id", desc = false, binShift = 16,
-        n => rs.ntileBoundaryRanks(n, 3))
-      scored
+      val w = docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val counts = w.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      // N and V come from the VOCAB table, not a rescan of the reference
+      // corpus — one fit pass + one scoring pass total
+      val stats = counts.agg(sum(col("nw")).as("n_ref"), count(lit(1)).as("v_ref"))
+      val scored = w.join(broadcast(counts), Seq("w"), "left").na.fill(0L, Seq("nw"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("lang"),
+          floor(log((col("nw") + 1).cast("double") /
+                    (col("n_ref") + col("v_ref")).cast("double")) * 1000000.0)
+            .cast("long").as("lp"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+             expr("CAST((-sum(lp)) DIV count(1) AS BIGINT)").as("ce_micro"))
+      // exact lazy ntile(3) terciles — value-at-rank boundaries in the
+      // same DAG, map-side tag, no global-sort window (RankSplit.ntileLazy)
+      graft.operators.RankSplit
+        .ntileLazy(scored, "ce_micro", "doc_id", desc = false,
+          binShift = 16, buckets = 3, bucketCol = "_t")
         .withColumn("bucket",
-          when(rs.atOrBefore(col("ce_micro"), col("doc_id"), desc = false, b1), "head")
-            .when(rs.atOrBefore(col("ce_micro"), col("doc_id"), desc = false, b2), "middle")
-            .otherwise("tail"))
+          element_at(array(lit("head"), lit("middle"), lit("tail")), col("_t")))
+        .drop("_t")
         .withColumn("kept", col("bucket") =!= "tail")
         .orderBy(col("doc_id"))
     },

@@ -506,19 +506,14 @@ object TpcdsShapeQueries {
     run = (s, dir) => {
       Tables.registerAll(s, dir)
       import org.apache.spark.sql.functions._
-      def ct = s.sql("""
+      val ct = s.sql("""
         SELECT c_custkey,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tot
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey""")
-      val rs = graft.operators.RankSplit
-      val (_, bounds) = rs.thresholds(ct, "tot", "c_custkey", desc = true,
-        binShift = 20, n => rs.ntileBoundaryRanks(n, 10))
-      val decile = bounds.zipWithIndex.foldRight(lit(10)) { case ((bd, i), rest) =>
-        when(rs.atOrBefore(col("tot"), col("c_custkey"), desc = true, bd), i + 1)
-          .otherwise(rest)
-      }
-      ct.withColumn("decile", decile)
+      graft.operators.RankSplit
+        .ntileLazy(ct, "tot", "c_custkey", desc = true,
+          binShift = 20, buckets = 10, bucketCol = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), min(col("tot")).as("lo"), max(col("tot")).as("hi"),
           sum(col("tot")).as("v_cents"))

@@ -80,6 +80,75 @@ object RankSplit {
     } finally vals.unpersist(blocking = false)
   }
 
+  /** Fully-LAZY exact ntile — one declarative DAG, one corpus scan.
+    *
+    * Adds `bucketCol` = `ntile(buckets) OVER (ORDER BY v [DESC], tie)`
+    * without any driver collect and without a global sort. The plan has
+    * four branches over the same input subtree — histogram, total count,
+    * per-target-bin rank, final tag — and because they embed the IDENTICAL
+    * aggregate subtree, Spark's ReuseExchange computes the input's shuffle
+    * ONCE and the other branches read the shuffle files (the TPC-DS
+    * q14a-class mechanism; pinned by the golden plans' ReusedExchange-
+    * friendly shape and the bench A/B vs the eager two-pass form).
+    *
+    * Structure:
+    *   hist:   bin → count (bins are value-range-bounded, never
+    *           corpus-bounded);
+    *   cum:    running bucket-end rank per bin — an unpartitioned window
+    *           over the BOUNDED bin table (WindowLint-annotated);
+    *   bounds: the K-1 ntile boundary ranks, computed in-plan from n
+    *           (`base*b + least(b, n%K)` — the SQL sizing);
+    *   thr:    value-at-rank per boundary — row_number INSIDE the target
+    *           bin only, partitioned by (bin, boundary) so two boundaries
+    *           landing in one bin rank independently;
+    *   tag:    bucket = 1 + |{boundaries the row ranks AFTER}| — a pure
+    *           map-side array expression over the broadcast 1-row
+    *           threshold list.
+    *
+    * Bit-identical to ntile: rank(row) <= boundary_b ⇔ (v, tie)
+    * at-or-before the boundary point, because the order is total. */
+  def ntileLazy(df: DataFrame, valueCol: String, tieCol: String, desc: Boolean,
+                binShift: Int, buckets: Int, bucketCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df.select(col(valueCol).cast("long").as("_rs_v"),
+        col(tieCol).cast("long").as("_rs_tie"))
+      .withColumn("_rs_bin", shiftright(col("_rs_v"), binShift))
+    val hist = binned.groupBy("_rs_bin").agg(count(lit(1)).as("_rs_cnt"))
+    val nDf = hist.agg(sum(col("_rs_cnt")).cast("long").as("_rs_n"))
+    val binOrd = if (desc) col("_rs_bin").desc else col("_rs_bin").asc
+    val cum = hist
+      .withColumn("_rs_cum", // bounded: one row per occupied value bin
+        sum(col("_rs_cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(binOrd)))
+      .withColumn("_rs_start", col("_rs_cum") - col("_rs_cnt"))
+    val bounds = spark.range(1, buckets.toLong).toDF("_rs_b")
+      .crossJoin(broadcast(nDf))
+      .select(col("_rs_b"),
+        (expr(s"_rs_n DIV $buckets") * col("_rs_b") +
+          least(col("_rs_b"), col("_rs_n") % buckets)).as("_rs_rank"))
+      .filter(col("_rs_rank") >= 1) // n < buckets ⇒ some boundaries vanish
+    val targets = bounds.join(broadcast(cum),
+        col("_rs_rank") > col("_rs_start") && col("_rs_rank") <= col("_rs_cum"))
+      .select(col("_rs_b"), col("_rs_bin").as("_rs_tbin"),
+        (col("_rs_rank") - col("_rs_start")).as("_rs_inbin"))
+    val rowOrd =
+      if (desc) Seq(col("_rs_v").desc, col("_rs_tie")) else Seq(col("_rs_v"), col("_rs_tie"))
+    val thr = binned.join(broadcast(targets), col("_rs_bin") === col("_rs_tbin"))
+      .withColumn("_rs_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_rs_bin"), col("_rs_b")).orderBy(rowOrd: _*)))
+      .filter(col("_rs_rn") === col("_rs_inbin"))
+      .agg(collect_list(struct(col("_rs_v").as("v"), col("_rs_tie").as("t"))).as("_rs_ths"))
+    val v = col(valueCol).cast("long")
+    val tie = col(tieCol).cast("long")
+    df.crossJoin(broadcast(thr))
+      .withColumn(bucketCol,
+        (lit(1) + size(filter(col("_rs_ths"), e =>
+          (if (desc) v < e.getField("v") else v > e.getField("v")) ||
+            (v === e.getField("v") && tie > e.getField("t"))))).cast("int"))
+      .drop("_rs_ths")
+  }
+
   /** ntile(k) boundary RANKS: bucket b of `ntile(buckets)` over n rows ends
     * at rank Σ_{i<=b} (n/buckets + (i <= n%buckets ? 1 : 0)) — the
     * SQL-standard sizing Spark and DuckDB share. Returns the first

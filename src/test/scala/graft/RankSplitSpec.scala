@@ -45,6 +45,46 @@ class RankSplitSpec extends SparkTestBase {
     checkAgainstNtile(vs, 4, desc = false)
   }
 
+  private def checkLazyAgainstNtile(vs: Seq[(Long, Long)], buckets: Int, desc: Boolean): Unit = {
+    val s = spark
+    import s.implicits._
+    val df = vs.toDF("v", "tie")
+    val ord = if (desc) Seq(col("v").desc, col("tie")) else Seq(col("v"), col("tie"))
+    val expected = df.withColumn("b", ntile(buckets).over(Window.orderBy(ord: _*)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val got = RankSplit.ntileLazy(df, "v", "tie", desc, binShift = 4, buckets, "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected, s"ntileLazy: buckets=$buckets desc=$desc n=${vs.size}")
+  }
+
+  test("ntileLazy differential vs ntile: residues, ties, negatives, both directions") {
+    val rnd = new scala.util.Random(7151L)
+    for (n <- Seq(1, 2, 3, 5, 11, 97, 100, 101, 102, 103); k <- Seq(2, 3, 4, 10);
+         desc <- Seq(true, false)) {
+      val vs = Seq.tabulate(n)(i => (rnd.nextInt(40).toLong - 20L, i.toLong))
+      checkLazyAgainstNtile(vs, k, desc)
+    }
+    // all rows in ONE bin → every boundary lands in that bin: exercises
+    // the (bin, boundary)-partitioned rank against duplicated bin rows
+    checkLazyAgainstNtile(Seq.tabulate(10)(i => (7L, i.toLong)), 4, desc = true)
+    checkLazyAgainstNtile(Seq.tabulate(9)(i => (7L, i.toLong)), 3, desc = false)
+    // empty input: no boundaries, no rows, no crash
+    checkLazyAgainstNtile(Seq.empty, 3, desc = true)
+  }
+
+  test("ntileLazy reuses the input's exchange across its branches (one corpus scan)") {
+    val s = spark
+    import s.implicits._
+    // an aggregate input so the plan has a shuffle to reuse
+    val base = Seq.tabulate(200)(i => (i.toLong % 37, 1L)).toDF("k", "one")
+      .groupBy("k").agg(sum("one").as("v"))
+    val df = RankSplit.ntileLazy(base, "v", "k", desc = true, 4, 4, "b")
+    df.collect() // AQE finalizes reuse at runtime — materialize first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the histogram/threshold branches to reuse the input shuffle:\n$plan")
+  }
+
   test("empty relation: no thresholds, nothing tagged") {
     val s = spark
     import s.implicits._

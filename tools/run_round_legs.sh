@@ -16,11 +16,22 @@ date -u +%FT%TZ > "$LOG/started.txt"
 
 leg() { # name sfdir cpus
   local name=$1 sf=$2 cpus=$3
+  # Resumable (VERDICT r14 #3: the r14 run was killed mid-hostile-leg by
+  # the driver's bench takeover and lost the whole ritual): a leg that
+  # already completed green AT THIS COMMIT is skipped on re-run, so a
+  # second invocation finishes only the missing legs + bench.
+  if [ -f "$LOG/done_$name" ] && \
+     [ "$(cat "$LOG/done_$name")" = "$(git rev-parse HEAD)" ]; then
+    echo "== leg $name already green at this commit, skipping =="
+    tail -1 "$LOG/check_$name.txt"
+    return 0
+  fi
   echo "== leg $name ($sf, cpus=$cpus) =="
   SPARK_GRAFT_CPUS=$cpus tools/run_verify.sh "$sf" "$LOG/out_$name" \
     2> "$LOG/verify_$name.err"
   python3 tools/check.py "$sf" "$LOG/out_$name" --strict \
     > "$LOG/check_$name.txt" 2>&1 || { echo "LEG $name RED"; exit 1; }
+  git rev-parse HEAD > "$LOG/done_$name"
   tail -1 "$LOG/check_$name.txt"
 }
 
