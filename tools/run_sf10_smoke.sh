@@ -19,7 +19,9 @@ SF10=${1:-/dev/shm/graft/sf10}
 # direct 100x numbers behind the RETRACT-family state-store growth story
 # (previously proven at sf1 only — the joins were the only stateful 100x
 # ratios here).
-QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_pagerank_part,q_graph_hits_part,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus,q_stream_cdc_join,q_stream_retract_topn,q_changelog_agg"
+# r15 (VERDICT r14 #1): q_pipe_dsir / q_pipe_ccnet_bucket put direct 100x
+# numbers behind the ntileLazy rank split that replaced the global-sort ntile.
+QUERIES="q1_pricing_summary,q_tpch_q6,q_tpch_q9,q_tpch_q18,q_tpch_q21,q_graph_pagerank,q_graph_pagerank_part,q_graph_hits_part,q_graph_components,q_graph_triangles,q_graph_hits,q_pipe_minhash_lsh,q_pipe_simhash,q_pipe_ppjoin,q_pipe_semdedup,q_pipe_ann_ivf_trained,q_pipe_bm25,q_pipe_e2e_c4,q_stream_e2e_corpus,q_stream_cdc_join,q_stream_retract_topn,q_changelog_agg,q_pipe_dsir,q_pipe_ccnet_bucket"
 export SPARK_GRAFT_LOOP_PARTS=32
 # r14: stateful streaming stages also run at honest width at 100x (the
 # 4-partition runToMemory default is a fixture-scale optimization; one
