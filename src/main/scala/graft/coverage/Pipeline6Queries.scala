@@ -51,6 +51,13 @@ object Pipeline6Queries {
             expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
             (a, b) => concat(a, lit(" "), b))).as("pair"))
         .withColumn("b", hashStr(col("pair")) % 64)
+        // no-op (b = md5-hash of a non-null concat, never null), but it
+        // symmetrizes the null-filter the inner feat join infers on its
+        // probe side: with it, the fit subtree under BOTH consumers (the
+        // feat join and the totals rollup) canonicalizes identically and
+        // ReuseExchange computes the fit pass once (plan-pinned by
+        // RankSplitSpec's scan-count assertion)
+        .filter(col("b").isNotNull)
       // raw + target counts in ONE corpus aggregate (conditional count);
       // totals derive from the 64-row model table, so the corpus is
       // scanned exactly twice: once to fit, once to score

@@ -106,11 +106,32 @@ object RankSplit {
     *           threshold list.
     *
     * Bit-identical to ntile: rank(row) <= boundary_b ⇔ (v, tie)
-    * at-or-before the boundary point, because the order is total. */
+    * at-or-before the boundary point, because the order is total.
+    *
+    * THE TETHER (why `_rs_v` adds `xxhash64(all columns) * 0`): the whole
+    * lattice only computes the input subtree ONCE if Spark's ReuseExchange
+    * can prove the tag branch's exchange and the slim branches' exchange
+    * identical. Left alone, ColumnPruning SPECIALIZES the slim branches —
+    * it rewrites the input's Aggregate down to just the value/tie
+    * expressions, dropping or reordering the other aggregate functions, so
+    * the partial-aggregate exchange no longer canonicalizes equal to the
+    * tag branch's and the corpus pipeline executes twice (measured: 3
+    * document scans in q_pipe_ccnet's final plan instead of 2). The tether
+    * is a zero-valued term that references EVERY input column in output
+    * order, first: pruning must then keep the input's aggregate exactly
+    * as written (same functions, same order — the tether's argument order
+    * pins the partial-buffer layout even if CollapseProject merges the
+    * projection into the aggregate), the exchanges canonicalize equal, and
+    * the input computes once with the other branches reading its shuffle
+    * files. `xxhash64` is non-null for any input type, and `& 0` (unlike
+    * `* 0`, which Catalyst folds for non-nullable children) survives the
+    * optimizer; value semantics are untouched. Pinned by RankSplitSpec's
+    * executed-plan scan-count assertions. */
   def ntileLazy(df: DataFrame, valueCol: String, tieCol: String, desc: Boolean,
                 binShift: Int, buckets: Int, bucketCol: String): DataFrame = {
     val spark = df.sparkSession
-    val binned = df.select(col(valueCol).cast("long").as("_rs_v"),
+    val tether = xxhash64(df.columns.map(col).toIndexedSeq: _*).bitwiseAND(lit(0L))
+    val binned = df.select((tether + col(valueCol).cast("long")).as("_rs_v"),
         col(tieCol).cast("long").as("_rs_tie"))
       .withColumn("_rs_bin", shiftright(col("_rs_v"), binShift))
     val hist = binned.groupBy("_rs_bin").agg(count(lit(1)).as("_rs_cnt"))

@@ -28,7 +28,9 @@ object PlanReuseProbe {
       val df = graft.Queries.all(q).run(spark, dir)
       val n = df.collect().length
       val secs = (System.nanoTime() - t0) / 1e9
-      val fin = df.queryExecution.executedPlan.toString
+      // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+      // only the final plan executed — counting both doubles every number
+      val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       def c(p: String) = p.r.findAllIn(fin).length
       println(f"$q rows=$n secs=$secs%.2f scans=${c("Scan parquet")} " +
         f"reusedExchange=${c("ReusedExchange")} exchange=${c("Exchange")} " +

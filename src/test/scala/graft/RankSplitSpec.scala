@@ -75,14 +75,35 @@ class RankSplitSpec extends SparkTestBase {
   test("ntileLazy reuses the input's exchange across its branches (one corpus scan)") {
     val s = spark
     import s.implicits._
-    // an aggregate input so the plan has a shuffle to reuse
+    // an aggregate input with an EXTRA aggregate column the lattice does
+    // not need (the dsir n_feats shape): without the tether, ColumnPruning
+    // specializes the slim branches' partial aggregate (drops count(1))
+    // and the input computes once per branch instead of once total
     val base = Seq.tabulate(200)(i => (i.toLong % 37, 1L)).toDF("k", "one")
-      .groupBy("k").agg(sum("one").as("v"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("one").as("v"))
     val df = RankSplit.ntileLazy(base, "v", "k", desc = true, 4, 4, "b")
     df.collect() // AQE finalizes reuse at runtime — materialize first
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.contains("ReusedExchange"),
       s"expected the histogram/threshold branches to reuse the input shuffle:\n$plan")
+    val partials = "functions=\\[partial_count\\(1\\), partial_sum".r.findAllIn(plan).length
+    assert(partials == 1,
+      s"expected the input's partial aggregate to execute exactly once " +
+        s"(tether defeated column pruning), found $partials:\n$plan")
+  }
+
+  test("ntileLazy tether: the real corpus queries scan documents at most twice") {
+    // q_pipe_dsir / q_pipe_ccnet_bucket: one scoring pass + one fit pass;
+    // every ntileLazy branch reads the scoring exchange's shuffle files.
+    // Regression pin for the round-15 exchange-unification (the lattice
+    // previously recomputed the corpus pipeline once per aggregate shape).
+    for (q <- Seq("q_pipe_dsir", "q_pipe_ccnet_bucket")) {
+      val df = graft.Queries.all(q).run(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans <= 2, s"$q: expected <=2 document scans (score + fit), got $scans:\n$plan")
+    }
   }
 
   test("empty relation: no thresholds, nothing tagged") {
