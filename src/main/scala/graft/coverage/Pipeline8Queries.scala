@@ -36,15 +36,31 @@ object Pipeline8Queries {
     * floor(idf_q·tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl))) — identical IEEE
     * expression trees on both engines. At 100 TB the postings list is the
     * big side, partitioned by term; the query-term list is a broadcast and
-    * the doc-length table joins on the doc key — no query×corpus product. */
+    * the doc-length table joins on the doc key — no query×corpus product.
+    *
+    * ONE corpus pass (r15 scan census): every BM25 statistic derives from
+    * the (doc, term) -> tf aggregate, so the corpus is scanned and
+    * exploded exactly once and df / dl / N / avgdl all read tf's shuffle
+    * files via ReuseExchange. Originally dl and st re-read the text
+    * column and dfq re-ran the whole explode+aggregate (4 scans, 2
+    * corpus shuffles): dl = size(ws) is the SAME number as sum(tf) per
+    * doc (split yields exactly size(ws) explode rows), and the count()
+    * consumers referenced no tf column, so ColumnPruning specialized
+    * their copy of the aggregate and its exchange no longer matched (the
+    * RankSplit.ntileLazy tether class). The `when(tf >= 1, ...)` count
+    * spelling and the explicit no-op isNotNull filters (doc_id is the
+    * table key, term comes from split — neither is ever null) keep every
+    * consumer's copy of tf byte-identical so the exchanges unify; all
+    * values are unchanged and the oracle text is untouched. */
   val qPipeBm25: Q = Q(
     run = (s, dir) => {
       val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val dl = t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
       val tf = t.select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(col("doc_id").isNotNull && col("term").isNotNull)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
+      val dfq = tf.groupBy(col("term")).agg(count(when(col("tf") >= 1, 1)).as("df"))
       val q = s.createDataFrame(Seq(
           (0L, "spark window join"), (1L, "customer order filter"),
           (2L, "hash merge sort table"), (3L, "stream batch vector")))

@@ -169,6 +169,13 @@ object Round5Queries {
   val qPipeHllRollup: Q = Q(
     run = (s, dir) => {
       val tok = Tables.load(s, dir, "lineitem")
+        // no-op (l_returnflag is never null — TPC-H column contract), but
+        // it symmetrizes the isnotnull(source) filter the per-source
+        // estimate's join infers on ITS copy of the register aggregate:
+        // with it, srcEst's and mergedEst's register subtrees canonicalize
+        // identically and ReuseExchange computes the corpus-scale sketch
+        // aggregate once (r15 scan census: previously 2 full passes)
+        .filter(col("l_returnflag").isNotNull)
         .select(col("l_returnflag").as("source"), col("l_orderkey").cast("string").as("w"))
         .select(col("source"), col("w"), md5(col("w")).as("hh"))
         .select(col("source"), col("w"),

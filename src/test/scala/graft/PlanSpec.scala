@@ -329,6 +329,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "query-term/df/stat tables must broadcast")
   }
 
+  test("q_pipe_bm25: ONE corpus scan — df/dl/N all derive from the tf exchange") {
+    // r15 scan census: dl/st re-read text and dfq re-ran the corpus
+    // explode+aggregate until every statistic was derived from tf with
+    // byte-identical consumer subtrees (see the query's scaladoc)
+    val df = SparkEntry.queries("q_pipe_bm25")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(fin).length
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$fin")
+    assert(fin.contains("ReusedExchange"), s"tf's shuffle must be reused:\n$fin")
+  }
+
+  test("q_pipe_hll_rollup: the register aggregate (the stored sketch) computes once") {
+    // per-source estimate and merged-ALL estimate read the same
+    // (source, bin) -> max(rho) exchange; only the two exact-baseline
+    // countDistinct passes scan lineitem again (the deliberate contrast)
+    val df = SparkEntry.queries("q_pipe_hll_rollup")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(fin).length
+    assert(scans <= 3, s"expected <=3 lineitem scans (sketch + 2 exact baselines), got $scans:\n$fin")
+    assert(fin.contains("ReusedExchange"), s"the register exchange must be reused:\n$fin")
+  }
+
   test("q_pipe_rag_e2e: query embeddings broadcast; chunk embedding is scan-shaped") {
     val p = plan("q_pipe_rag_e2e")
     assert(!p.contains("CartesianProduct"), "RAG scoring degenerated to all-pairs")
