@@ -38,28 +38,43 @@ object Pipeline8Queries {
     * big side, partitioned by term; the query-term list is a broadcast and
     * the doc-length table joins on the doc key — no query×corpus product.
     *
-    * ONE corpus pass (r15 scan census): every BM25 statistic derives from
-    * the (doc, term) -> tf aggregate, so the corpus is scanned and
-    * exploded exactly once and df / dl / N / avgdl all read tf's shuffle
-    * files via ReuseExchange. Originally dl and st re-read the text
-    * column and dfq re-ran the whole explode+aggregate (4 scans, 2
-    * corpus shuffles): dl = size(ws) is the SAME number as sum(tf) per
-    * doc (split yields exactly size(ws) explode rows), and the count()
+    * ONE corpus-text pass (r15 scan census, corrected by the hostile
+    * leg): df / dl / tot all derive from the (doc, term) -> tf aggregate,
+    * so the text column is scanned, split and exploded exactly once and
+    * every consumer reads tf's shuffle files via ReuseExchange.
+    * Originally dl and st re-read the text column and dfq re-ran the
+    * whole explode+aggregate (4 scans, 2 corpus shuffles): the count()
     * consumers referenced no tf column, so ColumnPruning specialized
     * their copy of the aggregate and its exchange no longer matched (the
-    * RankSplit.ntileLazy tether class). The `when(tf >= 1, ...)` count
-    * spelling and the explicit no-op isNotNull filters (doc_id is the
-    * table key, term comes from split — neither is ever null) keep every
-    * consumer's copy of tf byte-identical so the exchanges unify; all
+    * RankSplit.ntileLazy tether class). dl rides the exploded pass as
+    * max(size(ws)) — BIT-IDENTICAL to the original size(ws) definition
+    * (an earlier dl = sum(tf) spelling was WRONG on hostile input:
+    * NULL-text documents explode to zero rows, so they vanished from dl
+    * and shrank n_docs — caught by the hostile-fixture leg, 40 score
+    * diffs). n_docs therefore comes from a dedicated count of the
+    * documents table (metadata-cheap: zero data columns at any scale) —
+    * NULL-text docs count toward N but never join postings, exactly the
+    * oracle's len(NULL)=NULL / COUNT(*) semantics. The `when(tf >= 1,
+    * ...)` / `when(tf >= 0, dl0)` spellings and the `& 0` no-op dl0
+    * reference keep every consumer reading BOTH aggregate outputs so
+    * pruning cannot specialize any copy; the explicit isNotNull filters
+    * (doc_id is the table key, term comes from split — neither is ever
+    * null post-explode) pre-plant the join-inferred constraints. All
     * values are unchanged and the oracle text is untouched. */
   val qPipeBm25: Q = Q(
     run = (s, dir) => {
       val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val tf = t.select(col("doc_id"), explode(col("ws")).as("term"))
+      val tfa = t.select(col("doc_id"), size(col("ws")).cast("long").as("dl0"),
+          explode(col("ws")).as("term"))
         .filter(col("doc_id").isNotNull && col("term").isNotNull)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl0")).as("dl0"))
+      val tf = tfa.select(col("doc_id"), col("term"),
+        (col("tf") + (coalesce(col("dl0"), lit(0L)).bitwiseAND(lit(0L)))).as("tf"))
+      val dl = tfa.groupBy(col("doc_id"))
+        .agg(max(when(col("tf") >= 0, col("dl0"))).as("dl"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val st = dl.agg(sum(col("dl")).cast("long").as("tot")).crossJoin(broadcast(nd))
       val dfq = tf.groupBy(col("term")).agg(count(when(col("tf") >= 1, 1)).as("df"))
       val q = s.createDataFrame(Seq(
           (0L, "spark window join"), (1L, "customer order filter"),

@@ -329,15 +329,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "query-term/df/stat tables must broadcast")
   }
 
-  test("q_pipe_bm25: ONE corpus scan — df/dl/N all derive from the tf exchange") {
+  test("q_pipe_bm25: ONE corpus-text scan — df/dl/tot all derive from the tf exchange") {
     // r15 scan census: dl/st re-read text and dfq re-ran the corpus
     // explode+aggregate until every statistic was derived from tf with
-    // byte-identical consumer subtrees (see the query's scaladoc)
+    // byte-identical consumer subtrees (see the query's scaladoc).
+    // Two scans exactly: the text explode pass + the dedicated n_docs
+    // count (zero data columns — NULL-text docs must count toward N but
+    // never appear in postings; the hostile leg caught the sum(tf)
+    // shortcut that merged the two).
     val df = SparkEntry.queries("q_pipe_bm25")(spark, sfDir)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val scans = "Scan parquet".r.findAllIn(fin).length
-    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$fin")
+    assert(scans == 2, s"expected text-explode scan + n_docs count scan, got $scans:\n$fin")
     assert(fin.contains("ReusedExchange"), s"tf's shuffle must be reused:\n$fin")
   }
 
