@@ -450,9 +450,21 @@ object GraphOps {
       var hub = verts.select(col("v").as("sv"), lit(1000000L).as("s")).localCheckpoint()
       var auth = hub
       (1 to iters).foreach { i =>
+        val cut = i % 2 == 0 || i == iters
         auth = step(hub, "src", "dst")
+        // checkpoint in DEPENDENCY order, auth BEFORE building hub on it
+        // (r15): hub's half-round references auth's frame, and two
+        // separate actions never share shuffle output — checkpointing
+        // the pair only AFTER both were built re-executed auth's whole
+        // chain inside hub's materialization (measured: 14 half-round
+        // executions for 8 logical at iters=4, ~1.7× loop stages). With
+        // the cut between the two steps every half-round executes once;
+        // values are identical (a checkpoint only moves materialization
+        // boundaries — GraphPropertySpec's exact serial differential and
+        // Round9Spec's path-equality pin gate it).
+        if (cut) auth = auth.localCheckpoint()
         hub = step(auth, "dst", "src")
-        if (i % 2 == 0 || i == iters) { auth = auth.localCheckpoint(); hub = hub.localCheckpoint() }
+        if (cut) hub = hub.localCheckpoint()
       }
       hub.select(col("sv").as("v"), col("s").as("hub_ppm"))
         .join(auth.select(col("sv").as("v"), col("s").as("auth_ppm")), "v")

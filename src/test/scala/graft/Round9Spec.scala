@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * on the |V|-row state side) are pinned against the executed plan. */
 class Round9Spec extends SparkTestBase {
 
+  /** Executed-stage ceiling for hits(iters=4) on the lcgEdges(60) fixture:
+    * the fixed checkpoint order measures 61 stages; the pre-fix order
+    * (hub built on the LAZY auth before the pair checkpointed) re-executed
+    * 6 of 8 half-rounds and lands ~1.7× higher. 80 sits between the two
+    * shapes with ≥30% margin on both sides. */
+  private val HitsStageBound = 80
+
   /** Deterministic LCG graph over n vertices (~30% edge density). */
   private def lcgEdges(n: Int) = {
     val s = spark
@@ -98,5 +105,34 @@ class Round9Spec extends SparkTestBase {
         .head().getString(0)
       assert(sparkStr == emulate(a, b), s"$a/$b: spark=$sparkStr emulated=${emulate(a, b)}")
     }
+  }
+
+  /** r15 checkpoint-order fix: hits checkpointed (auth, hub) only AFTER
+    * building hub on the LAZY auth, so each cut re-executed auth's whole
+    * chain inside hub's materialization — separate actions never share
+    * shuffle output. Pinned by executed-STAGE count (skipped stages don't
+    * complete): the old shape ran ~1.7× the stages of the fixed one
+    * (measured 14 vs 8 half-round executions at iters=4; wall-clock A/B
+    * on the sf0.1 fixture: hits_part 10.8-11.4 s → 5.9-6.3 s). The bound
+    * sits between the two shapes with wide margin on both sides. */
+  test("hits: every half-round materializes once — no re-execution inside checkpoints") {
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        graft.operators.GraphOps.hits(lcgEdges(60), iters = 4).orderBy("v").collect()
+        Thread.sleep(2000) // let the listener bus drain
+        stages.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n > 0, "listener saw no stages")
+    assert(n <= HitsStageBound,
+      s"hits(iters=4) executed $n stages — above the $HitsStageBound bound; " +
+      "a checkpoint is re-executing earlier half-rounds (see scaladoc)")
   }
 }
