@@ -23,9 +23,17 @@ object PlanReuseProbe {
       .appName("plan-reuse-probe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Queries.all // registry init
+    // PROBE_ACTION=count replicates the bench's timed action (count()
+    // column-prunes the plan top-down, which can specialize shared
+    // subtrees differently than collect() — the r15 dsir find)
+    val useCount = sys.env.get("PROBE_ACTION").contains("count")
     qs.foreach { q =>
       val t0 = System.nanoTime()
-      val df = graft.Queries.all(q).run(spark, dir)
+      val df0 = graft.Queries.all(q).run(spark, dir)
+      // count() plans its OWN aggregate query — to inspect the plan that
+      // actually executed under the bench's action, build the equivalent
+      // frame explicitly and collect it
+      val df = if (useCount) df0.groupBy().count() else df0
       val n = df.collect().length
       val secs = (System.nanoTime() - t0) / 1e9
       // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
@@ -35,6 +43,9 @@ object PlanReuseProbe {
       println(f"$q rows=$n secs=$secs%.2f scans=${c("Scan parquet")} " +
         f"reusedExchange=${c("ReusedExchange")} exchange=${c("Exchange")} " +
         f"tableCache=${c("InMemoryTableScan")}")
+      // PROBE_PLAN=1: print the executed plan (final section only) for
+      // eyeballing which subtrees failed to canonicalize
+      if (sys.env.get("PROBE_PLAN").contains("1")) println(fin)
     }
     spark.stop()
   }

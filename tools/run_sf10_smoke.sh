@@ -50,4 +50,17 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$Q
   $RUN -Xmx8g graft.Bench 2>/tmp/sf01_smoke100_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf01_smoke100.json
 SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QUERIES" \
   $RUN -Xmx48g graft.Bench 2>/tmp/sf10_smoke_gc.log | grep -v '"queries_n"' | grep -m1 '"metric":"total"' > /tmp/sf10_smoke.json
+# POST-run precheck (r15, the run_sf1_guarded.sh protocol): the smoke takes
+# ~25 min and the START precheck cannot see a mid-run host-degradation
+# stretch — the first r15 attempt recorded q_pipe_dsir at 166 s / simhash
+# at 74 s where clean-window isolated reps measure 17-32 s (adjudicated by
+# driver thread dumps: the md5-heavy CPU-bound stages are the class a
+# noisy-neighbor window inflates most). A red post-precheck means the
+# record must be discarded and re-run, not shipped.
+if tools/host_precheck.sh /tmp/sf10_postcheck.json 1.3; then
+  echo "post-precheck OK: $(cat /tmp/sf10_postcheck.json)"
+else
+  echo "POST-PRECHECK RED: $(cat /tmp/sf10_postcheck.json) — discard this record" >&2
+  exit 2
+fi
 echo "done: /tmp/sf01_smoke100.json /tmp/sf10_smoke.json"
