@@ -23,10 +23,10 @@ object PlanReuseProbe {
       .appName("plan-reuse-probe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Queries.all // registry init
-    // PROBE_ACTION=count replicates the bench's timed action (count()
-    // column-prunes the plan top-down, which can specialize shared
+    // SPARK_GRAFT_PROBE_ACTION=count replicates the bench's timed action
+    // (count() column-prunes the plan top-down, which can specialize shared
     // subtrees differently than collect() — the r15 dsir find)
-    val useCount = sys.env.get("PROBE_ACTION").contains("count")
+    val useCount = sys.env.get("SPARK_GRAFT_PROBE_ACTION").contains("count")
     qs.foreach { q =>
       val t0 = System.nanoTime()
       val df0 = graft.Queries.all(q).run(spark, dir)
@@ -34,7 +34,10 @@ object PlanReuseProbe {
       // actually executed under the bench's action, build the equivalent
       // frame explicitly and collect it
       val df = if (useCount) df0.groupBy().count() else df0
-      val n = df.collect().length
+      val collected = df.collect()
+      // under =count the interesting number is the counted value, not the
+      // 1-row count frame's length
+      val n = if (useCount) collected(0).getLong(0) else collected.length.toLong
       val secs = (System.nanoTime() - t0) / 1e9
       // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
       // only the final plan executed — counting both doubles every number
@@ -43,9 +46,9 @@ object PlanReuseProbe {
       println(f"$q rows=$n secs=$secs%.2f scans=${c("Scan parquet")} " +
         f"reusedExchange=${c("ReusedExchange")} exchange=${c("Exchange")} " +
         f"tableCache=${c("InMemoryTableScan")}")
-      // PROBE_PLAN=1: print the executed plan (final section only) for
-      // eyeballing which subtrees failed to canonicalize
-      if (sys.env.get("PROBE_PLAN").contains("1")) println(fin)
+      // SPARK_GRAFT_PROBE_PLAN=1: print the executed plan (final section
+      // only) for eyeballing which subtrees failed to canonicalize
+      if (sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("1")) println(fin)
     }
     spark.stop()
   }

@@ -57,7 +57,12 @@ CATEGORIES = {
 
 SCAN_EXT = {".scala", ".sbt", ".py", ".sh", ".md", ".json", ".sql"}
 SKIP_DIRS = {".git", "target", ".bloop", ".metals", "project"}
-SKIP_FILES = {"LEAKCHECK.json"}  # the artifact itself quotes patterns
+# LEAKCHECK.json quotes every pattern it found; VERDICT.md / ADVICE.md are
+# the driver-written judge/advisor briefs, which quote offending strings
+# when describing them (r15: the judge quoted the PROBE_ACTION env reads
+# this tool flagged). They are not repo source — skip, same class as the
+# artifact itself.
+SKIP_FILES = {"LEAKCHECK.json", "VERDICT.md", "ADVICE.md"}
 
 
 def main():
