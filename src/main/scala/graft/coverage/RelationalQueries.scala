@@ -218,17 +218,20 @@ object RelationalQueries {
 
   // ------------------------------------------------------------ §2.4 joins
 
-  /** Multi-way equi-join with explicit broadcasts of the small dims — ref
+  /** Multi-way equi-join with explicit broadcasts of the BOUNDED dims — ref
     * HashJoinOperator.java:58 + BatchExecHashJoinRule.scala:47 (broadcast
     * threshold). At 100 TB: lineitem⋈orders⋈customer shuffle on their keys;
-    * supplier/nation/region broadcast (no shuffle). */
+    * nation/region (25/5 rows at ANY scale factor) broadcast. supplier is
+    * sf-SCALED (~10⁹ rows at 100 TB) so it must NOT carry a forced broadcast
+    * hint (VERDICT r15 #2) — AQE picks broadcast when it fits and a shuffle
+    * join when it does not. */
   val qJoinInnerBcast: Q = Q(
     run = (s, dir) => {
       val revenue = dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")
       cust(s, dir)
         .join(ord(s, dir), col("c_custkey") === col("o_custkey"))
         .join(li(s, dir), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(supp(s, dir), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg(s, dir).filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
