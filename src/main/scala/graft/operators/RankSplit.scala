@@ -84,7 +84,7 @@ object RankSplit {
     *
     * Adds `bucketCol` = `ntile(buckets) OVER (ORDER BY v [DESC], tie)`
     * without any driver collect and without a global sort. The plan has
-    * four branches over the same input subtree — histogram, total count,
+    * three branches over the same input subtree — histogram,
     * per-target-bin rank, final tag — and because they embed the IDENTICAL
     * aggregate subtree, Spark's ReuseExchange computes the input's shuffle
     * ONCE and the other branches read the shuffle files (the TPC-DS
@@ -92,18 +92,24 @@ object RankSplit {
     * friendly shape and the bench A/B vs the eager two-pass form).
     *
     * Structure:
-    *   hist:   bin → count (bins are value-range-bounded, never
-    *           corpus-bounded);
-    *   cum:    running bucket-end rank per bin — an unpartitioned window
-    *           over the BOUNDED bin table (WindowLint-annotated);
-    *   bounds: the K-1 ntile boundary ranks, computed in-plan from n
-    *           (`base*b + least(b, n%K)` — the SQL sizing);
-    *   thr:    value-at-rank per boundary — row_number INSIDE the target
-    *           bin only, partitioned by (bin, boundary) so two boundaries
-    *           landing in one bin rank independently;
-    *   tag:    bucket = 1 + |{boundaries the row ranks AFTER}| — a pure
-    *           map-side array expression over the broadcast 1-row
-    *           threshold list.
+    *   hist:    bin → count (bins are value-range-bounded, never
+    *            corpus-bounded);
+    *   targets: ONE one-row aggregate collects the (bounded) histogram as
+    *            a rank-ordered array; the K-1 ntile boundary ranks
+    *            (`base*b + least(b, n%K)` — the SQL sizing) and, per rank,
+    *            the bin holding it plus the residual in-bin rank are a
+    *            map-side `transform`/`aggregate` fold over that array.
+    *            (r16: this replaces the r15 nDf/cum/bounds sub-lattice —
+    *            an unpartitioned window over the bin table, a range scan
+    *            and two joins with three broadcasts — with one aggregate
+    *            and pure expressions; ~4 fewer tiny-frame stages per call,
+    *            VERDICT r15 #4);
+    *   thr:     value-at-rank per boundary — row_number INSIDE the target
+    *            bin only, partitioned by (bin, boundary) so two boundaries
+    *            landing in one bin rank independently;
+    *   tag:     bucket = 1 + |{boundaries the row ranks AFTER}| — a pure
+    *            map-side array expression over the broadcast 1-row
+    *            threshold list.
     *
     * Bit-identical to ntile: rank(row) <= boundary_b ⇔ (v, tie)
     * at-or-before the boundary point, because the order is total.
@@ -129,29 +135,45 @@ object RankSplit {
     * executed-plan scan-count assertions. */
   def ntileLazy(df: DataFrame, valueCol: String, tieCol: String, desc: Boolean,
                 binShift: Int, buckets: Int, bucketCol: String): DataFrame = {
+    if (buckets <= 1) return df.withColumn(bucketCol, lit(1)) // ntile(1) ≡ 1
     val spark = df.sparkSession
     val tether = xxhash64(df.columns.map(col).toIndexedSeq: _*).bitwiseAND(lit(0L))
     val binned = df.select((tether + col(valueCol).cast("long")).as("_rs_v"),
         col(tieCol).cast("long").as("_rs_tie"))
       .withColumn("_rs_bin", shiftright(col("_rs_v"), binShift))
     val hist = binned.groupBy("_rs_bin").agg(count(lit(1)).as("_rs_cnt"))
-    val nDf = hist.agg(sum(col("_rs_cnt")).cast("long").as("_rs_n"))
-    val binOrd = if (desc) col("_rs_bin").desc else col("_rs_bin").asc
-    val cum = hist
-      .withColumn("_rs_cum", // bounded: one row per occupied value bin
-        sum(col("_rs_cnt")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(binOrd)))
-      .withColumn("_rs_start", col("_rs_cum") - col("_rs_cnt"))
-    val bounds = spark.range(1, buckets.toLong).toDF("_rs_b")
-      .crossJoin(broadcast(nDf))
-      .select(col("_rs_b"),
-        (expr(s"_rs_n DIV $buckets") * col("_rs_b") +
-          least(col("_rs_b"), col("_rs_n") % buckets)).as("_rs_rank"))
+    // the occupied-bin histogram is bounded (value-range, not corpus), so
+    // it fits ONE row; everything the r15 lattice derived from it via a
+    // window + range + two joins is a fold over that row's array
+    val histRow = hist.agg(
+      array_sort(collect_list(struct(col("_rs_bin").as("b"), col("_rs_cnt").as("c"))))
+        .as("_rs_arr"),
+      sum(col("_rs_cnt")).cast("long").as("_rs_n"))
+    val ordArr = if (desc) reverse(col("_rs_arr")) else col("_rs_arr") // rank order
+    val base = expr(s"_rs_n DIV $buckets") // exact integer division at any n
+    val rem = col("_rs_n") % buckets
+    val nullL = lit(null).cast("long")
+    val bs = array((1 until buckets).map(b => lit(b.toLong)): _*)
+    val targets = histRow
+      .select(explode(transform(bs, b => {
+        val rank = base * b + least(b, rem)
+        // locate the bin holding `rank` (first bin, in rank order, whose
+        // cumulative count reaches it) and the residual in-bin rank
+        val found = aggregate(ordArr,
+          struct(lit(0L).as("cum"), nullL.as("tbin"), nullL.as("inbin")),
+          (acc, x) => {
+            val hit = acc.getField("tbin").isNull && acc.getField("cum") + x.getField("c") >= rank
+            struct(
+              (acc.getField("cum") + x.getField("c")).as("cum"),
+              when(hit, x.getField("b")).otherwise(acc.getField("tbin")).as("tbin"),
+              when(hit, rank - acc.getField("cum")).otherwise(acc.getField("inbin")).as("inbin"))
+          })
+        struct(b.as("_rs_b"), rank.as("_rs_rank"),
+          found.getField("tbin").as("_rs_tbin"), found.getField("inbin").as("_rs_inbin"))
+      })).as("_rs_t"))
+      .select(col("_rs_t.*"))
       .filter(col("_rs_rank") >= 1) // n < buckets ⇒ some boundaries vanish
-    val targets = bounds.join(broadcast(cum),
-        col("_rs_rank") > col("_rs_start") && col("_rs_rank") <= col("_rs_cum"))
-      .select(col("_rs_b"), col("_rs_bin").as("_rs_tbin"),
-        (col("_rs_rank") - col("_rs_start")).as("_rs_inbin"))
+      .select(col("_rs_b"), col("_rs_tbin"), col("_rs_inbin"))
     val rowOrd =
       if (desc) Seq(col("_rs_v").desc, col("_rs_tie")) else Seq(col("_rs_v"), col("_rs_tie"))
     val thr = binned.join(broadcast(targets), col("_rs_bin") === col("_rs_tbin"))

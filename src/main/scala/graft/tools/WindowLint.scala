@@ -31,14 +31,11 @@ object WindowLint {
     "q_ds_best_worst" -> ("two symmetric ROW_NUMBERs over one row per p_brand - a " +
       "25-value bounded dimension (TPC-H Brand#MN), never corpus-scaled"),
     "q_ds_union_ranked" -> ("rank windows run over ORDER BY ... LIMIT 5 subqueries " +
-      "(TakeOrderedAndProject) - 5-row inputs by construction"),
-    // RankSplit.ntileLazy consumers: the one unpartitioned window is the
-    // cumulative count over the value-BIN histogram (one row per occupied
-    // 2^binShift-wide bin - value-range-bounded, never corpus-scaled);
-    // the per-document tag itself is a map-side array comparison
-    "q_pipe_dsir" -> "RankSplit.ntileLazy bin-histogram cumulation (bounded bins)",
-    "q_pipe_ccnet_bucket" -> "RankSplit.ntileLazy bin-histogram cumulation (bounded bins)",
-    "q_ds_decile" -> "RankSplit.ntileLazy bin-histogram cumulation (bounded bins)")
+      "(TakeOrderedAndProject) - 5-row inputs by construction"))
+    // (r16: the RankSplit.ntileLazy consumers — q_pipe_dsir,
+    // q_pipe_ccnet_bucket, q_ds_decile — no longer carry ANY unpartitioned
+    // window: the bounded bin-histogram cumulation became a one-row
+    // aggregate + map-side array fold, so their allowlist entries are gone)
 
   /** Verbatim-hosted benchmark texts: the reference's own SQL, exempt. */
   def isVerbatim(name: String): Boolean =
