@@ -14,7 +14,9 @@ class Round9Spec extends SparkTestBase {
     * the fixed checkpoint order measures 61 stages; the pre-fix order
     * (hub built on the LAZY auth before the pair checkpointed) re-executed
     * 6 of 8 half-rounds and lands ~1.7× higher. 80 sits between the two
-    * shapes with ≥30% margin on both sides. */
+    * shapes with ≥30% margin on both sides. Calibrated under the
+    * SparkTestBase config (local[4], shuffle.partitions=4, AQE defaults) —
+    * see [[StageCount]]; recalibrate on a config change, don't widen. */
   private val HitsStageBound = 80
 
   /** Deterministic LCG graph over n vertices (~30% edge density). */
@@ -116,20 +118,9 @@ class Round9Spec extends SparkTestBase {
     * on the sf0.1 fixture: hits_part 10.8-11.4 s → 5.9-6.3 s). The bound
     * sits between the two shapes with wide margin on both sides. */
   test("hits: every half-round materializes once — no re-execution inside checkpoints") {
-    val stages = new java.util.concurrent.atomic.AtomicInteger
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet(); ()
-      }
+    val n = StageCount.executed(spark) {
+      graft.operators.GraphOps.hits(lcgEdges(60), iters = 4).orderBy("v").collect(); ()
     }
-    spark.sparkContext.addSparkListener(listener)
-    val n =
-      try {
-        graft.operators.GraphOps.hits(lcgEdges(60), iters = 4).orderBy("v").collect()
-        Thread.sleep(2000) // let the listener bus drain
-        stages.get()
-      } finally spark.sparkContext.removeSparkListener(listener)
     assert(n > 0, "listener saw no stages")
     assert(n <= HitsStageBound,
       s"hits(iters=4) executed $n stages — above the $HitsStageBound bound; " +
