@@ -83,4 +83,22 @@ class QueriesSpec extends SparkTestBase {
     val n = st.collect()(0).getLong(0)
     assert(n == 40L, s"n_docs must count NULL-text docs, got $n")
   }
+
+  test("documents fixture contract: doc_id is unique (one-pass BM25 key assumption)") {
+    // The one-pass BM25 spelling derives dl as max over a doc_id group —
+    // identical to the oracle's per-row dl ONLY when doc_id is the table
+    // key (ADVICE r15). The fixtures honor that (and ScaleGen preserves
+    // it by shifting keys per replica); pin the contract so a future
+    // fixture change that plants duplicate keys fails here instead of
+    // silently diverging at the oracle.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val total = d.count()
+      val distinctKeys = d.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+      assert(distinctKeys == total,
+        s"$dir/documents.parquet: ${total - distinctKeys} duplicate doc_id rows — " +
+        "the one-pass BM25 dl derivation assumes doc_id is the table key")
+    }
+  }
 }
