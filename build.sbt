@@ -31,5 +31,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Runtime bloom-filter join gate (r16): Spark's injection rule is ON by
+  // default but its 10 GiB application-side-scan gate never fires on this
+  // suite below ~sf100. The crossover measured on the verbatim TPC-DS
+  // fact-fact joins is between sf0.1 and sf1 (q72 1.7x, q22 1.3x faster at
+  // sf1; uniform ~13% LOSS when forced at sf0.1), so gate on 64 MB: by
+  // construction inert at sf0.1 (largest fixture file is 11 MB — executed
+  // plans verified byte-identical, 0 might_contain) and active from sf1 up
+  // (lineitem 124 MB). The threshold is compared against actual scan size,
+  // so it is scale-adaptive, not a local[32] constant. Mirrored in the
+  // plain-java record scripts (tools/host_precheck.sh, run_sf1_full.sh,
+  // run_sf10_smoke.sh) so scale records match `sbt runMain` behavior.
+  "-Dspark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold=64MB",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -26,7 +26,7 @@ PROBES=()
 for i in 1 2 3; do
   LINE=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_ONLY=q1_pricing_summary \
-    java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold=64MB \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null \
     | grep -v '"queries_n"' | grep -m1 '"metric":"total"')
   SEC=$(python3 -c "import json,sys; print(json.loads(sys.argv[1])['queries']['q1_pricing_summary'])" "$LINE")

@@ -35,7 +35,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp target/scala-2.13/classes:/opt/spark/jars/*"
+RUN="java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold=64MB -cp target/scala-2.13/classes:/opt/spark/jars/*"
 # Host-stability gate (VERDICT r13 #1): refuse to record scale evidence in
 # a degraded window.
 tools/host_precheck.sh /tmp/sf10_precheck.json 1.3 || {

@@ -21,6 +21,6 @@ done
 # without polluting the driver-shaped outDir.
 export SPARK_GRAFT_EXCLUDED_OUT="${SPARK_GRAFT_EXCLUDED_OUT:-$OUT.excluded}"
 exec java $ADD_OPENS -Xmx8g \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold=64MB \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$SF" "$OUT"
